@@ -1,0 +1,44 @@
+"""Join family exposed by the engine.
+
+The reference's join surface (SURVEY §2.3) is the MERGE equi-join
+(``src/processor/spark_batch.py:269-280``), the guarded MERGE
+theta-join (``src/processor/spark_exactly_once.py:494``), and a
+driver-side key-set intersection / per-key probe loop
+(``src/validation/validation.py:563, 389-410``).  The per-key
+``collect()`` loop is the anti-pattern these wrappers remove: one
+distributed semi-join replaces N driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Plain equi-join; Catalyst picks broadcast/SMJ/shuffled-hash."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(left: DataFrame, small_right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Join with an explicit broadcast hint on the small side.
+
+    At 100 TB the fact side never moves: broadcasting a dimension
+    (region/nation-sized) turns a full shuffle of the fact table into a
+    map-side hash join.
+    """
+    return left.join(F.broadcast(small_right), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (no right columns).
+
+    Replaces the reference's per-key existence probe loop
+    (``src/validation/validation.py:389-410``).
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` without a match in ``right``."""
+    return left.join(right, on=on, how="left_anti")

@@ -1,0 +1,16 @@
+"""Declared query registry — the engine's public, judged surface.
+
+Every operator from SURVEY §2 is exposed as a named query here; the
+driver compares each against its DuckDB oracle (sf0.01) and benches
+the headline set (sf0.1).  Importing this package populates
+``REGISTRY``.
+"""
+
+from lakehouse_cdc_spark.plans.registry import REGISTRY, QuerySpec, register, table
+
+# import for side effects: each module registers its queries
+from lakehouse_cdc_spark.plans import relational  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import cdc_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import llm_queries  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "table"]

@@ -1,0 +1,255 @@
+"""CDC-semantics declared queries (SURVEY §1.4, §2.1, §2.9).
+
+The `events` table stands in for the change stream (user_id = primary
+key, ts = event time, event_id = offset).  Operation mapping used
+throughout: ``signup → 'c'``, ``error → 'd'``, anything else → ``'u'``
+— the c/u/d mix the reference's Locust workload produces
+(src/locust/locustfile.py:43-138).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.cdc.apply import apply_changes, compact_changes
+from lakehouse_cdc_spark.cdc.classify import classify_operation
+from lakehouse_cdc_spark.cdc.decode import decode_debezium
+from lakehouse_cdc_spark.plans.registry import dsum, register, sql_dsum, table
+
+#: event_type → CDC operation (CASE expression, shared with oracles)
+_OP_CASE_SQL = (
+    "CASE WHEN event_type = 'error' THEN 'd' "
+    "WHEN event_type = 'signup' THEN 'c' ELSE 'u' END"
+)
+
+
+def _op_col():
+    return (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+
+@register(
+    "flagship_cdc_compaction",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT l.user_id, c.c_name,
+           l.event_type AS last_event_type,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           CAST(l.value AS DOUBLE) AS last_value
+    FROM latest l
+    JOIN customer c ON l.user_id = c.c_custkey
+    WHERE l.rn = 1
+    """,
+    bench=True,
+    tags=("cdc", "W1", "J1", "flagship"),
+)
+def flagship_cdc_compaction(spark, sf_dir):
+    """THE flagship: last-write-wins compaction of the change stream
+    (W1, spark_batch.py:253-260) joined to a dimension — scan → window
+    dedup → broadcast join in one plan.  The window shuffle partitions
+    by key; the dimension is broadcast so compacted state never
+    reshuffles."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    latest = compact_changes(e, keys=["user_id"], order_by=["ts", "event_id"])
+    return latest.join(
+        F.broadcast(c), latest.user_id == c.c_custkey
+    ).select(
+        "user_id",
+        "c_name",
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+
+
+@register(
+    "cdc_classify_operations",
+    oracle=f"""
+    SELECT {_OP_CASE_SQL} AS operation,
+           COUNT(*) AS op_cnt,
+           COUNT(DISTINCT user_id) AS distinct_keys
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("cdc", "S4"),
+)
+def cdc_classify_operations(spark, sf_dir):
+    """Operation classification (S4) over the change stream, columnar
+    `when` chain instead of per-record Python (spark_batch.py:101-116)."""
+    e = table(spark, sf_dir, "events").withColumn("operation", _op_col())
+    return e.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("op_cnt"),
+        F.countDistinct("user_id").alias("distinct_keys"),
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, value, {_OP_CASE_SQL} AS operation,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(value AS DOUBLE) AS latest_value, operation
+    FROM latest
+    WHERE rn = 1 AND operation != 'd'
+    """,
+    tags=("cdc", "W1", "S9"),
+)
+def cdc_latest_state(spark, sf_dir):
+    """Change stream applied to an empty base: compact to newest per
+    key, drop keys whose final operation is a delete — the post-MERGE
+    table state as a pure function of the stream."""
+    e = table(spark, sf_dir, "events").withColumn("operation", _op_col())
+    latest = compact_changes(e, keys=["user_id"], order_by=["ts", "event_id"])
+    return latest.filter(F.col("operation") != "d").select(
+        "user_id",
+        F.col("value").cast("double").alias("latest_value"),
+        "operation",
+    )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS user_id, c_acctbal AS balance
+      FROM customer WHERE c_custkey >= 50
+    ),
+    latest AS (
+      SELECT user_id, value, {_OP_CASE_SQL} AS operation,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    compacted AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           CAST(CASE WHEN c.operation IS NOT NULL THEN c.value
+                     ELSE b.balance END AS DOUBLE) AS balance
+    FROM base b
+    FULL OUTER JOIN compacted c ON b.user_id = c.user_id
+    WHERE c.operation IS NULL OR c.operation != 'd'
+    """,
+    bench=True,
+    tags=("cdc", "S9", "J1", "merge"),
+)
+def cdc_apply_changes(spark, sf_dir):
+    """The MERGE upsert itself (S9) in oracle-checkable form: base
+    table ⟵ change batch with matched-update / matched-delete /
+    unmatched-insert / unmatched-delete-dropped semantics, including
+    the reference's insert-of-deletes bug fix (SURVEY §1.4).  Base is
+    restricted to keys ≥ 50 so every MERGE arm fires (users < 50
+    exercise the INSERT arm)."""
+    base = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 50)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    changes = (
+        table(spark, sf_dir, "events")
+        .withColumn("operation", _op_col())
+        .select("user_id", F.col("value").alias("balance"), "operation", "ts", "event_id")
+    )
+    merged = apply_changes(
+        base,
+        changes,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+    return merged.select("user_id", F.col("balance").cast("double").alias("balance"))
+
+
+@register(
+    "cdc_debezium_decode",
+    oracle=f"""
+    SELECT CASE WHEN event_type = 'error' THEN 'd'
+                WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS operation,
+           COUNT(*) AS msg_cnt,
+           CAST(SUM(CAST(floor(value * 100) AS INT)) AS BIGINT) AS sum_price
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("cdc", "S3", "S4", "F11"),
+)
+def cdc_debezium_decode(spark, sf_dir):
+    """Debezium-envelope decode round-trip (S3): events are serialized
+    into the exact envelope shape the connector emits
+    ({"payload": {..., "__deleted": "true|false"}}, with null id for
+    creates), poison messages are injected, and the engine's
+    from_json decoder + classifier must recover the original stream —
+    oracle = direct projection of the source."""
+    e = table(spark, sf_dir, "events")
+    envelope = e.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(F.col("event_type") == "signup", F.lit(None).cast("int"))
+                    .otherwise(F.col("event_id").cast("int"))
+                    .alias("id"),
+                    F.col("event_type").alias("name"),
+                    F.col("props").alias("description"),
+                    F.floor(F.col("value") * 100).cast("int").alias("price"),
+                    (F.col("event_type") == "purchase").alias("on_offer"),
+                    F.when(F.col("event_type") == "error", F.lit("true"))
+                    .otherwise(F.lit("false"))
+                    .alias("__deleted"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    poison = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("empty",), ("{not json",), ('{"no_payload": 1}',)],
+        "value string",
+    )
+    decoded = decode_debezium(envelope.unionByName(poison))
+    classified = classify_operation(decoded, key_col="id", deleted_col="__deleted")
+    return classified.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("msg_cnt"),
+        F.sum("price").cast("bigint").alias("sum_price"),
+    )
+
+
+@register(
+    "window_tumbling_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS event_cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "T7", "window"),
+)
+def window_tumbling_daily(spark, sf_dir):
+    """Tumbling event-time window (T7's missing half: the reference is
+    processing-time-only).  Same `window()` expression runs unchanged
+    under readStream + withWatermark — tested in tests/test_streaming."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "event_cnt",
+            "sum_value",
+        )
+    )
