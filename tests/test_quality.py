@@ -1,0 +1,96 @@
+"""Tests for validation operators and maintenance utilities."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.maintenance import (
+    compact_table,
+    expire_snapshots,
+    remove_orphan_files,
+)
+from lakehouse_cdc_spark.quality import (
+    freshness_lag,
+    missing_keys,
+    row_count_diff,
+    sample_match_rate,
+)
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+
+def test_row_count_diff_flags_drift(spark):
+    src = spark.range(1000)
+    tgt = spark.range(990)  # 1% off
+    row = row_count_diff(src, tgt).collect()[0]
+    assert row.source_cnt == 1000 and row.target_cnt == 990
+    assert not row.within_tolerance
+    ok = row_count_diff(src, spark.range(1000)).collect()[0]
+    assert ok.within_tolerance
+
+
+def test_missing_keys_anti_join(spark):
+    src = spark.range(10).withColumnRenamed("id", "k")
+    tgt = src.filter(F.col("k") % 3 != 0)
+    missing = {r.k for r in missing_keys(src, tgt, ["k"]).collect()}
+    assert missing == {0, 3, 6, 9}
+
+
+def test_sample_match_rate_detects_corruption(spark):
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    tgt = src.withColumn(
+        "v", F.when(F.col("k") == 0, F.lit(-1.0)).otherwise(F.col("v"))
+    )
+    row = sample_match_rate(
+        src, tgt, ["k"], ["v"], sample_pred=F.col("k") % 10 == 0
+    ).collect()[0]
+    assert row.sampled == 10
+    assert row.matched == 9  # k=0 corrupted
+    assert abs(row.match_rate - 0.9) < 1e-9
+
+
+def test_freshness_lag_zero_for_newest_group(spark, sf_dir):
+    from lakehouse_cdc_spark.plans.registry import table
+
+    lags = freshness_lag(
+        table(spark, sf_dir, "events"), "ts", ["event_type"]
+    ).collect()
+    assert min(r.lag_s for r in lags) == 0  # some group owns the newest event
+    assert all(r.lag_s >= 0 for r in lags)
+
+
+def test_compact_table_preserves_data(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(1000).repartition(16).write.parquet(p)
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    compact_table(spark, p, target_files=2)
+    n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_before == 16 and n_after == 2
+    assert spark.read.parquet(p).count() == 1000
+
+
+def test_expire_snapshots_keeps_committed(spark, tmp_path):
+    sink = SnapshotUpsertSink(str(tmp_path / "s"), keys=["id"], order_by=["seq"])
+    import datetime
+
+    for b in range(8):
+        df = spark.createDataFrame(
+            [(1, f"v{b}", "u", b)], "id int, v string, operation string, seq int"
+        )
+        sink.process_batch(df, b)
+    expired = expire_snapshots(sink.target_dir, retain_last=3)
+    assert expired == [0, 1, 2, 3, 4]
+    assert sink.committed_version() == 7
+    assert sink.current_table(spark).collect()[0].v == "v7"
+
+
+def test_remove_orphan_files(tmp_path):
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "keep.parquet").write_text("x")
+    (d / "junk.compacting").mkdir()
+    (d / "_VERSION.tmp").write_text("9")
+    removed = remove_orphan_files(str(d))
+    assert sorted(removed) == ["_VERSION.tmp", "junk.compacting"]
+    assert (d / "keep.parquet").exists()

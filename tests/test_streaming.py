@@ -1,0 +1,224 @@
+"""Streaming-layer tests: the CDC pipeline end-to-end over a file
+stream, watermark dedup, event-time windows, and exactly-once replay
+semantics.  The events table is replayed as a multi-micro-batch stream
+and the final sink state must equal the batch-computed compaction —
+the same differential shape the reference's PG-vs-Iceberg validation
+uses (SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.dedup import latest_per_key
+from lakehouse_cdc_spark.plans.registry import table
+from lakehouse_cdc_spark.streaming import (
+    SnapshotUpsertSink,
+    cdc_pipeline,
+    file_cdc_source,
+    session_window_agg,
+    tumbling_window_agg,
+    watermark_dedup,
+    with_retry,
+)
+
+def OP():
+    return (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+
+@pytest.fixture(scope="module")
+def change_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 chronological parquet files (micro-batches)."""
+    d = tmp_path_factory.mktemp("changes")
+    e = (
+        table(spark, sf_dir, "events")
+        .withColumn("operation", OP())
+        .withColumn("bucket", F.ntile(4).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("ts", "event_id")
+        ))
+    )
+    for b in range(1, 5):
+        e.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"chunk={b}"))
+    # flatten: the file source wants a directory of files
+    flat = tmp_path_factory.mktemp("changes_flat")
+    i = 0
+    for root, _, files in sorted(os.walk(d)):
+        for f_ in sorted(files):
+            if f_.endswith(".parquet"):
+                os.link(os.path.join(root, f_), str(flat / f"{i:04d}.parquet"))
+                i += 1
+    return str(flat)
+
+
+def test_cdc_pipeline_stream_equals_batch(spark, sf_dir, change_stream_dir, tmp_path):
+    """Replaying the change log as N micro-batches through the sink
+    must produce exactly the batch-computed last-write-wins state."""
+    schema = (
+        table(spark, sf_dir, "events").withColumn("operation", OP()).schema
+    )
+    stream = file_cdc_source(spark, change_stream_dir, schema, max_files_per_trigger=1)
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "target"), keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    q = cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in sink.current_table(spark).select("user_id", "event_id").collect()
+    }
+    expected_df = latest_per_key(
+        table(spark, sf_dir, "events").withColumn("operation", OP()),
+        ["user_id"],
+        ["ts", "event_id"],
+    ).filter(F.col("operation") != "d")
+    expected = {(r.user_id, r.event_id) for r in expected_df.collect()}
+    assert got == expected
+    assert sink.committed_version() is not None
+
+
+def test_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    e = table(spark, sf_dir, "events").withColumn("operation", OP()).limit(200)
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t2"), keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    sink.process_batch(e, batch_id=0)
+    state1 = sorted(
+        (r.user_id, r.event_id) for r in sink.current_state(spark).collect()
+    )
+    sink.process_batch(e, batch_id=0)  # replay same batch
+    state2 = sorted(
+        (r.user_id, r.event_id) for r in sink.current_state(spark).collect()
+    )
+    assert state1 == state2
+    assert sink.committed_version() == 0
+
+
+def test_sink_tombstone_blocks_late_update(spark, tmp_path):
+    """An update older than a delete must not resurrect the key —
+    the tombstone property the reference's join-MERGE lacks."""
+    import datetime
+
+    ts = datetime.datetime.fromisoformat
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t3"), keys=["id"], order_by=["t", "seq"]
+    )
+    b0 = spark.createDataFrame(
+        [(1, "v1", "u", ts("2024-01-01T10:00:00"), 10)],
+        "id int, v string, operation string, t timestamp, seq int",
+    )
+    b1 = spark.createDataFrame(
+        [(1, None, "d", ts("2024-01-01T12:00:00"), 20)],
+        "id int, v string, operation string, t timestamp, seq int",
+    )
+    b2_late = spark.createDataFrame(
+        [(1, "stale", "u", ts("2024-01-01T11:00:00"), 15)],  # older than delete
+        "id int, v string, operation string, t timestamp, seq int",
+    )
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    sink.process_batch(b2_late, 2)
+    assert sink.current_table(spark).count() == 0  # still deleted
+
+
+def test_watermark_dedup_streaming(spark, tmp_path):
+    """Duplicate keys across micro-batches are dropped by the
+    watermarked dedup (streaming W1)."""
+    import datetime
+
+    ts = datetime.datetime.fromisoformat
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), "a"),
+        (1, ts("2024-01-01T10:00:01"), "dup-of-1"),
+        (2, ts("2024-01-01T10:00:02"), "b"),
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    df.coalesce(1).write.parquet(src)
+    stream = file_cdc_source(spark, src, df.schema)
+    out = watermark_dedup(stream, ["k"], "ts", "1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.k for r in spark.sql("SELECT k FROM dedup_out").collect()}
+    assert got == {1, 2}
+    assert spark.sql("SELECT COUNT(*) c FROM dedup_out").collect()[0].c == 2
+
+
+def test_tumbling_window_stream_equals_batch(spark, sf_dir, change_stream_dir, tmp_path):
+    """The same window() expression must agree between batch and
+    streaming execution (complete output mode)."""
+    e = table(spark, sf_dir, "events")
+    batch = {
+        (r.day, r.cnt)
+        for r in tumbling_window_agg(
+            e, "1 day", [], [F.count(F.lit(1)).alias("cnt")]
+        )
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "cnt")
+        .collect()
+    }
+    stream = file_cdc_source(
+        spark, change_stream_dir, e.withColumn("operation", OP()).schema
+    )
+    agg = tumbling_window_agg(
+        stream, "1 day", [], [F.count(F.lit(1)).alias("cnt")], delay="1 minute"
+    ).select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "cnt")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.day, r.cnt) for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert got == batch
+
+
+def test_session_window_batch(spark, sf_dir):
+    """Session windows (gap 1h) over one user's events — count of
+    sessions matches a hand-computed gap scan."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    sessions = session_window_agg(
+        e, "1 hour", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).collect()
+    rows = sorted((r.ts for r in e.select("ts").collect()))
+    expected_sessions = 1 + sum(
+        1 for a, b in zip(rows, rows[1:]) if (b - a).total_seconds() > 3600
+    )
+    assert len(sessions) == expected_sessions
+    assert sum(r.n for r in sessions) == len(rows)
+
+
+def test_with_retry_backoff():
+    calls = []
+    sleeps = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, attempts=3, sleep=sleeps.append)() == "ok"
+    assert len(calls) == 3
+    assert sleeps == [1.0, 2.0]  # 2^0, 2^1
+
+    with pytest.raises(RuntimeError):
+        with_retry(lambda: (_ for _ in ()).throw(RuntimeError("perm")),
+                   attempts=2, sleep=sleeps.append)()
