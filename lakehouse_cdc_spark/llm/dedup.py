@@ -1,0 +1,195 @@
+"""Fuzzy-deduplication operators: n-gram Jaccard, MinHash+LSH, SimHash.
+
+All three run on native columnar functions only (split / transform /
+md5 / explode / joins) — no Python in the hot path, so the plans
+scale out like any other Spark job.
+
+Hashing is md5-based everywhere (not xxhash64/murmur) deliberately:
+md5 is bit-identical across engines, which makes every stage of the
+pipeline oracle-checkable in DuckDB.
+
+Scale notes (100 TB):
+- the shingle inverted index (explode → self-join) is quadratic in
+  per-shingle document frequency; production adds a frequency cap
+  (drop shingles appearing in > F docs — they carry no dedup signal).
+  ``jaccard_pairs(max_shingle_freq=...)`` implements the cap.
+- MinHash+LSH replaces the all-pairs join with |bands| equi-joins on
+  band buckets — candidates only, verified afterwards.  That IS the
+  scale path: cost is O(docs × k) + bucket-join, never O(docs²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.text import tokens, word_shingles
+
+
+def shingle_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) — distinct n-word shingles per document."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+
+    shingle inverted index → self-equi-join → |∩| per pair →
+    J = |∩| / (|A|+|B|−|∩|).  ``max_shingle_freq`` drops ubiquitous
+    shingles before the join (the standard guard against quadratic
+    blowup on boilerplate text).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("da"), "shingle")
+    b = sh.select(F.col(id_col).alias("db"), "shingle")
+    inter = (
+        a.join(b, on=(a.shingle == b.shingle) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Hash family j = md5('<j>|' + shingle): uniformly random per j, so
+    min() over a document's shingle set is a proper minhash.  One
+    groupBy computes all k mins (k aggregate expressions — the shingle
+    table is scanned once, not k times).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: documents sharing any band bucket become a
+    candidate pair.  |bands| equi-joins on bucket hash — never an
+    all-pairs comparison (the 100 TB path)."""
+    banded = signatures
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        banded = banded.withColumn(
+            f"band{b}", F.md5(F.concat_ws("|", *cols))
+        )
+    pair_sets = []
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("da"), F.col(f"band{b}").alias("bk"))
+        right = banded.select(F.col(id_col).alias("db"), F.col(f"band{b}").alias("bk"))
+        pair_sets.append(
+            left.join(right, on=["bk"]).filter(F.col("da") < F.col("db")).select("da", "db")
+        )
+    out = pair_sets[0]
+    for p in pair_sets[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def simhash16(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """16-bit SimHash per document over whitespace tokens.
+
+    Each token votes ±1 on every bit of md5(token) (first 4 hex
+    nibbles = 16 bits); bit p of the fingerprint is 1 iff the vote sum
+    is positive.  Near-identical documents land within a small Hamming
+    distance.  Pure SQL expressions (instr/substr/bitmask) so the
+    oracle reproduces it bit-for-bit.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    votes = [
+        F.sum(F.expr(_bit_vote_sql(p))).alias(f"s{p}") for p in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    value = None
+    for p in range(16):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        value = term if value is None else (value + term)
+    return agg.select(F.col(id_col), value.cast("bigint").alias("simhash16"))
+
+
+def _bit_vote_sql(p: int) -> str:
+    """±1 vote of a token on simhash bit ``p`` — shared verbatim with
+    the DuckDB oracle (plans/llm_queries.py)."""
+    nibble_char = 1 + p // 4
+    mask = 1 << (p % 4)
+    return (
+        f"CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), {nibble_char}, 1)) - 1)"
+        f" & {mask}) > 0 THEN 1 ELSE -1 END"
+    )
+
+
+def fingerprint_min_k(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Document fingerprint: the k smallest shingle hashes, joined —
+    a winnowing-style content signature that survives small edits."""
+    sh = shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col), F.md5("shingle").alias("h")
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("h")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(id_col)
+        .agg(F.array_join(F.array_sort(F.collect_list("h")), ",").alias("fingerprint"))
+    )

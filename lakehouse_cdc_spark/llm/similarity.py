@@ -33,6 +33,86 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the squared L2 norm once — self-joins then reuse it
+    instead of recomputing per pair."""
+    return df.withColumn(
+        "__norm_sq", l2_norm_sq(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs cosine near-duplicate detection (embedding near-dup).
+
+    Exact baseline: self-join on id inequality, fold-based dot
+    product, threshold on the rounded similarity.  O(N²) by nature —
+    at 100 TB scale use :func:`ivf_assign` buckets (or LSH) to
+    restrict the pair space first; this operator is then applied
+    within buckets only.
+    """
+    n = with_norm(embeddings, vec_col)
+    a = n.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.col("__norm_sq").alias("na"),
+    )
+    b = n.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        F.col("__norm_sq").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.sqrt("na") * F.sqrt("nb")), round_digits
+    )
+    return (
+        pairs.select("ia", "ib", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    most-similar centroid (broadcast the centroid table, rank with a
+    per-vector window, deterministic centroid-id tie-break).
+
+    This is the ANN scale path: search probes only the top buckets,
+    turning brute-force O(N) per query into O(N/k · probes)."""
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        F.round(
+            cosine_sim(
+                F.col(vec_col).cast("array<double>"),
+                F.col(centroid_vec_col).cast("array<double>"),
+            ),
+            round_digits,
+        ).alias("cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col(centroid_id_col).alias("cluster"), "cs")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

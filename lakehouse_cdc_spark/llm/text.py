@@ -20,6 +20,78 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: tiny per-language stopword sets for the heuristic language-ID.
+#: Real pipelines use larger lists / char-n-gram models; the mechanism
+#: (columnar token-set scoring, priority argmax) is identical.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+#: deterministic priority order for argmax ties
+LANG_PRIORITY = ("en", "es", "fr", "de")
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    """# tokens that are stopwords of ``lang``."""
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def predicted_lang(text: Column | str) -> Column:
+    """Heuristic language-ID: stopword-hit argmax with priority-order
+    tie-break; 'und' (undetermined) when no stopword matches."""
+    toks = tokens(text)
+    scores = {lang: stopword_count(toks, lang) for lang in LANG_PRIORITY}
+    all_zero = None
+    for lang in LANG_PRIORITY:
+        z = scores[lang] == 0
+        all_zero = z if all_zero is None else (all_zero & z)
+    expr = F.lit("und")
+    # build the CASE from lowest priority upward so 'en' wins ties
+    for lang in reversed(LANG_PRIORITY):
+        others = [scores[o] for o in LANG_PRIORITY if o != lang]
+        cond = F.lit(True)
+        for o in others:
+            cond = cond & (scores[lang] >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(all_zero, F.lit("und")).otherwise(expr)
+
+
+def punct_count(text: Column | str) -> Column:
+    """# punctuation chars, computed as length delta after stripping."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def digit_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]-ish: rewards moderate
+    length and stopword presence, penalizes punctuation/digit noise.
+    Deterministic closed-form — identical in the DuckDB oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    n_chr = F.length(c).cast("double")
+    stop_ratio = (
+        stopword_count(tokens(c), "en").cast("double")
+        / F.greatest(n_tok, F.lit(1.0))
+    )
+    punct_ratio = punct_count(c).cast("double") / F.greatest(n_chr, F.lit(1.0))
+    digit_ratio = digit_count(c).cast("double") / F.greatest(n_chr, F.lit(1.0))
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_term
+        + F.lit(0.4) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least((punct_ratio + digit_ratio) * 5.0, F.lit(1.0))),
+        6,
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """n-word shingles (space-joined) → array<string>.
 

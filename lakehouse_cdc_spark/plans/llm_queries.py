@@ -9,9 +9,49 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lakehouse_cdc_spark.llm.similarity import cosine_topk
-from lakehouse_cdc_spark.llm.text import token_count
+from lakehouse_cdc_spark.llm.dedup import (
+    _bit_vote_sql,
+    fingerprint_min_k,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from lakehouse_cdc_spark.llm.multimodal import attach_binary
+from lakehouse_cdc_spark.llm.similarity import cosine_pairs, cosine_topk, ivf_assign
+from lakehouse_cdc_spark.llm.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    digit_count,
+    predicted_lang,
+    punct_count,
+    quality_score,
+    token_count,
+    tokens,
+)
 from lakehouse_cdc_spark.plans.registry import davg, register, sql_davg, table
+
+#: shared shingle CTE (3-word shingles, distinct per doc) — the DuckDB
+#: mirror of llm/dedup.py:shingle_table
+_SH_CTE = """
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM idx)
+"""
+
+#: DuckDB fold-based vector fragments (mirror of llm/similarity.py)
+_NORM_SQ = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+_DOT_AB = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
 
 
 @register(
@@ -93,4 +133,318 @@ def text_token_stats(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(tc).cast("bigint").alias("total_tokens"),
         davg(tc.cast("double"), "avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup (n-gram Jaccard, MinHash+LSH, SimHash, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db, jaccard FROM (
+      SELECT da, db,
+             round(CAST(inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON pairs.da = sa.doc_id
+      JOIN sizes sb ON pairs.db = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    bench=True,
+    tags=("llm", "dedup", "neardup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.5 — shingle inverted
+    index + self-equi-join, |∩|/|∪| per candidate pair.  Finds the 25
+    planted near-duplicates in the documents fixture."""
+    return jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_MINS = ",\n             ".join(
+    f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8)
+)
+_BANDS = ",\n             ".join(
+    f"md5(h{2*b} || '|' || h{2*b+1}) AS band{b}" for b in range(4)
+)
+_BAND_UNION = "\n      UNION\n".join(
+    f"      SELECT a.doc_id AS da, b.doc_id AS db FROM bands a "
+    f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    )
+    SELECT da, db FROM cand
+    """,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=8) + LSH(4 bands × 2 rows) candidate pairs — the
+    scale path for near-dup at 100 TB: cost is O(docs·k) + band
+    bucket-joins, never an all-pairs comparison.  md5-based hash
+    family keeps every stage bit-identical to the oracle."""
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM({_bit_vote_sql(p)}) AS s{p}" for p in range(16)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    agg AS (SELECT doc_id,
+             {_SIMHASH_VOTES}
+            FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash16
+    FROM agg
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint per document (token ±1 votes on
+    md5-derived bits) — near-identical docs land within small Hamming
+    distance; one groupBy, no joins."""
+    return simhash16(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_SH_CTE},
+    hashed AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),
+    ranked AS (SELECT doc_id, h,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+               FROM hashed)
+    SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rn <= 5 GROUP BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Winnowing-style content signature: the 5 smallest shingle
+    hashes per document, joined — stable under small edits."""
+    return fingerprint_min_k(table(spark, sf_dir, "documents"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID + quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _sql_stop_cnt(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> x IN ({words})))"
+    )
+
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_sql_stop_cnt(lang)} AS s_{lang}" for lang in LANG_PRIORITY
+)
+_ALL_ZERO = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
+_LANG_CASE_ARMS = "\n           ".join(
+    "WHEN "
+    + " AND ".join(
+        f"s_{lang} >= s_{other}" for other in LANG_PRIORITY if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in LANG_PRIORITY
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+           {_LANG_SCORES}
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN {_ALL_ZERO} THEN 'und'
+           {_LANG_CASE_ARMS}
+           ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS doc_cnt
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language-ID (stopword-set scoring, priority-order
+    argmax) vs the labeled lang column — the agreement matrix a real
+    pipeline monitors.  Columnar: token-set filters, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted_lang", predicted_lang(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+    )
+
+
+_Q_NTOK = "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+_Q_STOP = _sql_stop_cnt("en")
+_Q_PUNCT = "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)"
+_Q_DIGIT = "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_Q_NTOK} AS BIGINT) AS n_tokens,
+           CAST({_Q_PUNCT} AS BIGINT) AS punct_cnt,
+           CAST({_Q_DIGIT} AS BIGINT) AS digit_cnt,
+           round(0.4 * least({_Q_NTOK} / 100.0, 1.0)
+               + 0.4 * least(CAST({_Q_STOP} AS DOUBLE)
+                             / greatest({_Q_NTOK}, 1.0) * 5.0, 1.0)
+               + 0.2 * (1.0 - least(({_Q_PUNCT} / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                                    + {_Q_DIGIT} / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                                    * 5.0, 1.0)),
+               6) AS quality
+    FROM documents
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_scores(spark, sf_dir):
+    """Per-document quality heuristics: token count, punctuation and
+    digit noise, stopword presence → composite score.  The filter
+    stage of a training-data pipeline, fully codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_count(F.col("text")).cast("bigint").alias("punct_cnt"),
+        digit_count(F.col("text")).cast("bigint").alias("digit_cnt"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: near-dup pairs + IVF bucketing (scale path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_neardup_pairs",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings)
+    SELECT ia, ib, cos_sim FROM (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round({_DOT_AB} / (sqrt(a.norm_sq) * sqrt(b.norm_sq)), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+    tags=("llm", "similarity", "neardup"),
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (≥0.4): exact all-pairs
+    baseline with norms computed once.  At scale this runs within IVF/
+    LSH buckets (see emb_ivf_assign) instead of globally."""
+    return cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "emb_ivf_assign",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb,
+                 {_NORM_SQ.replace('embedding', 'embedding')} AS cnorm
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+                   / (sqrt({_NORM_SQ.replace('embedding', 'e.embedding')})
+                      * sqrt(c.cnorm)), 6) AS cs
+      FROM n e, c
+    ),
+    ranked AS (SELECT vec_id, cid, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cid ASC) AS rn
+               FROM scored)
+    SELECT cid AS cluster, COUNT(*) AS n_assigned
+    FROM ranked WHERE rn = 1 GROUP BY cid
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def emb_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: every vector assigned to its nearest
+    of 8 centroid vectors (vec_id < 8) — the bucketing that turns
+    brute-force ANN into bucket-local search.  Output: bucket sizes."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    return (
+        ivf_assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_metadata(spark, sf_dir):
+    """Opaque-binary column handling: payload bytes + typed metadata
+    (length/content hash), aggregated per source — the metadata-only
+    access pattern multimodal tables must support without touching
+    payload bytes (column pruning does the rest).  The decode stage
+    itself is the mapInPandas stub in llm/multimodal.py (tested with
+    a deterministic fake kernel)."""
+    d = attach_binary(table(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("meta.byte_len")).cast("bigint").alias("total_bytes"),
+        F.min(F.col("meta.content_md5")).alias("min_md5"),
+        F.max(F.col("meta.content_md5")).alias("max_md5"),
     )

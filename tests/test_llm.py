@@ -1,0 +1,137 @@
+"""Unit tests for the LLM-pipeline extension operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from lakehouse_cdc_spark.llm.multimodal import (
+    attach_binary,
+    decode_image_meta,
+    frame_sample_plan,
+)
+from lakehouse_cdc_spark.llm.similarity import cosine_pairs, cosine_topk
+from lakehouse_cdc_spark.llm.text import predicted_lang, quality_score
+from lakehouse_cdc_spark.plans.registry import table
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "completely different content about database systems design"),
+        (4, "el perro come la comida de la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_jaccard_pairs_finds_neardup(spark):
+    pairs = jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    assert [(p.da, p.db) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id bigint, text string"
+    )
+    pairs = jaccard_pairs(d, threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_minhash_lsh_catches_what_jaccard_confirms(spark, sf_dir):
+    """LSH candidates ⊇ very-high-jaccard pairs (recall sanity):
+    every J≥0.9 pair shares at least one full band w.h.p."""
+    docs = table(spark, sf_dir, "documents")
+    sure_dups = {
+        (r.da, r.db)
+        for r in jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = {
+        (r.da, r.db)
+        for r in lsh_candidate_pairs(minhash_signatures(docs, k=8)).collect()
+    }
+    assert sure_dups <= cands
+    # and LSH must not blow up to all-pairs
+    n = docs.count()
+    assert len(cands) < n * (n - 1) / 20
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash16 for r in simhash16(_docs(spark)).collect()}
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_cosine_topk_self_is_first(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    top = cosine_topk(emb, q, k=5).collect()
+    assert top[0].vec_id == 7 and abs(top[0].cos_sim - 1.0) < 1e-6
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_pairs_symmetric_threshold(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = {(r.ia, r.ib) for r in cosine_pairs(d, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_predicted_lang_heuristic(spark):
+    d = _docs(spark).withColumn("p", predicted_lang(F.col("text")))
+    got = {r.doc_id: r.p for r in d.collect()}
+    assert got[1] == "en" and got[2] == "en"
+    assert got[4] == "es"  # 'la', 'de', 'el' hits
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("q")
+    )
+    stats = d.agg(F.min("q").alias("lo"), F.max("q").alias("hi")).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_multimodal_attach_and_fake_decode(spark, sf_dir):
+    d = attach_binary(table(spark, sf_dir, "documents").limit(50))
+    row = d.select("meta.byte_len", "n_chars").collect()[0]
+    assert row.byte_len == row.n_chars  # ascii text → 1 byte/char
+    meta = decode_image_meta(d, fake=True)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(16 <= r.width < 80 and 16 <= r.height < 80 for r in rows)
+    assert all(1 <= r.channels <= 3 for r in rows)
+    # deterministic: same input → same output
+    again = decode_image_meta(d, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    d = attach_binary(table(spark, sf_dir, "documents").limit(5))
+    with pytest.raises(Exception) as exc_info:
+        decode_image_meta(d, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan_fanout(spark, sf_dir):
+    d = attach_binary(table(spark, sf_dir, "documents").limit(10))
+    frames = frame_sample_plan(d, every_nth=10)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 10
+    assert all(r["count"] >= 1 for r in per_doc)
