@@ -32,10 +32,27 @@ def shingle_table(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(id, shingle) — distinct n-word shingles per document."""
-    return docs.select(
+    """(id, shingle) — distinct n-word shingles per document.
+
+    Two scale decisions:
+    - ``repartition(id_col)`` first: a documents scan often has far
+      fewer splits than cores (locally: one file = one task), and the
+      shingle explosion is the expensive part — spread it across the
+      cluster before it runs.  Downstream per-doc windows then reuse
+      this hash partitioning (no second shuffle).
+    - dedup happens *inside* the row (``array_distinct`` before
+      explode), so no (id, shingle) distinct-shuffle is ever needed —
+      per-doc shingle sets are tiny; the cluster-wide shingle table
+      never has to be deduplicated."""
+    # explicit partition count: AQE would coalesce a tiny exchange to
+    # one partition by byte size, serializing the CPU-heavy explode —
+    # shingle cost scales with tokens, not input bytes
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -62,20 +79,23 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_shingle_freq)
             .drop("__df")
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("da"), "shingle")
-    b = sh.select(F.col(id_col).alias("db"), "shingle")
+    # carry |doc| on every shingle row (one window pass) so the pair
+    # aggregation needs NO post-join with a sizes table — and both join
+    # sides share an identical subplan, which Catalyst executes once
+    # (ReusedExchange) instead of recomputing the shingle explosion
+    sized = sh.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sized.select(F.col(id_col).alias("da"), "shingle", F.col("__n").alias("na"))
+    b = sized.select(F.col(id_col).alias("db"), "shingle", F.col("__n").alias("nb"))
     inter = (
-        a.join(b, on=(a.shingle == b.shingle) & (F.col("da") < F.col("db")))
-        .groupBy("da", "db")
+        a.join(b, on="shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("da"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("db"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")
