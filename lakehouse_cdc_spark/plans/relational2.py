@@ -1,0 +1,357 @@
+"""Second wave of relational declared queries: grouping sets, session
+islands, guarded MERGE (exactly-once theta-join), subquery forms, and
+the wider scalar-function surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import (
+    davg,
+    dsum,
+    fixed_point,
+    register,
+    sql_davg,
+    sql_dsum,
+    table,
+)
+from lakehouse_cdc_spark.streaming.windows import session_window_agg
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           COUNT(*) AS order_cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (disjoint rollups by status and by year
+    plus grand total) — SQL form, exercising Catalyst's Expand."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+               COUNT(*) AS order_cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "window_session_islands",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) >= 3600000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    tags=("window", "streaming", "session", "T7"),
+)
+def window_session_islands(spark, sf_dir):
+    """Sessionization (1-hour gap) per user via ``session_window`` —
+    the oracle proves it against the classic gaps-and-islands SQL.
+    Same expression runs under readStream + watermark (tested in
+    tests/test_streaming)."""
+    e = table(spark, sf_dir, "events")
+    sessions = session_window_agg(
+        e, "1 hour", ["user_id"], [F.count(F.lit(1)).alias("n")], ts_col="ts"
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "cdc_guarded_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS id, c_acctbal AS balance,
+             CAST(c_custkey % 5 AS VARCHAR) AS batch_id
+      FROM customer
+    ),
+    latest AS (
+      SELECT user_id AS id, value, CAST(user_id % 3 AS VARCHAR) AS batch_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    c AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT b.id,
+           CAST(CASE WHEN c.id IS NOT NULL AND b.batch_id != c.batch_id
+                     THEN c.value ELSE b.balance END AS DOUBLE) AS balance
+    FROM base b LEFT JOIN c ON b.id = c.id
+    """,
+    tags=("cdc", "S10", "J2", "merge"),
+)
+def cdc_guarded_merge(spark, sf_dir):
+    """The exactly-once path's batch-guarded MERGE (S10/J2,
+    spark_exactly_once.py:493-505): ``ON t.id = s.id AND t.batch_id <>
+    s.batch_id`` — a change re-delivered with the batch_id already
+    stamped on the row is a no-op.  Theta-join conjunct folded into a
+    conditional update."""
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("balance"),
+        (F.col("c_custkey") % 5).cast("string").alias("batch_id"),
+    )
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("cid"),
+            F.col("value"),
+            (F.col("user_id") % 3).cast("string").alias("cbatch"),
+        )
+    )
+    joined = base.join(latest, base.id == latest.cid, "left")
+    apply_change = F.col("cid").isNotNull() & (
+        F.col("batch_id") != F.col("cbatch")
+    )
+    return joined.select(
+        "id",
+        F.when(apply_change, F.col("value"))
+        .otherwise(F.col("balance"))
+        .cast("double")
+        .alias("balance"),
+    )
+
+
+@register(
+    "subquery_above_avg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS order_cnt,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                                 / 10000.0 / CAST(COUNT(*) AS DOUBLE)
+                          FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    tags=("subquery", "agg"),
+)
+def subquery_above_avg(spark, sf_dir):
+    """Scalar-subquery predicate (orders above the global average
+    price) — expressed as a broadcast of the 1-row aggregate against
+    the fact scan; Catalyst plans the SQL form identically."""
+    o = table(spark, sf_dir, "orders")
+    avg_price = o.agg(davg(F.col("o_totalprice"), "avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+@register(
+    "scalar_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonant_mask,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', 'B') AS brand_norm,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_advanced(spark, sf_dir):
+    """Wider string-function surface: regexp extract/replace-all,
+    lpad, translate, split_part, reverse."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("consonant_mask"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "B").alias("brand_norm"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('sqrt(l_extendedprice)', 'sum_sqrt_price')},
+           {sql_dsum('abs(l_discount - 0.05)', 'sum_abs_disc_dev')},
+           {sql_dsum('ceil(l_quantity / 7.0)', 'sum_ceil_q7')},
+           {sql_dsum('floor(l_tax * 100.0)', 'sum_floor_tax')},
+           {sql_dsum('ln(l_extendedprice + 1.0)', 'sum_ln_price', 2)},
+           {sql_dsum('exp(l_discount)', 'sum_exp_disc', 2)}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_functions(spark, sf_dir):
+    """Math-function surface (sqrt/abs/ceil/floor/ln/exp) aggregated
+    deterministically.  Transcendentals (ln/exp) are rounded at 1e-2
+    fixed-point: they are not IEEE-correctly-rounded, so the two
+    engines may differ in the last ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.sqrt("l_extendedprice"), "sum_sqrt_price"),
+        dsum(F.abs(F.col("l_discount") - 0.05), "sum_abs_disc_dev"),
+        dsum(F.ceil(F.col("l_quantity") / 7.0).cast("double"), "sum_ceil_q7"),
+        dsum(F.floor(F.col("l_tax") * 100.0).cast("double"), "sum_floor_tax"),
+        dsum(F.log(F.col("l_extendedprice") + 1.0), "sum_ln_price", 2),
+        dsum(F.exp("l_discount"), "sum_exp_disc", 2),
+    )
+
+
+@register(
+    "agg_stats_functions",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median_qty,
+           round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_functions(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/correlation/exact
+    percentiles (rounded — the merge order of the streaming moment
+    computations differs across engines in low bits)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+    SELECT
+      COUNT(*) AS total_rows,
+      CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_vals,
+      CAST(SUM(CASE WHEN v IS NOT NULL AND v > 10 THEN 1 ELSE 0 END) AS BIGINT) AS gt10,
+      CAST(SUM(CASE WHEN COALESCE(v, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT) AS coalesced,
+      CAST(COUNT(v) AS BIGINT) AS non_null_count
+    FROM (
+      SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE l_linenumber * 7 END AS v
+      FROM lineitem
+    )
+    """,
+    tags=("scalar", "null", "P4", "P7"),
+)
+def filter_null_semantics(spark, sf_dir):
+    """Three-valued-logic surface: NULL injection, IS [NOT] NULL,
+    COALESCE defaults, COUNT(col) vs COUNT(*) — the null handling the
+    reference's coalesce-cast checksum projection (P7) relies on."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_linenumber") * 7)
+        .alias("v")
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.col("v").isNull().cast("long")).cast("bigint").alias("null_vals"),
+        F.sum((F.col("v").isNotNull() & (F.col("v") > 10)).cast("long"))
+        .cast("bigint")
+        .alias("gt10"),
+        F.sum((F.coalesce(F.col("v"), F.lit(-1)) == -1).cast("long"))
+        .cast("bigint")
+        .alias("coalesced"),
+        F.count(F.col("v")).cast("bigint").alias("non_null_count"),
+    )
+
+
+@register(
+    "pivot_order_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_order_status_by_year(spark, sf_dir):
+    """Pivot (long→wide) with an explicit value list — the explicit
+    list keeps the plan one pass (no distinct-values pre-query)."""
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("p_cnt"),
+    )
+
+
+@register(
+    "explode_posexplode_arrays",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-') AS parts
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    ex AS (
+      SELECT o_orderkey,
+             generate_subscripts(parts, 1) - 1 AS pos,
+             unnest(parts) AS part
+      FROM t
+    )
+    SELECT pos, part, COUNT(*) AS cnt
+    FROM ex GROUP BY pos, part
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def explode_posexplode_arrays(spark, sf_dir):
+    """Array fan-out surface: split + posexplode (index-preserving
+    explode), the row-multiplying primitive every nested-data pipeline
+    uses."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    ex = o.select(
+        "o_orderkey",
+        F.posexplode(F.split("o_orderpriority", "-")).alias("pos", "part"),
+    )
+    return ex.groupBy("pos", "part").agg(F.count(F.lit(1)).alias("cnt"))
