@@ -18,7 +18,13 @@ from lakehouse_cdc_spark.llm.dedup import (
     simhash16,
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
-from lakehouse_cdc_spark.llm.similarity import cosine_pairs, cosine_topk, ivf_assign
+from lakehouse_cdc_spark.llm.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    dot,
+    ivf_assign,
+    with_norm,
+)
 from lakehouse_cdc_spark.llm.text import (
     LANG_PRIORITY,
     STOPWORDS,
@@ -447,4 +453,63 @@ def multimodal_binary_metadata(spark, sf_dir):
         F.sum(F.col("meta.byte_len")).cast("bigint").alias("total_bytes"),
         F.min(F.col("meta.content_md5")).alias("min_md5"),
         F.max(F.col("meta.content_md5")).alias("max_md5"),
+    )
+
+
+@register(
+    "emb_topk_batch",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm
+          FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)))
+                   / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6) AS cos_sim
+      FROM n e, q
+      WHERE e.vec_id != q.qid
+    ),
+    ranked AS (SELECT qid, vec_id, cos_sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos_sim DESC, vec_id ASC) AS rn
+               FROM scored)
+    SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("llm", "similarity", "ann", "batch"),
+)
+def emb_topk_batch(spark, sf_dir):
+    """Batched ANN: top-3 neighbors for each of 5 query vectors in ONE
+    plan — broadcast the query block, score map-side, rank with a
+    per-query window.  The realistic serving shape (queries arrive in
+    batches); brute-force baseline that IVF bucketing accelerates."""
+    from pyspark.sql import Window
+
+    n = with_norm(table(spark, sf_dir, "embeddings"))
+    q = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("__norm_sq").alias("qnorm"),
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qemb").cast("array<double>"),
+                )
+                / (F.sqrt("__norm_sq") * F.sqrt("qnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim", "rn")
     )
