@@ -42,3 +42,32 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` without a match in ``right``."""
     return left.join(right, on=on, how="left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key into
+    ``salt_buckets`` sub-keys and replicate the right side across all
+    buckets, so one hot key spreads over N tasks instead of stalling
+    one.
+
+    AQE's skew-join split handles most cases automatically (enabled in
+    session.py); explicit salting remains necessary when the skewed
+    key feeds an *aggregation* or when the join sits under an operator
+    AQE can't split.  Cost: right side is duplicated ×buckets — use
+    for dimension-sized right sides only.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    buckets = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    salted_right = right.select("*", buckets)
+    out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

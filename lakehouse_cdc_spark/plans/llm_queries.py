@@ -458,6 +458,7 @@ def multimodal_binary_metadata(spark, sf_dir):
 
 @register(
     "emb_topk_batch",
+    bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
     q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm

@@ -411,6 +411,7 @@ def agg_cube_part(spark, sf_dir):
 
 @register(
     "window_rank_orders_per_customer",
+    bench=True,
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rnk
     FROM (
@@ -812,6 +813,7 @@ def checksum_ordered_nation(spark, sf_dir):
 
 @register(
     "checksum_stats_lineitem",
+    bench=True,
     oracle="""
     SELECT COUNT(*) AS row_cnt,
            COUNT(DISTINCT sig) AS distinct_sigs,

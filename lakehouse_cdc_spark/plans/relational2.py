@@ -47,6 +47,7 @@ def agg_grouping_sets(spark, sf_dir):
 
 @register(
     "window_session_islands",
+    bench=True,
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts,

@@ -1,0 +1,12 @@
+"""Batch table I/O: partitioned lakehouse writes.
+
+(Streaming sources live in ``lakehouse_cdc_spark.streaming.sources``;
+catalog/DDL in ``lakehouse_cdc_spark.catalog``.)
+"""
+
+from lakehouse_cdc_spark.sources.partitioned import (
+    write_time_partitioned,
+    read_partitioned,
+)
+
+__all__ = ["write_time_partitioned", "read_partitioned"]
