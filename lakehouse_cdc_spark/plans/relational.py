@@ -861,3 +861,77 @@ def agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS qualifying_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    tags=("agg", "filter", "P4", "P5"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped: the pure scan-filter-aggregate benchmark —
+    every predicate must reach the parquet scan (PushedFilters) and
+    the whole query is one codegen stage + one scalar exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("qualifying_rows"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    bench=True,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped: top lossy customers by returned-item revenue
+    — selective fact filters, 4-way join, grouped top-20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

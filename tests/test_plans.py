@@ -1,0 +1,67 @@
+"""Plan-quality regression tests: the physical-plan properties SCALE.md
+claims must keep holding — pushdown reaching the scan, dimensions
+broadcast, window pre-compaction, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_cdc_spark.plans import REGISTRY
+
+#: queries that intentionally contain a broadcast cross join
+#: (1-row aggregate or tiny query-vector block)
+_INTENDED_CROSS = {
+    "subquery_above_avg",
+    "emb_cosine_topk",
+    "emb_topk_batch",
+    "emb_ivf_assign",
+    "validation_rowcount",
+    "validation_freshness_lag",
+}
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/supplier at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_window_group_limit(spark, sf_dir):
+    """The CDC compaction must keep the WindowGroupLimit pre-shuffle
+    top-1 optimization — losing it means shuffling |rows| instead of
+    |keys| at 100 TB."""
+    plan = _plan(spark, sf_dir, "flagship_cdc_compaction")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_everywhere(spark, sf_dir):
+    """Hash aggregations must be partial→final (map-side combine)."""
+    for name in ["q1_pricing_summary", "agg_group_stats", "join_inner_orders_nation"]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n not in _INTENDED_CROSS)
+)
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
