@@ -356,3 +356,74 @@ def explode_posexplode_arrays(spark, sf_dir):
         F.posexplode(F.split("o_orderpriority", "-")).alias("pos", "part"),
     )
     return ex.groupBy("pos", "part").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "subquery_exists_sql",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS big_spender_cnt
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY n.n_name
+    """,
+    tags=("subquery", "join", "J3"),
+)
+def subquery_exists_sql(spark, sf_dir):
+    """Correlated EXISTS in SQL form — Catalyst decorrelates it into
+    the same left-semi join the DataFrame API produces; declared in SQL
+    to exercise the parser/analyzer path the reference's spark.sql
+    MERGE relies on."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sq")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS big_spender_cnt
+        FROM customer_sq c
+        JOIN nation_sq n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (
+          SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT
+      {sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 'promo_revenue')},
+      {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_revenue')},
+      COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14-shaped: conditional aggregation (CASE inside SUM)
+    over a fact⋈dim join — the promo-revenue share numerator and
+    denominator in one pass."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(rev, "total_revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )

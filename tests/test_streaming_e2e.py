@@ -112,3 +112,37 @@ def test_snapshot_history_is_introspectable(spark, tmp_path):
     # older snapshots stay readable until expired (time travel)
     old = spark.read.parquet(os.path.join(sink.target_dir, "v=0"))
     assert old.collect()[0].v == "v0"
+
+
+def test_crash_between_data_and_pointer_recovers(spark, tmp_path):
+    """Commit-protocol property: a snapshot written WITHOUT its pointer
+    commit (crash window) is invisible, and replaying the batch
+    overwrites it cleanly — the old committed version stays intact
+    throughout."""
+    sink = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["seq"])
+    b0 = spark.createDataFrame(
+        [(1, "v0", "u", 0)], "id int, v string, operation string, seq int"
+    )
+    sink.process_batch(b0, 0)
+    assert sink.committed_version() == 0
+
+    # simulate a crash: batch 1's data files land but the pointer
+    # never moves (write the snapshot dir directly, no commit)
+    b1 = spark.createDataFrame(
+        [(1, "v1-halfdone", "u", 1)], "id int, v string, operation string, seq int"
+    )
+    b1.write.mode("overwrite").parquet(
+        os.path.join(sink.target_dir, "v=1")
+    )
+    # reader still sees the committed state only
+    assert sink.committed_version() == 0
+    assert sink.current_table(spark).collect()[0].v == "v0"
+
+    # replay of batch 1 (what the checkpoint does after restart)
+    # rewrites the orphan snapshot and commits
+    b1_replay = spark.createDataFrame(
+        [(1, "v1", "u", 1)], "id int, v string, operation string, seq int"
+    )
+    sink.process_batch(b1_replay, 1)
+    assert sink.committed_version() == 1
+    assert sink.current_table(spark).collect()[0].v == "v1"
