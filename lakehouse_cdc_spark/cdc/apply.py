@@ -66,10 +66,16 @@ def apply_changes(
     latest = compact_changes(changes, keys, order_by)
     value_cols = [c for c in base.columns if c not in keys]
 
-    b = base.select(*(F.col(c).alias(f"__b_{c}") for c in base.columns))
+    # non-nullable existence markers: inferring row existence from key
+    # columns would silently drop base rows whose key is NULL
+    b = base.select(
+        *(F.col(c).alias(f"__b_{c}") for c in base.columns),
+        F.lit(True).alias("__b_exists"),
+    )
     c_ = latest.select(
         *(F.col(k).alias(f"__c_{k}") for k in keys),
         *(F.col(c).alias(f"__c_{c}") for c in value_cols),
+        F.lit(True).alias("__c_exists"),
         F.col(op_col).alias("__c_op"),
     )
     cond = None
@@ -78,9 +84,9 @@ def apply_changes(
         cond = eq if cond is None else (cond & eq)
     joined = b.join(c_, on=cond, how="full_outer")
 
-    has_change = F.col("__c_op").isNotNull()
+    has_change = F.col("__c_exists").isNotNull() & F.col("__c_op").isNotNull()
     is_delete = has_change & (F.col("__c_op") == "d")
-    survives = ~is_delete & (has_change | F.col(f"__b_{keys[0]}").isNotNull())
+    survives = ~is_delete & (has_change | F.col("__b_exists").isNotNull())
 
     out_cols = []
     for k in keys:
@@ -103,7 +109,13 @@ def merge_into_sql(
 ) -> str:
     """The Iceberg/Delta MERGE equivalent of :func:`apply_changes`
     (spark_batch.py:266-280 shape, insert arm guarded).  Run via
-    ``spark.sql`` when the session has a transactional catalog."""
+    ``spark.sql`` when the session has a transactional catalog.
+
+    NULL-operation rows are no-ops in every arm (matching
+    apply_changes, which ignores them): the update and insert arms
+    require ``operation IS NOT NULL`` explicitly — an unguarded
+    ``WHEN MATCHED THEN UPDATE`` would let a NULL-op row overwrite
+    the target."""
     on = " AND ".join(f"target.{k} = source.{k}" for k in keys)
     set_clause = ", ".join(f"target.{c} = source.{c}" for c in columns)
     insert_cols = ", ".join(keys + columns)
@@ -113,7 +125,9 @@ def merge_into_sql(
         USING {source_view} AS source
         ON {on}
         WHEN MATCHED AND source.{op_col} = 'd' THEN DELETE
-        WHEN MATCHED THEN UPDATE SET {set_clause}
-        WHEN NOT MATCHED AND source.{op_col} != 'd'
+        WHEN MATCHED AND source.{op_col} IS NOT NULL
+          THEN UPDATE SET {set_clause}
+        WHEN NOT MATCHED AND source.{op_col} IS NOT NULL
+                         AND source.{op_col} != 'd'
           THEN INSERT ({insert_cols}) VALUES ({insert_vals})
     """

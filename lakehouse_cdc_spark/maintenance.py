@@ -19,7 +19,15 @@ from pyspark.sql import SparkSession
 def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None:
     """Small-file compaction for a parquet table (M1,
     rewrite_data_files(min-input-files=5) equivalent): rewrite to
-    ``target_files`` files via repartition, swap atomically."""
+    ``target_files`` files, then swap.
+
+    The two renames leave a crash window where only ``<path>.old``
+    exists; :func:`remove_orphan_files` recovers it (restores
+    ``.old`` → ``path`` when the table is missing) rather than
+    deleting it.  A filesystem without atomic dir rename (S3) should
+    use the snapshot-pointer scheme of SnapshotUpsertSink or Iceberg's
+    rewrite procedure instead.
+    """
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
@@ -56,16 +64,27 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
 
 
 def remove_orphan_files(target_dir: str) -> list[str]:
-    """Orphan-file removal (M3): delete uncommitted leftovers —
-    ``*.compacting`` / ``*.old`` / ``_VERSION.tmp`` debris from
-    interrupted writes."""
-    orphans = []
-    for name in os.listdir(target_dir):
-        if name.endswith((".compacting", ".old", ".tmp")):
-            p = os.path.join(target_dir, name)
+    """Orphan-file removal (M3) with crash recovery: ``*.compacting``
+    and ``*.tmp`` debris is always deleted, but a ``<table>.old``
+    backup is RESTORED (renamed back) when the table itself is missing
+    — it is then the only surviving copy of the data (compact_table
+    crashed between its two renames); it is deleted only when the
+    table exists."""
+    actions = []
+    for name in sorted(os.listdir(target_dir)):
+        p = os.path.join(target_dir, name)
+        if name.endswith((".compacting", ".tmp")):
             (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
-            orphans.append(name)
-    return orphans
+            actions.append(name)
+        elif name.endswith(".old"):
+            original = p[: -len(".old")]
+            if os.path.exists(original):
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                actions.append(name)
+            else:
+                os.rename(p, original)  # crash recovery, not deletion
+                actions.append(f"{name} -> restored")
+    return actions
 
 
 # -- Iceberg-procedure passthroughs (used when the runtime jar is present) --
@@ -81,11 +100,19 @@ def iceberg_rewrite_data_files(spark: SparkSession, tbl: str, min_input_files: i
 def iceberg_expire_snapshots(spark: SparkSession, tbl: str, days: int = 30,
                              retain_last: int = 5):
     """M2 — with the reference's invalid ``TIMESTAMP '{days} days'``
-    literal (spark_batch.py:424) fixed to a real timestamp arithmetic
-    expression."""
+    literal (spark_batch.py:424) fixed.  Iceberg's CALL grammar only
+    accepts constant arguments (no ``current_timestamp()``
+    arithmetic), so the cutoff is computed driver-side and embedded
+    as a timestamp literal."""
+    import datetime
+
+    cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+        days=days
+    )
+    literal = cutoff.strftime("%Y-%m-%d %H:%M:%S")
     return spark.sql(
         f"CALL iceberg.system.expire_snapshots(table => '{tbl}', "
-        f"older_than => current_timestamp() - INTERVAL {days} DAYS, "
+        f"older_than => TIMESTAMP '{literal}', "
         f"retain_last => {retain_last})"
     )
 

@@ -61,7 +61,16 @@ def salted_join(
     key feeds an *aggregation* or when the join sits under an operator
     AQE can't split.  Cost: right side is duplicated ×buckets — use
     for dimension-sized right sides only.
+
+    Only ``inner`` and ``left`` are supported: with the right side
+    replicated, right/full-outer would emit one spurious null-extended
+    row per bucket whose salted left slice had no match.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicating the right side breaks right/full-outer semantics"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

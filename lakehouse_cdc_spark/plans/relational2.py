@@ -114,16 +114,13 @@ def cdc_guarded_merge(spark, sf_dir):
         F.col("c_acctbal").alias("balance"),
         (F.col("c_custkey") % 5).cast("string").alias("batch_id"),
     )
+    from lakehouse_cdc_spark.operators.dedup import latest_per_key
+
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    latest = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("user_id").alias("cid"),
-            F.col("value"),
-            (F.col("user_id") % 3).cast("string").alias("cbatch"),
-        )
+    latest = latest_per_key(e, ["user_id"], ["ts", "event_id"]).select(
+        F.col("user_id").alias("cid"),
+        F.col("value"),
+        (F.col("user_id") % 3).cast("string").alias("cbatch"),
     )
     joined = base.join(latest, base.id == latest.cid, "left")
     apply_change = F.col("cid").isNotNull() & (

@@ -79,11 +79,18 @@ class SnapshotUpsertSink:
         keys: list[str],
         order_by: list[str | Column],
         op_col: str = "operation",
+        lineage: str | None = None,
     ):
         self.target_dir = target_dir
         self.keys = keys
         self.order_by = order_by
         self.op_col = op_col
+        #: identity of the checkpoint driving this sink.  The replay
+        #: guard compares batch ids ONLY within the same lineage — a
+        #: deleted/recreated checkpoint restarts batch numbering at 0,
+        #: and without the lineage check those fresh batches would be
+        #: silently discarded as "already committed".
+        self.lineage = lineage
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -91,12 +98,21 @@ class SnapshotUpsertSink:
     def _pointer(self) -> str:
         return os.path.join(self.target_dir, "_VERSION")
 
-    def committed_version(self) -> int | None:
+    def committed(self) -> tuple[str | None, int | None]:
+        """(lineage, version) of the committed snapshot."""
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return None
+                raw = f.read().strip()
+        except FileNotFoundError:
+            return (None, None)
+        lineage, sep, version = raw.rpartition(":")
+        try:
+            return (lineage if sep else None, int(version))
+        except ValueError:
+            return (None, None)
+
+    def committed_version(self) -> int | None:
+        return self.committed()[1]
 
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.target_dir, f"v={version}")
@@ -117,9 +133,15 @@ class SnapshotUpsertSink:
 
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        committed = self.committed_version()
-        if committed is not None and batch_id <= committed:
-            # replayed batch after restart — already committed, skip
+        lineage, committed = self.committed()
+        if (
+            committed is not None
+            and batch_id <= committed
+            and lineage == self.lineage
+        ):
+            # replayed batch of the SAME checkpoint lineage — already
+            # committed, skip.  A different lineage (fresh checkpoint)
+            # must process regardless of batch numbering.
             return
         spark = batch_df.sparkSession
         compacted = latest_per_key(batch_df, self.keys, self.order_by)
@@ -135,9 +157,29 @@ class SnapshotUpsertSink:
         merged.write.mode("overwrite").parquet(self._snapshot_path(batch_id))
         # … pointer last (the commit point)
         tmp = self._pointer + ".tmp"
+        stamp = f"{self.lineage}:{batch_id}" if self.lineage else str(batch_id)
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
+            f.write(stamp)
         os.replace(tmp, self._pointer)
+
+
+def _checkpoint_lineage(checkpoint_dir: str) -> str:
+    """Stable identity for a checkpoint directory: created with the
+    checkpoint, destroyed with it."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_LINEAGE")
+    try:
+        with open(marker) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        lineage = uuid.uuid4().hex
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(lineage)
+        os.replace(tmp, marker)
+        return lineage
 
 
 def cdc_pipeline(
@@ -152,7 +194,15 @@ def cdc_pipeline(
     ``trigger`` defaults to ``availableNow`` (drain-and-stop, used in
     tests); pass ``{"processingTime": "60 seconds"}`` to mirror the
     reference's flush interval (spark_batch.py:327).
+
+    The sink's replay guard is scoped to this checkpoint's identity: a
+    marker file inside the checkpoint directory names the lineage, so
+    deleting/recreating the checkpoint (which restarts batch numbering
+    at 0) reprocesses instead of silently skipping "already seen"
+    batch ids.  Reprocessing is safe — the union+window merge is
+    last-write-wins-idempotent.
     """
+    sink.lineage = _checkpoint_lineage(checkpoint_dir)
     body = with_retry(sink.process_batch, attempts=retry_attempts)
     writer = (
         changes_stream.writeStream.foreachBatch(body)

@@ -19,10 +19,21 @@ def watermark_dedup(
     ts_col: str = "ts",
     delay: str = "10 minutes",
 ) -> DataFrame:
-    """Late-tolerant exactly-once-per-key dedup: watermark bounds the
-    state store, dropDuplicates keeps the first arrival per key.
-    The streaming upgrade of the reference's in-batch W1 dedup."""
-    return stream.withWatermark(ts_col, delay).dropDuplicates(keys)
+    """Late-tolerant exactly-once-per-key dedup with BOUNDED state.
+
+    Uses ``dropDuplicatesWithinWatermark``: a key's dedup state is
+    evicted once the watermark passes it, so the state store is
+    bounded by the watermark window — plain ``dropDuplicates(keys)``
+    under a watermark keeps one entry per ever-seen key forever (the
+    watermark only evicts state when the event-time column is part of
+    the dedup key).  Semantics: duplicates arriving within ``delay``
+    of each other are dropped; a re-delivery later than the watermark
+    window is treated as new (at-least-once downstream, which the
+    idempotent MERGE absorbs).  Batch DataFrames fall back to plain
+    dropDuplicates (no state to bound)."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def tumbling_window_agg(

@@ -116,7 +116,8 @@ def test_merge_into_sql_shape():
     sql = merge_into_sql("iceberg.db.items", "source_data", ["id"],
                          ["name", "price"])
     assert "WHEN MATCHED AND source.operation = 'd' THEN DELETE" in sql
-    assert "WHEN NOT MATCHED AND source.operation != 'd'" in sql
+    assert "source.operation != 'd'" in sql  # guarded insert arm
+    assert "WHEN NOT MATCHED AND source.operation IS NOT NULL" in sql
     assert "target.id = source.id" in sql
 
 
