@@ -514,3 +514,85 @@ def emb_topk_batch(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", "cos_sim", "rn")
     )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic ~12.5% dataset subsample by content-stable hash
+    (md5 prefix < '20' ≈ 2/16): the reproducible alternative to
+    rand()-sampling for training-data pipelines — the same rows are
+    selected on any cluster, any partitioning, any engine, and the
+    sample composes with incremental data (new rows don't reshuffle
+    old membership)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "20"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: exactly 20 docs per language,
+    chosen by hash order (stable, engine-independent) — the balanced
+    subsampling step of a multilingual training mix."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, source_gen
+    FROM (
+      SELECT event_id, user_id, event_type, value, 'v1' AS source_gen
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value,
+             'v2' AS source_gen
+      FROM events WHERE event_id % 2 = 1
+    )
+    """,
+    tags=("setop", "union", "schema-evolution", "cdc"),
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema-drift union (unionByName allowMissingColumns): micro-
+    batches produced before/after an upstream column was added merge
+    by NAME with NULL fill — positional UNION would silently
+    misalign.  The CDC schema-evolution primitive."""
+    e = table(spark, sf_dir, "events")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "value", F.lit("v1").alias("source_gen")
+    )
+    # the "old producer" batch lacks the value column entirely
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", F.lit("v2").alias("source_gen")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

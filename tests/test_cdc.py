@@ -136,3 +136,25 @@ def test_apply_changes_is_idempotent(spark):
     assert sorted((r.id, r.v) for r in once.collect()) == sorted(
         (r.id, r.v) for r in twice.collect()
     )
+
+
+def test_decode_tolerates_schema_drift(spark):
+    """Unknown payload fields (upstream added a column) are ignored;
+    missing fields decode as NULL — the from_json permissive contract
+    the CDC pipeline's schema evolution relies on."""
+    raw = spark.createDataFrame(
+        [
+            # extra field never seen in the schema
+            ('{"payload": {"id": 1, "name": "a", "description": "d", '
+             '"price": 10, "on_offer": true, "__deleted": "false", '
+             '"brand_new_column": "surprise"}}',),
+            # missing most fields
+            ('{"payload": {"id": 2}}',),
+        ],
+        "value string",
+    )
+    rows = decode_debezium(raw).orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert rows[0].name == "a"
+    assert "brand_new_column" not in rows[0].asDict()
+    assert rows[1].name is None and rows[1].price is None
