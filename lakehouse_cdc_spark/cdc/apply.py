@@ -63,11 +63,18 @@ def apply_changes(
     for AQE to broadcast); no driver involvement.  This is the plan
     MERGE INTO itself executes, minus the transactional commit.
     """
-    latest = compact_changes(changes, keys, order_by)
+    # NULL-operation rows are malformed non-changes: exclude them
+    # BEFORE compaction, so a newest-but-NULL-op row cannot mask an
+    # earlier valid change for the same key within the batch
+    latest = compact_changes(
+        changes.filter(F.col(op_col).isNotNull()), keys, order_by
+    )
     value_cols = [c for c in base.columns if c not in keys]
 
-    # non-nullable existence markers: inferring row existence from key
-    # columns would silently drop base rows whose key is NULL
+    # non-nullable existence marker: inferring base-row existence from
+    # key columns would silently drop base rows whose key is NULL.
+    # (The change side needs no marker: post-filter, a change row
+    # always has a non-null __c_op.)
     b = base.select(
         *(F.col(c).alias(f"__b_{c}") for c in base.columns),
         F.lit(True).alias("__b_exists"),
@@ -75,7 +82,6 @@ def apply_changes(
     c_ = latest.select(
         *(F.col(k).alias(f"__c_{k}") for k in keys),
         *(F.col(c).alias(f"__c_{c}") for c in value_cols),
-        F.lit(True).alias("__c_exists"),
         F.col(op_col).alias("__c_op"),
     )
     cond = None
@@ -84,7 +90,7 @@ def apply_changes(
         cond = eq if cond is None else (cond & eq)
     joined = b.join(c_, on=cond, how="full_outer")
 
-    has_change = F.col("__c_exists").isNotNull() & F.col("__c_op").isNotNull()
+    has_change = F.col("__c_op").isNotNull()
     is_delete = has_change & (F.col("__c_op") == "d")
     survives = ~is_delete & (has_change | F.col("__b_exists").isNotNull())
 

@@ -40,21 +40,20 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None
 def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     """Snapshot expiry for a SnapshotUpsertSink directory (M2,
     expire_snapshots(retain_last=5) semantics — spark_batch.py:424).
-    Never removes the committed version.  Returns expired versions."""
+    Never removes the committed snapshot (pointer parsed by the sink's
+    own reader, so retention can't misread the format).  Returns
+    expired snapshot numbers."""
+    from lakehouse_cdc_spark.streaming.pipeline import parse_version_pointer
+
     versions = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(target_dir)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     )
-    committed = None
-    try:
-        with open(os.path.join(target_dir, "_VERSION")) as f:
-            committed = int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        pass
+    committed_snap = parse_version_pointer(target_dir)[2]
     keep = set(versions[-retain_last:])
-    if committed is not None:
-        keep.add(committed)
+    if committed_snap is not None:
+        keep.add(committed_snap)
     expired = []
     for v in versions:
         if v not in keep:
@@ -103,12 +102,13 @@ def iceberg_expire_snapshots(spark: SparkSession, tbl: str, days: int = 30,
     literal (spark_batch.py:424) fixed.  Iceberg's CALL grammar only
     accepts constant arguments (no ``current_timestamp()``
     arithmetic), so the cutoff is computed driver-side and embedded
-    as a timestamp literal."""
+    as a timestamp literal — rendered in the SESSION time zone, since
+    that is how Spark interprets a zone-naive literal."""
     import datetime
+    from zoneinfo import ZoneInfo
 
-    cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
-        days=days
-    )
+    session_tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    cutoff = datetime.datetime.now(session_tz) - datetime.timedelta(days=days)
     literal = cutoff.strftime("%Y-%m-%d %H:%M:%S")
     return spark.sql(
         f"CALL iceberg.system.expire_snapshots(table => '{tbl}', "

@@ -94,35 +94,50 @@ class SnapshotUpsertSink:
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
+    #
+    # _VERSION pointer format: "<lineage>:<batch_id>:<snapshot>"
+    # (lineage may be empty).  Snapshot numbers are monotone and
+    # INDEPENDENT of batch ids: a replayed batch under a new checkpoint
+    # lineage reads snapshot S and writes snapshot S+1 — never the same
+    # path (Spark cannot overwrite a path it is reading from).
     @property
     def _pointer(self) -> str:
         return os.path.join(self.target_dir, "_VERSION")
 
-    def committed(self) -> tuple[str | None, int | None]:
-        """(lineage, version) of the committed snapshot."""
+    def committed(self) -> tuple[str | None, int | None, int | None]:
+        """(lineage, batch_id, snapshot) of the committed state."""
         try:
             with open(self._pointer) as f:
                 raw = f.read().strip()
         except FileNotFoundError:
-            return (None, None)
-        lineage, sep, version = raw.rpartition(":")
+            return (None, None, None)
+        # rsplit: the lineage itself may contain ':' (a checkpoint URI)
+        parts = raw.rsplit(":", 2)
         try:
-            return (lineage if sep else None, int(version))
+            if len(parts) == 3:
+                lineage = parts[0] or None
+                return (lineage, int(parts[1]), int(parts[2]))
         except ValueError:
-            return (None, None)
+            pass
+        return (None, None, None)
 
     def committed_version(self) -> int | None:
+        """Batch id of the last committed micro-batch."""
         return self.committed()[1]
 
-    def _snapshot_path(self, version: int) -> str:
-        return os.path.join(self.target_dir, f"v={version}")
+    def committed_snapshot(self) -> int | None:
+        """Snapshot number the pointer currently commits."""
+        return self.committed()[2]
+
+    def _snapshot_path(self, snapshot: int) -> str:
+        return os.path.join(self.target_dir, f"v={snapshot}")
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         """Full state incl. delete tombstones (one row per ever-seen key)."""
-        v = self.committed_version()
-        if v is None:
+        snap = self.committed_snapshot()
+        if snap is None:
             return None
-        return spark.read.parquet(self._snapshot_path(v))
+        return spark.read.parquet(self._snapshot_path(snap))
 
     def current_table(self, spark: SparkSession) -> DataFrame | None:
         """The user-visible table: tombstones filtered out."""
@@ -133,10 +148,10 @@ class SnapshotUpsertSink:
 
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        lineage, committed = self.committed()
+        lineage, committed_batch, committed_snap = self.committed()
         if (
-            committed is not None
-            and batch_id <= committed
+            committed_batch is not None
+            and batch_id <= committed_batch
             and lineage == self.lineage
         ):
             # replayed batch of the SAME checkpoint lineage — already
@@ -153,23 +168,42 @@ class SnapshotUpsertSink:
                 base.unionByName(compacted), self.keys, self.order_by
             )
         )
-        # data first …
-        merged.write.mode("overwrite").parquet(self._snapshot_path(batch_id))
+        new_snap = (committed_snap if committed_snap is not None else -1) + 1
+        # data first (always a fresh directory — never the one being read) …
+        merged.write.mode("overwrite").parquet(self._snapshot_path(new_snap))
         # … pointer last (the commit point)
         tmp = self._pointer + ".tmp"
-        stamp = f"{self.lineage}:{batch_id}" if self.lineage else str(batch_id)
         with open(tmp, "w") as f:
-            f.write(stamp)
+            f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
         os.replace(tmp, self._pointer)
+
+
+def parse_version_pointer(target_dir: str) -> tuple[str | None, int | None, int | None]:
+    """Read a sink's commit pointer without constructing the sink —
+    shared with maintenance.expire_snapshots so retention can never
+    delete the committed snapshot regardless of pointer format."""
+    sink = SnapshotUpsertSink.__new__(SnapshotUpsertSink)
+    sink.target_dir = target_dir
+    return SnapshotUpsertSink.committed(sink)
 
 
 def _checkpoint_lineage(checkpoint_dir: str) -> str:
     """Stable identity for a checkpoint directory: created with the
-    checkpoint, destroyed with it."""
-    import uuid
+    checkpoint, destroyed with it.
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "_LINEAGE")
+    For non-local checkpoint URIs (s3a://, hdfs://, …) the local
+    marker-file scheme doesn't apply; the URI itself serves as the
+    lineage.  Limitation: deleting and recreating a REMOTE checkpoint
+    at the same URI keeps the same lineage, so such a reset should use
+    a new checkpoint path (standard practice) or a fresh target."""
+    import uuid
+    from urllib.parse import urlparse
+
+    if urlparse(checkpoint_dir).scheme not in ("", "file"):
+        return checkpoint_dir
+    path = checkpoint_dir[len("file://"):] if checkpoint_dir.startswith("file://") else checkpoint_dir
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_LINEAGE")
     try:
         with open(marker) as f:
             return f.read().strip()
