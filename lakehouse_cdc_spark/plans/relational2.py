@@ -424,3 +424,114 @@ def q14_promo_share(spark, sf_dir):
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+@register(
+    "q7_nation_flows",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS line_cnt,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey < 3 AND sn.n_nationkey < 3
+      AND cn.n_nationkey != sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+    tags=("join", "self-join", "agg"),
+)
+def q7_nation_flows(spark, sf_dir):
+    """TPC-H-Q7-shaped: trade flows between nation pairs — the same
+    dimension joined TWICE under different roles (customer's vs
+    supplier's nation), the aliasing case that breaks naive column
+    resolution."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cn_key") < 3)
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("sn_key") < 3)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cn_key") != F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT quartile,
+           COUNT(*) AS cust_cnt,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile(4) balance quartiles (total order via key tie-break) —
+    the bucketing primitive for stratified splits."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+    FROM events
+    WHERE user_id < 10
+    GROUP BY user_id
+    """,
+    tags=("agg", "collect", "F5"),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Ordered event-sequence per key (collect_list sorted inside the
+    aggregate — deterministic under any partitioning): the
+    session-trajectory feature a behavior model trains on.  Bounded
+    keys only; unbounded collect_list is exactly what the checksum
+    scale path avoids."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    pair = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda x: x["event_type"]
+            ),
+            ",",
+        ).alias("event_seq")
+    )
