@@ -535,3 +535,128 @@ def agg_collect_sorted(spark, sf_dir):
             ",",
         ).alias("event_seq")
     )
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS BIGINT) AS total_age_days,
+           strftime(MIN(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS min_due,
+           strftime(MAX(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS max_month_start,
+           CAST(MAX(dayofweek(o_orderdate)) AS INT) AS max_dow
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scalar", "date", "F9", "F10"),
+)
+def scalar_date_arithmetic(spark, sf_dir):
+    """Date/interval arithmetic surface: datediff, interval addition,
+    date_trunc, day-of-week — the retention/aging computations of an
+    operational lakehouse.  (Spark dayofweek is 1=Sunday; DuckDB
+    dayofweek is 0=Sunday — aligned by subtracting 1.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.sum(
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        ).cast("bigint").alias("total_age_days"),
+        F.date_format(
+            F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")), "yyyy-MM-dd"
+        ).alias("min_due"),
+        F.date_format(F.max(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd").alias(
+            "max_month_start"
+        ),
+        (F.max(F.dayofweek("o_orderdate")) - 1).cast("int").alias("max_dow"),
+    )
+
+
+@register(
+    "scalar_conditionals",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_cnt,
+           CAST(SUM(CAST(floor(greatest(c_acctbal, 0.0) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_positive_part,
+           CAST(SUM(CAST(floor(least(c_acctbal, 0.0) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_negative_part,
+           CAST(COUNT(nullif(c_nationkey, 0)) AS BIGINT) AS non_zero_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditionals(spark, sf_dir):
+    """Conditional-expression surface: CASE, greatest/least clamps,
+    nullif; sums via the fixed-point helpers (raw double sums are
+    order-dependent and would not hash-match across engines)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.sum((F.col("c_acctbal") < 0).cast("long")).cast("bigint").alias("negative_cnt"),
+        dsum(F.greatest(F.col("c_acctbal"), F.lit(0.0)), "sum_positive_part"),
+        dsum(F.least(F.col("c_acctbal"), F.lit(0.0)), "sum_negative_part"),
+        F.count(F.nullif(F.col("c_nationkey"), F.lit(0))).cast("bigint").alias(
+            "non_zero_nations"
+        ),
+    )
+
+
+@register(
+    "array_set_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    q AS (SELECT toks AS qtoks FROM t WHERE doc_id = 0)
+    SELECT t.doc_id,
+           len(t.toks) AS vocab_size,
+           len(list_intersect(t.toks, q.qtoks)) AS common_with_doc0,
+           CAST(list_contains(t.toks, 'the') AS BOOLEAN) AS has_the
+    FROM t, q
+    """,
+    tags=("scalar", "array"),
+)
+def array_set_functions(spark, sf_dir):
+    """Array set algebra (distinct/intersect/contains) — vocabulary
+    overlap against a reference document, the set-feature primitive
+    under Jaccard-style similarity."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    q = toks.filter(F.col("doc_id") == 0).select(F.col("toks").alias("qtoks"))
+    return toks.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("vocab_size"),
+        F.size(F.array_intersect("toks", "qtoks")).cast("bigint").alias(
+            "common_with_doc0"
+        ),
+        F.array_contains("toks", "the").alias("has_the"),
+    )
+
+
+@register(
+    "map_from_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) % 10) AS BIGINT) AS sum_k_mod10
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "map", "F11"),
+)
+def map_from_json_props(spark, sf_dir):
+    """JSON → typed MAP column (from_json map<string,bigint>) with
+    element_at access — the flexible-properties pattern for event
+    payloads; contrast with scalar_json_extract's path access."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.withColumn("props_map", m).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.sum(F.element_at(F.col("props_map"), "k") % 10)
+        .cast("bigint")
+        .alias("sum_k_mod10"),
+    )
