@@ -29,9 +29,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # 12 significant digits: catches real mismatches, forgives
-        # representation noise the driver's hash may or may not forgive
-        return f"{v:.12g}"
+        # EXACT repr: the driver's value-hash may be bit-exact, so the
+        # local gate must be at least as strict — any query that needs
+        # rounding to pass is order-dependent and will flake
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, bool):
