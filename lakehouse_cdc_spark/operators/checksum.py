@@ -50,13 +50,25 @@ def ordered_table_md5(df: DataFrame, cols: list[str] | None = None) -> DataFrame
 def table_checksum_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order-insensitive checksum that scales: per-row MD5 (map-side,
     whole-stage codegen) reduced to ``(row_cnt, distinct_sigs,
-    min_sig, max_sig)``.  Two tables are equal iff these match with
-    overwhelming probability; no row ever leaves its partition except
-    the four scalar partials."""
+    min_sig, max_sig, xor_sig)``.
+
+    ``xor_sig`` is the bit-XOR of a 60-bit prefix of each row hash —
+    a *content* aggregate every row contributes to, so any single-row
+    change flips it with probability 1 - 2^-60 (min/max/count alone
+    miss a mid-range row swap ~ (N-4)/N of the time).  XOR never
+    overflows, is order- and partition-independent, and DuckDB
+    reproduces it exactly (``bit_xor(CAST('0x'||substr(sig,1,15) AS
+    BIGINT))``).  Residual blind spot: *pairs* of identical changes
+    cancel in XOR, which count/distinct then catch — collisions
+    require an adversarial md5 preimage, not bad luck.  No row ever
+    leaves its partition except the five scalar partials."""
     sig = F.md5(row_signature(df, cols))
     return df.select(sig.alias("sig")).agg(
         F.count(F.lit(1)).alias("row_cnt"),
         F.countDistinct("sig").alias("distinct_sigs"),
         F.min("sig").alias("min_sig"),
         F.max("sig").alias("max_sig"),
+        F.expr(
+            "bit_xor(CAST(conv(substr(sig, 1, 15), 16, 10) AS BIGINT))"
+        ).alias("xor_sig"),
     )

@@ -65,9 +65,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     relation — verify with ``.explain``'s PushedFilters/ReadSchema).
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's reader
-    rejects outright; we read nanos as long (runtime conf) and rebuild
-    the timestamp at microsecond precision — the same ns→µs truncation
-    DuckDB applies, so oracle comparisons line up exactly.
+    rejects outright; we read nanos as long and rebuild the timestamp
+    at microsecond precision — the same ns→µs truncation DuckDB
+    applies, so oracle comparisons line up exactly.
+
+    ``nanosAsLong`` is a DELIBERATE session-wide default of this
+    engine (also set in ``session.get_spark``): the conf is consulted
+    lazily at scan execution, so a set-read-restore scope here would
+    race with deferred actions on the returned DataFrame.  The runtime
+    ``conf.set`` below makes the contract hold even on foreign
+    sessions (e.g. the driver's vanilla harness session).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -818,7 +818,8 @@ def checksum_ordered_nation(spark, sf_dir):
     SELECT COUNT(*) AS row_cnt,
            COUNT(DISTINCT sig) AS distinct_sigs,
            MIN(sig) AS min_sig,
-           MAX(sig) AS max_sig
+           MAX(sig) AS max_sig,
+           bit_xor(CAST('0x' || substr(sig, 1, 15) AS BIGINT)) AS xor_sig
     FROM (
       SELECT md5(concat_ws('#',
                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),

@@ -24,14 +24,20 @@ def row_count_diff(
     source: DataFrame, target: DataFrame, tolerance: float = 0.001
 ) -> DataFrame:
     """One-row verdict: counts, relative difference, within-tolerance
-    flag (0.1% default, validation.py:236)."""
+    flag (0.1% default, validation.py:236).
+
+    Empty source vs non-empty target is a total mismatch (diff_pct
+    1.0), not a vacuous pass — only empty-vs-empty reports 0.0."""
     s = source.agg(F.count(F.lit(1)).alias("source_cnt"))
     t = target.agg(F.count(F.lit(1)).alias("target_cnt"))
     return (
         s.crossJoin(t)
         .withColumn(
             "diff_pct",
-            F.when(F.col("source_cnt") == 0, F.lit(0.0)).otherwise(
+            F.when(
+                F.col("source_cnt") == 0,
+                F.when(F.col("target_cnt") == 0, F.lit(0.0)).otherwise(F.lit(1.0)),
+            ).otherwise(
                 F.abs(F.col("source_cnt") - F.col("target_cnt"))
                 / F.col("source_cnt").cast("double")
             ),
@@ -58,7 +64,12 @@ def sample_match_rate(
     (mod ``modulus``) from source (or rows matching ``sample_pred``),
     inner-join target, compare columns.  Returns one row (sampled,
     matched, match_rate) — the ≥99% check of validation.py:419,
-    reproducible instead of ORDER BY RANDOM()."""
+    reproducible instead of ORDER BY RANDOM().
+
+    The rate is per *sampled source row*: duplicate keys in the target
+    would otherwise fan the join out and count one source row several
+    times, so the comparison aggregates per key first (a key matches
+    iff every duplicate target row for it matches)."""
     if sample_pred is None:
         sample_pred = F.abs(F.hash(*[F.col(k) for k in keys])) % modulus == 0
     sample = source.filter(sample_pred)
@@ -68,10 +79,13 @@ def sample_match_rate(
         on=keys,
         how="left",
     )
-    match = F.lit(True)
+    row_match = F.lit(True)
     for c in compare_cols:
-        match = match & (F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")))
-    return joined.agg(
+        row_match = row_match & (F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")))
+    # collapse target-side duplicates: one verdict per sampled key
+    per_key = joined.groupBy(*keys).agg(F.min(row_match.cast("long")).alias("key_match"))
+    match = F.col("key_match") == 1
+    return per_key.agg(
         F.count(F.lit(1)).alias("sampled"),
         F.sum(match.cast("long")).alias("matched"),
         (

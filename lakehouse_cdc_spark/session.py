@@ -67,6 +67,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.session.timeZone", "UTC")
+        # Deliberate session-wide default: the testdata `events` parquet
+        # stores TIMESTAMP(NANOS), which Spark's reader rejects outright.
+        # Reading nanos as long (then rebuilding µs timestamps) is the
+        # engine's contract for ALL nanos parquet — see plans/registry.py
+        # table(), which also sets it at runtime for foreign sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # dynamic partition overwrite, as the reference sets for its

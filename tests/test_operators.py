@@ -39,6 +39,30 @@ def test_checksum_stats_partition_invariant(spark):
     assert one == many
 
 
+def test_checksum_xor_catches_midrange_change(spark):
+    """A single changed row whose old/new hashes are neither the min
+    nor the max signature leaves (count, distinct, min, max) untouched
+    — xor_sig is the content aggregate that still flips."""
+    base = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(base, "a int, b string")
+    ref = table_checksum_stats(df).collect()[0]
+    # mutate rows until we find one whose change is invisible to the
+    # four order stats (expected ~ (N-4)/N of the time)
+    for i in range(100):
+        mutated = [(a, "CHANGED" if a == i else b) for a, b in base]
+        mdf = spark.createDataFrame(mutated, "a int, b string")
+        got = table_checksum_stats(mdf).collect()[0]
+        if (
+            got.row_cnt == ref.row_cnt
+            and got.distinct_sigs == ref.distinct_sigs
+            and got.min_sig == ref.min_sig
+            and got.max_sig == ref.max_sig
+        ):
+            assert got.xor_sig != ref.xor_sig
+            return
+    raise AssertionError("every mutation moved min/max — fixture too small?")
+
+
 def test_registry_complete():
     """Every registered query has a callable; oracle strings are
     non-empty when present."""

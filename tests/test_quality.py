@@ -30,6 +30,16 @@ def test_row_count_diff_flags_drift(spark):
     assert ok.within_tolerance
 
 
+def test_row_count_diff_empty_source_not_vacuous(spark):
+    """Empty source vs non-empty target must FAIL the tolerance check
+    (it used to report diff_pct=0.0 → vacuous pass)."""
+    empty = spark.range(0)
+    row = row_count_diff(empty, spark.range(10)).collect()[0]
+    assert row.diff_pct == 1.0 and not row.within_tolerance
+    both_empty = row_count_diff(empty, spark.range(0)).collect()[0]
+    assert both_empty.diff_pct == 0.0 and both_empty.within_tolerance
+
+
 def test_missing_keys_anti_join(spark):
     src = spark.range(10).withColumnRenamed("id", "k")
     tgt = src.filter(F.col("k") % 3 != 0)
@@ -48,6 +58,23 @@ def test_sample_match_rate_detects_corruption(spark):
     assert row.sampled == 10
     assert row.matched == 9  # k=0 corrupted
     assert abs(row.match_rate - 0.9) < 1e-9
+
+
+def test_sample_match_rate_duplicate_target_keys(spark):
+    """Duplicate keys in the target must not fan out the join and
+    inflate sampled/matched — the rate is per sampled key, and a key
+    only matches if ALL its target duplicates match."""
+    src = spark.createDataFrame([(0, 1.0), (10, 2.0)], "k int, v double")
+    # k=0 duplicated in target: one matching copy, one corrupted copy
+    tgt = spark.createDataFrame(
+        [(0, 1.0), (0, -1.0), (10, 2.0)], "k int, v double"
+    )
+    row = sample_match_rate(
+        src, tgt, ["k"], ["v"], sample_pred=F.lit(True)
+    ).collect()[0]
+    assert row.sampled == 2  # per-key, not per joined pair (3)
+    assert row.matched == 1  # k=0 has a mismatching duplicate
+    assert abs(row.match_rate - 0.5) < 1e-9
 
 
 def test_freshness_lag_zero_for_newest_group(spark, sf_dir):
