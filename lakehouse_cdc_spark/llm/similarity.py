@@ -85,13 +85,18 @@ def ivf_assign(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cemb",
     round_digits: int = 6,
+    probes: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
     most-similar centroid (broadcast the centroid table, rank with a
     per-vector window, deterministic centroid-id tie-break).
 
     This is the ANN scale path: search probes only the top buckets,
-    turning brute-force O(N) per query into O(N/k · probes)."""
+    turning brute-force O(N) per query into O(N/k · probes).
+
+    ``probes > 1`` emits one row per (vector, nearest-i-th centroid)
+    for i ≤ probes — multi-probe assignment, the standard recall fix
+    for pairs that straddle a Voronoi boundary."""
     from pyspark.sql import Window
 
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
@@ -108,8 +113,74 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc(centroid_id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= probes)
         .select(id_col, F.col(centroid_id_col).alias("cluster"), "cs")
+    )
+
+
+def bucketed_cosine_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via IVF buckets — the 100 TB replacement
+    for :func:`cosine_pairs`' all-pairs self-join.
+
+    Plan shape: broadcast-assign every vector to its ``probes``
+    nearest centroids (no shuffle), tag vectors with their cluster,
+    then self-join *on the cluster key* — the shuffle is keyed by
+    cluster, and the pair space collapses from O(N²) to
+    O(Σ bucket²) ≈ O(N²·probes²/K) for K balanced centroids.
+    Multi-probe duplicates (a pair sharing two buckets) are folded by
+    a final ``distinct`` on the (ia, ib, cos_sim) triple.
+
+    Approximate by construction: a pair is found iff the two vectors
+    share ≥1 of their ``probes`` nearest centroids.  High-similarity
+    pairs (the near-dups this exists for) almost always do; recall is
+    tunable via ``probes`` / K.
+    """
+    assign = ivf_assign(
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        round_digits=round_digits,
+        probes=probes,
+    ).select(id_col, "cluster")
+    n = with_norm(embeddings, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        F.col("__norm_sq"),
+    )
+    tagged = assign.join(n, id_col)
+    a = tagged.select(
+        F.col("cluster"),
+        F.col(id_col).alias("ia"),
+        F.col("__vec").alias("va"),
+        F.col("__norm_sq").alias("na"),
+    )
+    b = tagged.select(
+        F.col("cluster"),
+        F.col(id_col).alias("ib"),
+        F.col("__vec").alias("vb"),
+        F.col("__norm_sq").alias("nb"),
+    )
+    pairs = a.join(b, ["cluster"]).filter(F.col("ia") < F.col("ib"))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.sqrt("na") * F.sqrt("nb")), round_digits
+    )
+    return (
+        pairs.select("ia", "ib", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 

@@ -19,6 +19,7 @@ from lakehouse_cdc_spark.llm.dedup import (
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
+    bucketed_cosine_pairs,
     cosine_pairs,
     cosine_topk,
     dot,
@@ -420,6 +421,57 @@ def emb_ivf_assign(spark, sf_dir):
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_assigned"))
     )
+
+
+@register(
+    "emb_neardup_bucketed",
+    bench=True,
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+                   / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) AS cs
+      FROM n e, c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM scored) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+      FROM assign x JOIN assign y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT ia, ib, cos_sim FROM (
+      SELECT ia, ib,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(a.norm_sq) * sqrt(b.norm_sq)), 6) AS cos_sim
+      FROM cand JOIN n a ON a.vec_id = cand.ia
+                JOIN n b ON b.vec_id = cand.ib
+    ) WHERE cos_sim >= 0.4
+    """,
+    tags=("llm", "similarity", "neardup", "ann", "ivf"),
+)
+def emb_neardup_bucketed(spark, sf_dir):
+    """The scale path for embedding near-dup: IVF assignment (2-probe,
+    8 centroids = vec_id < 8) → cosine pairs WITHIN buckets only.
+    Shuffle is keyed by cluster; pair space is O(Σ bucket²), never
+    all-pairs.  Same output contract as emb_neardup_pairs restricted
+    to bucket-cohabiting pairs — on clustered near-dups recall ≈ 1
+    (see tests/test_llm.py recall test)."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    return bucketed_cosine_pairs(emb, centroids, threshold=0.4, probes=2)
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,72 @@ def test_cosine_pairs_symmetric_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_bucketed_neardup_recovers_high_sim_pairs(spark, sf_dir):
+    """Soundness on the real fixture: every pair the bucketed operator
+    emits is a pair the exact all-pairs baseline emits, with
+    bit-identical cos_sim.  (Recall is asserted on the planted-corpus
+    test below — the fixture's embeddings are random, so its 0.4-sim
+    pairs are not near-dups and may legitimately straddle buckets.)"""
+    from lakehouse_cdc_spark.llm.similarity import bucketed_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    exact = {
+        (r.ia, r.ib): r.cos_sim
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.ia, r.ib): r.cos_sim
+        for r in bucketed_cosine_pairs(
+            emb, centroids, threshold=0.4, probes=2
+        ).collect()
+    }
+    # subset of exact, with bit-identical similarities
+    assert bucketed, "bucketed operator found no pairs at all"
+    for pair, sim in bucketed.items():
+        assert pair in exact and exact[pair] == sim
+
+
+def test_bucketed_neardup_planted_pairs_recall(spark):
+    """On a corpus with planted near-duplicates (clustered vectors +
+    tiny perturbations), the bucketed operator recovers EVERY pair the
+    exact all-pairs baseline finds at the near-dup threshold."""
+    import math
+
+    from lakehouse_cdc_spark.llm.similarity import bucketed_cosine_pairs
+
+    # 4 well-separated base directions in 8-d; 10 vectors per cluster,
+    # each a slightly-perturbed copy of its base → dense near-dup pairs
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[2 * c] = 1.0
+        base[2 * c + 1] = 0.3
+        for j in range(10):
+            eps = 0.01 * j
+            vec = [v + eps * math.sin(i + c + j) for i, v in enumerate(base)]
+            rows.append((c * 10 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    centroids = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    exact = {
+        (r.ia, r.ib): r.cos_sim
+        for r in cosine_pairs(emb, threshold=0.95).collect()
+    }
+    bucketed = {
+        (r.ia, r.ib): r.cos_sim
+        for r in bucketed_cosine_pairs(
+            emb, centroids, threshold=0.95, probes=2
+        ).collect()
+    }
+    assert len(exact) >= 4 * 45 * 0.8  # clusters are genuinely dense
+    assert set(bucketed) == set(exact)  # full recall, no extras
+    assert all(bucketed[p] == exact[p] for p in exact)  # identical sims
+
+
 def test_predicted_lang_heuristic(spark):
     d = _docs(spark).withColumn("p", predicted_lang(F.col("text")))
     got = {r.doc_id: r.p for r in d.collect()}
