@@ -135,10 +135,18 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: documents sharing any band bucket become a
     candidate pair.  |bands| equi-joins on bucket hash — never an
-    all-pairs comparison (the 100 TB path)."""
+    all-pairs comparison (the 100 TB path).
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. thousands of
+    empty or template-identical documents hash to one bucket, making
+    that bucket's self-join quadratic).  With the cap, worst-case
+    pair count is O(|buckets|·cap²); an oversized bucket signals
+    *exact* duplicates, which the cheap hash-groupBy exact-dedup pass
+    handles — LSH only needs to catch the near-misses."""
     banded = signatures
     for b in range(bands):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -147,8 +155,16 @@ def lsh_candidate_pairs(
         )
     pair_sets = []
     for b in range(bands):
-        left = banded.select(F.col(id_col).alias("da"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("db"), F.col(f"band{b}").alias("bk"))
+        side = banded.select(F.col(id_col), F.col(f"band{b}").alias("bk"))
+        if max_bucket_size is not None:
+            bw = Window.partitionBy("bk")
+            side = (
+                side.withColumn("__bs", F.count(F.lit(1)).over(bw))
+                .filter(F.col("__bs") <= max_bucket_size)
+                .drop("__bs")
+            )
+        left = side.select(F.col(id_col).alias("da"), "bk")
+        right = side.select(F.col(id_col).alias("db"), "bk")
         pair_sets.append(
             left.join(right, on=["bk"]).filter(F.col("da") < F.col("db")).select("da", "db")
         )

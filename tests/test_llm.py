@@ -45,6 +45,61 @@ def test_jaccard_identical_docs_is_one(spark):
     assert len(pairs) == 1 and pairs[0].jaccard == 1.0
 
 
+def test_jaccard_cap_bounds_boilerplate_blowup(spark):
+    """Boilerplate-heavy corpus: 40 docs share an identical legal
+    footer (its shingles have DF=40), and 2 docs are genuine
+    near-dups.  Uncapped, the footer alone makes every doc pair a
+    join candidate (~40²/2 pairs through the inverted index); with
+    the DF cap the footer shingles are dropped, the true near-dup
+    pair survives, and no boilerplate-only pair is emitted."""
+    footer = "this document is confidential and subject to the terms of service"
+    rows = [
+        (i, f"unique content number {i} about topic {i * 7} entirely. " + footer)
+        for i in range(40)
+    ]
+    # a genuine near-dup pair with distinctive shared content
+    dup = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows += [(100, dup + " alpha"), (101, dup + " bravo")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = jaccard_pairs(d, threshold=0.5, max_shingle_freq=5).collect()
+    got = {(r.da, r.db) for r in capped}
+    assert (100, 101) in got
+    # boilerplate-only pairs must NOT clear the threshold post-cap
+    assert all(p == (100, 101) for p in got)
+
+    # and the candidate join itself is bounded: post-cap the inverted
+    # index contains no shingle with DF > 5
+    from lakehouse_cdc_spark.llm.dedup import shingle_table
+
+    sh = shingle_table(d)
+    df_max = (
+        sh.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert df_max >= 40  # uncapped index really is degenerate
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """1000 byte-identical documents collapse into one LSH bucket per
+    band — uncapped that is ~500k candidate pairs from exact dupes LSH
+    was never meant to find (hash-groupBy exact dedup owns them).  The
+    cap removes the degenerate bucket entirely while distinct
+    near-dup signatures keep flowing."""
+    from lakehouse_cdc_spark.llm.dedup import minhash_signatures
+
+    rows = [(i, "identical template text repeated verbatim in every document") for i in range(1000)]
+    rows += [(2000, "rare document one about astrophysics and telescopes"),
+             (2001, "rare document one about astrophysics and telescopes plus edits")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(d, k=8)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10).collect()
+    pairs = {(r.da, r.db) for r in capped}
+    # the 1000-doc degenerate bucket contributes nothing
+    assert all(da >= 2000 for da, _ in pairs)
+    # the genuine near-dup pair (high minhash agreement) survives
+    assert (2000, 2001) in pairs
+
+
 def test_minhash_lsh_catches_what_jaccard_confirms(spark, sf_dir):
     """LSH candidates ⊇ very-high-jaccard pairs (recall sanity):
     every J≥0.9 pair shares at least one full band w.h.p."""
