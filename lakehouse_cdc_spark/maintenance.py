@@ -40,9 +40,12 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None
 def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     """Snapshot expiry for a SnapshotUpsertSink directory (M2,
     expire_snapshots(retain_last=5) semantics — spark_batch.py:424).
-    Never removes the committed snapshot (pointer parsed by the sink's
-    own reader, so retention can't misread the format).  Returns
-    expired snapshot numbers."""
+    Never removes the committed snapshot, NOR any snapshot directory
+    the committed manifest still references for an untouched bucket
+    (the bucketed layout reuses old snapshots' files, Iceberg-manifest
+    style).  Returns expired snapshot numbers."""
+    import json
+
     from lakehouse_cdc_spark.streaming.pipeline import parse_version_pointer
 
     versions = sorted(
@@ -54,10 +57,17 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     keep = set(versions[-retain_last:])
     if committed_snap is not None:
         keep.add(committed_snap)
+        manifest_file = os.path.join(target_dir, f"_MANIFEST_{committed_snap}.json")
+        if os.path.exists(manifest_file):
+            with open(manifest_file) as f:
+                keep.update(int(s) for s in json.load(f)["buckets"].values())
     expired = []
     for v in versions:
         if v not in keep:
             shutil.rmtree(os.path.join(target_dir, f"v={v}"))
+            stale_manifest = os.path.join(target_dir, f"_MANIFEST_{v}.json")
+            if os.path.exists(stale_manifest):
+                os.remove(stale_manifest)
             expired.append(v)
     return expired
 

@@ -27,12 +27,18 @@ properties when batches arrive out of order.
 In production the snapshot write is an Iceberg ``MERGE INTO`` /
 ``writeTo`` commit (delta file writes instead of full-state rewrite);
 :class:`SnapshotUpsertSink` is the catalog-free equivalent for tests
-and plain-parquet deployments — at 100 TB, state would be bucketed by
-key hash so a batch rewrites only touched buckets.
+and plain-parquet deployments.  State is hash-BUCKETED by key: a
+micro-batch reads and rewrites ONLY the buckets its keys touch, and a
+per-snapshot manifest maps every bucket to the snapshot directory
+holding its current data (the same file-reuse trick an Iceberg
+manifest plays) — so per-batch write cost is O(touched buckets ×
+bucket size), not O(total state), and untouched bucket files are
+byte-identical across commits.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -61,12 +67,21 @@ def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sl
 
 
 class SnapshotUpsertSink:
-    """Idempotent CDC upsert sink over versioned parquet snapshots.
+    """Idempotent CDC upsert sink over versioned, key-bucketed parquet
+    snapshots.
 
     Layout::
 
-        <target>/v=<batch_id>/part-*.parquet   -- immutable snapshot
-        <target>/_VERSION                      -- pointer to committed snapshot
+        <target>/v=<snap>/__bucket=<k>/part-*.parquet
+                              -- bucket k's full state, as rewritten at
+                                 snapshot <snap> (touched buckets only)
+        <target>/_MANIFEST_<snap>.json
+                              -- {"n_buckets": K, "buckets": {k: snap'}}:
+                                 where every bucket's CURRENT data lives
+                                 (snap' ≤ snap — untouched buckets keep
+                                 pointing at older snapshot dirs, so
+                                 their files are never rewritten)
+        <target>/_VERSION     -- pointer to committed snapshot
 
     ``process_batch`` is safe to call twice with the same ``batch_id``
     (T4's processed-batches ledger, spark_exactly_once.py:292-341,
@@ -80,6 +95,7 @@ class SnapshotUpsertSink:
         order_by: list[str | Column],
         op_col: str = "operation",
         lineage: str | None = None,
+        n_buckets: int = 16,
     ):
         self.target_dir = target_dir
         self.keys = keys
@@ -91,6 +107,10 @@ class SnapshotUpsertSink:
         #: and without the lineage check those fresh batches would be
         #: silently discarded as "already committed".
         self.lineage = lineage
+        #: bucket count for NEW state (an existing target's manifest
+        #: wins — key→bucket mapping is fixed at first commit; size it
+        #: so one bucket ≈ executor-memory-sized at the target scale)
+        self.n_buckets = n_buckets
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -132,12 +152,42 @@ class SnapshotUpsertSink:
     def _snapshot_path(self, snapshot: int) -> str:
         return os.path.join(self.target_dir, f"v={snapshot}")
 
+    def _bucket_path(self, snapshot: int, bucket: int) -> str:
+        return os.path.join(self._snapshot_path(snapshot), f"__bucket={bucket}")
+
+    def _manifest_path(self, snapshot: int) -> str:
+        return os.path.join(self.target_dir, f"_MANIFEST_{snapshot}.json")
+
+    def _read_manifest(self, snapshot: int | None) -> dict | None:
+        if snapshot is None:
+            return None
+        try:
+            with open(self._manifest_path(snapshot)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _bucket_col(self, n_buckets: int) -> Column:
+        # pmod handles hash()'s negative values (incl. MIN_INT, where
+        # abs() would overflow)
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(n_buckets))
+
     def current_state(self, spark: SparkSession) -> DataFrame | None:
-        """Full state incl. delete tombstones (one row per ever-seen key)."""
+        """Full state incl. delete tombstones (one row per ever-seen key)
+        — one multi-path scan over every bucket's current file set."""
         snap = self.committed_snapshot()
         if snap is None:
             return None
-        return spark.read.parquet(self._snapshot_path(snap))
+        manifest = self._read_manifest(snap)
+        if manifest is None:  # pre-manifest layout: whole-snapshot dir
+            return spark.read.parquet(self._snapshot_path(snap))
+        if not manifest["buckets"]:
+            return None
+        paths = [
+            self._bucket_path(at_snap, int(b))
+            for b, at_snap in manifest["buckets"].items()
+        ]
+        return spark.read.parquet(*paths)
 
     def current_table(self, spark: SparkSession) -> DataFrame | None:
         """The user-visible table: tombstones filtered out."""
@@ -148,6 +198,18 @@ class SnapshotUpsertSink:
 
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch into state, touching only the key-hash
+        buckets the batch's keys land in:
+
+        1. compact the batch (last change per key),
+        2. read base state for the TOUCHED buckets only,
+        3. union + window-compact, write those buckets under a fresh
+           ``v=<snap>`` dir (never a dir being read — crash-safe),
+        4. commit manifest (untouched buckets keep their old paths)
+           then pointer, atomically.
+
+        Per-batch cost is O(touched buckets × bucket size); untouched
+        bucket files are untouched bytes on disk."""
         lineage, committed_batch, committed_snap = self.committed()
         if (
             committed_batch is not None
@@ -159,18 +221,56 @@ class SnapshotUpsertSink:
             # must process regardless of batch numbering.
             return
         spark = batch_df.sparkSession
+        manifest = self._read_manifest(committed_snap) or {
+            "n_buckets": self.n_buckets,
+            "buckets": {},
+        }
+        n_buckets = manifest["n_buckets"]
+        bucket = self._bucket_col(n_buckets)
+
         compacted = latest_per_key(batch_df, self.keys, self.order_by)
-        base = self.current_state(spark)
-        merged = (
-            compacted
-            if base is None
-            else latest_per_key(
-                base.unionByName(compacted), self.keys, self.order_by
-            )
+        tagged = compacted.withColumn("__bucket", bucket)
+        touched = sorted(
+            r["__bucket"] for r in tagged.select("__bucket").distinct().collect()
         )
+        base_paths = [
+            self._bucket_path(manifest["buckets"][str(b)], b)
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        if base_paths:
+            base = spark.read.parquet(*base_paths).withColumn("__bucket", bucket)
+            merged = latest_per_key(
+                base.unionByName(tagged), self.keys, self.order_by
+            )
+        else:
+            merged = tagged
+
         new_snap = (committed_snap if committed_snap is not None else -1) + 1
-        # data first (always a fresh directory — never the one being read) …
-        merged.write.mode("overwrite").parquet(self._snapshot_path(new_snap))
+        snap_dir = self._snapshot_path(new_snap)
+        # data first (always a fresh directory — never one being read);
+        # static overwrite truncates any orphan files a crashed attempt
+        # left, regardless of the session's partitionOverwriteMode
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
+        # … then manifest: rewritten buckets point at new_snap, all
+        # others keep their existing (byte-identical) files
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snap_dir)
+            if d.startswith("__bucket=")
+        }
+        new_buckets = dict(manifest["buckets"])
+        for b in written:
+            new_buckets[str(b)] = new_snap
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+        os.replace(mtmp, self._manifest_path(new_snap))
         # … pointer last (the commit point)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:

@@ -24,6 +24,84 @@ from lakehouse_cdc_spark.streaming import (
     with_retry,
 )
 
+def _bucket_files(sink: SnapshotUpsertSink) -> dict[str, tuple]:
+    """{relative parquet path: (size, sha256)} over every bucket dir."""
+    import hashlib
+
+    out = {}
+    for root, _dirs, files in os.walk(sink.target_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                with open(p, "rb") as f:
+                    digest = hashlib.sha256(f.read()).hexdigest()
+                out[os.path.relpath(p, sink.target_dir)] = (
+                    os.path.getsize(p),
+                    digest,
+                )
+    return out
+
+
+def test_bucketed_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """A micro-batch must leave every bucket it doesn't touch as
+    byte-identical files at their original paths — only touched
+    buckets get new files under the new snapshot dir."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=8
+    )
+    # batch 0: many keys spread over (almost) all buckets
+    b0 = spark.createDataFrame(
+        [(i, f"v{i}", "u", 0) for i in range(64)],
+        "id int, v string, operation string, seq int",
+    )
+    sink.process_batch(b0, 0)
+    files_before = _bucket_files(sink)
+    manifest0 = sink._read_manifest(0)
+    assert len(manifest0["buckets"]) >= 6  # keys really spread out
+
+    # batch 1: update a single key → exactly one bucket touched
+    b1 = spark.createDataFrame(
+        [(7, "v7-new", "u", 1)], "id int, v string, operation string, seq int"
+    )
+    sink.process_batch(b1, 1)
+    manifest1 = sink._read_manifest(1)
+    moved = [b for b, s in manifest1["buckets"].items() if s == 1]
+    assert len(moved) == 1  # only key 7's bucket was rewritten
+
+    # untouched buckets: same paths, same bytes
+    files_after = _bucket_files(sink)
+    untouched_before = {
+        p: h for p, h in files_before.items() if not p.startswith("v=1/")
+    }
+    for p, h in untouched_before.items():
+        assert files_after[p] == h, f"untouched bucket file changed: {p}"
+
+    # and the merged state is still correct
+    state = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert state[7] == "v7-new" and state[0] == "v0" and len(state) == 64
+
+
+def test_bucketed_sink_n_buckets_fixed_at_first_commit(spark, tmp_path):
+    """A sink reopened with a different n_buckets must keep the
+    manifest's original bucket count — the key→bucket map is part of
+    the persisted state."""
+    d = str(tmp_path / "t")
+    s1 = SnapshotUpsertSink(d, keys=["id"], order_by=["seq"], n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, f"v{i}", "u", 0) for i in range(16)],
+        "id int, v string, operation string, seq int",
+    )
+    s1.process_batch(b0, 0)
+    s2 = SnapshotUpsertSink(d, keys=["id"], order_by=["seq"], n_buckets=32)
+    b1 = spark.createDataFrame(
+        [(3, "v3-new", "u", 1)], "id int, v string, operation string, seq int"
+    )
+    s2.process_batch(b1, 1)
+    assert s2._read_manifest(1)["n_buckets"] == 4
+    state = {r.id: r.v for r in s2.current_table(spark).collect()}
+    assert state[3] == "v3-new" and len(state) == 16
+
+
 def OP():
     return (
         F.when(F.col("event_type") == "error", F.lit("d"))
