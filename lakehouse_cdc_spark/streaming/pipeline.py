@@ -228,6 +228,13 @@ class SnapshotUpsertSink:
         n_buckets = manifest["n_buckets"]
         bucket = self._bucket_col(n_buckets)
 
+        # late-data floor: once tombstones older than the GC watermark
+        # are gone, changes older than it MUST be dropped — otherwise a
+        # straggler update could resurrect a GC'd deleted key
+        watermark = manifest.get("gc_watermark")
+        if watermark is not None:
+            batch_df = batch_df.filter(F.col(self._order_key()) >= F.lit(watermark))
+
         compacted = latest_per_key(batch_df, self.keys, self.order_by)
         tagged = compacted.withColumn("__bucket", bucket)
         touched = sorted(
@@ -268,14 +275,113 @@ class SnapshotUpsertSink:
         for b in written:
             new_buckets[str(b)] = new_snap
         mtmp = self._manifest_path(new_snap) + ".tmp"
+        new_manifest = {"n_buckets": n_buckets, "buckets": new_buckets}
+        if watermark is not None:
+            new_manifest["gc_watermark"] = watermark
         with open(mtmp, "w") as f:
-            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+            json.dump(new_manifest, f)
         os.replace(mtmp, self._manifest_path(new_snap))
         # … pointer last (the commit point)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
         os.replace(tmp, self._pointer)
+
+    # -- tombstone retention --------------------------------------------
+    def _order_key(self) -> str:
+        """First order_by column as a plain name — the axis GC
+        watermarks are compared on."""
+        first = self.order_by[0]
+        if not isinstance(first, str):
+            raise TypeError(
+                "tombstone GC needs order_by[0] to be a column name, "
+                f"got {type(first).__name__}"
+            )
+        return first
+
+    def gc_tombstones(self, spark: SparkSession, watermark) -> int:
+        """Expire delete tombstones older than ``watermark`` (compared
+        on ``order_by[0]``), rewriting ONLY the buckets that hold
+        expirable tombstones.  Commits a new snapshot whose manifest
+        records the watermark; from then on :meth:`process_batch`
+        drops incoming changes older than the watermark, so a GC'd
+        key cannot be resurrected by a straggler — the tombstone's job
+        is taken over by the late-data floor.
+
+        Returns the number of tombstones expired.  The watermark must
+        be monotone across calls (enforced); pick it as
+        ``now - retention`` exactly like Iceberg's
+        ``expire_snapshots(older_than)`` cutoff.
+        """
+        lineage, committed_batch, committed_snap = self.committed()
+        manifest = self._read_manifest(committed_snap)
+        if manifest is None or not manifest["buckets"]:
+            return 0
+        prev = manifest.get("gc_watermark")
+        if prev is not None and watermark < prev:
+            raise ValueError(f"GC watermark must be monotone: {watermark} < {prev}")
+        ord_col = self._order_key()
+        n_buckets = manifest["n_buckets"]
+        bucket = self._bucket_col(n_buckets)
+
+        state = self.current_state(spark)
+        expirable = state.filter(
+            (F.col(self.op_col) == "d") & (F.col(ord_col) < F.lit(watermark))
+        )
+        n_expired = expirable.count()
+        touched = sorted(
+            r["__bucket"]
+            for r in expirable.select(bucket.alias("__bucket")).distinct().collect()
+        )
+        new_snap = committed_snap + 1
+        new_buckets = dict(manifest["buckets"])
+        if touched:
+            keep = (
+                spark.read.parquet(
+                    *[self._bucket_path(manifest["buckets"][str(b)], b) for b in touched]
+                )
+                .filter(
+                    ~(
+                        (F.col(self.op_col) == "d")
+                        & (F.col(ord_col) < F.lit(watermark))
+                    )
+                )
+                .withColumn("__bucket", bucket)
+            )
+            snap_dir = self._snapshot_path(new_snap)
+            (
+                keep.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("__bucket")
+                .parquet(snap_dir)
+            )
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(snap_dir)
+                if d.startswith("__bucket=")
+            }
+            for b in touched:
+                if b in written:
+                    new_buckets[str(b)] = new_snap
+                else:
+                    # bucket held nothing but expired tombstones
+                    new_buckets.pop(str(b), None)
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "buckets": new_buckets,
+                    "gc_watermark": watermark,
+                },
+                f,
+            )
+        os.replace(mtmp, self._manifest_path(new_snap))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{self.lineage or ''}:{committed_batch}:{new_snap}")
+        os.replace(tmp, self._pointer)
+        return n_expired
 
 
 def parse_version_pointer(target_dir: str) -> tuple[str | None, int | None, int | None]:

@@ -102,6 +102,56 @@ def test_bucketed_sink_n_buckets_fixed_at_first_commit(spark, tmp_path):
     assert state[3] == "v3-new" and len(state) == 16
 
 
+def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
+    """GC expires old delete tombstones (rewriting only their buckets)
+    and installs a late-data floor: an update OLDER than the retention
+    watermark can never resurrect a GC'd key, while newer traffic
+    flows normally."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=8
+    )
+    schema = "id int, v string, operation string, seq int"
+    # seq doubles as event time.  Keys 0..15 created at seq=0; key 3
+    # deleted at seq=10; key 5 deleted at seq=500 (recent).
+    sink.process_batch(
+        spark.createDataFrame([(i, f"v{i}", "c", 0) for i in range(16)], schema), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame([(3, None, "d", 10), (5, None, "d", 500)], schema), 1
+    )
+    assert {r.id for r in sink.current_table(spark).collect()} == set(range(16)) - {3, 5}
+
+    # GC everything deleted before seq=100: key 3's tombstone goes,
+    # key 5's stays
+    expired = sink.gc_tombstones(spark, watermark=100)
+    assert expired == 1
+    state_ops = {
+        r.id: r.operation for r in sink.current_state(spark).collect()
+    }
+    assert 3 not in state_ops  # tombstone gone
+    assert state_ops[5] == "d"  # recent tombstone retained
+
+    # a straggler update for key 3 OLDER than the watermark must be
+    # dropped — no resurrection
+    sink.process_batch(
+        spark.createDataFrame([(3, "zombie", "u", 50)], schema), 2
+    )
+    assert 3 not in {r.id for r in sink.current_table(spark).collect()}
+
+    # but current traffic for the same key is a legitimate re-create
+    sink.process_batch(
+        spark.createDataFrame([(3, "reborn", "c", 600)], schema), 3
+    )
+    state = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert state[3] == "reborn"
+
+    # watermark must be monotone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.gc_tombstones(spark, watermark=50)
+
+
 def OP():
     return (
         F.when(F.col("event_type") == "error", F.lit("d"))
