@@ -75,6 +75,109 @@ def test_apply_changes_matches_model(spark, base, changes):
     assert got == model_apply(base, changes)
 
 
+# -- apply_changes ≡ MERGE INTO (spark_batch.py:266-280 semantics) ----------
+#
+# The MERGE arms, interpreted literally on the compacted source
+# (matching merge_into_sql, which guards every arm against NULL ops
+# and guards the insert arm against deletes — the documented
+# insert-of-deletes fix):
+#   WHEN MATCHED AND op = 'd'                       THEN DELETE
+#   WHEN MATCHED AND op IS NOT NULL                 THEN UPDATE SET *
+#   WHEN NOT MATCHED AND op IS NOT NULL AND op!='d' THEN INSERT *
+
+merge_changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+        st.sampled_from(["c", "u", "d", None]),  # None = malformed NULL op
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda c: c[3],
+)
+
+
+def model_merge(base: list, changes: list) -> dict:
+    """Arm-by-arm MERGE interpreter over the compacted source.
+
+    Compaction mirrors apply_changes: NULL-op rows are dropped BEFORE
+    picking the newest change per key (a malformed row must not mask a
+    valid older change)."""
+    latest: dict = {}
+    for k, v, op, seq in changes:
+        if op is None:
+            continue
+        if k not in latest or seq > latest[k][2]:
+            latest[k] = (v, op, seq)
+    state = {k: v for k, v in base}
+    for k, (v, op, _) in latest.items():
+        matched = k in state
+        if matched and op == "d":
+            del state[k]                      # WHEN MATCHED AND 'd' → DELETE
+        elif matched:
+            state[k] = v                      # WHEN MATCHED → UPDATE
+        elif op != "d":
+            state[k] = v                      # WHEN NOT MATCHED, non-d → INSERT
+        # NOT MATCHED + 'd' → no arm fires (insert-of-deletes fix)
+    return state
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(base=base_strategy, changes=merge_changes_strategy)
+def test_apply_changes_equiv_merge_arms(spark, base, changes):
+    """apply_changes must implement EXACTLY the MERGE arm semantics
+    merge_into_sql emits — including NULL-op no-ops, NULL values, and
+    deletes for never-seen keys."""
+    base_df = spark.createDataFrame(base, "k int, v int") if base else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    ch_df = spark.createDataFrame(
+        changes, "k int, v int, operation string, seq int"
+    ) if changes else spark.createDataFrame(
+        [], "k int, v int, operation string, seq int"
+    )
+    got = {
+        r.k: r.v
+        for r in apply_changes(base_df, ch_df, keys=["k"], order_by=["seq"]).collect()
+    }
+    assert got == model_merge(base, changes)
+
+
+def test_merge_into_sql_parses_in_spark(spark):
+    """The emitted MERGE must be valid Spark SQL — parsed by the real
+    parser (the same grammar Iceberg's MERGE runs through), so a
+    syntax slip can't ship silently.  Analysis is expected to fail
+    later (no v2 catalog here); PARSING must succeed."""
+    from lakehouse_cdc_spark.cdc.apply import merge_into_sql
+
+    sql = merge_into_sql(
+        target="cat.db.target",
+        source_view="changes_view",
+        keys=["id", "region"],
+        columns=["name", "price"],
+    )
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
+    s = plan.toString().lower()
+    assert "mergeintotable" in s
+    # all three arms present in the parsed plan, each with its guard
+    assert "deleteaction" in s and "updateaction" in s and "insertaction" in s
+    assert s.count("isnotnull('source.operation)") == 2  # update + insert guards
+    assert "not ('source.operation = d)" in s  # insert-of-deletes fix
+
+    # malformed SQL really does throw, so the assertion above is live
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PARSE_SYNTAX_ERROR|ParseException"):
+        parser.parsePlan("MERGE INTO oops USING ON 1=1")
+
+
 @pytest.mark.slow
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
