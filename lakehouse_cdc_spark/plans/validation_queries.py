@@ -156,3 +156,106 @@ def maintenance_partition_health(spark, sf_dir):
             "small_partitions"
         ),
     )
+
+
+_SUITE_TARGET_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders
+"""
+
+
+def _suite_target(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
+@register(
+    "validation_suite",
+    oracle=f"""
+    WITH t AS ({_SUITE_TARGET_SQL}),
+    rc AS (
+      SELECT (CAST(abs((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM t)) AS DOUBLE)
+              / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)) <= 0.001 AS row_count_ok
+    ),
+    per_key AS (
+      SELECT s.o_orderkey,
+             MIN(CASE WHEN s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice
+                      THEN 1 ELSE 0 END) AS key_match
+      FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 50 = 0) s
+      LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+      GROUP BY s.o_orderkey
+    ),
+    sm AS (
+      SELECT COALESCE(CAST(SUM(key_match) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.99,
+                      FALSE) AS sampling_ok
+      FROM per_key
+    ),
+    mk AS (
+      SELECT COUNT(*) <= 0 AS missing_ok
+      FROM (SELECT o_orderkey FROM orders
+            EXCEPT SELECT o_orderkey FROM t) m
+    ),
+    nk AS (SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS nullkeys_ok FROM t),
+    fr AS (
+      SELECT (CAST(epoch(CAST((SELECT MAX(o_orderdate) FROM orders) AS TIMESTAMP)) AS BIGINT)
+              - CAST(epoch(CAST((SELECT MAX(o_orderdate) FROM t) AS TIMESTAMP)) AS BIGINT)) <= 0
+             AS fresh_ok
+    )
+    SELECT row_count_ok, sampling_ok, missing_ok, nullkeys_ok, fresh_ok,
+           5 AS n_checks,
+           ((CASE WHEN row_count_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN sampling_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN missing_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN nullkeys_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN fresh_ok THEN 1 ELSE 0 END)) AS n_passed,
+           CAST((CASE WHEN row_count_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN sampling_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN missing_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN nullkeys_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN fresh_ok THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / 5.0 AS success_rate,
+           CASE WHEN ((CASE WHEN row_count_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN sampling_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN missing_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN nullkeys_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN fresh_ok THEN 1 ELSE 0 END)) * 100.0 / 5.0 >= 95.0 THEN 'Good'
+                WHEN ((CASE WHEN row_count_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN sampling_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN missing_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN nullkeys_ok THEN 1 ELSE 0 END)
+            + (CASE WHEN fresh_ok THEN 1 ELSE 0 END)) * 100.0 / 5.0 >= 80.0 THEN 'Warning'
+                ELSE 'Poor' END AS overall_status
+    FROM rc, sm, mk, nk, fr
+    """,
+    tags=("validation", "suite"),
+)
+def validation_suite(spark, sf_dir):
+    """The reference's run_validation_suite (validation.py:834-937) as
+    ONE DataFrame: five source-vs-target checks cross-joined into a
+    single verdict row with success-rate grading (Good >=95% /
+    Warning >=80% / Poor).  The deterministic drift (o_totalprice
+    corrupted on orderkey % 37 == 0) fails exactly the sampling check
+    (sample: orderkey % 50 == 0, explicit predicate so the oracle can
+    mirror it) -> 4/5 = 80% -> Warning, proving the grading boundary."""
+    from lakehouse_cdc_spark.quality.validation import run_suite
+
+    source = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return run_suite(
+        source,
+        _suite_target(spark, sf_dir),
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice"],
+        ts_col="o_orderdate",
+        sample_pred=F.col("o_orderkey") % 50 == 0,
+    )

@@ -9,9 +9,11 @@ verdict row.
 """
 
 from lakehouse_cdc_spark.quality.validation import (
+    freshness_check,
     freshness_lag,
     missing_keys,
     row_count_diff,
+    run_suite,
     sample_match_rate,
 )
 
@@ -19,5 +21,7 @@ __all__ = [
     "row_count_diff",
     "missing_keys",
     "sample_match_rate",
+    "freshness_check",
     "freshness_lag",
+    "run_suite",
 ]

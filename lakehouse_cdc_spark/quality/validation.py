@@ -95,6 +95,99 @@ def sample_match_rate(
     )
 
 
+def freshness_check(
+    source: DataFrame, target: DataFrame, ts_col: str, max_lag_s: int = 0
+) -> DataFrame:
+    """Is the target's newest ``ts_col`` within ``max_lag_s`` of the
+    source's?  One row: (source_max_ts, target_max_ts, lag_s,
+    is_fresh) — the source-vs-target half of the reference's
+    check_data_freshness (validation.py:506-560) without driver math."""
+    s = source.agg(F.max(F.col(ts_col).cast("timestamp")).alias("source_max_ts"))
+    t = target.agg(F.max(F.col(ts_col).cast("timestamp")).alias("target_max_ts"))
+    return (
+        s.crossJoin(t)
+        .withColumn(
+            "lag_s",
+            F.col("source_max_ts").cast("long") - F.col("target_max_ts").cast("long"),
+        )
+        .withColumn("is_fresh", F.coalesce(F.col("lag_s") <= max_lag_s, F.lit(False)))
+    )
+
+
+def run_suite(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    ts_col: str | None = None,
+    tolerance: float = 0.001,
+    min_match_rate: float = 0.99,
+    sample_pred=None,
+    max_missing: int = 0,
+    max_lag_s: int = 0,
+) -> DataFrame:
+    """The validation-suite runner (reference validation.py:834-937):
+    run every source-vs-target check, count passes, grade the outcome
+    ``Good`` (≥95%), ``Warning`` (≥80%) or ``Poor``.
+
+    Composition, not a driver loop: each check is a one-row aggregate
+    DataFrame; they cross-join into a single row with per-check
+    booleans + ``success_rate`` + ``overall_status``, so the whole
+    suite is ONE Spark job of parallel scalar aggregates — nothing is
+    collected, and the suite result is itself a DataFrame (writable,
+    oracle-checkable).
+
+    Checks (reference mapping):
+      row_count_ok  — validate_row_count, ±tolerance
+      sampling_ok   — sample_data_validation, ≥ min_match_rate
+      missing_ok    — missing/extra-keys probe, ≤ max_missing absent
+      nullkeys_ok   — key integrity (no NULL keys in target)
+      fresh_ok      — check_data_freshness (only when ts_col given)
+    """
+    rc = row_count_diff(source, target, tolerance).select(
+        F.col("within_tolerance").alias("row_count_ok")
+    )
+    sm = sample_match_rate(
+        source, target, keys, compare_cols, sample_pred=sample_pred
+    ).select(
+        F.coalesce(F.col("match_rate") >= min_match_rate, F.lit(False)).alias(
+            "sampling_ok"
+        )
+    )
+    mk = missing_keys(source, target, keys).agg(
+        (F.count(F.lit(1)) <= max_missing).alias("missing_ok")
+    )
+    null_pred = None
+    for k in keys:
+        p = F.col(k).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    nk = target.agg(
+        (F.sum(null_pred.cast("long")) == 0).alias("nullkeys_ok")
+    )
+    checks = ["row_count_ok", "sampling_ok", "missing_ok", "nullkeys_ok"]
+    row = rc.crossJoin(sm).crossJoin(mk).crossJoin(nk)
+    if ts_col is not None:
+        fr = freshness_check(source, target, ts_col, max_lag_s).select(
+            F.col("is_fresh").alias("fresh_ok")
+        )
+        row = row.crossJoin(fr)
+        checks.append("fresh_ok")
+    passed = None
+    for c in checks:
+        t = F.coalesce(F.col(c), F.lit(False)).cast("int")
+        passed = t if passed is None else (passed + t)
+    return row.select(
+        *checks,
+        F.lit(len(checks)).alias("n_checks"),
+        passed.alias("n_passed"),
+        (passed.cast("double") * 100.0 / float(len(checks))).alias("success_rate"),
+        F.when(passed.cast("double") * 100.0 / float(len(checks)) >= 95.0, "Good")
+        .when(passed.cast("double") * 100.0 / float(len(checks)) >= 80.0, "Warning")
+        .otherwise("Poor")
+        .alias("overall_status"),
+    )
+
+
 def freshness_lag(df: DataFrame, ts_col: str, group_cols: list[str] | None = None) -> DataFrame:
     """Lag of each group's newest event behind the table's newest event
     (seconds) — the end-to-end lag measure of validation.py:506-618

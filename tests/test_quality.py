@@ -15,6 +15,7 @@ from lakehouse_cdc_spark.quality import (
     freshness_lag,
     missing_keys,
     row_count_diff,
+    run_suite,
     sample_match_rate,
 )
 from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
@@ -75,6 +76,41 @@ def test_sample_match_rate_duplicate_target_keys(spark):
     assert row.sampled == 2  # per-key, not per joined pair (3)
     assert row.matched == 1  # k=0 has a mismatching duplicate
     assert abs(row.match_rate - 0.5) < 1e-9
+
+
+def test_run_suite_grades_all_bands(spark):
+    """The suite runner must hit Good (all pass), Warning (4/5) and
+    Poor, with the reference's >=95 / >=80 thresholds."""
+    src = spark.createDataFrame(
+        [(i, float(i), "2024-01-0%d" % (1 + i % 9)) for i in range(100)],
+        "k int, v double, d string",
+    )
+    every = F.lit(True)
+
+    # identical target → 5/5 Good
+    good = run_suite(
+        src, src, ["k"], ["v"], ts_col="d", sample_pred=every
+    ).collect()[0]
+    assert good.overall_status == "Good" and good.success_rate == 100.0
+
+    # two corrupted values (98% < 99%) → sampling fails → 4/5 → Warning
+    tgt = src.withColumn(
+        "v", F.when(F.col("k").isin(3, 4), -1.0).otherwise(F.col("v"))
+    )
+    warn = run_suite(
+        src, tgt, ["k"], ["v"], ts_col="d", sample_pred=every
+    ).collect()[0]
+    assert warn.overall_status == "Warning" and warn.n_passed == 4
+
+    # corrupted + 10% of rows missing + stale max-date → 2/5 → Poor
+    bad = tgt.filter(F.col("k") % 10 != 0).withColumn(
+        "d", F.lit("2023-12-31")
+    )
+    poor = run_suite(
+        src, bad, ["k"], ["v"], ts_col="d", sample_pred=every
+    ).collect()[0]
+    assert poor.overall_status == "Poor"
+    assert not poor.row_count_ok and not poor.missing_ok and not poor.fresh_ok
 
 
 def test_freshness_lag_zero_for_newest_group(spark, sf_dir):
