@@ -660,3 +660,89 @@ def map_from_json_props(spark, sf_dir):
         .cast("bigint")
         .alias("sum_k_mod10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed joins: AQE skew-split vs explicit salting (SURVEY §2.3 + SCALE.md)
+# ---------------------------------------------------------------------------
+
+#: deterministic hot key: a third of all events collapse onto customer
+#: key 1 — the "one whale user" shape that stalls a single reducer at
+#: 100 TB unless the plan splits the hot partition
+_SKEW_KEY_SQL = "CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END"
+
+def _skewed_events(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+    )
+
+
+def _customer_dim(spark, sf_dir):
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_key"), "c_mktsegment"
+    )
+
+
+@register(
+    "join_skewed_aqe",
+    oracle=f"""
+    WITH e AS (SELECT {_SKEW_KEY_SQL} AS skew_key, value FROM events)
+    SELECT c_mktsegment,
+           COUNT(*) AS event_cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM e JOIN customer c ON e.skew_key = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    bench=True,
+    tags=("join", "skew", "aqe"),
+)
+def join_skewed_aqe(spark, sf_dir):
+    """Skewed fact⋈dim as a PLAIN join: the hot key (1/3 of all
+    events) is left to AQE — locally the dim broadcasts (no skew
+    problem at all); on a cluster with a shuffle join,
+    spark.sql.adaptive.skewJoin splits the hot partition at runtime.
+    The baseline the salted variant is measured against."""
+    e = _skewed_events(spark, sf_dir)
+    c = _customer_dim(spark, sf_dir)
+    return e.join(c, "skew_key").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "join_skewed_salted",
+    oracle=f"""
+    WITH e AS (SELECT {_SKEW_KEY_SQL} AS skew_key, value FROM events)
+    SELECT c_mktsegment,
+           COUNT(*) AS event_cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM e JOIN customer c ON e.skew_key = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    bench=True,
+    tags=("join", "skew", "salt"),
+)
+def join_skewed_salted(spark, sf_dir):
+    """The SAME skewed join through operators.joins.salted_join: the
+    hot key is sprayed over 16 salt buckets (left side) while the dim
+    is replicated ×16, so no reducer owns the whale.  The oracle is
+    the identical plain-join SQL — hash-equality proves salting is
+    semantics-preserving; the bench pairing with join_skewed_aqe
+    measures its overhead/benefit at each scale."""
+    from lakehouse_cdc_spark.operators.joins import salted_join
+
+    e = _skewed_events(spark, sf_dir)
+    c = _customer_dim(spark, sf_dir)
+    return (
+        salted_join(e, c, key="skew_key", salt_buckets=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )

@@ -47,6 +47,24 @@ def test_flagship_window_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # customer dim broadcast
 
 
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted variant must join on (key, salt) — the salt column
+    in the join keys is what spreads the whale key over N tasks — and
+    both skew variants must agree with each other (same oracle)."""
+    plan = _plan(spark, sf_dir, "join_skewed_salted")
+    assert "__salt" in plan  # salt participates in the join
+    assert "explode" in plan or "Expand" in plan or "Generate" in plan  # dim ×16
+    aqe = {
+        tuple(r)
+        for r in REGISTRY["join_skewed_aqe"].fn(spark, sf_dir).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in REGISTRY["join_skewed_salted"].fn(spark, sf_dir).collect()
+    }
+    assert aqe == salted
+
+
 def test_topk_plans_as_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_orders_global")
     assert "TakeOrderedAndProject" in plan
