@@ -12,6 +12,7 @@ hand-rolled Iceberg offset ledger + (invalid) START TRANSACTION
 from lakehouse_cdc_spark.streaming.sources import (
     file_cdc_source,
     kafka_cdc_source,
+    kafka_source_options,
     rate_source,
 )
 from lakehouse_cdc_spark.streaming.pipeline import (
@@ -29,6 +30,7 @@ from lakehouse_cdc_spark.streaming.windows import (
 __all__ = [
     "file_cdc_source",
     "kafka_cdc_source",
+    "kafka_source_options",
     "rate_source",
     "SnapshotUpsertSink",
     "cdc_pipeline",

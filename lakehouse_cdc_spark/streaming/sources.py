@@ -10,15 +10,67 @@ stream with ``maxFilesPerTrigger`` standing in for the reference's
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str | dict = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option dict a Kafka CDC stream reader gets — pure and
+    unit-testable without a broker (the only untested surface left is
+    the broker handshake itself).
+
+    ``starting_offsets`` accepts the two Spark contracts: the
+    ``earliest``/``latest`` keywords, or a per-partition dict
+    ``{topic: {partition: offset}}`` which is serialized to the JSON
+    form Spark requires (partition keys become strings, -2/-1 mean
+    earliest/latest).
+    """
+    if isinstance(starting_offsets, dict):
+        starting = json.dumps(
+            {
+                t: {str(p): int(o) for p, o in parts.items()}
+                for t, parts in starting_offsets.items()
+            },
+            sort_keys=True,
+        )
+    elif starting_offsets in ("earliest", "latest"):
+        starting = starting_offsets
+    else:
+        raise ValueError(
+            f"starting_offsets must be earliest/latest or a per-partition "
+            f"dict, got {starting_offsets!r}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting,
+        # read_committed mirrors spark_exactly_once.py:29 — uncommitted
+        # transactional producer records are invisible
+        "kafka.isolation.level": "read_committed",
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError(
+                f"max_offsets_per_trigger must be positive, got {max_offsets_per_trigger}"
+            )
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def kafka_cdc_source(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
-    starting_offsets: str = "earliest",
+    starting_offsets: str | dict = "earliest",
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka change-stream source.
@@ -30,17 +82,13 @@ def kafka_cdc_source(
     (spark_exactly_once.py:579-588) is obsolete.  ``read_committed``
     isolation mirrors spark_exactly_once.py:29.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("kafka.isolation.level", "read_committed")
-        .option("failOnDataLoss", "false")
+    opts = kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
+    return spark.readStream.format("kafka").options(**opts).load()
 
 
 def file_cdc_source(

@@ -24,6 +24,49 @@ from lakehouse_cdc_spark.streaming import (
     with_retry,
 )
 
+def test_kafka_source_options_contract():
+    """The full option surface of the Kafka source, minus only the
+    broker handshake: keyword offsets, per-partition JSON offsets,
+    throttling, isolation, data-loss policy."""
+    import json
+
+    from lakehouse_cdc_spark.streaming import kafka_source_options
+
+    opts = kafka_source_options("b1:9092,b2:9092", "cdc.public.users")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "cdc.public.users",
+        "startingOffsets": "earliest",
+        "kafka.isolation.level": "read_committed",
+        "failOnDataLoss": "false",
+    }
+
+    # per-partition offsets serialize to Spark's JSON contract
+    # (string partition keys; -2 = earliest, -1 = latest)
+    opts = kafka_source_options(
+        "b:9092",
+        "t",
+        starting_offsets={"t": {0: 42, 1: -2, 2: -1}},
+        max_offsets_per_trigger=100,
+    )
+    assert json.loads(opts["startingOffsets"]) == {
+        "t": {"0": 42, "1": -2, "2": -1}
+    }
+    assert opts["maxOffsetsPerTrigger"] == "100"
+
+    opts = kafka_source_options("b:9092", "t", starting_offsets="latest",
+                                fail_on_data_loss=True)
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "true"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", starting_offsets="yesterday")
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", max_offsets_per_trigger=0)
+
+
 def _bucket_files(sink: SnapshotUpsertSink) -> dict[str, tuple]:
     """{relative parquet path: (size, sha256)} over every bucket dir."""
     import hashlib
