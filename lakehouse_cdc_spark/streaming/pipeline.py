@@ -287,6 +287,56 @@ class SnapshotUpsertSink:
             f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
         os.replace(tmp, self._pointer)
 
+    # -- metadata tables (S7: Iceberg .snapshots/.files equivalents) ----
+    def snapshots_table(self, spark: SparkSession) -> DataFrame:
+        """One row per snapshot directory — the sink's answer to
+        Iceberg's ``<table>.snapshots`` metadata table (the reference
+        inspects ``.history``, validation.py:731-740).  Columns:
+        (snapshot, is_committed, batch_id, n_buckets,
+        buckets_rewritten, gc_watermark)."""
+        committed_lineage, committed_batch, committed_snap = self.committed()
+        rows = []
+        for d in sorted(os.listdir(self.target_dir)):
+            if not (d.startswith("v=") and d.split("=", 1)[1].isdigit()):
+                continue
+            snap = int(d.split("=", 1)[1])
+            manifest = self._read_manifest(snap)
+            rewritten = sum(
+                1 for b, s in (manifest or {}).get("buckets", {}).items() if s == snap
+            )
+            rows.append(
+                (
+                    snap,
+                    snap == committed_snap,
+                    committed_batch if snap == committed_snap else None,
+                    (manifest or {}).get("n_buckets"),
+                    rewritten,
+                    (manifest or {}).get("gc_watermark"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot int, is_committed boolean, batch_id long, "
+            "n_buckets int, buckets_rewritten int, gc_watermark long",
+        )
+
+    def files_table(self, spark: SparkSession) -> DataFrame:
+        """One row per live data file of the COMMITTED state — the
+        ``<table>.files`` equivalent: (bucket, snapshot, path,
+        size_bytes).  Files of uncommitted or superseded snapshots
+        don't appear (they are expire_snapshots fodder)."""
+        manifest = self._read_manifest(self.committed_snapshot())
+        rows = []
+        for b, snap in ((manifest or {}).get("buckets") or {}).items():
+            bdir = self._bucket_path(snap, int(b))
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(bdir, fn)
+                    rows.append((int(b), snap, p, os.path.getsize(p)))
+        return spark.createDataFrame(
+            rows, "bucket int, snapshot int, path string, size_bytes long"
+        )
+
     # -- tombstone retention --------------------------------------------
     def _order_key(self) -> str:
         """First order_by column as a plain name — the axis GC

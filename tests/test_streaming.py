@@ -145,6 +145,38 @@ def test_bucketed_sink_n_buckets_fixed_at_first_commit(spark, tmp_path):
     assert state[3] == "v3-new" and len(state) == 16
 
 
+def test_metadata_tables_snapshots_and_files(spark, tmp_path):
+    """S7: the sink exposes Iceberg-style .snapshots/.files metadata
+    DataFrames — committed flag, per-snapshot rewrite counts, and the
+    live file set with only manifest-referenced files."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    schema = "id int, v string, operation string, seq int"
+    sink.process_batch(
+        spark.createDataFrame([(i, f"v{i}", "u", 0) for i in range(8)], schema), 0
+    )
+    sink.process_batch(
+        spark.createDataFrame([(0, "v0b", "u", 1)], schema), 1
+    )
+    snaps = {r.snapshot: r for r in sink.snapshots_table(spark).collect()}
+    assert set(snaps) == {0, 1}
+    assert snaps[1].is_committed and not snaps[0].is_committed
+    assert snaps[1].batch_id == 1
+    assert snaps[1].buckets_rewritten == 1  # only key 0's bucket moved
+    assert snaps[0].buckets_rewritten >= 2
+
+    files = sink.files_table(spark).collect()
+    assert all(os.path.exists(r.path) and r.size_bytes > 0 for r in files)
+    # live set spans both snapshots (untouched buckets still at v=0)
+    assert {r.snapshot for r in files} == {0, 1}
+    # every live bucket resolves to exactly one snapshot dir
+    bucket_snaps: dict[int, set] = {}
+    for r in files:
+        bucket_snaps.setdefault(r.bucket, set()).add(r.snapshot)
+    assert all(len(s) == 1 for s in bucket_snaps.values())
+
+
 def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
     """GC expires old delete tombstones (rewriting only their buckets)
     and installs a late-data floor: an update OLDER than the retention
