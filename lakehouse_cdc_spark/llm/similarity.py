@@ -184,6 +184,69 @@ def bucketed_cosine_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    query_vec_col: str = "q_embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k through IVF probes — the query-side scale path that
+    pairs with :func:`ivf_assign` (index build) and
+    :func:`bucketed_cosine_pairs` (all-pairs dedup).
+
+    1. rank centroids against the query, keep the ``probes`` nearest
+       (driver-free: a tiny broadcast limit),
+    2. restrict the scan to vectors assigned to those buckets
+       (broadcast semi-join — at scale this is partition pruning on a
+       cluster-partitioned table: only probes/K of the data is read),
+    3. exact cosine top-k inside the probed buckets
+       (TakeOrderedAndProject).
+
+    Deterministic approximation: rounded sims, id tie-breaks —
+    reproducible in any engine, so the oracle composes the SAME
+    probe pipeline and must agree bit-for-bit."""
+    qvec = F.col(query_vec_col).cast("array<double>")
+    cvec = F.col(centroid_vec_col).cast("array<double>")
+    probe = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col(centroid_id_col).alias("cluster"),
+            F.round(cosine_sim(cvec, qvec), round_digits).alias("qcs"),
+        )
+        .orderBy(F.desc("qcs"), F.asc("cluster"))
+        .limit(probes)
+        .select("cluster")
+    )
+    assign = ivf_assign(
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        round_digits=round_digits,
+    ).select(id_col, "cluster")
+    in_probed = assign.join(F.broadcast(probe), "cluster").select(id_col)
+    cand = embeddings.join(in_probed, id_col)
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(vec, qvec), round_digits).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -24,6 +24,7 @@ from lakehouse_cdc_spark.llm.similarity import (
     cosine_topk,
     dot,
     ivf_assign,
+    ivf_topk,
     with_norm,
 )
 from lakehouse_cdc_spark.llm.text import (
@@ -456,6 +457,68 @@ def emb_ivf_assign(spark, sf_dir):
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_assigned"))
     )
+
+
+_DOT_EQ = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "emb_ann_query_ivf",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    q AS (SELECT embedding AS qemb, norm_sq AS qnorm FROM n WHERE vec_id = 7),
+    probe AS (
+      SELECT cid AS cluster FROM (
+        SELECT c.cid,
+               round({_DOT_EQ.format(a='c.cemb', b='q.qemb')}
+                     / (sqrt(c.cnorm) * sqrt(q.qnorm)), 6) AS qcs
+        FROM c, q)
+      ORDER BY qcs DESC, cid ASC LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round({_DOT_EQ.format(a='e.embedding', b='c.cemb')}
+                   / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) AS cs
+      FROM n e, c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cluster = p.cluster)
+    SELECT n.vec_id,
+           round({_DOT_EQ.format(a='n.embedding', b='q.qemb')}
+                 / (sqrt(n.norm_sq) * sqrt(q.qnorm)), 6) AS cos_sim
+    FROM n JOIN cand ON n.vec_id = cand.vec_id, q
+    ORDER BY cos_sim DESC, n.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def emb_ann_query_ivf(spark, sf_dir):
+    """ANN top-10 for the vec_id=7 query through 2-probe IVF: rank the
+    8 centroids against the query, search ONLY the two nearest buckets
+    (probes/K of the data — partition pruning at scale), exact top-k
+    inside.  Deterministic approximation, so the oracle composes the
+    same probe pipeline and must agree bit-for-bit.  Completes the ANN
+    family: emb_ivf_assign (build) / emb_neardup_bucketed (pairs) /
+    this (query)."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    query = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(emb, centroids, query, k=10, probes=2)
 
 
 @register(
