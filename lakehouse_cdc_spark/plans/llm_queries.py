@@ -746,3 +746,74 @@ def schema_evolution_union(spark, sf_dir):
         "event_id", "user_id", "event_type", F.lit("v2").alias("source_gen")
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tok4 AS (SELECT doc_id, tok FROM tok WHERE length(tok) >= 4),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok4 GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(floor(CAST(tf AS DOUBLE)
+                        * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                        * 100.0 + 0.5) AS BIGINT) AS tfidf_fp
+      FROM tf JOIN dfreq USING (tok), n
+      WHERE tf.doc_id % 20 = 0
+    )
+    SELECT doc_id, tok AS term, tfidf_fp FROM (
+      SELECT doc_id, tok, tfidf_fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_fp DESC, tok ASC) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Corpus-wide TF-IDF, top-3 terms per (sampled) document — the
+    canonical training-data signal for keyword extraction / quality
+    filtering.  Document frequency aggregates over the FULL corpus
+    (map-side partial counts); only the sampled docs rank terms, so
+    the window is small.  The idf ln() is quantized to scale-2 fixed
+    point BEFORE ranking (transcendentals are not correctly-rounded
+    across engines; ranking on the quantized bigint keeps the order
+    engine-independent — see registry.fixed_point notes)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") >= 4)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * 100.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("tfidf_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_fp"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "tfidf_fp")
+    )
