@@ -817,3 +817,58 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("tok").alias("term"), "tfidf_fp")
     )
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    )
+    SELECT da, db, edit_dist, sim FROM (
+      SELECT cand.da, cand.db,
+             levenshtein(a.text, b.text) AS edit_dist,
+             round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                   / CAST(greatest(length(a.text), length(b.text), 1) AS DOUBLE),
+                   6) AS sim
+      FROM cand
+      JOIN documents a ON a.doc_id = cand.da
+      JOIN documents b ON b.doc_id = cand.db
+    ) WHERE sim >= 0.6
+    """,
+    tags=("llm", "dedup", "lsh", "verify"),
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """The full two-stage fuzzy-dedup pipeline: MinHash+LSH proposes
+    candidate pairs (bucket joins, never all-pairs), then an exact
+    edit-distance verification confirms them (normalized Levenshtein
+    similarity >= 0.6).  The expensive O(len^2) distance runs ONLY on
+    the candidate set — |candidates| pairs, not |docs|^2 — which is
+    the standard verify-after-LSH contract at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, k=8)
+    cand = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    a = d.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    sim = F.round(
+        1.0
+        - dist.cast("double")
+        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)).cast("double"),
+        6,
+    )
+    return (
+        cand.join(a, "da")
+        .join(b, "db")
+        .select("da", "db", dist.alias("edit_dist"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.6)
+    )
