@@ -527,7 +527,7 @@ def emb_ann_query_ivf(spark, sf_dir):
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
-          FROM n WHERE vec_id < 8),
+          FROM n WHERE vec_id < 32),
     scored AS (
       SELECT e.vec_id, c.cid,
              round(list_sum(list_transform(generate_series(1, 64),
@@ -560,13 +560,15 @@ def emb_ann_query_ivf(spark, sf_dir):
 )
 def emb_neardup_bucketed(spark, sf_dir):
     """The scale path for embedding near-dup: IVF assignment (2-probe,
-    8 centroids = vec_id < 8) → cosine pairs WITHIN buckets only.
+    32 centroids = vec_id < 32) → cosine pairs WITHIN buckets only.
     Shuffle is keyed by cluster; pair space is O(Σ bucket²), never
-    all-pairs.  Same output contract as emb_neardup_pairs restricted
-    to bucket-cohabiting pairs — on clustered near-dups recall ≈ 1
-    (see tests/test_llm.py recall test)."""
+    all-pairs — and K must GROW with N (K ≈ √N keeps per-bucket work
+    flat; 8 centroids over 2k vectors left a quadratic residue that
+    was 4× slower).  Same output contract as emb_neardup_pairs
+    restricted to bucket-cohabiting pairs — on clustered near-dups
+    recall ≈ 1 (see tests/test_llm.py recall test)."""
     emb = table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    centroids = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
     return bucketed_cosine_pairs(emb, centroids, threshold=0.4, probes=2)
