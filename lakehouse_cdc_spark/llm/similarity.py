@@ -184,6 +184,62 @@ def bucketed_cosine_pairs(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    round_digits: int = 6,
+    fp_scale: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids: assign → per-
+    cluster mean → repeat.  The iterative-algorithm pattern on pure
+    DataFrames: each iteration is one broadcast-assign (no shuffle) +
+    one (cluster, dim) aggregation (one shuffle, map-side partials).
+
+    Deterministic BY CONSTRUCTION, unlike textbook float k-means: the
+    per-dimension mean is an exact bigint fixed-point sum divided as
+    doubles (order- and partition-independent — registry.fixed_point
+    rationale), so every iteration's centroids are bit-identical in
+    any engine and the whole refinement is oracle-checkable.
+
+    A cluster that loses all members disappears (its mean is
+    undefined) — standard Lloyd behavior; K can only shrink.
+    """
+    fp_mult = float(10**fp_scale)
+    for _ in range(iterations):
+        assign = ivf_assign(
+            embeddings,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+            centroid_vec_col=centroid_vec_col,
+            round_digits=round_digits,
+        ).select(id_col, "cluster")
+        tagged = assign.join(embeddings, id_col)
+        ex = tagged.select(
+            "cluster",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+        )
+        fp = F.floor(F.col("val") * F.lit(fp_mult) + F.lit(0.5)).cast("bigint")
+        means = ex.groupBy("cluster", "pos").agg(
+            (
+                F.sum(fp).cast("double") / F.lit(fp_mult) / F.count(F.lit(1)).cast("double")
+            ).alias("mval")
+        )
+        centroids = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias(centroid_vec_col)
+        ).select(F.col("cluster").alias(centroid_id_col), centroid_vec_col)
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -874,3 +874,98 @@ def dedup_lsh_verified(spark, sf_dir):
         .select("da", "db", dist.alias("edit_dist"), sim.alias("sim"))
         .filter(F.col("sim") >= 0.6)
     )
+
+
+def _kmeans_iter_sql(n_cte: str, cin: str, tag: str) -> str:
+    """One Lloyd iteration in DuckDB CTEs: assign vectors to ``cin``
+    centroids, then exact fixed-point per-dimension means → ``m{tag}``
+    (cid, cemb, cnorm).  Mirrors llm/similarity.py:kmeans_refine."""
+    return f"""
+    s{tag} AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i]))
+                   / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) AS cs
+      FROM {n_cte} e, {cin} c),
+    a{tag} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM s{tag}) WHERE rn = 1),
+    ex{tag} AS (
+      SELECT a.cluster, e.embedding,
+             unnest(generate_series(1, 64)) AS pos
+      FROM a{tag} a JOIN {n_cte} e ON a.vec_id = e.vec_id),
+    mv{tag} AS (
+      SELECT cluster, pos,
+             CAST(SUM(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE) AS mval
+      FROM ex{tag} GROUP BY 1, 2),
+    m{tag} AS (
+      SELECT cluster AS cid,
+             list(mval ORDER BY pos) AS cemb,
+             list_sum(list_transform(list(mval ORDER BY pos), x -> x * x)) AS cnorm
+      FROM mv{tag} GROUP BY cluster)
+    """
+
+
+@register(
+    "emb_kmeans_refine",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
+             norm_sq AS cnorm
+      FROM n WHERE vec_id < 8),
+    {_kmeans_iter_sql('n', 'c0', '1')},
+    {_kmeans_iter_sql('n', 'm1', '2')},
+    sF AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cemb[i]))
+                   / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) AS cs
+      FROM n e, m2 c),
+    aF AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM sF) WHERE rn = 1)
+    SELECT a.cluster,
+           COUNT(*) AS n_assigned,
+           CAST(floor(m.cnorm * 10000.0 + 0.5) AS BIGINT) AS norm_fp
+    FROM aF a JOIN m2 m ON a.cluster = m.cid
+    GROUP BY a.cluster, m.cnorm
+    """,
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def emb_kmeans_refine(spark, sf_dir):
+    """TWO Lloyd iterations of k-means over the embedding corpus
+    (seeds: vec_id < 8), then final bucket sizes + quantized centroid
+    norms.  Iterative algorithms are usually excluded from exact
+    oracles; this one is oracle-checked bit-for-bit because every
+    per-dimension mean is an exact bigint fixed-point sum (order- and
+    partition-independent) divided as doubles — the same determinism
+    contract as the engine's dsum/davg aggregates."""
+    from lakehouse_cdc_spark.llm.similarity import kmeans_refine, l2_norm_sq
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cents = kmeans_refine(emb, seeds, iterations=2)
+    norms = cents.select(
+        F.col("cid").alias("cluster"),
+        F.floor(l2_norm_sq(F.col("cemb")) * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("norm_fp"),
+    )
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .join(norms, "cluster")
+    )
