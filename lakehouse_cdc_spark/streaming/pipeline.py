@@ -337,6 +337,55 @@ class SnapshotUpsertSink:
             rows, "bucket int, snapshot int, path string, size_bytes long"
         )
 
+    # -- bucket compaction (M1 on the bucketed layout) ------------------
+    def compact_buckets(
+        self, spark: SparkSession, files_per_bucket: int = 1, min_files: int = 2
+    ) -> list[int]:
+        """Small-file compaction: rewrite buckets whose file count
+        exceeds ``min_files`` down to ``files_per_bucket`` files each,
+        under a fresh snapshot with the usual manifest+pointer commit
+        (crash-safe; readers never see a half-compacted state).
+        Buckets already compact keep their existing files untouched.
+        Returns the bucket ids rewritten.
+
+        The rewrite preserves rows bit-for-bit (coalesce, no merge
+        logic) — state equality is asserted by tests, and
+        expire_snapshots later reclaims the superseded files."""
+        lineage, committed_batch, committed_snap = self.committed()
+        manifest = self._read_manifest(committed_snap)
+        if manifest is None or not manifest["buckets"]:
+            return []
+        todo = []
+        for b, snap in manifest["buckets"].items():
+            bdir = self._bucket_path(snap, int(b))
+            n_files = sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+            if n_files > min_files:
+                todo.append(int(b))
+        if not todo:
+            return []
+        new_snap = committed_snap + 1
+        snap_dir = self._snapshot_path(new_snap)
+        for b in sorted(todo):
+            df = spark.read.parquet(self._bucket_path(manifest["buckets"][str(b)], b))
+            df.coalesce(files_per_bucket).write.mode("overwrite").parquet(
+                os.path.join(snap_dir, f"__bucket={b}")
+            )
+        new_buckets = dict(manifest["buckets"])
+        for b in todo:
+            new_buckets[str(b)] = new_snap
+        new_manifest = {"n_buckets": manifest["n_buckets"], "buckets": new_buckets}
+        if manifest.get("gc_watermark") is not None:
+            new_manifest["gc_watermark"] = manifest["gc_watermark"]
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(mtmp, self._manifest_path(new_snap))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{self.lineage or ''}:{committed_batch}:{new_snap}")
+        os.replace(tmp, self._pointer)
+        return sorted(todo)
+
     # -- tombstone retention --------------------------------------------
     def _order_key(self) -> str:
         """First order_by column as a plain name — the axis GC

@@ -177,6 +177,43 @@ def test_metadata_tables_snapshots_and_files(spark, tmp_path):
     assert all(len(s) == 1 for s in bucket_snaps.values())
 
 
+def test_compact_buckets_preserves_state(spark, tmp_path):
+    """M1 on the bucketed sink: many-file buckets collapse to one file
+    per bucket under a fresh committed snapshot; state is identical,
+    already-compact buckets keep their old files, and expiry later
+    reclaims the superseded snapshot dirs."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    schema = "id int, v string, operation string, seq int"
+    # many-partition batch → several part files per bucket dir (AQE's
+    # byte-based coalescing would fold this tiny fixture to one task,
+    # so pin it off for the ingest only — at real scale many tasks per
+    # bucket is the natural state this test simulates)
+    big = spark.createDataFrame(
+        [(i, f"v{i}", "u", 0) for i in range(64)], schema
+    ).repartition(8)
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        sink.process_batch(big, 0)
+    finally:
+        spark.conf.set(coalesce_conf, "true")
+    before = {r.id: r.v for r in sink.current_table(spark).collect()}
+    files0 = sink.files_table(spark).groupBy("bucket").count().collect()
+    assert any(r["count"] > 2 for r in files0)
+
+    rewritten = sink.compact_buckets(spark, files_per_bucket=1)
+    assert rewritten  # something was compacted
+    after = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert after == before
+    files1 = {r.bucket: r["count"] for r in
+              sink.files_table(spark).groupBy("bucket").count().collect()}
+    assert all(files1[b] == 1 for b in rewritten)
+    # idempotent: nothing left to compact
+    assert sink.compact_buckets(spark, files_per_bucket=1) == []
+
+
 def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
     """GC expires old delete tombstones (rewriting only their buckets)
     and installs a late-data floor: an update OLDER than the retention
