@@ -1,0 +1,338 @@
+"""Third wave of relational declared queries: the remaining TPC-H
+query *shapes* expressible on the reduced testdata schema (no
+l_shipmode/l_commitdate/c_phone columns exist, so each query keeps the
+canonical plan shape — EXISTS probe, nation-pair volume, market-share
+ratio, distribution, having-filtered top-k, disjunctive brackets,
+anti-join + scalar subquery — on the columns that do).
+
+Determinism: all money sums through dsum/fixed-point (see registry),
+all rankings totally ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import (
+    dsum,
+    fixed_point,
+    register,
+    sql_dsum,
+    sql_fixed_point,
+    table,
+)
+
+_VOLUME = "l_extendedprice * (1.0 - l_discount)"
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_cnt
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "q4", "exists", "semi-join"),
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H q4 shape: orders in a quarter with at least one
+    late-shipped line (>60 days after order date — the fixture has no
+    l_commitdate, so lateness is ship-vs-order), counted by priority.
+    EXISTS plans as a LeftSemi join — one pass, no fan-out."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_cnt")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume', 'revenue')}
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             {_VOLUME} AS volume
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "q7", "multi-join"),
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H q7: trade volume between a nation pair by ship year.
+    Both nation dims broadcast (self-joined twice under different
+    aliases); the disjunctive pair filter sits on the broadcast side
+    so the fact scan stays full-rate."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(vol, "revenue"))
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN {sql_fixed_point('volume')} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({sql_fixed_point('volume')}) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_VOLUME} AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    tags=("tpch", "q8", "ratio"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8: NATION_3's share of ECONOMY-part revenue among
+    EUROPE customers, by order year.  The share is a ratio of two
+    EXACT fixed-point sums (numerator CASE'd, denominator total)
+    divided once as doubles — deterministic in any engine and under
+    any partitioning, unlike sum(double)/sum(double)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nkey"))
+    )
+    vol_fp = fixed_point(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol_fp).otherwise(F.lit(0))
+    )
+    den = F.sum(vol_fp)
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (num.cast("double") / den.cast("double")).alias("mkt_share")
+    )
+
+
+@register(
+    "q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("tpch", "q13", "left-join", "distribution"),
+)
+def q13_custdist(spark, sf_dir):
+    """TPC-H q13: distribution of customers by order count — a
+    two-level aggregation over a left join (COUNT of a nullable
+    column counts only matches, so 0-order customers survive)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_orderdate_s, total_qty
+    FROM (
+      SELECT c.c_name, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+             CAST(SUM({sql_fixed_point('l.l_quantity')}) AS DOUBLE) / 10000.0 AS total_qty
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+      HAVING CAST(SUM({sql_fixed_point('l.l_quantity')}) AS DOUBLE) / 10000.0 > 210.0
+    )
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("tpch", "q18", "having", "topk"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H q18: large-volume orders — aggregate-then-HAVING, joined
+    to the customer dim, global top-100 (TakeOrderedAndProject; the
+    HAVING prunes before the sort so only qualifying orders rank)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 210.0)
+    )
+    return (
+        agg.select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(_VOLUME, 'revenue')}, COUNT(*) AS line_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'BRAND_1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'BRAND_2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'BRAND_3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    tags=("tpch", "q19", "disjunctive"),
+)
+def q19_bracket_revenue(spark, sf_dir):
+    """TPC-H q19: disjunctive bracket predicates spanning both join
+    sides — the optimizer keeps the join equi (l_partkey = p_partkey)
+    and evaluates the OR brackets post-join; part is broadcast so
+    the brackets run map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "BRAND_1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "BRAND_2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "BRAND_3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return j.filter(bracket).agg(
+        dsum(vol, "revenue"), F.count(F.lit(1)).alias("line_cnt")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM({sql_fixed_point('c_acctbal')}) AS DOUBLE)
+             / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cohort, COUNT(*) AS numcust, {sql_dsum('c_acctbal', 'total_bal')}
+    FROM (
+      SELECT c.c_custkey % 7 AS cohort, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.a
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    )
+    GROUP BY cohort
+    """,
+    tags=("tpch", "q22", "anti-join", "scalar-subquery"),
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H q22 shape: customers with above-average balance and no
+    RECENT order (none since 2000 — every fixture customer has SOME
+    order, so recency keeps the anti-join non-vacuous), grouped by
+    cohort (custkey mod 7 stands in for the absent phone prefix).  Scalar avg subquery broadcast as a 1-row cross
+    join; NOT EXISTS plans as LeftAnti — no fan-out, no driver
+    round-trip.  The average is an exact fixed-point mean."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(fixed_point(F.col("c_acctbal"))).cast("double")
+                / 10000.0
+                / F.count(F.lit(1)).cast("double")
+            ).alias("a")
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_custkey") % 7).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal"), "total_bal"),
+    )
