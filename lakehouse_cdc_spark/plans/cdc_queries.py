@@ -253,3 +253,48 @@ def window_tumbling_daily(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "window_sliding_2d",
+    oracle=f"""
+    SELECT strftime(w_start, '%Y-%m-%d') AS win_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM (
+      SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS w_start,
+             event_type, value
+      FROM (SELECT ts, event_type, value,
+                   unnest(generate_series(0, 1)) AS k
+            FROM events)
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "T7", "window", "sliding"),
+)
+def window_sliding_2d(spark, sf_dir):
+    """Sliding event-time window (2-day windows sliding daily): every
+    event lands in exactly two windows.  Spark's window() emits the
+    overlap natively; the oracle replays it by fanning each event to
+    its two day-aligned window starts.  Same expression runs unchanged
+    under readStream + withWatermark (streaming/windows.py
+    sliding_window_agg)."""
+    from lakehouse_cdc_spark.streaming.windows import sliding_window_agg
+
+    e = table(spark, sf_dir, "events")
+    return sliding_window_agg(
+        e,
+        duration="2 days",
+        slide="1 day",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("event_cnt"),
+            dsum(F.col("value"), "sum_value"),
+        ],
+    ).select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("win_start"),
+        "event_type",
+        "event_cnt",
+        "sum_value",
+    )
