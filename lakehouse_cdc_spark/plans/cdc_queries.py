@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from lakehouse_cdc_spark.cdc.apply import apply_changes, compact_changes
 from lakehouse_cdc_spark.cdc.classify import classify_operation
 from lakehouse_cdc_spark.cdc.decode import decode_debezium
-from lakehouse_cdc_spark.plans.registry import dsum, register, sql_dsum, table
+from lakehouse_cdc_spark.plans.registry import (
+    dsum,
+    fixed_point,
+    register,
+    sql_dsum,
+    table,
+)
 
 #: event_type → CDC operation (CASE expression, shared with oracles)
 _OP_CASE_SQL = (
@@ -297,4 +303,45 @@ def window_sliding_2d(spark, sf_dir):
         "event_type",
         "event_cnt",
         "sum_value",
+    )
+
+
+@register(
+    "window_range_30d_peak",
+    oracle="""
+    SELECT event_type,
+           CAST(MAX(roll_fp) AS DOUBLE) / 10000.0 AS peak_30d_sum
+    FROM (
+      SELECT event_type,
+             SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+             ) AS roll_fp
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("streaming", "window", "range-frame"),
+)
+def window_range_30d_peak(spark, sf_dir):
+    """RANGE-framed window (value-based, not row-based): per event the
+    rolling 30-DAY sum of `value` over event time, reduced to each
+    event type's historical peak.  RANGE frames bound by the ORDER
+    value (epoch seconds) — ties all enter the frame together, so the
+    rolling sum is a pure function of the data, partition-layout-free.
+    The summand is fixed-point bigint → exact, order-independent."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    roll = F.sum(fixed_point(F.col("value"))).over(w)
+    return (
+        e.select("event_type", roll.alias("roll_fp"))
+        .groupBy("event_type")
+        .agg((F.max("roll_fp").cast("double") / 10000.0).alias("peak_30d_sum"))
     )
