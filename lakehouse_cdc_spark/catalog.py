@@ -88,3 +88,29 @@ def jdbc_source(
             .option("upperBound", str(upper_bound or 1_000_000))
         )
     return reader.load()
+
+
+def write_bucketed(
+    df,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED session-catalog table (Hive-style
+    ``bucketBy``): rows are hash-clustered into ``n_buckets`` files by
+    ``bucket_cols`` at write time.
+
+    This is the co-located-join primitive at 100 TB: two tables
+    bucketed the same way join with ZERO shuffle exchanges — the scan
+    itself satisfies the join's partitioning requirement (verified by
+    plan assertion in tests/test_scale_tools.py).  Aggregations on the
+    bucket key skip their exchange the same way.  The written table is
+    also the right layout for repeated joins: one write-time shuffle
+    amortized over every subsequent query.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

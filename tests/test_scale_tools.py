@@ -12,6 +12,44 @@ from lakehouse_cdc_spark.streaming import cdc_pipeline  # noqa: F401  (import ch
 from lakehouse_cdc_spark.streaming.monitor import lag_alert, query_progress
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """The co-located-join contract: two tables bucketed identically
+    on the join key join with NO shuffle exchange — the write-time
+    clustering satisfies the join's distribution requirement.  This is
+    the amortize-one-shuffle-over-many-queries layout for 100 TB."""
+    from lakehouse_cdc_spark.catalog import drop_table, write_bucketed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    try:
+        write_bucketed(o, "orders_b", ["o_custkey"], n_buckets=8)
+        write_bucketed(c, "customer_b", ["c_custkey"], n_buckets=8)
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("customer_b").hint("shuffle_merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself introduces no exchange: both scans are
+        # bucketed on the key (only the final 5-row groupBy shuffles)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_part
+        assert joined.count() == 5
+        # equivalent unbucketed join shuffles BOTH sides
+        plain = o.join(
+            c.hint("shuffle_merge"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange hashpartitioning") >= 2
+    finally:
+        drop_table(spark, "orders_b")
+        drop_table(spark, "customer_b")
+
+
 def test_write_time_partitioned_prunes(spark, sf_dir, tmp_path):
     e = table(spark, sf_dir, "events")
     path = str(tmp_path / "events_part")
