@@ -336,3 +336,105 @@ def q22_idle_rich_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal"), "total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops, UNPIVOT, null-safe join (remaining algebra surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_all_variants",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'error')) AS n_intersect_all,
+      (SELECT COUNT(*) FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'error')) AS n_except_all
+    """,
+    tags=("setop", "multiset"),
+)
+def set_ops_all_variants(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — bag semantics with multiplicity
+    (min/difference of per-row counts), distinct from the set forms
+    already covered.  Planned as aggregate+join under the hood, no
+    driver logic."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = e.filter(F.col("event_type") == "error").select("user_id")
+    ia = purchases.intersectAll(errors).agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    ea = purchases.exceptAll(errors).agg(F.count(F.lit(1)).alias("n_except_all"))
+    return ia.crossJoin(ea)
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle=f"""
+    SELECT metric, COUNT(*) AS n, {sql_dsum('val', 'total')}
+    FROM (
+      SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT 'retail' AS metric, p_retailprice AS val FROM part
+    )
+    GROUP BY metric
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """UNPIVOT (wide→long reshape, the inverse of the pivot query):
+    two part measures melted into (metric, val) rows via unpivot —
+    pure projection fan-out, no shuffle until the final aggregate."""
+    p = table(spark, sf_dir, "part")
+    long = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["size", "retail"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("val"), "total")
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH k AS (SELECT nullif(user_id % 10, 0) AS k, value FROM events),
+    l AS (SELECT k, COUNT(*) AS cnt_l FROM k GROUP BY k),
+    r AS (SELECT k, COUNT(*) AS cnt_r FROM k WHERE value > 50.0 GROUP BY k)
+    SELECT COALESCE(CAST(l.k AS VARCHAR), 'NULL') AS key_s,
+           l.cnt_l, COALESCE(r.cnt_r, 0) AS cnt_r
+    FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics MERGE needs
+    for nullable business keys.  A plain equality join would silently
+    drop the NULL group; the oracle proves the null bucket joins."""
+    e = table(spark, sf_dir, "events").select(
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("k"), "value"
+    )
+    left = e.groupBy("k").agg(F.count(F.lit(1)).alias("cnt_l"))
+    right = (
+        e.filter(F.col("value") > 50.0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt_r"))
+    )
+    j = left.join(right, left.k.eqNullSafe(right.k), "left")
+    return j.select(
+        F.coalesce(left.k.cast("string"), F.lit("NULL")).alias("key_s"),
+        "cnt_l",
+        F.coalesce(F.col("cnt_r"), F.lit(0)).alias("cnt_r"),
+    )
