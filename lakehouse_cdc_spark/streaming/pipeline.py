@@ -187,7 +187,10 @@ class SnapshotUpsertSink:
             self._bucket_path(at_snap, int(b))
             for b, at_snap in manifest["buckets"].items()
         ]
-        return spark.read.parquet(*paths)
+        # mergeSchema: buckets evolve independently (a batch adding a
+        # column only rewrites ITS buckets), so the state schema is the
+        # union of all live bucket schemas — footer-only cost
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def current_table(self, spark: SparkSession) -> DataFrame | None:
         """The user-visible table: tombstones filtered out."""
@@ -246,9 +249,19 @@ class SnapshotUpsertSink:
             if str(b) in manifest["buckets"]
         ]
         if base_paths:
-            base = spark.read.parquet(*base_paths).withColumn("__bucket", bucket)
+            # allowMissingColumns = schema evolution: a batch may ADD
+            # columns (old state rows read NULL there) or arrive while
+            # historical state has columns the source dropped — both
+            # union into the superset schema, Iceberg-style
+            base = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*base_paths)
+                .withColumn("__bucket", bucket)
+            )
             merged = latest_per_key(
-                base.unionByName(tagged), self.keys, self.order_by
+                base.unionByName(tagged, allowMissingColumns=True),
+                self.keys,
+                self.order_by,
             )
         else:
             merged = tagged

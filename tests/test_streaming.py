@@ -214,6 +214,37 @@ def test_compact_buckets_preserves_state(spark, tmp_path):
     assert sink.compact_buckets(spark, files_per_bucket=1) == []
 
 
+def test_sink_schema_evolution_adds_column(spark, tmp_path):
+    """A batch carrying a NEW column merges cleanly: old rows read
+    NULL in it, new rows carry it, and the key/ordering semantics are
+    untouched — per-bucket schema evolution without a rewrite of
+    untouched buckets."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, "a", "u", 0), (2, "b", "u", 0)],
+            "id int, v string, operation string, seq int",
+        ),
+        0,
+    )
+    # batch 1 adds a `region` column and updates key 1 only
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, "a2", "u", 1, "eu")],
+            "id int, v string, operation string, seq int, region string",
+        ),
+        1,
+    )
+    rows = {r.id: r for r in sink.current_table(spark).collect()}
+    assert rows[1].v == "a2" and rows[1].region == "eu"
+    assert rows[2].v == "b"
+    # key 2's bucket was untouched → its file has no region column;
+    # the multi-path read surfaces it as NULL
+    assert rows[2].region is None
+
+
 def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
     """GC expires old delete tombstones (rewriting only their buckets)
     and installs a late-data floor: an update OLDER than the retention
