@@ -50,6 +50,30 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         drop_table(spark, "customer_b")
 
 
+def test_csv_jsonl_roundtrip_events(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines round-trip the events table bit-for-bit
+    under explicit schemas + pinned timestamp format — no inference
+    pass, no parser-default drift."""
+    from lakehouse_cdc_spark.sources import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    e = table(spark, sf_dir, "events")
+    ref = {tuple(r) for r in e.collect()}
+    for writer, reader, sub in (
+        (write_csv, read_csv, "csv"),
+        (write_jsonl, read_jsonl, "jsonl"),
+    ):
+        p = str(tmp_path / sub)
+        writer(e, p)
+        back = reader(spark, p, e.schema)
+        assert back.schema == e.schema, sub
+        assert {tuple(r) for r in back.collect()} == ref, sub
+
+
 def test_write_time_partitioned_prunes(spark, sf_dir, tmp_path):
     e = table(spark, sf_dir, "events")
     path = str(tmp_path / "events_part")
