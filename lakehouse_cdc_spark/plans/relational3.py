@@ -117,6 +117,7 @@ def q7_nation_volume(spark, sf_dir):
 
 @register(
     "q8_market_share",
+    bench=True,
     oracle=f"""
     SELECT o_year,
            CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
@@ -208,6 +209,7 @@ def q13_custdist(spark, sf_dir):
 
 @register(
     "q18_large_orders",
+    bench=True,
     oracle=f"""
     SELECT c_name, o_orderkey, o_orderdate_s, total_qty
     FROM (
