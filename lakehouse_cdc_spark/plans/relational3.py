@@ -440,3 +440,40 @@ def join_null_safe(spark, sf_dir):
         "cnt_l",
         F.coalesce(F.col("cnt_r"), F.lit(0)).alias("cnt_r"),
     )
+
+
+@register(
+    "agg_hll_mergeable_rollup",
+    oracle=None,  # approximate (Datasketches HLL) → rows-only check
+    tags=("agg", "sketch", "A3-scale", "rollup"),
+)
+def agg_hll_mergeable_rollup(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the pattern behind every
+    100 TB dashboard: build one HLL sketch per day partition
+    (hll_sketch_agg, map-side), persistable as bytes, then roll any
+    date range up by UNIONING sketches (hll_union_agg) instead of
+    rescanning raw data.  Output: per-day estimates + the unioned
+    whole-range estimate on every row for comparison.
+
+    Accuracy is asserted in tests (within 5% of exact distinct);
+    exact-by-construction results stay on the oracle surface
+    (agg_counts_distinct) — this is deliberately the approximate
+    scale path, like agg_approx_distinct."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "range_distinct_est"
+        )
+    )
+    return (
+        daily.select(
+            "day",
+            "event_cnt",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("day_distinct_est"),
+        )
+        .crossJoin(F.broadcast(total))
+    )

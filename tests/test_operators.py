@@ -63,6 +63,22 @@ def test_checksum_xor_catches_midrange_change(spark):
     raise AssertionError("every mutation moved min/max — fixture too small?")
 
 
+def test_hll_mergeable_rollup_accuracy(spark, sf_dir):
+    """Unioned per-day HLL sketches must estimate the whole-range
+    distinct count within 5% of exact — the contract that makes
+    sketch rollups a safe substitute for rescanning raw data."""
+    from lakehouse_cdc_spark.plans.registry import table
+
+    rows = REGISTRY["agg_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
+    est = rows[0].range_distinct_est
+    exact = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(est - exact) / exact < 0.05
+    # per-day estimate can never exceed the range estimate by >5%
+    assert all(r.day_distinct_est <= est * 1.05 for r in rows)
+
+
 def test_registry_complete():
     """Every registered query has a callable; oracle strings are
     non-empty when present."""
