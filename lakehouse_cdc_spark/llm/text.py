@@ -104,3 +104,29 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
+
+
+def chunk_windows(
+    text,  # Column | str
+    size: int = 50,
+    stride: int = 25,
+):
+    """Overlapping token-window chunks → array<string> of chunk texts.
+
+    The context-window chunking step of a training-data pipeline:
+    windows of ``size`` whitespace tokens every ``stride`` tokens, the
+    final partial window included iff it starts before the text ends.
+    Pure higher-order expressions (sequence → transform → slice →
+    array_join) — per-row fan-out happens executor-side via the
+    caller's explode, never in Python."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + F.lit(1), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, size), " ")
+    )

@@ -969,3 +969,53 @@ def emb_kmeans_refine(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_assigned"))
         .join(norms, "cluster")
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    sized AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - 50) / 25.0) AS INT) + 1, 1) AS n_chunks
+      FROM toks
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(t[chunk_idx * 25 + 1 : chunk_idx * 25 + 50]) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_idx * 25 + 1 : chunk_idx * 25 + 50], ' '))
+             AS chunk_md5
+    FROM idx
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunk_windows(spark, sf_dir):
+    """Context-window chunking (sampled docs): 50-token windows with
+    stride 25 — the step that turns documents into training sequences.
+    Chunk construction is pure higher-order expressions
+    (sequence→slice→array_join) fanned out by posexplode on the
+    executors; chunk identity is the md5 of the chunk text, so the
+    oracle proves the exact window boundaries, not just counts."""
+    from lakehouse_cdc_spark.llm.text import chunk_windows
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(chunk_windows(F.col("text"), size=50, stride=25)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(F.split(F.col("chunk"), r"\s+")).cast("int").alias("n_chunk_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
