@@ -1019,3 +1019,32 @@ def text_chunk_windows(spark, sf_dir):
         F.size(F.split(F.col("chunk"), r"\s+")).cast("int").alias("n_chunk_tokens"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@register(
+    "multimodal_decode_fake",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 1
+                     ELSE 1 + CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) % 3
+                END AS INT) AS channels
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_decode_fake(spark, sf_dir):
+    """The Arrow mapInPandas boundary ON the oracle surface: the
+    deterministic test kernel (dimensions derived from payload bytes —
+    llm/multimodal.py:decode_image_meta) runs as a real Pandas batch
+    stage, and DuckDB reproduces it from the same bytes.  Proves the
+    Python boundary end-to-end: schema, Arrow round-trip, batch
+    semantics — not just 'it runs'.  In production the kernel body is
+    the codec call; everything this query checks stays identical."""
+    d = attach_binary(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    )
+    from lakehouse_cdc_spark.llm.multimodal import decode_image_meta
+
+    return decode_image_meta(d, fake=True)
