@@ -47,6 +47,32 @@ def test_flagship_window_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # customer dim broadcast
 
 
+def test_q8_all_dimensions_broadcast(spark, sf_dir):
+    """The 7-table market-share join must broadcast every dimension —
+    a single sort-merge exchange on a dim would shuffle the whole
+    lineitem scan at 100 TB."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the final agg
+
+
+def test_q18_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+
+
+def test_bucketed_neardup_joins_on_cluster(spark, sf_dir):
+    """The bucketed ANN pair join must key its shuffle by cluster
+    (that IS the bucketing) and reuse the assignment subplan at
+    runtime instead of scoring centroids twice."""
+    df = REGISTRY["emb_neardup_bucketed"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [cluster" in plan or "ShuffledHashJoin [cluster" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_salted_join_spreads_hot_key(spark, sf_dir):
     """The salted variant must join on (key, salt) — the salt column
     in the join keys is what spreads the whale key over N tasks — and
