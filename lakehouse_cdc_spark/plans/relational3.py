@@ -477,3 +477,83 @@ def agg_hll_mergeable_rollup(spark, sf_dir):
         )
         .crossJoin(F.broadcast(total))
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_tp, last_tp, nth2_tp,
+           round(pr, 6) AS pr, round(cd, 6) AS cd
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             first_value(o_totalprice) OVER w AS first_tp,
+             last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_tp,
+             nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth2_tp,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    )
+    WHERE o_custkey % 100 = 0
+    """,
+    tags=("window", "value-functions"),
+)
+def window_value_functions(spark, sf_dir):
+    """The remaining window value/rank functions in one pass:
+    first/last/nth_value over an unbounded frame (last_value on the
+    default frame is a footgun — it sees only up to CURRENT ROW, so
+    the frame is made explicit), percent_rank and cume_dist (rounded:
+    their divisions are correctly-rounded IEEE, but rounding guards
+    ulp drift).  Sampled customers keep the surface small."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*ordering)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_totalprice").over(wfull).alias("first_tp"),
+            F.last("o_totalprice").over(wfull).alias("last_tp"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("nth2_tp"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .filter(F.col("o_custkey") % 100 == 0)
+    )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c.c_custkey % 50 = 0
+    """,
+    tags=("subquery", "correlated", "scalar"),
+)
+def subquery_correlated_scalar(spark, sf_dir):
+    """Correlated SCALAR subquery (one value per outer row) — Catalyst
+    decorrelates it into a left outer aggregate join, exactly what you
+    would hand-write; declared in SQL form to exercise the
+    decorrelation path itself."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               (SELECT MAX(o.o_totalprice) FROM orders_cs o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer_cs c
+        WHERE c.c_custkey % 50 = 0
+        """
+    )
