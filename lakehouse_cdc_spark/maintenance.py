@@ -57,10 +57,22 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     keep = set(versions[-retain_last:])
     if committed_snap is not None:
         keep.add(committed_snap)
-        manifest_file = os.path.join(target_dir, f"_MANIFEST_{committed_snap}.json")
-        if os.path.exists(manifest_file):
-            with open(manifest_file) as f:
-                keep.update(int(s) for s in json.load(f)["buckets"].values())
+    # every RETAINED snapshot must stay fully readable (time travel):
+    # union in the bucket dirs each retained manifest references —
+    # keeping only the committed manifest's references would leave
+    # retained history pointing at deleted directories.  Iterate to a
+    # fixed point (a kept referenced snapshot's manifest may reference
+    # further snapshots).
+    while True:
+        referenced = set()
+        for v in keep:
+            manifest_file = os.path.join(target_dir, f"_MANIFEST_{v}.json")
+            if os.path.exists(manifest_file):
+                with open(manifest_file) as f:
+                    referenced.update(int(s) for s in json.load(f)["buckets"].values())
+        if referenced <= keep:
+            break
+        keep |= referenced
     expired = []
     for v in versions:
         if v not in keep:

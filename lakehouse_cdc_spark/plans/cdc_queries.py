@@ -315,7 +315,7 @@ def window_sliding_2d(spark, sf_dir):
       SELECT event_type,
              SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER (
                PARTITION BY event_type
-               ORDER BY CAST(epoch(ts) AS BIGINT)
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
              ) AS roll_fp
       FROM events

@@ -224,10 +224,16 @@ class SnapshotUpsertSink:
             # must process regardless of batch numbering.
             return
         spark = batch_df.sparkSession
-        manifest = self._read_manifest(committed_snap) or {
-            "n_buckets": self.n_buckets,
-            "buckets": {},
-        }
+        manifest = self._read_manifest(committed_snap)
+        legacy_base = None
+        if manifest is None and committed_snap is not None:
+            # pre-manifest (flat v=<snap>) layout: seed the merge with
+            # the ENTIRE legacy snapshot — silently treating it as
+            # empty state would drop every committed key.  This batch
+            # migrates the whole state into the bucketed layout.
+            legacy_base = spark.read.parquet(self._snapshot_path(committed_snap))
+        if manifest is None:
+            manifest = {"n_buckets": self.n_buckets, "buckets": {}}
         n_buckets = manifest["n_buckets"]
         bucket = self._bucket_col(n_buckets)
 
@@ -240,43 +246,58 @@ class SnapshotUpsertSink:
 
         compacted = latest_per_key(batch_df, self.keys, self.order_by)
         tagged = compacted.withColumn("__bucket", bucket)
-        touched = sorted(
-            r["__bucket"] for r in tagged.select("__bucket").distinct().collect()
-        )
-        base_paths = [
-            self._bucket_path(manifest["buckets"][str(b)], b)
-            for b in touched
-            if str(b) in manifest["buckets"]
-        ]
-        if base_paths:
-            # allowMissingColumns = schema evolution: a batch may ADD
-            # columns (old state rows read NULL there) or arrive while
-            # historical state has columns the source dropped — both
-            # union into the superset schema, Iceberg-style
-            base = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*base_paths)
-                .withColumn("__bucket", bucket)
-            )
-            merged = latest_per_key(
-                base.unionByName(tagged, allowMissingColumns=True),
+        if legacy_base is not None:
+            tagged = latest_per_key(
+                legacy_base.withColumn("__bucket", bucket).unionByName(
+                    tagged, allowMissingColumns=True
+                ),
                 self.keys,
                 self.order_by,
             )
-        else:
-            merged = tagged
+        # the batch pipeline feeds TWO actions (touched-bucket probe +
+        # snapshot write); persist so foreachBatch doesn't recompute the
+        # source read + window compaction per action
+        tagged = tagged.persist()
+        try:
+            touched = sorted(
+                r["__bucket"] for r in tagged.select("__bucket").distinct().collect()
+            )
+            base_paths = [
+                self._bucket_path(manifest["buckets"][str(b)], b)
+                for b in touched
+                if str(b) in manifest["buckets"]
+            ]
+            if base_paths:
+                # allowMissingColumns = schema evolution: a batch may ADD
+                # columns (old state rows read NULL there) or arrive while
+                # historical state has columns the source dropped — both
+                # union into the superset schema, Iceberg-style
+                base = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*base_paths)
+                    .withColumn("__bucket", bucket)
+                )
+                merged = latest_per_key(
+                    base.unionByName(tagged, allowMissingColumns=True),
+                    self.keys,
+                    self.order_by,
+                )
+            else:
+                merged = tagged
 
-        new_snap = (committed_snap if committed_snap is not None else -1) + 1
-        snap_dir = self._snapshot_path(new_snap)
-        # data first (always a fresh directory — never one being read);
-        # static overwrite truncates any orphan files a crashed attempt
-        # left, regardless of the session's partitionOverwriteMode
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("__bucket")
-            .parquet(snap_dir)
-        )
+            new_snap = (committed_snap if committed_snap is not None else -1) + 1
+            snap_dir = self._snapshot_path(new_snap)
+            # data first (always a fresh directory — never one being read);
+            # static overwrite truncates any orphan files a crashed attempt
+            # left, regardless of the session's partitionOverwriteMode
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("__bucket")
+                .parquet(snap_dir)
+            )
+        finally:
+            tagged.unpersist()
         # … then manifest: rewritten buckets point at new_snap, all
         # others keep their existing (byte-identical) files
         written = {
@@ -317,6 +338,7 @@ class SnapshotUpsertSink:
             rewritten = sum(
                 1 for b, s in (manifest or {}).get("buckets", {}).items() if s == snap
             )
+            wm = (manifest or {}).get("gc_watermark")
             rows.append(
                 (
                     snap,
@@ -324,13 +346,15 @@ class SnapshotUpsertSink:
                     committed_batch if snap == committed_snap else None,
                     (manifest or {}).get("n_buckets"),
                     rewritten,
-                    (manifest or {}).get("gc_watermark"),
+                    # watermark type follows order_by[0] (int, str, …) —
+                    # stringified so the metadata schema is stable
+                    None if wm is None else str(wm),
                 )
             )
         return spark.createDataFrame(
             rows,
             "snapshot int, is_committed boolean, batch_id long, "
-            "n_buckets int, buckets_rewritten int, gc_watermark long",
+            "n_buckets int, buckets_rewritten int, gc_watermark string",
         )
 
     def files_table(self, spark: SparkSession) -> DataFrame:
@@ -437,19 +461,32 @@ class SnapshotUpsertSink:
         bucket = self._bucket_col(n_buckets)
 
         state = self.current_state(spark)
+        # two actions (count + touched probe) over one state scan
         expirable = state.filter(
             (F.col(self.op_col) == "d") & (F.col(ord_col) < F.lit(watermark))
-        )
-        n_expired = expirable.count()
-        touched = sorted(
-            r["__bucket"]
-            for r in expirable.select(bucket.alias("__bucket")).distinct().collect()
-        )
+        ).persist()
+        try:
+            n_expired = expirable.count()
+            touched = sorted(
+                r["__bucket"]
+                for r in expirable.select(bucket.alias("__bucket")).distinct().collect()
+            )
+        finally:
+            expirable.unpersist()
+        if not touched and prev is not None and not (prev < watermark):
+            # nothing to expire and the floor is already at this level —
+            # a commit would advance the snapshot number for no change
+            return 0
         new_snap = committed_snap + 1
         new_buckets = dict(manifest["buckets"])
+        snap_dir = self._snapshot_path(new_snap)
+        # the snapshot dir exists even when no bucket is rewritten (a
+        # watermark-only commit) so snapshots_table sees every snapshot
+        os.makedirs(snap_dir, exist_ok=True)
         if touched:
             keep = (
-                spark.read.parquet(
+                spark.read.option("mergeSchema", "true")
+                .parquet(
                     *[self._bucket_path(manifest["buckets"][str(b)], b) for b in touched]
                 )
                 .filter(
@@ -460,7 +497,6 @@ class SnapshotUpsertSink:
                 )
                 .withColumn("__bucket", bucket)
             )
-            snap_dir = self._snapshot_path(new_snap)
             (
                 keep.write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")

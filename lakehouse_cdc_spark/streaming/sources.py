@@ -44,10 +44,18 @@ def kafka_source_options(
     elif starting_offsets in ("earliest", "latest"):
         starting = starting_offsets
     else:
-        raise ValueError(
-            f"starting_offsets must be earliest/latest or a per-partition "
-            f"dict, got {starting_offsets!r}"
-        )
+        # pre-serialized JSON offsets (Spark's own accepted form) pass
+        # through after validation — anything else is a typo'd keyword
+        try:
+            parsed = json.loads(starting_offsets)
+            if not isinstance(parsed, dict):
+                raise ValueError
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"starting_offsets must be earliest/latest, a per-partition "
+                f"dict, or a JSON offsets string, got {starting_offsets!r}"
+            ) from None
+        starting = starting_offsets
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,

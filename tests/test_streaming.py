@@ -59,6 +59,12 @@ def test_kafka_source_options_contract():
     assert opts["startingOffsets"] == "latest"
     assert opts["failOnDataLoss"] == "true"
 
+    # pre-serialized JSON offsets (Spark's own accepted form) pass through
+    raw = '{"t": {"0": 42}}'
+    assert kafka_source_options("b:9092", "t", starting_offsets=raw)[
+        "startingOffsets"
+    ] == raw
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -243,6 +249,68 @@ def test_sink_schema_evolution_adds_column(spark, tmp_path):
     # key 2's bucket was untouched → its file has no region column;
     # the multi-path read surfaces it as NULL
     assert rows[2].region is None
+
+
+def test_legacy_flat_layout_migrates_without_data_loss(spark, tmp_path):
+    """A sink committed under the round-1 flat layout (v=<snap> dir,
+    no manifest) must carry ALL its state into the bucketed layout on
+    the next batch — not silently start from empty."""
+    d = str(tmp_path / "t")
+    sink = SnapshotUpsertSink(d, keys=["id"], order_by=["seq"], n_buckets=4)
+    # hand-build the legacy layout: flat snapshot dir + pointer
+    legacy = spark.createDataFrame(
+        [(i, f"v{i}", "u", 0) for i in range(10)],
+        "id int, v string, operation string, seq int",
+    )
+    legacy.write.parquet(os.path.join(d, "v=0"))
+    with open(os.path.join(d, "_VERSION"), "w") as f:
+        f.write(":0:0")
+    assert sink.current_table(spark).count() == 10  # legacy read works
+
+    sink.process_batch(
+        spark.createDataFrame(
+            [(3, "v3-new", "u", 1)], "id int, v string, operation string, seq int"
+        ),
+        1,
+    )
+    state = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert len(state) == 10 and state[3] == "v3-new" and state[0] == "v0"
+    # and the new commit is manifest-backed (fully migrated)
+    assert sink._read_manifest(sink.committed_snapshot()) is not None
+
+
+def test_gc_watermark_only_commit_and_noop(spark, tmp_path):
+    """GC with nothing to expire: same watermark → no-op (no snapshot
+    churn); a HIGHER watermark still commits (the late-data floor must
+    advance) and stays visible in snapshots_table."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, "a", "u", 100)], "id int, v string, operation string, seq int"
+        ),
+        0,
+    )
+    assert sink.gc_tombstones(spark, watermark=50) == 0
+    snap_after_first = sink.committed_snapshot()
+    # same watermark again → pure no-op
+    assert sink.gc_tombstones(spark, watermark=50) == 0
+    assert sink.committed_snapshot() == snap_after_first
+    # higher watermark → commits even with nothing to expire
+    assert sink.gc_tombstones(spark, watermark=60) == 0
+    assert sink.committed_snapshot() == snap_after_first + 1
+    snaps = {r.snapshot: r for r in sink.snapshots_table(spark).collect()}
+    committed = [r for r in snaps.values() if r.is_committed]
+    assert len(committed) == 1 and committed[0].gc_watermark == "60"
+    # the floor is live: a change older than 60 is dropped
+    sink.process_batch(
+        spark.createDataFrame(
+            [(2, "late", "u", 55)], "id int, v string, operation string, seq int"
+        ),
+        1,
+    )
+    assert {r.id for r in sink.current_table(spark).collect()} == {1}
 
 
 def test_tombstone_gc_and_no_resurrection(spark, tmp_path):
