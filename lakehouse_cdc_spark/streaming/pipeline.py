@@ -172,6 +172,55 @@ class SnapshotUpsertSink:
         # abs() would overflow)
         return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(n_buckets))
 
+    def state_at(self, spark: SparkSession, snapshot: int) -> DataFrame | None:
+        """Time travel: full state as of any snapshot whose manifest is
+        still retained (Iceberg ``VERSION AS OF`` parity).  Raises if
+        the snapshot's manifest (or a bucket dir it references) was
+        expired."""
+        manifest = self._read_manifest(snapshot)
+        if manifest is None:
+            if os.path.isdir(self._snapshot_path(snapshot)):
+                # pre-manifest flat snapshot
+                return spark.read.parquet(self._snapshot_path(snapshot))
+            raise ValueError(
+                f"snapshot {snapshot} has no retained manifest "
+                f"(expired or never committed)"
+            )
+        if not manifest["buckets"]:
+            return None
+        paths = [
+            self._bucket_path(at_snap, int(b))
+            for b, at_snap in manifest["buckets"].items()
+        ]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot} references expired bucket dirs: {missing}"
+            )
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def rollback_to(self, snapshot: int) -> None:
+        """Move the commit pointer back to a retained snapshot
+        (Iceberg ``rollback_to_snapshot`` parity).  The rolled-back
+        state must still be fully readable; later snapshots become
+        expire_snapshots fodder.  Batch-id numbering is preserved so
+        the replay guard keeps rejecting already-seen batches."""
+        manifest = self._read_manifest(snapshot)
+        if manifest is None and not os.path.isdir(self._snapshot_path(snapshot)):
+            raise ValueError(f"cannot roll back to unknown snapshot {snapshot}")
+        if manifest is not None:
+            for b, at_snap in manifest["buckets"].items():
+                if not os.path.isdir(self._bucket_path(at_snap, int(b))):
+                    raise ValueError(
+                        f"snapshot {snapshot} is not fully retained "
+                        f"(bucket {b} expired)"
+                    )
+        _lineage, committed_batch, _snap = self.committed()
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{self.lineage or ''}:{committed_batch}:{snapshot}")
+        os.replace(tmp, self._pointer)
+
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         """Full state incl. delete tombstones (one row per ever-seen key)
         — one multi-path scan over every bucket's current file set."""

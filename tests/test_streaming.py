@@ -251,6 +251,40 @@ def test_sink_schema_evolution_adds_column(spark, tmp_path):
     assert rows[2].region is None
 
 
+def test_time_travel_and_rollback(spark, tmp_path):
+    """state_at reads any retained snapshot's state (manifest-resolved
+    across snapshot dirs); rollback_to moves the pointer back and the
+    replay guard + subsequent batches keep working."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    schema = "id int, v string, operation string, seq int"
+    sink.process_batch(
+        spark.createDataFrame([(i, f"a{i}", "u", 0) for i in range(8)], schema), 0
+    )
+    sink.process_batch(spark.createDataFrame([(3, "b3", "u", 1)], schema), 1)
+    sink.process_batch(spark.createDataFrame([(5, "c5", "u", 2)], schema), 2)
+
+    # time travel: snapshot 1 sees b3 but not c5; snapshot 0 sees neither
+    s1 = {r.id: r.v for r in sink.state_at(spark, 1).collect()}
+    assert s1[3] == "b3" and s1[5] == "a5"
+    s0 = {r.id: r.v for r in sink.state_at(spark, 0).collect()}
+    assert s0[3] == "a3"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.state_at(spark, 99)
+
+    # rollback to snapshot 1: c5 is gone, batch numbering preserved
+    sink.rollback_to(1)
+    now = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert now[5] == "a5" and now[3] == "b3"
+    assert sink.committed_version() == 2  # replay guard intact
+    sink.process_batch(spark.createDataFrame([(6, "d6", "u", 3)], schema), 3)
+    after = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert after[6] == "d6" and after[5] == "a5"
+
+
 def test_legacy_flat_layout_migrates_without_data_loss(spark, tmp_path):
     """A sink committed under the round-1 flat layout (v=<snap> dir,
     no manifest) must carry ALL its state into the bucketed layout on
