@@ -65,3 +65,71 @@ def running_totals(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEEN_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_seen_batch", T.LongType()),
+    ]
+)
+
+_SEEN_STATE_SCHEMA = "ids ARRAY<BIGINT>, batch BIGINT"
+
+
+def _seen_dedup_kernel(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit each (key, event_id) at most once across the stream; the
+    per-key seen-set lives in the state store and is EVICTED by
+    processing-time timeout, so state size is bounded by the TTL
+    window, not by stream lifetime."""
+    if state.hasTimedOut:
+        # TTL expiry: drop this key's seen-set entirely.  A duplicate
+        # arriving after the TTL re-emits — the documented trade
+        # (bounded state) shared by every TTL dedup.
+        state.remove()
+        yield pd.DataFrame(
+            {"event_id": [], "user_id": [], "first_seen_batch": []}
+        ).astype({"event_id": "int64", "user_id": "int64", "first_seen_batch": "int64"})
+        return
+    seen, batch = state.get if state.exists else ([], -1)
+    seen = set(seen)
+    batch += 1
+    fresh = []
+    for pdf in pdfs:
+        for eid in pdf["event_id"]:
+            e = int(eid)
+            if e not in seen:
+                seen.add(e)
+                fresh.append(e)
+    state.update((sorted(seen), batch))
+    state.setTimeoutDuration(60 * 60 * 1000)  # 1 h TTL
+    yield pd.DataFrame(
+        {
+            "event_id": fresh,
+            "user_id": [key[0]] * len(fresh),
+            "first_seen_batch": [batch] * len(fresh),
+        }
+    )
+
+
+def seen_dedup(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Exactly-once-per-id emission over a change stream with
+    TTL-bounded state: the streaming dedup primitive for at-least-once
+    sources (Kafka redeliveries, replayed batches).
+
+    vs ``dropDuplicates`` + watermark: this variant exposes the
+    first-seen batch, supports per-key eviction policy, and is the
+    template for richer CDC state machines (the state tuple can carry
+    arbitrary per-key structure)."""
+    return changes.groupBy(key_col).applyInPandasWithState(
+        _seen_dedup_kernel,
+        outputStructType=SEEN_DEDUP_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

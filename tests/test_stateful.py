@@ -62,3 +62,49 @@ def test_running_totals_across_batches(spark, sf_dir, tmp_path):
     # have been emitted more than once
     multi = [r.user_id for r in emitted]
     assert len(multi) > len(set(multi))
+
+
+def test_seen_dedup_emits_each_id_once(spark, sf_dir, tmp_path):
+    """Duplicate event_ids across micro-batches are emitted exactly
+    once; first_seen_batch records the batch where each id appeared."""
+    import os
+
+    from lakehouse_cdc_spark.streaming.stateful import seen_dedup
+
+    e = table(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    first = e.orderBy("ts").limit(300)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    # batch 0: 300 events.  batch 1: the SAME 300 events (redelivery)
+    # plus 100 genuinely new ones.
+    first.coalesce(1).write.parquet(str(tmp_path / "b0"))
+    redelivered = first.unionByName(
+        e.orderBy(F.desc("ts")).limit(100)
+    )
+    redelivered.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    i = 0
+    for sub in ["b0", "b1"]:
+        for f_ in sorted(os.listdir(str(tmp_path / sub))):
+            if f_.endswith(".parquet"):
+                os.link(str(tmp_path / sub / f_), f"{flat}/{i:03d}.parquet")
+                i += 1
+
+    stream = file_cdc_source(spark, flat, e.schema, max_files_per_trigger=1)
+    q = (
+        seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM dedup_out").collect()
+    ids = [r.event_id for r in emitted]
+    assert len(ids) == len(set(ids)), "an event_id was emitted twice"
+    assert len(ids) == 400  # 300 originals + 100 new, redeliveries gone
+    # redelivered ids kept their batch-0 stamp
+    batch_of = {r.event_id: r.first_seen_batch for r in emitted}
+    first_ids = {r.event_id for r in first.collect()}
+    assert all(batch_of[i_] == 0 for i_ in first_ids)
