@@ -109,3 +109,39 @@ def test_partial_aggregation_everywhere(spark, sf_dir):
 def test_no_accidental_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
+
+
+#: representative slice across operator families — the partitioning-
+#: invariance sweep proxies "does a different cluster size change the
+#: answer" locally (the oracle gate already proves engine-invariance;
+#: this proves layout-invariance within Spark)
+_INVARIANCE_SAMPLE = [
+    "q1_pricing_summary",
+    "q8_market_share",
+    "flagship_cdc_compaction",
+    "checksum_stats_lineitem",
+    "dedup_ngram_jaccard",
+    "emb_neardup_bucketed",
+    "window_range_30d_peak",
+    "validation_suite",
+    "text_tfidf_top_terms",
+    "q18_large_orders",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _INVARIANCE_SAMPLE)
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
+    """Every declared result must be a pure function of the data — a
+    different shuffle-partition count (≈ a different cluster size)
+    must not change a single value."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    fn = REGISTRY[name].fn
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        many = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert sorted(map(repr, few)) == sorted(map(repr, many)), name
