@@ -119,8 +119,6 @@ def chunk_windows(
     Pure higher-order expressions (sequence → transform → slice →
     array_join) — per-row fan-out happens executor-side via the
     caller's explode, never in Python."""
-    from pyspark.sql import functions as F
-
     toks = tokens(text)
     n = F.size(toks)
     n_chunks = F.greatest(

@@ -46,7 +46,10 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     style).  Returns expired snapshot numbers."""
     import json
 
-    from lakehouse_cdc_spark.streaming.pipeline import parse_version_pointer
+    from lakehouse_cdc_spark.streaming.pipeline import (
+        manifest_path,
+        parse_version_pointer,
+    )
 
     versions = sorted(
         int(d.split("=", 1)[1])
@@ -66,7 +69,7 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     while True:
         referenced = set()
         for v in keep:
-            manifest_file = os.path.join(target_dir, f"_MANIFEST_{v}.json")
+            manifest_file = manifest_path(target_dir, v)
             if os.path.exists(manifest_file):
                 with open(manifest_file) as f:
                     referenced.update(int(s) for s in json.load(f)["buckets"].values())
@@ -77,7 +80,7 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     for v in versions:
         if v not in keep:
             shutil.rmtree(os.path.join(target_dir, f"v={v}"))
-            stale_manifest = os.path.join(target_dir, f"_MANIFEST_{v}.json")
+            stale_manifest = manifest_path(target_dir, v)
             if os.path.exists(stale_manifest):
                 os.remove(stale_manifest)
             expired.append(v)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.plans.registry import (
+    davg,
     dsum,
     fixed_point,
     register,
@@ -322,16 +323,7 @@ def q22_idle_rich_customers(spark, sf_dir):
         .filter(F.col("o_orderdate") >= "2000-01-01")
         .select("o_custkey")
     )
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (
-                F.sum(fixed_point(F.col("c_acctbal"))).cast("double")
-                / 10000.0
-                / F.count(F.lit(1)).cast("double")
-            ).alias("a")
-        )
-    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal"), "a"))
     rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy((F.col("c_custkey") % 7).alias("cohort")).agg(

@@ -176,13 +176,14 @@ def run_suite(
     for c in checks:
         t = F.coalesce(F.col(c), F.lit(False)).cast("int")
         passed = t if passed is None else (passed + t)
+    rate = passed.cast("double") * 100.0 / float(len(checks))
     return row.select(
         *checks,
         F.lit(len(checks)).alias("n_checks"),
         passed.alias("n_passed"),
-        (passed.cast("double") * 100.0 / float(len(checks))).alias("success_rate"),
-        F.when(passed.cast("double") * 100.0 / float(len(checks)) >= 95.0, "Good")
-        .when(passed.cast("double") * 100.0 / float(len(checks)) >= 80.0, "Warning")
+        rate.alias("success_rate"),
+        F.when(rate >= 95.0, "Good")
+        .when(rate >= 80.0, "Warning")
         .otherwise("Poor")
         .alias("overall_status"),
     )

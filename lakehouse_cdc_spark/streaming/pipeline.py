@@ -156,7 +156,40 @@ class SnapshotUpsertSink:
         return os.path.join(self._snapshot_path(snapshot), f"__bucket={bucket}")
 
     def _manifest_path(self, snapshot: int) -> str:
-        return os.path.join(self.target_dir, f"_MANIFEST_{snapshot}.json")
+        return manifest_path(self.target_dir, snapshot)
+
+    def _written_buckets(self, snap_dir: str) -> set[int]:
+        """Bucket ids whose partition dirs actually materialized in a
+        snapshot write (an empty merged bucket writes no dir)."""
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snap_dir)
+            if d.startswith("__bucket=")
+        }
+
+    def _commit(
+        self,
+        new_snap: int,
+        buckets: dict,
+        n_buckets: int,
+        batch_id: int,
+        watermark=None,
+    ) -> None:
+        """The snapshot commit protocol, shared by every writer
+        (process_batch / gc_tombstones / compact_buckets): manifest
+        first, pointer last, both atomically — a crash between the two
+        leaves the previous commit fully intact."""
+        new_manifest = {"n_buckets": n_buckets, "buckets": buckets}
+        if watermark is not None:
+            new_manifest["gc_watermark"] = watermark
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(mtmp, self._manifest_path(new_snap))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
+        os.replace(tmp, self._pointer)
 
     def _read_manifest(self, snapshot: int | None) -> dict | None:
         if snapshot is None:
@@ -347,28 +380,12 @@ class SnapshotUpsertSink:
             )
         finally:
             tagged.unpersist()
-        # … then manifest: rewritten buckets point at new_snap, all
-        # others keep their existing (byte-identical) files
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(snap_dir)
-            if d.startswith("__bucket=")
-        }
+        # … then manifest (rewritten buckets point at new_snap, all
+        # others keep their byte-identical files) + pointer
         new_buckets = dict(manifest["buckets"])
-        for b in written:
+        for b in self._written_buckets(snap_dir):
             new_buckets[str(b)] = new_snap
-        mtmp = self._manifest_path(new_snap) + ".tmp"
-        new_manifest = {"n_buckets": n_buckets, "buckets": new_buckets}
-        if watermark is not None:
-            new_manifest["gc_watermark"] = watermark
-        with open(mtmp, "w") as f:
-            json.dump(new_manifest, f)
-        os.replace(mtmp, self._manifest_path(new_snap))
-        # … pointer last (the commit point)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
-        os.replace(tmp, self._pointer)
+        self._commit(new_snap, new_buckets, n_buckets, batch_id, watermark)
 
     # -- metadata tables (S7: Iceberg .snapshots/.files equivalents) ----
     def snapshots_table(self, spark: SparkSession) -> DataFrame:
@@ -459,17 +476,13 @@ class SnapshotUpsertSink:
         new_buckets = dict(manifest["buckets"])
         for b in todo:
             new_buckets[str(b)] = new_snap
-        new_manifest = {"n_buckets": manifest["n_buckets"], "buckets": new_buckets}
-        if manifest.get("gc_watermark") is not None:
-            new_manifest["gc_watermark"] = manifest["gc_watermark"]
-        mtmp = self._manifest_path(new_snap) + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(new_manifest, f)
-        os.replace(mtmp, self._manifest_path(new_snap))
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{self.lineage or ''}:{committed_batch}:{new_snap}")
-        os.replace(tmp, self._pointer)
+        self._commit(
+            new_snap,
+            new_buckets,
+            manifest["n_buckets"],
+            committed_batch,
+            manifest.get("gc_watermark"),
+        )
         return sorted(todo)
 
     # -- tombstone retention --------------------------------------------
@@ -552,33 +565,24 @@ class SnapshotUpsertSink:
                 .partitionBy("__bucket")
                 .parquet(snap_dir)
             )
-            written = {
-                int(d.split("=", 1)[1])
-                for d in os.listdir(snap_dir)
-                if d.startswith("__bucket=")
-            }
+            written = self._written_buckets(snap_dir)
             for b in touched:
                 if b in written:
                     new_buckets[str(b)] = new_snap
                 else:
                     # bucket held nothing but expired tombstones
                     new_buckets.pop(str(b), None)
-        mtmp = self._manifest_path(new_snap) + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(
-                {
-                    "n_buckets": n_buckets,
-                    "buckets": new_buckets,
-                    "gc_watermark": watermark,
-                },
-                f,
-            )
-        os.replace(mtmp, self._manifest_path(new_snap))
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{self.lineage or ''}:{committed_batch}:{new_snap}")
-        os.replace(tmp, self._pointer)
+        self._commit(
+            new_snap, new_buckets, n_buckets, committed_batch, watermark
+        )
         return n_expired
+
+
+def manifest_path(target_dir: str, snapshot: int) -> str:
+    """Canonical manifest filename for a snapshot — shared with
+    maintenance.expire_snapshots so retention and the sink can never
+    disagree about the layout."""
+    return os.path.join(target_dir, f"_MANIFEST_{snapshot}.json")
 
 
 def parse_version_pointer(target_dir: str) -> tuple[str | None, int | None, int | None]:
