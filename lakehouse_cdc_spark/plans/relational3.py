@@ -549,3 +549,88 @@ def subquery_correlated_scalar(spark, sf_dir):
         WHERE c.c_custkey % 50 = 0
         """
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum(_VOLUME, 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "q15", "max-of-agg"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15: the supplier(s) with maximum quarterly revenue — an
+    aggregate feeding a scalar MAX over itself.  The revenue subplan
+    is built once and referenced twice (ReusedExchange at runtime);
+    exact fixed-point revenue makes the MAX tie-set deterministic, so
+    no LIMIT hack is needed."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(vol, "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({sql_fixed_point('l.l_extendedprice')}) AS DOUBLE)
+             / 10000.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, CAST(SUM({sql_fixed_point('l_quantity')}) AS DOUBLE)
+               / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'BRAND_1'
+      AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+    tags=("tpch", "q17", "correlated-agg"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 shape: revenue from below-half-average-quantity lines
+    of one brand — the correlated per-part AVG decorrelated into an
+    explicit aggregate join (exactly Catalyst's rewrite, written out
+    so the oracle matches structurally).  The per-part average is an
+    exact fixed-point mean: a correlated threshold computed in floats
+    would make the `<` comparison engine-dependent at the boundary."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "BRAND_1")
+        .select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg(F.col("l_quantity"), "avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (
+            F.sum(fixed_point(F.col("l_extendedprice"))).cast("double")
+            / 10000.0
+            / 7.0
+        ).alias("avg_yearly")
+    )
