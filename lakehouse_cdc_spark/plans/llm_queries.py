@@ -1048,3 +1048,73 @@ def multimodal_decode_fake(spark, sf_dir):
     from lakehouse_cdc_spark.llm.multimodal import decode_image_meta
 
     return decode_image_meta(d, fake=True)
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT * FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id ASC) = 1
+    ),
+    scored AS (
+      SELECT doc_id, source, text,
+           {_LANG_SCORES},
+           {_Q_NTOK} AS ntok,
+           round(0.4 * least({_Q_NTOK} / 100.0, 1.0)
+               + 0.4 * least(CAST({_Q_STOP} AS DOUBLE)
+                             / greatest({_Q_NTOK}, 1.0) * 5.0, 1.0)
+               + 0.2 * (1.0 - least(({_Q_PUNCT} / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                                    + {_Q_DIGIT} / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                                    * 5.0, 1.0)),
+               6) AS quality
+      FROM deduped
+    ),
+    kept AS (
+      SELECT doc_id, source, ntok FROM scored
+      WHERE (CASE WHEN {_ALL_ZERO} THEN 'und'
+             {_LANG_CASE_ARMS}
+             ELSE 'und' END) = 'en'
+        AND quality >= 0.5
+        AND ntok BETWEEN 5 AND 10000
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           bit_xor(doc_id) AS kept_ids_xor
+    FROM kept
+    GROUP BY source
+    """,
+    bench=True,
+    tags=("llm", "pipeline", "curation"),
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """The END-TO-END training-set curation pass, composed from the
+    individually-proven stages: exact dedup (keep lowest id per
+    content hash) → language filter (predicted 'en') → quality gate
+    (≥ 0.5) → length gate (5..10k tokens) → per-source manifest with
+    an XOR membership digest, so the oracle proves the exact KEPT SET,
+    not just its size.  One declarative plan: Catalyst fuses all four
+    stages into the scan (no intermediate materialization) — the shape
+    a 100 TB curation job should take."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    deduped = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ntok = token_count(F.col("text"))
+    kept = deduped.filter(
+        (predicted_lang(F.col("text")) == "en")
+        & (quality_score(F.col("text")) >= 0.5)
+        & ntok.between(5, 10000)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.expr("bit_xor(doc_id)").alias("kept_ids_xor"),
+    )
