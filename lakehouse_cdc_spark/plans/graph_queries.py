@@ -1,0 +1,176 @@
+"""Graph + retrieval declared queries (round 2 wave 5).
+
+- ``dedup_connected_components`` — LSH candidate pairs promoted to
+  transitive dedup GROUPS via distributed connected components; the
+  oracle recomputes the same closure with a recursive CTE.
+- ``text_bm25_search`` — BM25 keyword retrieval over the corpus,
+  fully engine-deterministic (per-term contributions quantized to
+  fixed point BEFORE summing, so the sum is order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+from lakehouse_cdc_spark.llm.text import tokens
+from lakehouse_cdc_spark.operators.graph import connected_components
+from lakehouse_cdc_spark.plans.llm_queries import (
+    _BAND_UNION,
+    _BANDS,
+    _LSH_MAX_BUCKET,
+    _MINS,
+    _SH_CTE,
+)
+from lakehouse_cdc_spark.plans.registry import register, table
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    sym AS (SELECT da AS u, db AS v FROM cand
+            UNION SELECT db, da FROM cand),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT component AS canonical_doc_id,
+           COUNT(*) AS group_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY component
+    """,
+    tags=("llm", "dedup", "graph", "connected-components"),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup candidate pairs (MinHash+LSH, same parameters as
+    ``dedup_minhash_lsh``) promoted to transitive dedup groups: each
+    connected component keeps its minimum doc_id as the canonical
+    document.  Pairwise candidates alone under-delete (A~B, B~C but
+    A≁C leaves a dup); the component closure is the actual dedup
+    decision a curation pipeline ships.  The Spark side iterates
+    min-label propagation (per round: one shuffle + a map-side-combined
+    min; lineage truncated via localCheckpoint); the oracle replays the
+    closure with a recursive CTE — a green row proves the distributed
+    iteration reaches the exact fixed point."""
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    cc = connected_components(pairs, src="da", dst="db")
+    return cc.groupBy(F.col("component").alias("canonical_doc_id")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "vector")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs
+              FROM dl),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+           WHERE tok IN {_BM25_TERMS!r}
+           GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * ({_K1} + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + {_K1} * (1.0 - {_B}
+                                + {_B} * (CAST(dl AS DOUBLE) / avgdl))))
+               * 10000.0 + 0.5) AS BIGINT) AS contrib_fp
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, SUM(contrib_fp) AS score_fp,
+           COUNT(*) AS hit_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id ASC
+    LIMIT 15
+    """,
+    tags=("llm", "text", "bm25", "retrieval", "topk"),
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-15 documents for a 3-term keyword
+    query.  The inverted-index shape at scale: tokenize → filter to
+    query terms BEFORE the tf groupBy (so only matching postings
+    shuffle), df and avgdl are broadcast scalars, and the final top-k
+    plans as TakeOrderedAndProject.  Per-(doc,term) contributions are
+    quantized to fixed point and summed as BIGINTs — float-sum order
+    never touches the ranking, so the result is identical on any
+    partitioning and in the oracle."""
+    d = table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tf_component = (F.col("tf").cast("double") * (_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + _K1 * (1.0 - _B + _B * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tf_component * 10000.0 + 0.5)
+            .cast("bigint")
+            .alias("contrib_fp"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("contrib_fp").alias("score_fp"),
+            F.count(F.lit(1)).alias("hit_terms"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(15)
+    )

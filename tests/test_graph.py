@@ -1,0 +1,100 @@
+"""Tests for distributed connected components and BM25 retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.graph import connected_components
+from lakehouse_cdc_spark.plans import REGISTRY
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    out = connected_components(df, src="a", dst="b", **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_components_and_chain(spark):
+    # component {1..5} is a PATH (worst diameter for label prop),
+    # component {10,11,12} is a triangle; 99 is not incident → absent
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_duplicate_and_self_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3)]
+    got = _cc(spark, edges)
+    assert got[1] == 1 and got[2] == 1
+    assert got[3] == 3  # self-loop node is its own component
+
+
+def test_cc_unconverged_raises(spark):
+    edges = [(i, i + 1) for i in range(1, 8)]  # diameter 7 path
+    with pytest.raises(RuntimeError):
+        connected_components(
+            spark.createDataFrame(edges, "a bigint, b bigint"),
+            src="a",
+            dst="b",
+            max_iter=2,
+        ).collect()
+
+
+def test_cc_label_is_min_reachable(spark):
+    # star centered on a HIGH id: min must still win through the hub
+    edges = [(100, 7), (100, 50), (100, 3), (100, 80)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {3}
+
+
+def test_bm25_scores_are_plausible(spark, sf_dir):
+    rows = REGISTRY["text_bm25_search"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    scores = [r["score_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["hit_terms"] <= 3 for r in rows)
+    # a doc hitting all three query terms should outrank a one-term doc
+    # within this fixture's top slice when scores differ; at minimum the
+    # top doc must hit at least as many terms as the bottom doc's score
+    # would suggest — sanity-level invariant only
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_plans_take_ordered(spark, sf_dir):
+    plan = (
+        REGISTRY["text_bm25_search"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_components_cover_all_lsh_pair_members(spark, sf_dir):
+    """Every doc appearing in an LSH candidate pair lands in exactly
+    one group, and group sizes sum to the node count."""
+    from lakehouse_cdc_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from lakehouse_cdc_spark.plans.llm_queries import _LSH_MAX_BUCKET
+    from lakehouse_cdc_spark.plans.registry import table
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    nodes = (
+        pairs.select(F.col("da").alias("n"))
+        .union(pairs.select("db"))
+        .distinct()
+        .count()
+    )
+    groups = REGISTRY["dedup_connected_components"].fn(spark, sf_dir)
+    agg = groups.agg(
+        F.sum("group_size").alias("total"), F.count(F.lit(1)).alias("n_groups")
+    ).collect()[0]
+    assert agg["total"] == nodes
+    assert all(r["group_size"] >= 2 for r in groups.collect())
