@@ -1,0 +1,415 @@
+"""Fourth relational wave: the last TPC-H query *shapes* missing from
+the registry — q2/q9/q11/q12/q16/q20/q21 — adapted to the reduced
+testdata schema.  There is no ``partsupp`` table and lineitem has no
+commit/receipt dates or ship modes, so:
+
+- part-supplier facts (cost, supply) derive from ``lineitem`` grouped
+  by ``(l_partkey, l_suppkey)`` — the "ps proxy";
+- lateness is ship-vs-order date (as q4 already established);
+- q12's ship-mode bands become line-status bands.
+
+Each adaptation preserves the canonical PLAN shape the original
+exercises (correlated min, multi-dim star join, fraction-of-total
+HAVING, conditional two-band aggregation, NOT-IN variety count, nested
+aggregated IN, double-correlated EXISTS / NOT EXISTS), which is what
+matters for engine coverage.  Money math rides fixed-point BIGINTs
+(see registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import (
+    dsum,
+    fixed_point,
+    register,
+    sql_dsum,
+    sql_fixed_point,
+    table,
+)
+
+_VOLUME = "l_extendedprice * (1.0 - l_discount)"
+
+#: lineitem-derived part-supplier cost proxy (min observed unit price,
+#: fixed-point so MIN and the correlated equality are exact)
+_PS_CTE = """
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(floor(l_extendedprice / l_quantity * 10000.0 + 0.5)
+                 AS BIGINT)) AS ps_cost_fp
+      FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           CAST(ps.ps_cost_fp AS DOUBLE) / 10000.0 AS supply_cost
+    FROM ps
+    JOIN part p     ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.ps_cost_fp = (
+        SELECT MIN(ps2.ps_cost_fp)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "q2", "correlated-min", "join"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape: cheapest supplier per part within a region —
+    correlated MIN over the ps proxy.  Planned as ONE pass: the
+    region-filtered ps relation is built once, a per-part window MIN
+    replaces the correlated subquery (no re-scan, no self-join
+    re-aggregation), dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            fixed_point(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("ps_cost_fp")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost_fp", F.min("ps_cost_fp").over(w))
+        .filter(F.col("ps_cost_fp") == F.col("min_cost_fp"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("ps_cost_fp").cast("double") / 10000.0).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+           {sql_dsum("l_extendedprice * (1.0 - l_discount)"
+                     " - p_retailprice * l_quantity * 0.1", "profit")}
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "q9", "join", "agg"),
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H q9 shape: profit by supplier nation × ship year for a
+    part-name family.  Supply cost proxies as 10% of retail price per
+    unit (no partsupp).  part/supplier/nation broadcast; the only
+    shuffle is the final group-by partials."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+@register(
+    "q11_important_value",
+    oracle=f"""
+    WITH nat_value AS (
+      SELECT l.l_partkey,
+             SUM(CAST(floor({_VOLUME} * 10000.0 + 0.5) AS BIGINT)) AS value_fp
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(value_fp AS DOUBLE) / 10000.0 AS part_value
+    FROM nat_value
+    WHERE CAST(value_fp AS DOUBLE) > (
+      SELECT CAST(SUM(value_fp) AS DOUBLE) * 0.002 FROM nat_value
+    )
+    """,
+    tags=("tpch", "q11", "having", "scalar-subquery"),
+)
+def q11_important_value(spark, sf_dir):
+    """TPC-H q11 shape: parts holding an outsized share of one
+    nation's traded value — group-by plus a fraction-of-total scalar
+    subquery.  The threshold is a FRACTION (0.2%), so the query is
+    scale-free: the same plan answers sf0.001 and 100 TB.  The nation
+    total reuses the per-part aggregate (one broadcast scalar), not a
+    second fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    nat_value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(fixed_point(vol)).alias("value_fp"))
+    )
+    total = nat_value.agg(
+        (F.sum("value_fp").cast("double") * 0.002).alias("threshold")
+    )
+    return (
+        nat_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_fp").cast("double") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            (F.col("value_fp").cast("double") / 10000.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_status_bands",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= DATE '1995-01-01'
+      AND l.l_shipdate < DATE '1996-01-01'
+    GROUP BY 1
+    """,
+    tags=("tpch", "q12", "conditional-agg", "join"),
+)
+def q12_status_bands(spark, sf_dir):
+    """TPC-H q12 shape: late-shipped 1995 lines split into
+    high/low-priority bands per line status (status stands in for ship
+    mode).  Fact⋈fact equi-join with the year filter pushed to the
+    lineitem scan; the band split is a conditional aggregation, not
+    two passes."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "q16", "not-in", "distinct-agg"),
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding a supplier blocklist
+    (negative balance ~ the complaints filter) — NOT IN planned as an
+    anti-join, part-supplier pairs from the lineitem bridge."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    blocked = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND l.l_shipdate >= DATE '1995-01-01'
+          AND l.l_shipdate < DATE '1996-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 30
+      )
+    """,
+    tags=("tpch", "q20", "nested-in", "semi-join"),
+)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H q20 shape: suppliers in one nation who moved serious
+    volume of a part family in 1995 — nested IN subqueries planned as
+    aggregation → semi-join chain (no fan-out; the HAVING filter runs
+    before the supplier probe)."""
+    li = table(spark, sf_dir, "lineitem")
+    red_parts = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_kept_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_2'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("tpch", "q21", "exists", "anti-join"),
+)
+def q21_kept_waiting(spark, sf_dir):
+    """TPC-H q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders — the double-correlated
+    EXISTS / NOT EXISTS, planned as semi-join + anti-join on the
+    self-joined fact.  Lateness is ship-vs-order (+60d, as q4)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # some OTHER supplier appears on the order
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    # ...but no OTHER supplier was late on it
+    late_others = (
+        li.join(
+            table(spark, sf_dir, "orders"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select(
+            F.col("l_orderkey").alias("y_orderkey"),
+            F.col("l_suppkey").alias("y_suppkey"),
+        )
+    )
+    l1 = l1.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
