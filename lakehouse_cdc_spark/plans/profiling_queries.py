@@ -1,0 +1,211 @@
+"""Data-profiling and layout declared queries (round 2 wave 5).
+
+- ``profile_table_summary`` — per-column null/distinct/min/max profile
+  of a table in ONE scan (the oracle is allowed its lazy N scans; the
+  Spark side is the production one-pass shape).
+- ``agg_exact_percentiles`` — exact percentile_disc by rank selection:
+  pure integer rank logic, so the result is engine- and
+  partitioning-exact (no interpolation arithmetic to disagree on).
+- ``layout_zorder_clustering`` — Morton/Z-order interleave of
+  (customer, order-day) with per-bucket min/max extents: the layout
+  primitive behind multi-dimensional data skipping.  A green row
+  proves the bit math is portable; the per-bucket extents SHOW the
+  locality a writer would get clustering files by z-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register, sql_fixed_point, table
+
+
+def _profile_struct(col: str, min_expr, max_expr):
+    return F.struct(
+        F.lit(col).alias("col_name"),
+        (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+        F.countDistinct(col).alias("n_distinct"),
+        min_expr.cast("string").alias("min_repr"),
+        max_expr.cast("string").alias("max_repr"),
+    )
+
+
+def _sql_profile_row(col: str, min_sql: str, max_sql: str) -> str:
+    return f"""
+      SELECT '{col}' AS col_name,
+             COUNT(*) - COUNT({col}) AS n_nulls,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             CAST({min_sql} AS VARCHAR) AS min_repr,
+             CAST({max_sql} AS VARCHAR) AS max_repr
+      FROM orders"""
+
+
+#: doubles go through fixed-point before the string repr — double→string
+#: formatting is NOT identical across engines, bigint→string is
+_PROFILE_COLS = [
+    ("o_orderkey", "MIN(o_orderkey)", "MAX(o_orderkey)"),
+    ("o_custkey", "MIN(o_custkey)", "MAX(o_custkey)"),
+    ("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+    (
+        "o_totalprice",
+        "CAST(floor(MIN(o_totalprice) * 10000.0 + 0.5) AS BIGINT)",
+        "CAST(floor(MAX(o_totalprice) * 10000.0 + 0.5) AS BIGINT)",
+    ),
+    ("o_orderdate", "MIN(o_orderdate)", "MAX(o_orderdate)"),
+    ("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"),
+]
+
+
+@register(
+    "profile_table_summary",
+    oracle="\n      UNION ALL\n".join(
+        _sql_profile_row(c, mn, mx) for c, mn, mx in _PROFILE_COLS
+    ),
+    tags=("profiling", "validation", "agg"),
+)
+def profile_table_summary(spark, sf_dir):
+    """One-pass column profiler: nulls, distincts, min/max for every
+    column of ``orders`` from a SINGLE scan + single aggregate (the
+    naive per-column loop is N scans — unaffordable at 100 TB).
+    Numeric extremes are emitted as fixed-point bigints before the
+    string repr because double→string formatting differs between
+    engines.  countDistinct expands to one grouping pass per column
+    under the hood (expand + partial aggs), still one scan."""
+    o = table(spark, sf_dir, "orders")
+    fp = lambda c: F.floor(c * 10000.0 + 0.5).cast("bigint")  # noqa: E731
+    structs = [
+        _profile_struct("o_orderkey", F.min("o_orderkey"), F.max("o_orderkey")),
+        _profile_struct("o_custkey", F.min("o_custkey"), F.max("o_custkey")),
+        _profile_struct(
+            "o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")
+        ),
+        _profile_struct(
+            "o_totalprice",
+            fp(F.min("o_totalprice")),
+            fp(F.max("o_totalprice")),
+        ),
+        _profile_struct("o_orderdate", F.min("o_orderdate"), F.max("o_orderdate")),
+        _profile_struct(
+            "o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")
+        ),
+    ]
+    return o.agg(F.inline(F.array(*structs)))
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(q_pct AS DOUBLE) AS q_pct,
+           CAST({sql_fixed_point("o_totalprice")} AS DOUBLE) / 10000.0
+             AS pct_value
+    FROM ranked, (VALUES (0.25), (0.5), (0.75)) qs(q_pct)
+    WHERE rn = CAST(ceil(CAST(q_pct AS DOUBLE) * n) AS BIGINT)
+    """,
+    tags=("agg", "percentile", "window"),
+)
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact 25/50/75th percentiles of order value per status, by rank
+    selection: pick the value at row ceil(q·n) of the sorted group.
+    Integer rank logic only — no percentile interpolation arithmetic,
+    which engines implement differently.  (Scale note: this ranks the
+    full group; the approximate scale path is approx_percentile /
+    HLL-style sketches, already covered by agg_approx_distinct — here
+    the point is the EXACT distributed formulation.)  The quantile
+    probes are a 3-row broadcast, so one window pass serves all
+    three."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q_pct double")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.ceil(F.col("q_pct") * F.col("n")))
+        .select(
+            "o_orderstatus",
+            "q_pct",
+            (
+                F.floor(F.col("o_totalprice") * 10000.0 + 0.5).cast("bigint")
+                .cast("double")
+                / 10000.0
+            ).alias("pct_value"),
+        )
+    )
+
+
+_Z_BITS = 16
+
+
+def _z_spark(col: str, offset: int) -> str:
+    return " + ".join(
+        f"shiftleft(shiftright({col}, {i}) & 1, {2 * i + offset})"
+        for i in range(_Z_BITS)
+    )
+
+
+def _z_duck(col: str, offset: int) -> str:
+    return " + ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + offset})" for i in range(_Z_BITS)
+    )
+
+
+@register(
+    "layout_zorder_clustering",
+    oracle=f"""
+    WITH dims AS (
+      SELECT (o_custkey & 65535) AS ck,
+             (date_diff('day', DATE '1992-01-01', o_orderdate) & 65535) AS dd
+      FROM orders
+    ),
+    z AS (
+      SELECT ck, dd,
+             ({_z_duck("ck", 0)} + {_z_duck("dd", 1)}) AS zval
+      FROM dims
+    )
+    SELECT zval >> 16 AS z_bucket,
+           COUNT(*) AS cnt,
+           MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+           MIN(dd) AS min_dd, MAX(dd) AS max_dd
+    FROM z GROUP BY 1
+    """,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def layout_zorder_clustering(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order-day):
+    interleave 16 bits of each dimension, bucket by the upper z-bits (zval >> 16)
+    — the write-side layout primitive for multi-dimensional data
+    skipping (each z-bucket's min/max extents stay narrow in BOTH
+    dimensions, so a reader filtering on either prunes most buckets;
+    a linear sort would only prune on its leading column).  All bit
+    arithmetic, portable to the byte across engines."""
+    o = table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.expr("o_custkey & 65535").alias("ck"),
+        F.expr("datediff(o_orderdate, DATE '1992-01-01') & 65535").alias("dd"),
+    )
+    z = dims.withColumn(
+        "zval", F.expr(f"({_z_spark('ck', 0)}) + ({_z_spark('dd', 1)})")
+    )
+    return (
+        z.groupBy(F.expr("zval >> 16").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dd").alias("min_dd"),
+            F.max("dd").alias("max_dd"),
+        )
+    )
