@@ -20,5 +20,6 @@ from lakehouse_cdc_spark.plans import graph_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import relational4  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import profiling_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import quant_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import curation_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

@@ -1,0 +1,360 @@
+"""Curation / governance declared queries (round 2 wave 6).
+
+The last mile of a training-data pipeline, each stage oracle-checked:
+
+- ``text_repetition_quality`` — Gopher-style repetition filters
+  (top-token / top-bigram fraction, distinct-token ratio).
+- ``contamination_ngram_overlap`` — benchmark-contamination scan:
+  n-gram collisions between a held-out eval slice and the training
+  corpus (the train/test leak detector every LLM pipeline runs).
+- ``dedup_keep_best`` — near-dup groups resolved to ONE kept document
+  by quality argmax (components choose the best member, not just the
+  lowest id).
+- ``mix_sources_budget`` — deterministic per-source mixing rates via
+  content hashing (the data-mixture step, reproducible on any engine).
+- ``pii_pseudonymize`` — deterministic pseudonymization + value
+  generalization of identifier-bearing columns (governance pass).
+
+Reference parity: extends /root/reference/src/validation/validation.py's
+data-quality family with the LLM-curation stages the reference's OLTP
+focus never needed; same declarative, oracle-checked contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_table,
+)
+from lakehouse_cdc_spark.llm.text import quality_score, token_count, tokens, word_shingles
+from lakehouse_cdc_spark.operators.graph import connected_components
+from lakehouse_cdc_spark.plans.llm_queries import (
+    _BAND_UNION,
+    _BANDS,
+    _LSH_MAX_BUCKET,
+    _MINS,
+    _Q_DIGIT,
+    _Q_NTOK,
+    _Q_PUNCT,
+    _Q_STOP,
+    _SH_CTE,
+)
+from lakehouse_cdc_spark.plans.registry import register, table
+
+#: the shared quality formula (mirror of llm/text.py:quality_score)
+_QUALITY_SQL = f"""round(0.4 * least({_Q_NTOK} / 100.0, 1.0)
+               + 0.4 * least(CAST({_Q_STOP} AS DOUBLE)
+                             / greatest({_Q_NTOK}, 1.0) * 5.0, 1.0)
+               + 0.2 * (1.0 - least(({_Q_PUNCT} / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                                    + {_Q_DIGIT} / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                                    * 5.0, 1.0)),
+               6)"""
+
+
+def _sh_cte_n(n: int) -> str:
+    """DuckDB CTE for distinct n-word shingles per document (mirror of
+    llm/dedup.py:shingle_table at arbitrary n; llm_queries._SH_CTE is
+    the n=3 instance)."""
+    return f"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS shingle
+           FROM idx)
+"""
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tstat AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     MAX(c) AS top_tok
+              FROM tcnt GROUP BY doc_id),
+    toks2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+    bidx AS (SELECT doc_id, t,
+                    unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+             FROM toks2),
+    bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b FROM bidx),
+    bcnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+              FROM bcnt GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_tokens,
+           round(CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+             AS distinct_ratio,
+           round(CAST(t.top_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+             AS top_token_frac,
+           round(CAST(b.top_bg AS DOUBLE) / CAST(b.n_bg AS DOUBLE), 6)
+             AS top_bigram_frac,
+           (CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) < 0.5
+            OR CAST(b.top_bg AS DOUBLE) / CAST(b.n_bg AS DOUBLE) > 0.05)
+             AS repetitive
+    FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters: per-document distinct-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction,
+    and the composite ``repetitive`` flag (distinct ratio < 0.5 or top
+    bigram > 5%) a curation pass drops on.  Both profiles are one
+    explode → two-level aggregation with map-side partials; nothing is
+    quadratic and no UDF runs, so the filter costs one corpus scan at
+    any scale.  Both flag polarities occur at sf0.01."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tstat = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bg = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("b")
+    )
+    bstat = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens").cast("double")
+    top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg").cast("double")
+    return tstat.join(bstat, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_tok_frac, 6).alias("top_token_frac"),
+        F.round(top_bg_frac, 6).alias("top_bigram_frac"),
+        ((distinct_ratio < 0.5) | (top_bg_frac > 0.05)).alias("repetitive"),
+    )
+
+
+#: contamination-scan shingle size and train-side document-frequency
+#: cap: 4-word shingles in more than 3 training docs are boilerplate,
+#: not leakage — dropping them bounds the collision join's fan-out at
+#: 3 per shingle (the cap genuinely triggers at sf0.01: max DF is 4).
+_CONTAM_N = 4
+_CONTAM_MAX_DF = 3
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH {_sh_cte_n(_CONTAM_N)},
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 1),
+    tr AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh WHERE doc_id % 50 != 1)
+      WHERE df <= {_CONTAM_MAX_DF}
+    )
+    SELECT ev.doc_id AS eval_doc,
+           tr.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ev JOIN tr ON ev.shingle = tr.shingle
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation", "contamination", "dedup"),
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination scan: 4-gram collisions between the
+    held-out eval slice (doc_id % 50 = 1) and the training corpus —
+    the train/test leak detector run before every LLM training job.
+    Inverted-index shape (shingle equi-join, map-side distinct inside
+    each row), with a train-side shingle-DF cap (> 3 docs = boilerplate,
+    no leakage signal) bounding join fan-out exactly like the Jaccard
+    DF cap; the cap triggers at sf0.01.  Finds the planted eval/train
+    near-duplicate (90 shared shingles) plus background collisions."""
+    sh = shingle_table(table(spark, sf_dir, "documents"), n=_CONTAM_N)
+    ev = sh.filter(F.col("doc_id") % 50 == 1).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(F.col("doc_id") % 50 != 1)
+    freq_w = Window.partitionBy("shingle")
+    tr = (
+        tr.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+        .filter(F.col("__df") <= _CONTAM_MAX_DF)
+        .select(F.col("doc_id").alias("train_doc"), "shingle")
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    sym AS (SELECT da AS u, db AS v FROM cand
+            UNION SELECT db, da FROM cand),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    quality AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    member AS (
+      SELECT comp.component, comp.node, q.quality
+      FROM comp JOIN quality q ON q.doc_id = comp.node
+    )
+    SELECT dup_group, group_size, keep_doc_id, keep_quality FROM (
+      SELECT component AS dup_group,
+             CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS group_size,
+             node AS keep_doc_id,
+             quality AS keep_quality,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY quality DESC, node ASC) AS rn
+      FROM member) WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "curation", "graph"),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup resolution a real pipeline ships: LSH candidate pairs
+    → connected components → keep the HIGHEST-QUALITY member of each
+    group (quality argmax, doc_id tie-break) instead of the naive
+    lowest-id.  The quality join touches only component members (a few
+    % of the corpus), the argmax is one per-component window, and the
+    component iteration is the tested O(diameter)-round min-label
+    propagation — no stage is quadratic.  Oracle replays the closure
+    with a recursive CTE plus the same quality formula."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    cc = connected_components(pairs, src="da", dst="db")
+    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    member = cc.join(q, cc["node"] == q["doc_id"]).select(
+        "component", "node", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("node"))
+    sz = Window.partitionBy("component")
+    return (
+        member.withColumn("group_size", F.count(F.lit(1)).over(sz).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").alias("dup_group"),
+            "group_size",
+            F.col("node").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )
+
+
+@register(
+    "mix_sources_budget",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source, text,
+             (['40', '80', 'c0', 'zz'])[(CAST(substr(source, 4) AS INT) % 4) + 1]
+               AS thr
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             thr
+      FROM rated
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr
+    )
+    SELECT source,
+           MIN(thr) AS rate_thr,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           bit_xor(doc_id) AS kept_ids_xor
+    FROM kept
+    GROUP BY source
+    """,
+    tags=("llm", "sampling", "curation", "mixing"),
+)
+def mix_sources_budget(spark, sf_dir):
+    """The data-mixture step: each source gets a sampling rate (25%,
+    50%, 75% or 100% by source index mod 4 — stand-in for the tuned
+    per-source weights of a training mix), applied by CONTENT-HASH
+    membership (md5 prefix vs per-source threshold) so the same docs
+    are kept on any engine, any partitioning, any rerun, and new data
+    composes without reshuffling old membership.  Pure map-side filter
+    + one aggregation; the XOR digest proves the exact kept SET.  All
+    four rates are exercised at sf0.01 (20 sources)."""
+    d = table(spark, sf_dir, "documents")
+    thr = F.element_at(
+        F.array(F.lit("40"), F.lit("80"), F.lit("c0"), F.lit("zz")),
+        (F.substring("source", 4, 8).cast("int") % 4) + 1,
+    )
+    kept = (
+        d.withColumn("thr", thr)
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.col("thr"))
+    )
+    return kept.groupBy("source").agg(
+        F.min("thr").alias("rate_thr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.expr("bit_xor(doc_id)").alias("kept_ids_xor"),
+    )
+
+
+@register(
+    "pii_pseudonymize",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked_name,
+           substr(md5(regexp_extract(c_name, '([0-9]+)', 1)), 1, 8)
+             AS surrogate_id,
+           CAST(floor(c_acctbal / 1000.0) AS INT) AS acctbal_band
+    FROM customer
+    """,
+    tags=("pii", "governance", "curation"),
+)
+def pii_pseudonymize(spark, sf_dir):
+    """Governance pass over an identifier-bearing dimension:
+    identifiers are masked (digit runs → '#'), replaced by a
+    DETERMINISTIC surrogate (md5 of the extracted id — the same entity
+    maps to the same surrogate across tables and runs, so joins still
+    work after pseudonymization), and the quasi-identifier
+    ``acctbal`` is generalized to 1000-unit bands (k-anonymity-style
+    coarsening).  Pure per-row expressions — codegen'd, shuffle-free,
+    trivially 100 TB-safe."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked_name"),
+        F.substring(
+            F.md5(F.regexp_extract("c_name", "([0-9]+)", 1)), 1, 8
+        ).alias("surrogate_id"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("acctbal_band"),
+    )

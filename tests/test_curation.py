@@ -1,0 +1,116 @@
+"""Semantics tests for the wave-6 curation operators: repetition
+flags, contamination scan, keep-best dedup resolution, mixing rates,
+pseudonymization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.curation_queries import (
+    contamination_ngram_overlap,
+    dedup_keep_best,
+    mix_sources_budget,
+    pii_pseudonymize,
+    text_repetition_quality,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    rows = [
+        (1, "spam " * 50, "en", "src0", 250),           # one token repeated
+        (2, " ".join(f"w{i}" for i in range(50)), "en", "src1", 150),  # all unique
+    ]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.repetitive, r.distinct_ratio)
+        for r in text_repetition_quality(spark, str(tmp_path)).collect()
+    }
+    assert got[1][0] is True and got[1][1] < 0.1
+    assert got[2][0] is False and got[2][1] == 1.0
+
+
+def test_contamination_finds_planted_leak(spark, tmp_path):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # eval doc (id % 50 == 1) containing the leaked passage
+        (1, leak + " extra tail words here", "en", "src0", 100),
+        # training doc with the same passage = contamination
+        (2, "prefix words " + leak, "en", "src1", 100),
+        # unrelated training doc
+        (3, " ".join(f"u{i}" for i in range(30)), "en", "src2", 100),
+    ]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.eval_doc, r.train_doc): r.n_shared
+        for r in contamination_ngram_overlap(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 4  # 8-token leak → ≥4 shared 4-grams
+    assert all(t != 3 for (_, t) in got)
+
+
+def test_keep_best_prefers_quality_over_low_id(spark, sf_dir):
+    """On the real fixture every kept doc must be the max-quality
+    member of its group (ties → lowest id), not simply the lowest id."""
+    from lakehouse_cdc_spark.llm.text import quality_score
+    from lakehouse_cdc_spark.plans.registry import table
+
+    groups = dedup_keep_best(spark, sf_dir).collect()
+    assert groups, "fixture has planted near-dup groups"
+    q = {
+        r.doc_id: r.q
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .collect()
+    }
+    # group members: recompute components to check the argmax contract
+    from lakehouse_cdc_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+    from lakehouse_cdc_spark.operators.graph import connected_components
+    from lakehouse_cdc_spark.plans.llm_queries import _LSH_MAX_BUCKET
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2,
+                                max_bucket_size=_LSH_MAX_BUCKET)
+    members: dict[int, list[int]] = {}
+    for r in connected_components(pairs, src="da", dst="db").collect():
+        members.setdefault(r.component, []).append(r.node)
+    for g in groups:
+        best = sorted(members[g.dup_group], key=lambda n: (-q[n], n))[0]
+        assert g.keep_doc_id == best
+        assert g.group_size == len(members[g.dup_group])
+
+
+def test_mix_rates_and_determinism(spark, tmp_path):
+    rows = [
+        (i, f"tok{i} tok{i+1} tok{i+2}", "en", f"src{s}", 30)
+        for i in range(400)
+        for s in [i % 4]
+    ]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in mix_sources_budget(spark, str(tmp_path)).collect()}
+    # src3 → 'zz' threshold keeps everything
+    assert got["src3"].n_kept == 100
+    # rates are ordered: 25% < 50% < 75% < 100%
+    assert got["src0"].n_kept < got["src1"].n_kept < got["src2"].n_kept < 100
+    # deterministic: a second run keeps the identical set
+    again = {r.source: r for r in mix_sources_budget(spark, str(tmp_path)).collect()}
+    assert {s: r.kept_ids_xor for s, r in got.items()} == {
+        s: r.kept_ids_xor for s, r in again.items()
+    }
+
+
+def test_pseudonymize_masks_and_is_referentially_stable(spark, sf_dir):
+    out = pii_pseudonymize(spark, sf_dir)
+    rows = out.collect()
+    assert all("#" in r.masked_name and not any(ch.isdigit() for ch in r.masked_name)
+               for r in rows)
+    # deterministic surrogate: same input id → same surrogate on rerun
+    again = {r.c_custkey: r.surrogate_id for r in pii_pseudonymize(spark, sf_dir).collect()}
+    assert {r.c_custkey: r.surrogate_id for r in rows} == again
+    # surrogates are unique per entity (no collisions at this scale)
+    assert len({r.surrogate_id for r in rows}) == len(rows)
