@@ -22,6 +22,7 @@ from lakehouse_cdc_spark.streaming.pipeline import (
 )
 from lakehouse_cdc_spark.streaming.windows import (
     session_window_agg,
+    stream_interval_join,
     sliding_window_agg,
     tumbling_window_agg,
     watermark_dedup,
@@ -39,4 +40,5 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "stream_interval_join",
 ]

@@ -125,7 +125,14 @@ def seen_dedup(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
     vs ``dropDuplicates`` + watermark: this variant exposes the
     first-seen batch, supports per-key eviction policy, and is the
     template for richer CDC state machines (the state tuple can carry
-    arbitrary per-key structure)."""
+    arbitrary per-key structure).
+
+    Termination caveat: pending processing-time TTL timers keep even
+    an ``availableNow`` query alive — Spark schedules empty batches
+    until every timer has fired, so a finite replay never terminates
+    on its own inside the TTL window.  Drain with
+    ``q.processAllAvailable()`` then ``q.stop()``; in production the
+    query is continuous, so the timers are exactly what's wanted."""
     return changes.groupBy(key_col).applyInPandasWithState(
         _seen_dedup_kernel,
         outputStructType=SEEN_DEDUP_SCHEMA,

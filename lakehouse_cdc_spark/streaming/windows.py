@@ -82,3 +82,42 @@ def session_window_agg(
     return df.groupBy(
         F.session_window(F.col(ts_col), gap).alias("w"), *group_cols
     ).agg(*aggs)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "INTERVAL 1 HOUR",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right
+    events with the same key in ``(left_ts - lookback, left_ts]``.
+
+    Spark can join two STREAMS only because the time bound + watermark
+    make the buffered state finite: each side keeps rows until the
+    other side's watermark passes the interval, then evicts — state is
+    O(rate × (watermark + lookback)), independent of stream age.  An
+    unbounded-condition stream-stream join is rejected by Spark for
+    exactly that reason; the interval is what makes the operator
+    shippable at 100 TB/day.  The right side's columns are prefixed
+    ``r_`` to keep the joined schema unambiguous.  Works identically
+    on batch frames (watermarks are no-ops there), so batch≡stream
+    equivalence is testable.
+    """
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}" if not c.startswith("r_") else c) for c in right.columns]
+    )
+    r_key = f"r_{on}" if not on.startswith("r_") else on
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(on) == F.col(r_key))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.expr(f"{left_ts} - {lookback}"))
+    )
+    return left.join(r, cond, "inner")

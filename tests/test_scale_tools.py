@@ -127,7 +127,7 @@ def test_query_progress_from_live_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     prog = query_progress(q)
     assert prog["batch_id"] is not None
     assert prog["input_rows"] == 100

@@ -37,7 +37,7 @@ def test_running_totals_across_batches(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
     # last emitted row per user = final running state
     emitted = spark.sql("SELECT * FROM running_out").collect()
@@ -99,7 +99,11 @@ def test_seen_dedup_emits_each_id_once(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # TTL timers keep an availableNow query alive with empty batches
+    # until they fire (1 h here) — drain the sources, then stop.
+    q.processAllAvailable()
+    q.stop()
+    assert q.awaitTermination(60), "stream did not stop"
     emitted = spark.sql("SELECT * FROM dedup_out").collect()
     ids = [r.event_id for r in emitted]
     assert len(ids) == len(set(ids)), "an event_id was emitted twice"

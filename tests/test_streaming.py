@@ -443,7 +443,7 @@ def test_cdc_pipeline_stream_equals_batch(spark, sf_dir, change_stream_dir, tmp_
         str(tmp_path / "target"), keys=["user_id"], order_by=["ts", "event_id"]
     )
     q = cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
 
     got = {
         (r.user_id, r.event_id)
@@ -521,15 +521,15 @@ def test_watermark_dedup_streaming(spark, tmp_path):
     out = watermark_dedup(stream, ["k"], "ts", "1 minute")
     q = (
         out.writeStream.format("memory")
-        .queryName("dedup_out")
+        .queryName("wm_dedup_out")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
-    got = {r.k for r in spark.sql("SELECT k FROM dedup_out").collect()}
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {r.k for r in spark.sql("SELECT k FROM wm_dedup_out").collect()}
     assert got == {1, 2}
-    assert spark.sql("SELECT COUNT(*) c FROM dedup_out").collect()[0].c == 2
+    assert spark.sql("SELECT COUNT(*) c FROM wm_dedup_out").collect()[0].c == 2
 
 
 def test_tumbling_window_stream_equals_batch(spark, sf_dir, change_stream_dir, tmp_path):
@@ -558,7 +558,7 @@ def test_tumbling_window_stream_equals_batch(spark, sf_dir, change_stream_dir, t
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     got = {(r.day, r.cnt) for r in spark.sql("SELECT * FROM win_out").collect()}
     assert got == batch
 
@@ -595,3 +595,60 @@ def test_with_retry_backoff():
     with pytest.raises(RuntimeError):
         with_retry(lambda: (_ for _ in ()).throw(RuntimeError("perm")),
                    attempts=2, sleep=sleeps.append)()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (purchases ⋈ prior views within 1h
+    per user) must produce exactly the batch join's pairs once both
+    streams drain — the state-bounding watermark must not change the
+    answer for in-window data."""
+    import datetime
+
+    from lakehouse_cdc_spark.streaming import stream_interval_join
+
+    ts = datetime.datetime.fromisoformat
+    views = [
+        (1, ts("2024-01-01T10:00:00"), 100),
+        (1, ts("2024-01-01T10:30:00"), 101),
+        (1, ts("2024-01-01T08:00:00"), 102),  # > 1h before every purchase
+        (2, ts("2024-01-01T10:05:00"), 103),
+    ]
+    purchases = [
+        (1, ts("2024-01-01T10:45:00"), 200),  # matches views 100, 101
+        (2, ts("2024-01-01T10:10:00"), 201),  # matches view 103
+        (3, ts("2024-01-01T11:00:00"), 202),  # no views → dropped (inner)
+    ]
+    v_df = spark.createDataFrame(views, "user_id int, ts timestamp, event_id int")
+    p_df = spark.createDataFrame(purchases, "user_id int, ts timestamp, event_id int")
+    v_src, p_src = str(tmp_path / "v"), str(tmp_path / "p")
+    v_df.coalesce(1).write.parquet(v_src)
+    p_df.coalesce(1).write.parquet(p_src)
+
+    batch = {
+        (r["event_id"], r["r_event_id"])
+        for r in stream_interval_join(
+            p_df, v_df, on="user_id", left_ts="ts", right_ts="r_ts",
+            lookback="INTERVAL 1 HOUR",
+        ).collect()
+    }
+    assert batch == {(200, 100), (200, 101), (201, 103)}
+
+    p_stream = file_cdc_source(spark, p_src, p_df.schema)
+    v_stream = file_cdc_source(spark, v_src, v_df.schema)
+    joined = stream_interval_join(
+        p_stream, v_stream, on="user_id", left_ts="ts", right_ts="r_ts",
+        lookback="INTERVAL 1 HOUR",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT event_id, r_event_id FROM ssj_out").collect()
+    }
+    assert got == batch

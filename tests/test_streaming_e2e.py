@@ -72,7 +72,7 @@ def test_envelope_stream_end_to_end_with_recovery(spark, tmp_path):
         ],
     )
     q = _pipeline(spark, src, sink, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     state = {r.id: (r.name, r.price) for r in sink.current_table(spark).collect()}
     assert state == {1: ("one-v2", 11), 2: ("two", 20), 3: ("three", 30)}
     v_after_run1 = sink.committed_version()
@@ -86,7 +86,7 @@ def test_envelope_stream_end_to_end_with_recovery(spark, tmp_path):
         ],
     )
     q2 = _pipeline(spark, src, sink, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not finish in 300s"
     state2 = {r.id: (r.name, r.price) for r in sink.current_table(spark).collect()}
     assert state2 == {1: ("one-v2", 11), 3: ("three", 30), 4: ("four", 40)}
     # recovery continued batch numbering instead of reprocessing
