@@ -345,3 +345,63 @@ def window_range_30d_peak(spark, sf_dir):
         .groupBy("event_type")
         .agg((F.max("roll_fp").cast("double") / 10000.0).alias("peak_30d_sum"))
     )
+
+
+_DIFF_STATE_SQL = """
+      SELECT user_id, CAST(value AS DOUBLE) AS latest_value
+      FROM (
+        SELECT user_id, value, {op_case} AS operation,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events {where}
+      )
+      WHERE rn = 1 AND operation != 'd'
+"""
+
+
+def _latest_state(e):
+    """Post-merge table state as a pure function of a change stream."""
+    compacted = compact_changes(
+        e.withColumn("operation", _op_col()),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+    return compacted.filter(F.col("operation") != "d").select(
+        "user_id", F.col("value").cast("double").alias("latest_value")
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH before_state AS ({_DIFF_STATE_SQL.format(
+        op_case=_OP_CASE_SQL, where="WHERE ts < TIMESTAMP '2024-01-16'")}),
+    after_state AS ({_DIFF_STATE_SQL.format(op_case=_OP_CASE_SQL, where="")})
+    SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN b.latest_value
+                ELSE a.latest_value END AS latest_value,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN a.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS _change_type
+    FROM before_state b
+    FULL OUTER JOIN after_state a ON b.user_id = a.user_id
+    WHERE b.user_id IS NULL OR a.user_id IS NULL
+       OR b.latest_value IS DISTINCT FROM a.latest_value
+    """,
+    tags=("cdc", "S9", "cdf"),
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-data-feed between two table versions (the INVERSE of
+    apply_changes): the state at 2024-01-16 vs the final state, as the
+    minimal insert/update/delete row set a CDF reader would serve
+    (Iceberg changelog scan / Delta CDF equivalent).  One key-hash
+    shuffle per side, then map-side classification — on key-bucketed
+    layouts the join plans with zero extra shuffle.  Replaying the
+    diff through apply_changes(before) reproduces `after` exactly
+    (property-tested in tests/test_cdc.py)."""
+    from lakehouse_cdc_spark.cdc.diff import snapshot_diff
+
+    e = table(spark, sf_dir, "events")
+    before = _latest_state(e.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    after = _latest_state(e)
+    return snapshot_diff(before, after, keys=["user_id"])

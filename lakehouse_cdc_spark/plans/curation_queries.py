@@ -358,3 +358,57 @@ def pii_pseudonymize(spark, sf_dir):
         ).alias("surrogate_id"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("acctbal_band"),
     )
+
+
+@register(
+    "text_rare_token_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    flagged AS (
+      SELECT t.doc_id, t.tok,
+             CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END AS is_rare
+      FROM tok t JOIN dfreq d USING (tok), n
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(is_rare) AS BIGINT) AS rare_tokens,
+           CAST(SUM(is_rare) AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "curation"),
+)
+def text_rare_token_ratio(spark, sf_dir):
+    """Rare-token (OOV-style) quality signal: the fraction of each
+    document's tokens whose CORPUS document frequency is under 10% of
+    the corpus — high ratios flag gibberish/markup/misencoded docs in
+    real pipelines.  Two aggregations (token DF, per-doc rollup) and
+    one equi-join of the exploded tokens against the DF table; the DF
+    table is vocabulary-sized (≪ corpus), so Catalyst broadcasts it —
+    the exploded token stream itself never reshuffles.  Integer
+    df*10 < n_docs comparison and exact int/int division keep the
+    ratio bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = (
+        tok.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.when(F.col("df") * 10 < F.col("n_docs"), 1)
+            .otherwise(0)
+            .alias("is_rare"),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_rare").cast("bigint").alias("rare_tokens"),
+        (F.sum("is_rare").cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+    )

@@ -80,8 +80,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            # newer Spark readers surface TIMESTAMP(NANOS) as NTZ
+            # (µs-truncated) instead of rejecting it; normalize to the
+            # session-TZ (UTC) timestamp every query expects so casts
+            # to long / unix_micros keep working
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -158,3 +158,48 @@ def test_decode_tolerates_schema_drift(spark):
     assert rows[0].name == "a"
     assert "brand_new_column" not in rows[0].asDict()
     assert rows[1].name is None and rows[1].price is None
+
+
+def test_snapshot_diff_replay_reproduces_after(spark):
+    """diff(before, after) replayed through apply_changes(before)
+    must reproduce `after` exactly — the CDF round-trip property."""
+    from lakehouse_cdc_spark.cdc.diff import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (6, None, 60.0)],
+        "id int, v string, x double",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", None), (6, None, 60.0)],
+        "id int, v string, x double",
+    )
+    diff = snapshot_diff(before, after, keys=["id"])
+    got = {(r.id, r.v, r.x, r._change_type) for r in diff.collect()}
+    assert got == {
+        (2, "B", 20.0, "update"),
+        (3, "c", 30.0, "delete"),
+        (4, "d", None, "insert"),
+    }  # unchanged keys 1 and 6 (with NULL value col) emit no row
+
+    changes = diff.withColumn(
+        "operation",
+        F.when(F.col("_change_type") == "delete", "d").otherwise("u"),
+    ).withColumn("seq", F.lit(1))
+    replayed = apply_changes(
+        before, changes.drop("_change_type"), keys=["id"], order_by=["seq"]
+    )
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in after.collect()
+    }
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    from lakehouse_cdc_spark.cdc.diff import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([(1,)], "id int")
+    try:
+        snapshot_diff(a, b, keys=["id"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -652,3 +652,45 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT event_id, r_event_id FROM ssj_out").collect()
     }
     assert got == batch
+
+
+def test_stream_static_dimension_enrichment(spark, tmp_path):
+    """Stream-static join: a change stream enriched against a static
+    dimension table plans the dim as a broadcast against EVERY
+    micro-batch — per-batch results equal the batch join, and rows
+    with no dim match pass through (left join) for dead-lettering.
+    This is the streaming half of flagship_cdc_compaction's join."""
+    import datetime
+
+    ts = datetime.datetime.fromisoformat
+    dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id int, name string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 10.0),
+            (2, ts("2024-01-01T10:01:00"), 20.0),
+            (9, ts("2024-01-01T10:02:00"), 90.0),  # no dim row
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    src = str(tmp_path / "src")
+    changes.coalesce(1).write.parquet(src)
+
+    stream = file_cdc_source(spark, src, changes.schema)
+    from pyspark.sql import functions as F
+
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ssd_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r.user_id, r.name, r.value)
+        for r in spark.sql("SELECT user_id, name, value FROM ssd_out").collect()
+    }
+    assert got == {(1, "alice", 10.0), (2, "bob", 20.0), (9, None, 90.0)}
