@@ -21,5 +21,7 @@ from lakehouse_cdc_spark.plans import relational4  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import profiling_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import quant_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import curation_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import timeseries_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import er_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

@@ -137,3 +137,95 @@ def emb_int8_quantize_topk(spark, sf_dir):
         .orderBy(F.desc("dot_q"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed random projections (SRP-LSH / hyperplane hashing)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+#: 16 fixed hyperplanes over the 64-dim embedding space.  Signs are
+#: derived from md5 of the (plane, dim) index — deterministic, seedless,
+#: reproducible in any language — and embedded as LITERALS in both the
+#: Spark plan and the DuckDB oracle, so no cross-engine hash function is
+#: ever needed at runtime.
+_SRP_PLANES = 16
+_SRP_SIGNS = [
+    [
+        1 if int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[0], 16) < 8 else -1
+        for k in range(_DIM)
+    ]
+    for j in range(_SRP_PLANES)
+]
+
+
+def _srp_oracle() -> str:
+    # q[i] = floor(embedding[i] * 1e4) as exact int; per-plane sign bit
+    # from the exact integer dot with the ±1 literal list.
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}), "
+        f"i -> q[i] * ([{', '.join(str(s) for s in _SRP_SIGNS[j])}])[i])) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SRP_PLANES)
+    )
+    return f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, CAST({bits} AS BIGINT) AS srp_sig FROM quant)
+    SELECT vec_id, srp_sig,
+           CAST(COUNT(*) OVER (PARTITION BY srp_sig) AS BIGINT) AS bucket_size
+    FROM sigs
+    """
+
+
+@register(
+    "emb_srp_signatures",
+    oracle=_srp_oracle(),
+    tags=("llm", "embedding", "lsh", "ann"),
+)
+def emb_srp_signatures(spark, sf_dir):
+    """SRP-LSH (random-hyperplane hashing, Charikar 2002): each vector
+    gets a 16-bit signature whose j-th bit is the SIGN of its dot
+    product with a fixed pseudo-random ±1 hyperplane; vectors with
+    small angular distance agree on most bits, so equal signatures are
+    cosine-near-dup candidates — the third ANN family next to IVF
+    (emb_ivf_assign) and MinHash (dedup_minhash_lsh).  All arithmetic
+    is exact: coordinates are floor-scaled to int (float->double->
+    floor is deterministic, no rounding-mode traps), and the dot
+    against a ±1 plane is an integer fold, so signatures are
+    bit-identical on any engine or partitioning.  Pure map-side work —
+    ZERO shuffles to sign 100 TB of vectors (the bucket_size window is
+    one key-hash shuffle on the 16-bit signature, bounded at 65536
+    buckets)."""
+    quant = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("bigint")
+        ).alias("q"),
+    )
+    sig = None
+    for j in range(_SRP_PLANES):
+        plane = F.array(*[F.lit(s) for s in _SRP_SIGNS[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), plane, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = quant.select("vec_id", sig.cast("bigint").alias("srp_sig"))
+    from pyspark.sql import Window
+
+    return sigs.select(
+        "vec_id",
+        "srp_sig",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("srp_sig"))
+        .cast("bigint")
+        .alias("bucket_size"),
+    )

@@ -1,0 +1,240 @@
+"""Time-series declared queries (round 2 wave 7).
+
+Event streams are the reference's bread and butter (CDC over an
+`events` firehose); this family adds the time-series post-processing
+every observability / feature-engineering pipeline layers on top:
+
+- ``ts_gap_fill_locf`` — resample to a daily grid and carry the last
+  observation forward (LOCF interpolation), the canonical prep step
+  before windowed feature extraction.
+- ``ts_anomaly_zscore`` — rolling z-score anomaly detection over a
+  trailing row frame, done in EXACT integer arithmetic so the flags
+  are bit-identical across engines (no float stddev drift).
+- ``ts_ewma_recursive`` — exponentially-weighted moving average via a
+  per-key ``applyInPandas`` recurrence, oracle-checked against a
+  DuckDB ``WITH RECURSIVE`` evaluation of the same IEEE ops.
+
+Reference parity: extends the reference's event-stream validation
+family (/root/reference/src/validation/validation.py) with the
+derived-signal operators its OLTP focus stops short of.
+
+Scale notes (100 TB): the daily grid is |distinct keys| x |days| —
+the day spine is a broadcast of a few hundred rows, so the only
+shuffle is the per-key daily aggregate; LOCF and the rolling frames
+are single-pass window functions partitioned by key (no cross-key
+traffic); the EWMA recurrence is inherently sequential PER KEY but
+embarrassingly parallel ACROSS keys, which is exactly what
+``groupBy(key).applyInPandas`` gives (one Arrow batch per key group,
+keys spread over executors).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register, table
+
+# value has 2 decimal digits in the testdata generator; x100 makes an
+# exact BIGINT in both engines (probed: 0 rows where round differs).
+_V100 = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@register(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE user_id < 20),
+    daily AS (
+      SELECT user_id, day, value AS day_value
+      FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e)
+      WHERE rn = 1
+    ),
+    bounds AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+                      CAST(max(date_trunc('day', ts)) AS DATE) AS hi FROM e),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM bounds),
+    grid AS (SELECT u.user_id, d.day
+             FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN days d)
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           CAST(CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS INT) AS was_filled
+    FROM grid g
+    LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    tags=("timeseries", "window", "resample"),
+)
+def ts_gap_fill_locf(spark, sf_dir):
+    """Daily resample + last-observation-carried-forward: each key is
+    expanded onto the corpus' full day grid; days with no event carry
+    the previous day's LAST observed value (ties broken by event_id).
+    The day spine (one row per day) and the key list come from two
+    tiny aggregates, so the grid is a broadcast nested-loop — the only
+    key-hash shuffle is the daily top-1 compaction, and the LOCF fill
+    is one window pass per key.  Values are carried verbatim (no
+    arithmetic), so filled rows are bit-identical across engines."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    daily = (
+        e.select("user_id", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_value"))
+    )
+    bounds = e.agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("lo"),
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    grid = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    locf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(locf).alias("locf_value"),
+            F.when(F.col("day_value").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("was_filled"),
+        )
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_type, {_V100} AS v,
+             COUNT(*) OVER w AS n,
+             SUM({_V100}) OVER w AS s,
+             SUM({_V100} * {_V100}) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE n >= 20) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (WHERE n >= 20 AND
+             (n - 1) * (n * v - s) * (n * v - s) > 4 * n * (n * s2 - s * s)
+           ) AS BIGINT) AS n_anomalies_z2,
+           CAST(COUNT(*) FILTER (WHERE n >= 20 AND
+             (n - 1) * (n * v - s) * (n * v - s) > 9 * n * (n * s2 - s * s)
+           ) AS BIGINT) AS n_anomalies_z3
+    FROM scored
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "quality"),
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags over a trailing 50-row frame per
+    event_type, WITHOUT floating-point stddev: with v = value*100 as
+    an exact BIGINT, ``|v - mean| > z*stddev`` is algebraically
+    equivalent to ``(n-1)(nv - s)^2 > z^2 * n * (n*s2 - s^2)`` over
+    the frame sums (s, s2) — pure integer arithmetic, bit-identical in
+    any engine (max magnitude ~3e15, well inside int64).  One window
+    pass (three frame aggregates share one sort) + one tiny groupBy;
+    at 100 TB the frame never crosses the event_type hash partition,
+    so the whole scorer is a single shuffle."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .select(
+            "event_type",
+            "v",
+            F.count("v").over(w).alias("n"),
+            F.sum("v").over(w).alias("s"),
+            F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+        )
+    )
+    dev2 = (F.col("n") - 1) * (F.col("n") * F.col("v") - F.col("s")) ** 2
+    spread = F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    warm = F.col("n") >= 20
+    return scored.groupBy("event_type").agg(
+        F.count(F.when(warm, 1)).alias("n_scored"),
+        F.count(F.when(warm & (dev2 > 4 * spread), 1)).alias("n_anomalies_z2"),
+        F.count(F.when(warm & (dev2 > 9 * spread), 1)).alias("n_anomalies_z3"),
+    )
+
+
+_EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key EWMA recurrence y = 0.5*x + 0.5*y in plain IEEE-double
+    ops (two mults + one add per step, same sequence the oracle's
+    recursive CTE evaluates → bit-identical results)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    y = None
+    for x in pdf["value"]:
+        x = float(x)
+        y = x if y is None else 0.5 * x + 0.5 * y
+    return pd.DataFrame(
+        {"user_id": [int(pdf["user_id"].iloc[0])], "n_events": [len(pdf)], "ewma": [y]}
+    )
+
+
+@register(
+    "ts_ewma_recursive",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    r AS (
+      SELECT user_id, rn, value AS ewma FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT ev.user_id, ev.rn, 0.5 * ev.value + 0.5 * r.ewma
+      FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events, ewma
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+          FROM r)
+    WHERE rr = 1
+    """,
+    tags=("timeseries", "pandas-udf", "stateful"),
+)
+def ts_ewma_recursive(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha = 0.5) — the
+    canonical operator SQL window frames CANNOT express (every output
+    depends on the full prefix with geometric weights).  Implemented
+    as the idiomatic Spark escape hatch: ``groupBy(key).applyInPandas``
+    — sequential per key, parallel across keys, one Arrow batch per
+    group, no driver involvement.  The oracle replays the identical
+    IEEE recurrence with a recursive CTE; because both sides execute
+    the same two-mult-one-add sequence per step, the doubles match
+    bit-for-bit (alpha = 0.5 keeps every halving exact)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return e.groupBy("user_id").applyInPandas(_ewma_group, _EWMA_SCHEMA)

@@ -1,0 +1,145 @@
+"""Wave-7 semantics tests: time-series resampling/anomaly/EWMA and
+entity-resolution/GDPR — the invariants the DuckDB oracle can't see
+(partitioning invariance, recurrence order, cascade consistency)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name, spark, sf=SF):
+    return REGISTRY[name].fn(spark, sf)
+
+
+# ---------------------------------------------------------------- gap fill
+
+
+def test_locf_grid_is_complete_and_carries_forward(spark):
+    rows = _q("ts_gap_fill_locf", spark).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # every user covers the same day spine
+    spines = {tuple(sorted(r.day for r in rs)) for rs in by_user.values()}
+    assert len(spines) == 1
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.day)
+        last = None
+        for r in rs:
+            if r.day_value is not None:
+                assert r.was_filled == 0 and r.locf_value == r.day_value
+                last = r.day_value
+            else:
+                assert r.was_filled == 1 and r.locf_value == last
+
+
+# ---------------------------------------------------------------- anomaly
+
+
+def test_anomaly_zscore_monotone_thresholds(spark):
+    rows = _q("ts_anomaly_zscore", spark).collect()
+    assert rows, "expected one row per event_type"
+    for r in rows:
+        assert 0 <= r.n_anomalies_z3 <= r.n_anomalies_z2 <= r.n_scored
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_pure_python_recurrence(spark):
+    from lakehouse_cdc_spark.plans.registry import table
+
+    e = (
+        table(spark, SF, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    expect = {}
+    for r in sorted(e, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        y = expect.get(r.user_id)
+        x = float(r.value)
+        expect[r.user_id] = x if y is None else 0.5 * x + 0.5 * y
+    got = {r.user_id: r.ewma for r in _q("ts_ewma_recursive", spark).collect()}
+    assert got == expect  # bit-exact, not approx
+
+
+def test_ewma_invariant_under_repartitioning(spark):
+    a = {tuple(r) for r in _q("ts_ewma_recursive", spark).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {tuple(r) for r in _q("ts_ewma_recursive", spark).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+# ---------------------------------------------------------------- ER
+
+
+def test_fuzzy_match_recovers_identity_on_clean_rows(spark):
+    rows = _q("er_blocked_fuzzy_match", spark).collect()
+    by_key = {r.dirty_key: r for r in rows}
+    # untouched names (key % 3 == 2) must self-match at distance 0
+    for k, r in by_key.items():
+        if k % 3 == 2:
+            assert r.matched_key == k and r.lev == 0 and r.is_correct == 1
+        else:
+            assert r.lev <= 2
+
+
+def test_sorted_neighborhood_pairs_are_adjacent_candidates(spark):
+    rows = _q("er_sorted_neighborhood", spark).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.lev <= 2
+        assert {r.a_src, r.b_src} <= {"clean", "dirty"}
+    # the corrupted replica should surface clean<->dirty candidate pairs
+    assert any(r.a_src != r.b_src for r in rows)
+
+
+def test_gdpr_cascade_counts_are_consistent(spark):
+    from lakehouse_cdc_spark.plans.registry import table
+
+    rows = {r.table_name: r for r in _q("gdpr_delete_propagation", spark).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for name in rows:
+        t = table(spark, SF, name).count()
+        assert rows[name].purged_rows + rows[name].retained_rows == t
+    # cascade: purged orders belong ONLY to requested customers
+    spark_reqs = rows["customer"].purged_rows
+    assert spark_reqs > 0, "hash selection should pick some customers"
+
+
+# ---------------------------------------------------------------- SRP
+
+
+def test_srp_signature_is_partitioning_invariant_and_bounded(spark):
+    rows = _q("emb_srp_signatures", spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.srp_sig < (1 << 16)
+    sizes = {}
+    for r in rows:
+        sizes[r.srp_sig] = sizes.get(r.srp_sig, 0) + 1
+    for r in rows:
+        assert r.bucket_size == sizes[r.srp_sig]
+
+
+def test_srp_similar_vectors_share_more_bits(spark):
+    # a vector is maximally similar to itself: identical sig required;
+    # and hamming distance to others must exceed 0 for non-identical
+    # vectors in the tiny fixture unless they collide legitimately.
+    df = _q("emb_srp_signatures", spark, SF)
+    n_sig = df.select("srp_sig").distinct().count()
+    n_vec = df.count()
+    # 16 planes over random vectors: buckets must spread, not collapse
+    assert n_sig > max(2, n_vec // 50)
