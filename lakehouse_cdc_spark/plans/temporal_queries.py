@@ -276,3 +276,49 @@ def join_range_bucketed(spark, sf_dir):
             F.sum(fixed_point(F.col("value"))).cast("double") / 10000.0
         ).alias("purchase_value_sum"),
     )
+
+
+@register(
+    "mv_incremental_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("temporal", "ivm", "J1", "S9"),
+)
+def mv_incremental_join(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view via the
+    delta-join algebra: with base/delta splits of both inputs
+    (O = Ob + dO, C = Cb + dC), the view update is
+
+        d(O JOIN C) = dO JOIN Cb  UNION  Ob JOIN dC  UNION  dO JOIN dC
+
+    and MV_new = (Ob JOIN Cb) UNION d(O JOIN C).  The oracle is the
+    FULL recompute of orders JOIN customer, so a green row proves the
+    three-arm algebra loses and duplicates nothing — the join-side
+    companion to cdc_incremental_agg's retract/add maintenance.  At
+    100 TB the payoff is the arms' sizes: every arm touching a delta
+    is |delta|-bounded, the customer sides broadcast, and the big
+    Ob JOIN Cb term is the PREVIOUSLY MATERIALIZED view — a scan, not
+    a join, in steady state (materialized here inline because the
+    declared query must be self-contained)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_base, o_delta = o.filter(o.o_orderkey % 5 != 0), o.filter(o.o_orderkey % 5 == 0)
+    c_base, c_delta = (
+        c.filter(c.c_custkey % 10 != 0),
+        c.filter(c.c_custkey % 10 == 0),
+    )
+
+    def arm(lhs, rhs):
+        return lhs.join(F.broadcast(rhs), lhs.o_custkey == rhs.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_nationkey", "o_totalprice"
+        )
+
+    mv_base = arm(o_base, c_base)
+    delta_mv = (
+        arm(o_delta, c_base).unionAll(arm(o_base, c_delta)).unionAll(arm(o_delta, c_delta))
+    )
+    return mv_base.unionAll(delta_mv)

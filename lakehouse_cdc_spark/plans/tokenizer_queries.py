@@ -1,0 +1,153 @@
+"""Tokenizer-training / distributional-stats declared queries (wave 8).
+
+The two corpus-statistics passes every tokenizer / embedding pipeline
+runs before training, expressed as pure aggregation plans:
+
+- ``text_bpe_pair_merge`` — ONE byte-pair-encoding merge step: count
+  adjacent symbol pairs across the corpus and rank the merge
+  candidates.  The classic trick makes this vocabulary-sized work:
+  aggregate words to (word, count) FIRST, then explode each DISTINCT
+  word's pairs weighted by its count — corpus size only enters
+  through the word-count aggregation (map-side combined), never
+  through the pair explosion.
+- ``text_cooccurrence_topk`` — skip-gram co-occurrence counts (the
+  PMI/word2vec input): token pairs within a ±2 position window in the
+  same document, with each word's global frequency attached (exact
+  integers; downstream PMI is a per-row log over these columns).
+
+Scale notes (100 TB): BPE pair counting shuffles |vocab| rows, not
+|corpus| — vocabulary grows ~Heaps' law (sub-linearly), so the
+explode side stays small no matter the corpus.  Co-occurrence
+self-joins positions WITHIN a document (shuffle key doc_id, window
+bounded by ±2), so the pair stream is O(tokens * window) with no
+cross-document traffic; the global word-count table is
+vocabulary-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.text import tokens
+from lakehouse_cdc_spark.plans.registry import register, table
+
+
+@register(
+    "text_bpe_pair_merge",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    words AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, cnt
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    tags=("llm", "text", "tokenizer", "A4"),
+)
+def text_bpe_pair_merge(spark, sf_dir):
+    """One BPE merge step: the top adjacent character pairs over the
+    corpus, counted word-frequency-weighted.  Words are aggregated to
+    (word, cnt) before any pair explosion, so the explode runs over
+    the DISTINCT vocabulary (sub-linear in corpus size) and each
+    pair's count is cnt-weighted — the exact layout fast BPE trainers
+    use.  Single-char words carry no pair and are filtered explicitly
+    (Spark's sequence(1, 0) would count DOWN, not return empty).
+    Top-20 with a total order (count desc, pair asc) so the ranking
+    is partitioning-independent."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_cooccurrence_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, toks[i] AS tok, i AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    wcnt AS (SELECT tok, COUNT(*) AS wc FROM tok GROUP BY tok),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+    ),
+    top AS (
+      SELECT w1, w2, COUNT(*) AS pair_cnt FROM pairs GROUP BY w1, w2
+    )
+    SELECT t.w1, t.w2, CAST(t.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(c1.wc AS BIGINT) AS w1_cnt, CAST(c2.wc AS BIGINT) AS w2_cnt
+    FROM top t JOIN wcnt c1 ON t.w1 = c1.tok JOIN wcnt c2 ON t.w2 = c2.tok
+    ORDER BY pair_cnt DESC, w1, w2
+    LIMIT 30
+    """,
+    tags=("llm", "text", "cooccurrence", "J1"),
+)
+def text_cooccurrence_topk(spark, sf_dir):
+    """Skip-gram co-occurrence: unordered token pairs within a ±2
+    window in the same document, top-30 by count, each word annotated
+    with its global frequency (the exact-integer inputs to PMI — the
+    log itself stays out of the oracle surface on purpose; transcen-
+    dental rounding is engine-specific).  The position self-join keys
+    on doc_id so pair generation never crosses documents, and the
+    window predicate bounds fan-out at 2 pairs per token; the
+    vocabulary-sized count table joins broadcast."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    a = tok.select(
+        F.col("doc_id"), F.col("pos").alias("a_pos"), F.col("tok").alias("a_tok")
+    )
+    b = tok.select(
+        F.col("doc_id"), F.col("pos").alias("b_pos"), F.col("tok").alias("b_tok")
+    )
+    pairs = a.join(b, "doc_id").filter(
+        F.col("b_pos").between(F.col("a_pos") + 1, F.col("a_pos") + 2)
+    )
+    top = (
+        pairs.select(
+            F.least("a_tok", "b_tok").alias("w1"),
+            F.greatest("a_tok", "b_tok").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    wcnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("wc"))
+    return (
+        top.join(F.broadcast(wcnt.withColumnRenamed("tok", "w1")), "w1")
+        .withColumnRenamed("wc", "w1_cnt")
+        .join(
+            F.broadcast(
+                wcnt.select(F.col("tok").alias("w2"), F.col("wc").alias("w2_cnt"))
+            ),
+            "w2",
+        )
+        .select("w1", "w2", "pair_cnt", "w1_cnt", "w2_cnt")
+        .orderBy(F.desc("pair_cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
