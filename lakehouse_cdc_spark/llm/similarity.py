@@ -1,8 +1,12 @@
 """Embedding similarity search over ``array<float>`` columns.
 
-All vector math uses native higher-order functions (``zip_with`` +
-``aggregate``) — JVM-side, no Python serialization.  A 64-dim cosine
-is ~130 fused arithmetic ops inside whole-stage codegen.
+Per-row vector math uses native higher-order functions (``zip_with``
++ ``aggregate``) — JVM-side, no Python serialization.  Where the work
+is a PAIR BLOCK rather than a row (within-bucket all-pairs scoring),
+:func:`bucketed_cosine_pairs_blocked` switches to Arrow-batched numpy
+with a fold-order contract that keeps results bit-identical to the
+expression path — HOFs don't enter whole-stage codegen, so per-pair
+interpreted folds lose to C loops once the pair space is O(bucket²).
 
 Scale path: brute-force top-k is O(N·Q); for large N use
 :func:`bucketed_topk` (coarse quantization / IVF-style: probe only the
@@ -177,6 +181,144 @@ def bucketed_cosine_pairs(
     sim = F.round(
         dot(F.col("va"), F.col("vb")) / (F.sqrt("na") * F.sqrt("nb")), round_digits
     )
+    return (
+        pairs.select("ia", "ib", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def bucketed_cosine_pairs_blocked(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`bucketed_cosine_pairs` with the within-bucket scoring
+    done as BLOCKED numpy arithmetic per cluster (``applyInPandas``)
+    instead of a per-pair expression fold.
+
+    Why: the pair space is O(Σ bucket²) rows, and evaluating a 64-dim
+    higher-order-function dot per pair is interpreted (HOFs don't
+    enter whole-stage codegen).  Shipping each cluster's vectors ONCE
+    over Arrow (O(N·probes) rows) and scoring all of its pairs with
+    vectorized C loops turns ~6M interpreted folds into ~64 SIMD
+    passes — the FAISS-style "gather the cell, score the block"
+    layout.  At 100 TB the Arrow batch per task is one bucket
+    (~N·probes/K vectors), bounded by the same K ≈ √N sizing rule.
+
+    Bit-compatibility contract (what keeps the oracle hash green):
+    the accumulation loops run dimension-at-a-time, reproducing the
+    exact fold-left order ``((0+x₀d₀)+x₁d₁)+…`` of
+    ``aggregate(zip_with(a, b, *), 0.0, +)``; the cosine is
+    ``acc / (sqrt(na)·sqrt(nb))`` — the same three IEEE ops; rounding
+    and thresholding stay in Spark (same ``F.round`` as the
+    expression path).  numpy float64 ≡ JVM double, so every emitted
+    cos_sim is bit-identical to the unblocked plan's.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # MLlib-style "fit" step: the centroid table is tiny by contract
+    # (K ≈ √N), so materialize it ONCE on the driver and ship it to
+    # executors inside the UDF closure — assignment then needs no join
+    # and no shuffle at all.
+    cen_rows = sorted(
+        (
+            (r[0], r[1])
+            for r in centroids.select(
+                F.col(centroid_id_col),
+                F.col(centroid_vec_col).cast("array<double>"),
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    cids = np.array([t[0] for t in cen_rows], dtype=np.int64)
+    cmat = np.vstack([t[1] for t in cen_rows]).astype(np.float64, copy=False)
+    n_cen, dim = cmat.shape
+    cnrm = np.zeros(n_cen)
+    for k in range(dim):  # fold-left, matches l2_norm_sq exactly
+        cnrm += cmat[:, k] * cmat[:, k]
+
+    def _assign(batches):
+        # map-side multi-probe assignment: emit (cluster, id, vec)
+        # per probe; the vector rides along so scoring needs no join.
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64, copy=False)
+            nrm = np.zeros(n)
+            for k in range(dim):  # fold-left
+                nrm += mat[:, k] * mat[:, k]
+            acc = np.zeros((n, n_cen))
+            for k in range(dim):  # fold-left per (vector, centroid)
+                acc += mat[:, k, None] * cmat[None, :, k]
+            cs = np.round(acc / (np.sqrt(nrm)[:, None] * np.sqrt(cnrm)[None, :]),
+                          round_digits)
+            out_cluster = np.empty(n * probes, dtype=np.int64)
+            out_id = np.empty(n * probes, dtype=np.int64)
+            for i in range(n):
+                top = np.lexsort((cids, -cs[i]))[:probes]  # cs desc, cid asc
+                out_cluster[i * probes : (i + 1) * probes] = cids[top]
+                out_id[i * probes : (i + 1) * probes] = ids[i]
+            yield pd.DataFrame(
+                {
+                    "cluster": out_cluster,
+                    id_col: out_id,
+                    "__vec": [v for v in pdf["__vec"].to_numpy() for _ in range(probes)],
+                }
+            )
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    tagged = vecs.mapInPandas(
+        _assign, f"cluster bigint, {id_col} bigint, __vec array<double>"
+    )
+    # pandas pre-filter margin: any pair whose ROUNDED sim can reach the
+    # threshold survives; the exact post-round filter runs in Spark.
+    margin = threshold - 10.0 ** (-round_digits)
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "ia": np.array([], dtype=np.int64),
+                "ib": np.array([], dtype=np.int64),
+                "cos_raw": np.array([], dtype=np.float64),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.vstack(pdf["__vec"].to_numpy()[order]).astype(np.float64, copy=False)
+        d = mat.shape[1]
+        nrm = np.zeros(n)
+        for k in range(d):  # fold-left, matches l2_norm_sq exactly
+            nrm += mat[:, k] * mat[:, k]
+        ii, jj = np.triu_indices(n, 1)
+        acc = np.zeros(len(ii))
+        A, B = mat[ii], mat[jj]
+        for k in range(d):  # fold-left, matches dot() exactly
+            acc += A[:, k] * B[:, k]
+        cos = acc / (np.sqrt(nrm[ii]) * np.sqrt(nrm[jj]))
+        keep = cos >= margin
+        return pd.DataFrame(
+            {"ia": ids[ii][keep], "ib": ids[jj][keep], "cos_raw": cos[keep]}
+        )
+
+    pairs = tagged.groupBy("cluster").applyInPandas(
+        _score, "ia bigint, ib bigint, cos_raw double"
+    )
+    sim = F.round(F.col("cos_raw"), round_digits)
     return (
         pairs.select("ia", "ib", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -20,6 +20,7 @@ from lakehouse_cdc_spark.llm.dedup import (
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
     bucketed_cosine_pairs,
+    bucketed_cosine_pairs_blocked,
     cosine_pairs,
     cosine_topk,
     dot,
@@ -571,7 +572,7 @@ def emb_neardup_bucketed(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    return bucketed_cosine_pairs(emb, centroids, threshold=0.4, probes=2)
+    return bucketed_cosine_pairs_blocked(emb, centroids, threshold=0.4, probes=2)
 
 
 # ---------------------------------------------------------------------------

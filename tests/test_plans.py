@@ -62,15 +62,18 @@ def test_q18_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
 
 
-def test_bucketed_neardup_joins_on_cluster(spark, sf_dir):
-    """The bucketed ANN pair join must key its shuffle by cluster
-    (that IS the bucketing) and reuse the assignment subplan at
-    runtime instead of scoring centroids twice."""
+def test_bucketed_neardup_single_cluster_shuffle(spark, sf_dir):
+    """The blocked ANN path must plan as: map-side multi-probe
+    assignment (no join, no centroid-scoring shuffle) → ONE exchange
+    keyed by cluster → grouped numpy scoring.  A join or a second
+    hash exchange means the assignment stopped being map-side."""
     df = REGISTRY["emb_neardup_bucketed"].fn(spark, sf_dir)
-    df.collect()  # AQE finalizes reuse at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin [cluster" in plan or "ShuffledHashJoin [cluster" in plan
-    assert "ReusedExchange" in plan
+    assert "FlatMapGroupsInPandas" in plan  # blocked per-cluster scorer
+    assert "hashpartitioning(cluster" in plan  # the ONE bucketed shuffle
+    assert "Join" not in plan
+    # distinct adds its own exchange over (ia, ib, cos_sim); nothing else may
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_salted_join_spreads_hot_key(spark, sf_dir):
