@@ -70,24 +70,47 @@ def jdbc_source(
     (validation.py:221-227) as a parallel JDBC read.  Config-only here
     (no database in the test environment); ``partition_column`` bounds
     split the scan across executors instead of one driver cursor."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("fetchsize", "10000")
-    )
-    if user:
-        reader = reader.option("user", user)
-    if password:
-        reader = reader.option("password", password)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound or 0))
-            .option("upperBound", str(upper_bound or 1_000_000))
-        )
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_source_options(
+        url,
+        table,
+        user=user,
+        password=password,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_source_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> dict[str, str]:
+    """The exact option dict :func:`jdbc_source` applies — exposed
+    separately (like ``kafka_source_options``) so the untested surface
+    is only the database handshake itself, not the option plumbing."""
+    opts = {"url": url, "dbtable": table, "fetchsize": "10000"}
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound or 0),
+            upperBound=str(upper_bound or 1_000_000),
+        )
+    return opts
 
 
 def write_bucketed(

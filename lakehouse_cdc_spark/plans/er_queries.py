@@ -69,6 +69,7 @@ def _dirty_name():
 
 @register(
     "er_blocked_fuzzy_match",
+    bench=True,
     oracle=f"""
     WITH dirty AS (
       SELECT c_custkey AS dirty_key, {_DIRTY_SQL} AS dirty_name,

@@ -233,6 +233,7 @@ def _pagerank_oracle() -> str:
 
 @register(
     "graph_pagerank_purchases",
+    bench=True,
     oracle=_pagerank_oracle(),
     tags=("graph", "iterative", "J1", "A4"),
 )

@@ -185,6 +185,7 @@ def _srp_oracle() -> str:
 
 @register(
     "emb_srp_signatures",
+    bench=True,
     oracle=_srp_oracle(),
     tags=("llm", "embedding", "lsh", "ann"),
 )

@@ -120,6 +120,7 @@ def ts_gap_fill_locf(spark, sf_dir):
 
 @register(
     "ts_anomaly_zscore",
+    bench=True,
     oracle=f"""
     WITH scored AS (
       SELECT event_type, {_V100} AS v,

@@ -34,6 +34,7 @@ from lakehouse_cdc_spark.plans.registry import register, table
 
 @register(
     "text_bpe_pair_merge",
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents

@@ -62,3 +62,35 @@ def test_insert_into_values_sink(spark):
     ]
     assert all(r.commit_time is not None for r in rows)
     drop_table(spark, "offsets_ledger")
+
+
+def test_jdbc_source_options_contract():
+    """S8 hardening: the parallel-scan option dict is pinned so the
+    only untested surface is the DB handshake itself (no database in
+    this environment)."""
+    from lakehouse_cdc_spark.catalog import jdbc_source_options
+
+    opts = jdbc_source_options(
+        "jdbc:postgresql://db:5432/app",
+        "public.users",
+        user="u",
+        password="p",
+        partition_column="id",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=500_000,
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/app",
+        "dbtable": "public.users",
+        "fetchsize": "10000",
+        "user": "u",
+        "password": "p",
+        "partitionColumn": "id",
+        "numPartitions": "16",
+        "lowerBound": "0",
+        "upperBound": "500000",
+    }
+    # unbounded variant: no partition options leak in
+    plain = jdbc_source_options("jdbc:postgresql://db/app", "t")
+    assert "partitionColumn" not in plain and "user" not in plain

@@ -98,3 +98,23 @@ def test_components_cover_all_lsh_pair_members(spark, sf_dir):
     ).collect()[0]
     assert agg["total"] == nodes
     assert all(r["group_size"] >= 2 for r in groups.collect())
+
+
+def test_pagerank_fixed_point_properties(spark, sf_dir):
+    """PageRank sanity: every node retains at least the base rank,
+    rank reflects degree (the best-connected node outranks the
+    median), and the integer arithmetic is partitioning-invariant."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    fn = REGISTRY["graph_pagerank_purchases"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.pr_scaled >= 150_000 for r in rows)
+    assert rows[0].pr_scaled >= rows[-1].pr_scaled
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
