@@ -128,11 +128,15 @@ def seen_dedup(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
     arbitrary per-key structure).
 
     Termination caveat: pending processing-time TTL timers keep even
-    an ``availableNow`` query alive — Spark schedules empty batches
+    an ``availableNow`` query alive — Spark schedules no-data batches
     until every timer has fired, so a finite replay never terminates
-    on its own inside the TTL window.  Drain with
-    ``q.processAllAvailable()`` then ``q.stop()``; in production the
-    query is continuous, so the timers are exactly what's wanted."""
+    on its own inside the TTL window, and ``q.processAllAvailable()``
+    never returns either (it waits for the timer batches too).  For a
+    bounded replay, poll the sink for the expected output and then
+    ``q.stop()``, or set
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` on the
+    session before starting the query.  In production the query is
+    continuous, so the timers are exactly what's wanted."""
     return changes.groupBy(key_col).applyInPandasWithState(
         _seen_dedup_kernel,
         outputStructType=SEEN_DEDUP_SCHEMA,

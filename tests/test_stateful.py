@@ -99,9 +99,22 @@ def test_seen_dedup_emits_each_id_once(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    # TTL timers keep an availableNow query alive with empty batches
-    # until they fire (1 h here) — drain the sources, then stop.
-    q.processAllAvailable()
+    # TTL timers keep an availableNow query alive with no-data batches
+    # until they fire (1 h here), so processAllAvailable() would never
+    # return.  Poll the sink for the expected row count, then stop.
+    import time
+
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        if spark.sql("SELECT count(*) AS c FROM dedup_out").first().c >= 400:
+            break
+        time.sleep(0.5)
+    else:
+        q.stop()
+        raise AssertionError("sink never reached 400 rows in 300s")
+    # data batches are 0 and 1; a handful of empty timer batches may
+    # commit between our poll and the stop, but not thousands.
+    assert (q.lastProgress or {}).get("batchId", 0) < 50
     q.stop()
     assert q.awaitTermination(60), "stream did not stop"
     emitted = spark.sql("SELECT * FROM dedup_out").collect()
