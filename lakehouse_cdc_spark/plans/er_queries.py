@@ -20,15 +20,26 @@ composes across tables:
   counts per table.
 
 Scale notes (100 TB): blocking keys bound the candidate set — the
-fuzzy join shuffles on (block) and compares only within-block pairs
-(~|block|^2 per block, never |table|^2); the block histogram is the
-thing to monitor, same as the shingle-frequency caps in llm/dedup.
-Sorted-neighborhood partitions its window by a name-prefix block, so
-each partition sorts locally (w-1 candidate pairs are lost at each
-block boundary — the standard multi-pass SNM answer is a second pass
-on a shifted key, which is just this query with another prefix).
-GDPR propagation is two broadcast semi-joins and one key-hash
-semi-join (orders->lineitem), each a single pass.
+fuzzy join shuffles on (block) and compares only within-block pairs.
+Block cardinality is SCALE-ADAPTIVE: both queries block on the last
+``k`` digits of the name where ``k = digits(floor((n-1)/64))``
+(clamped to [2, 6]), so block count grows 10x for every 10x of data
+and the EXPECTED BLOCK SIZE IS CONSTANT (~6.4-64 rows per side).
+Per-block work is |block|^2 Levenshteins => total work O(N * const),
+not O(N^2 / const).  A hard guard (``_ER_MAX_BLOCK``) drops any
+pathological block outright — same policy as the shingle-frequency
+caps in llm/dedup — and a free length-band prefilter
+(|len(a)-len(b)| <= 2, implied by edit distance <= 2) prunes pairs
+before any Levenshtein is computed; the Spark side additionally
+bounds each Levenshtein with the threshold argument (O(len*t) with
+early exit, -1 for "above threshold").
+Sorted-neighborhood partitions its window by the same adaptive tail
+block, so each partition sorts ~constant rows locally (w-1 candidate
+pairs are lost at each block boundary — the standard multi-pass SNM
+answer is a second pass on a shifted key, which is just this query
+with another tail length).  GDPR propagation is two broadcast
+semi-joins and one key-hash semi-join (orders->lineitem), each a
+single pass.
 """
 
 from __future__ import annotations
@@ -67,17 +78,46 @@ def _dirty_name():
     )
 
 
+# Scale-adaptive blocking: k trailing name digits, where k grows with
+# the table so expected block size stays ~_ER_BLOCK_TARGET per side.
+# Clamped to [2, 6]: both deterministic corruptions only touch name
+# positions <= 12, so the last 6 characters are always preserved and
+# a true match can never cross blocks.
+_ER_BLOCK_TARGET = 64
+_ER_MAX_BLOCK = 10_000  # hard guard: drop pathological blocks outright
+
+
+def _tail_digits(n_rows: int, target: int = _ER_BLOCK_TARGET) -> int:
+    """k = number of digits of floor((n-1)/target), clamped to [2,6].
+    Each extra digit multiplies block count by 10, so expected block
+    size stays in [target/10, target] as the table grows."""
+    return min(6, max(2, len(str(max(0, n_rows - 1) // target))))
+
+
+# The identical formula in SQL, for the DuckDB oracle (n = the CTE's
+# COUNT(*) expression passed in).
+def _tail_digits_sql(n_expr: str, target: int = _ER_BLOCK_TARGET) -> str:
+    return (
+        f"LEAST(6, GREATEST(2, LENGTH(CAST(({n_expr} - 1) // {target} AS VARCHAR))))"
+    )
+
+
 @register(
     "er_blocked_fuzzy_match",
     bench=True,
     oracle=f"""
-    WITH dirty AS (
+    WITH params AS (
+      SELECT {_tail_digits_sql('COUNT(*)')} AS k FROM customer
+    ),
+    dirty AS (
       SELECT c_custkey AS dirty_key, {_DIRTY_SQL} AS dirty_name,
-             right({_DIRTY_SQL}, 2) AS blk
+             right({_DIRTY_SQL}, (SELECT k FROM params)) AS blk
       FROM customer
     ),
-    clean AS (SELECT c_custkey AS clean_key, c_name, right(c_name, 2) AS blk
+    clean AS (SELECT c_custkey AS clean_key, c_name,
+                     right(c_name, (SELECT k FROM params)) AS blk
               FROM customer),
+    big AS (SELECT blk FROM clean GROUP BY blk HAVING COUNT(*) > {_ER_MAX_BLOCK}),
     scored AS (
       SELECT d.dirty_key, c.clean_key,
              CAST(levenshtein(d.dirty_name, c.c_name) AS INT) AS lev,
@@ -85,6 +125,8 @@ def _dirty_name():
                                 ORDER BY levenshtein(d.dirty_name, c.c_name),
                                          c.clean_key) AS rn
       FROM dirty d JOIN clean c USING (blk)
+      WHERE d.blk NOT IN (SELECT blk FROM big)
+        AND abs(length(d.dirty_name) - length(c.c_name)) <= 2
     )
     SELECT dirty_key, clean_key AS matched_key, lev,
            CAST(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END AS INT) AS is_correct
@@ -96,49 +138,80 @@ def _dirty_name():
 def er_blocked_fuzzy_match(spark, sf_dir):
     """Blocked fuzzy self-linkage: a deterministically corrupted
     replica of customer (<=1 edit per name) is matched back against
-    the clean dimension.  Candidates are generated ONLY within a
-    blocking key (last two name characters, which the corruption
-    preserves) — ~1% of the all-pairs cross product — then scored
-    with Levenshtein and resolved to the single best match per dirty
-    record (min distance, min key tie-break, distance <= 2 accepted).
-    The block join shuffles both sides on the 2-char block; per-block
-    work is |block|^2 Levenshteins, which is what the block-size
-    histogram (profile_table_summary) is there to police at scale."""
+    the clean dimension, scored with Levenshtein, and resolved to the
+    single best match per dirty record (min distance, min key
+    tie-break, distance <= 2 accepted).
+
+    Scale shape: candidates are generated only within a blocking key
+    — the last k name digits, k scale-adaptive (``_tail_digits``) so
+    block count grows with N and expected block size is CONSTANT;
+    total work is O(N*const), not quadratic.  Blocks above
+    ``_ER_MAX_BLOCK`` are dropped by a broadcast anti-join guard
+    (mirrored in the oracle; never binds on well-distributed keys).
+    A length-band prefilter (|len diff| <= 2) runs before any edit
+    distance — it cannot drop a true lev<=2 candidate because edit
+    distance >= length difference — and each surviving pair uses the
+    threshold-bounded levenshtein(a, b, 2) (O(len*2) with early exit,
+    -1 for "above 2", ranked as 999 so the true-distance winner is
+    identical to the oracle's unbounded ordering).
+
+    Driver-side ``count()`` to pick k is one O(1)-result metadata
+    aggregate, same class as the documented centroid-fit probes."""
     c = table(spark, sf_dir, "customer")
+    k = _tail_digits(c.count())
     dirty = c.select(
         F.col("c_custkey").alias("dirty_key"),
         _dirty_name().alias("dirty_name"),
-    ).withColumn("blk", F.expr("right(dirty_name, 2)"))
+    ).withColumn("blk", F.expr(f"right(dirty_name, {k})"))
     clean = c.select(
         F.col("c_custkey").alias("clean_key"),
         "c_name",
-        F.expr("right(c_name, 2)").alias("blk"),
+        F.expr(f"right(c_name, {k})").alias("blk"),
     )
-    lev = F.levenshtein("dirty_name", "c_name")
+    big = (
+        clean.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > _ER_MAX_BLOCK)
+        .select("blk")
+    )
+    scored = (
+        dirty.join(F.broadcast(big), "blk", "left_anti")
+        .join(clean.join(F.broadcast(big), "blk", "left_anti"), "blk")
+        .filter(F.abs(F.length("dirty_name") - F.length("c_name")) <= 2)
+        .select(
+            "dirty_key",
+            "clean_key",
+            F.levenshtein("dirty_name", "c_name", 2).cast("int").alias("lev"),
+        )
+    )
     rn = F.row_number().over(
-        Window.partitionBy("dirty_key").orderBy(lev, F.col("clean_key"))
+        Window.partitionBy("dirty_key").orderBy(
+            F.when(F.col("lev") < 0, 999).otherwise(F.col("lev")),
+            F.col("clean_key"),
+        )
     )
     return (
-        dirty.join(clean, "blk")
+        scored.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & F.col("lev").between(0, 2))
         .select(
             "dirty_key",
             F.col("clean_key").alias("matched_key"),
-            lev.cast("int").alias("lev"),
+            "lev",
             F.when(F.col("dirty_key") == F.col("clean_key"), 1)
             .otherwise(0)
             .cast("int")
             .alias("is_correct"),
-            rn.alias("rn"),
         )
-        .filter((F.col("rn") == 1) & (F.col("lev") <= 2))
-        .drop("rn")
     )
 
 
 @register(
     "er_sorted_neighborhood",
     oracle=f"""
-    WITH recs AS (
+    WITH params AS (
+      SELECT {_tail_digits_sql('2 * COUNT(*)')} AS k FROM customer
+    ),
+    recs AS (
       SELECT c_custkey AS key, c_name AS name, 'clean' AS src FROM customer
       UNION ALL
       SELECT c_custkey, {_DIRTY_SQL}, 'dirty' FROM customer
@@ -150,7 +223,8 @@ def er_blocked_fuzzy_match(spark, sf_dir):
              LEAD(key, 2)  OVER w AS k2, LEAD(name, 2) OVER w AS n2,
              LEAD(src, 2)  OVER w AS s2
       FROM recs
-      WINDOW w AS (PARTITION BY substr(name, 1, 14) ORDER BY name, src, key)
+      WINDOW w AS (PARTITION BY right(name, (SELECT k FROM params))
+                   ORDER BY name, src, key)
     )
     SELECT a_key, a_src, b_key, b_src, lev FROM (
       SELECT key AS a_key, src AS a_src, k1 AS b_key, s1 AS b_src,
@@ -165,15 +239,23 @@ def er_blocked_fuzzy_match(spark, sf_dir):
 )
 def er_sorted_neighborhood(spark, sf_dir):
     """Sorted Neighborhood Method: clean + dirty records are unioned,
-    sorted by name WITHIN a coarse name-prefix block, and each record
-    is compared only to its next 2 neighbors in sort order — candidate
+    sorted by name WITHIN a tail-digit block, and each record is
+    compared only to its next 2 neighbors in sort order — candidate
     generation is O(N*w) with zero joins (one window sort).  Pairs at
     distance 1..2 surface the linkage candidates; identical strings
-    (lev 0) are exact dups handled by dedup_exact.  The prefix block
-    keeps the sort partition-local at scale (the classic SNM boundary
-    loss — w-1 pairs per block edge — is recovered by a second pass on
-    a shifted key, not by a global sort)."""
+    (lev 0) are exact dups handled by dedup_exact.
+
+    The block key is the same scale-adaptive last-k-digits used by
+    ``er_blocked_fuzzy_match`` (k from ``_tail_digits`` over the
+    unioned row count), so block count grows with N and each window
+    partition sorts a ~constant number of rows — no single-task
+    global sort, no straggler partition (the classic SNM boundary
+    loss — w-1 pairs per block edge — is recovered by a second pass
+    on a shifted key, not by a global sort).  Both corruptions
+    preserve the last 6 name characters, so a dirty record always
+    co-blocks with its clean twin."""
     c = table(spark, sf_dir, "customer")
+    k = _tail_digits(2 * c.count())
     recs = c.select(
         F.col("c_custkey").alias("key"),
         F.col("c_name").alias("name"),
@@ -185,7 +267,7 @@ def er_sorted_neighborhood(spark, sf_dir):
             F.lit("dirty").alias("src"),
         )
     )
-    w = Window.partitionBy(F.substring("name", 1, 14)).orderBy("name", "src", "key")
+    w = Window.partitionBy(F.expr(f"right(name, {k})")).orderBy("name", "src", "key")
     nbr = recs.select(
         "key",
         "name",

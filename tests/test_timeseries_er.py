@@ -106,6 +106,39 @@ def test_sorted_neighborhood_pairs_are_adjacent_candidates(spark):
     assert any(r.a_src != r.b_src for r in rows)
 
 
+def test_er_block_cardinality_scales_and_is_bounded(spark):
+    """The ER blocking key must yield MANY SMALL blocks — block count
+    growing with N, no partition holding a large fraction of the
+    table (the round-2 degenerate-partitioning defect)."""
+    from lakehouse_cdc_spark.plans.er_queries import (
+        _ER_BLOCK_TARGET,
+        _dirty_name,
+        _tail_digits,
+    )
+    from lakehouse_cdc_spark.plans.registry import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        c = table(spark, sf, "customer")
+        n = c.count()
+        k = _tail_digits(2 * n)
+        recs = c.select(F.col("c_name").alias("name")).unionAll(
+            c.select(_dirty_name().alias("name"))
+        )
+        sizes = [
+            r.n
+            for r in recs.groupBy(F.expr(f"right(name, {k})"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        # no window partition sorts more than a small constant
+        assert max(sizes) <= 4 * _ER_BLOCK_TARGET
+        # block count is proportional to N, not fixed small
+        assert len(sizes) >= max(10, (2 * n) // (4 * _ER_BLOCK_TARGET))
+    # adaptivity: 10x the rows => another tail digit => 10x the blocks
+    assert _tail_digits(15_000) == _tail_digits(1_500) + 1
+    assert _tail_digits(1_500_000) == _tail_digits(1_500) + 3
+
+
 def test_gdpr_cascade_counts_are_consistent(spark):
     from lakehouse_cdc_spark.plans.registry import table
 
