@@ -24,6 +24,38 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _round_half_up(arr, digits: int):
+    """``F.round`` semantics in numpy: HALF_UP on the shortest decimal
+    repr of the double (java ``BigDecimal.valueOf``), NOT numpy's
+    ties-to-even on the scaled binary value.
+
+    Fast path: away from a .5 boundary the two disagree never — the
+    scaled product's representation error (≤ ~1.2e-10 for |x| ≤ 1 at 6
+    digits) can't cross a boundary that's ≥ 1e-7 away, so plain
+    ``np.round`` is exact there.  Elements within 1e-7 of a boundary
+    (rare: requires the value to sit on a near-half-ulp-of-decimal
+    point, e.g. 1/128 at 6 digits) are re-rounded exactly through
+    ``decimal`` on ``repr(x)``, which is the same shortest round-trip
+    string java produces.  Keeps blocked numpy assignment bit-identical
+    to the ``ivf_assign`` / DuckDB-oracle rounding."""
+    import numpy as np
+
+    scale = 10.0**digits
+    y = arr * scale
+    out = np.round(arr, digits)
+    sus = np.abs((y - np.floor(y)) - 0.5) < 1e-7
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        idx = np.nonzero(sus)
+        out[idx] = [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in arr[idx]
+        ]
+    return out
+
+
 def dot(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
@@ -238,12 +270,20 @@ def bucketed_cosine_pairs_blocked(
         ),
         key=lambda t: t[0],
     )
+    if not cen_rows:
+        raise ValueError(
+            "bucketed_cosine_pairs_blocked: centroid table is empty — "
+            "fit centroids first (ivf_centroids / kmeans_refine)"
+        )
     cids = np.array([t[0] for t in cen_rows], dtype=np.int64)
     cmat = np.vstack([t[1] for t in cen_rows]).astype(np.float64, copy=False)
     n_cen, dim = cmat.shape
     cnrm = np.zeros(n_cen)
     for k in range(dim):  # fold-left, matches l2_norm_sq exactly
         cnrm += cmat[:, k] * cmat[:, k]
+
+    # a query can't probe more cells than exist
+    n_probe = min(probes, n_cen)
 
     def _assign(batches):
         # map-side multi-probe assignment: emit (cluster, id, vec)
@@ -260,19 +300,22 @@ def bucketed_cosine_pairs_blocked(
             acc = np.zeros((n, n_cen))
             for k in range(dim):  # fold-left per (vector, centroid)
                 acc += mat[:, k, None] * cmat[None, :, k]
-            cs = np.round(acc / (np.sqrt(nrm)[:, None] * np.sqrt(cnrm)[None, :]),
-                          round_digits)
-            out_cluster = np.empty(n * probes, dtype=np.int64)
-            out_id = np.empty(n * probes, dtype=np.int64)
+            cs = _round_half_up(
+                acc / (np.sqrt(nrm)[:, None] * np.sqrt(cnrm)[None, :]), round_digits
+            )
+            out_cluster = np.empty(n * n_probe, dtype=np.int64)
+            out_id = np.empty(n * n_probe, dtype=np.int64)
             for i in range(n):
-                top = np.lexsort((cids, -cs[i]))[:probes]  # cs desc, cid asc
-                out_cluster[i * probes : (i + 1) * probes] = cids[top]
-                out_id[i * probes : (i + 1) * probes] = ids[i]
+                top = np.lexsort((cids, -cs[i]))[:n_probe]  # cs desc, cid asc
+                out_cluster[i * n_probe : (i + 1) * n_probe] = cids[top]
+                out_id[i * n_probe : (i + 1) * n_probe] = ids[i]
             yield pd.DataFrame(
                 {
                     "cluster": out_cluster,
                     id_col: out_id,
-                    "__vec": [v for v in pdf["__vec"].to_numpy() for _ in range(probes)],
+                    "__vec": [
+                        v for v in pdf["__vec"].to_numpy() for _ in range(n_probe)
+                    ],
                 }
             )
 

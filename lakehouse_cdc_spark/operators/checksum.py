@@ -63,22 +63,25 @@ def table_checksum_stats(df: DataFrame, cols: list[str] | None = None) -> DataFr
     require an adversarial md5 preimage, not bad luck.  No row ever
     leaves its partition except the five scalar partials.
 
-    ``distinct_sigs`` counts distinct over the SAME 60-bit prefix,
-    not the 32-char hex string: the exact-distinct shuffle then moves
-    8-byte ints instead of ~40-byte strings (20× wall-clock on the
-    sf0.1 bench), and a prefix collision needs ~2^30 distinct rows
-    per partition-pair (N²/2^61) — far below the md5-preimage bar the
-    whole checksum already rests on."""
+    ``distinct_sigs`` counts distinct over TWO 60-bit integer halves
+    of the hash (chars 1-15 and 17-31), not the 32-char hex string:
+    the exact-distinct shuffle then moves 16 bytes of ints instead of
+    ~40-byte strings (the round-2 20× win), and the 120-bit effective
+    width puts the birthday bound at ~2^60 distinct rows — comfortably
+    past any 100 TB table (a single 60-bit half would start colliding
+    near 2^30 ≈ 1e9 rows and silently weaken the pair-cancellation
+    backstop distinct/count provide for XOR)."""
     sig = F.md5(row_signature(df, cols))
-    pre = F.expr("CAST(conv(substr(sig, 1, 15), 16, 10) AS BIGINT)")
+    hi = F.expr("CAST(conv(substr(sig, 1, 15), 16, 10) AS BIGINT)")
+    lo = F.expr("CAST(conv(substr(sig, 17, 15), 16, 10) AS BIGINT)")
     return (
         df.select(sig.alias("sig"))
-        .select("sig", pre.alias("sig60"))
+        .select("sig", hi.alias("sig_hi"), lo.alias("sig_lo"))
         .agg(
             F.count(F.lit(1)).alias("row_cnt"),
-            F.countDistinct("sig60").alias("distinct_sigs"),
+            F.countDistinct("sig_hi", "sig_lo").alias("distinct_sigs"),
             F.min("sig").alias("min_sig"),
             F.max("sig").alias("max_sig"),
-            F.expr("bit_xor(sig60)").alias("xor_sig"),
+            F.expr("bit_xor(sig_hi)").alias("xor_sig"),
         )
     )

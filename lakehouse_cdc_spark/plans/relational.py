@@ -816,7 +816,8 @@ def checksum_ordered_nation(spark, sf_dir):
     bench=True,
     oracle="""
     SELECT COUNT(*) AS row_cnt,
-           COUNT(DISTINCT CAST('0x' || substr(sig, 1, 15) AS BIGINT)) AS distinct_sigs,
+           COUNT(DISTINCT (CAST('0x' || substr(sig, 1, 15) AS BIGINT),
+                           CAST('0x' || substr(sig, 17, 15) AS BIGINT))) AS distinct_sigs,
            MIN(sig) AS min_sig,
            MAX(sig) AS max_sig,
            bit_xor(CAST('0x' || substr(sig, 1, 15) AS BIGINT)) AS xor_sig

@@ -175,7 +175,10 @@ def ts_anomaly_zscore(spark, sf_dir):
             F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
         )
     )
-    dev2 = (F.col("n") - 1) * (F.col("n") * F.col("v") - F.col("s")) ** 2
+    # explicit bigint self-multiply: Column ** 2 compiles to pow() and
+    # silently promotes the whole comparison to DOUBLE
+    d = F.col("n") * F.col("v") - F.col("s")
+    dev2 = (F.col("n") - 1) * d * d
     spread = F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
     warm = F.col("n") >= 20
     return scored.groupBy("event_type").agg(

@@ -256,3 +256,48 @@ def test_frame_sample_plan_fanout(spark, sf_dir):
     per_doc = frames.groupBy("doc_id").count().collect()
     assert len(per_doc) == 10
     assert all(r["count"] >= 1 for r in per_doc)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The blocked-assignment rounding kernel must be bit-identical to
+    F.round (ADVICE r2: np.round ties-to-even flips probe ranking)."""
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.similarity import _round_half_up
+
+    # exact .5-at-6-digits boundaries (1/128 = 0.0078125 -> 7812.5),
+    # their negatives (HALF_UP = away from zero), plus a dense sweep
+    vals = [1.0 / 128, -1.0 / 128, 3.0 / 128, 0.0000005, -0.0000015]
+    rng = np.random.default_rng(7)
+    vals += list(rng.uniform(-1, 1, 500))
+    arr = np.array(vals, dtype=np.float64)
+    ours = _round_half_up(arr, 6)
+    theirs = [
+        r.r
+        for r in spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        ).select(F.round("x", 6).alias("r")).collect()
+    ]
+    assert [repr(a) for a in ours] == [repr(b) for b in theirs]
+
+
+def test_bucketed_neardup_probe_guard(spark):
+    """probes > K must degrade to K probes, and an empty centroid
+    table must fail fast at driver time (ADVICE r2)."""
+    import pytest as _pytest
+
+    from lakehouse_cdc_spark.llm.similarity import bucketed_cosine_pairs_blocked
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid bigint, cemb array<double>"
+    )
+    pairs = bucketed_cosine_pairs_blocked(emb, cen, threshold=0.9, probes=5)
+    got = {(r.ia, r.ib) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    empty = spark.createDataFrame([], "cid bigint, cemb array<double>")
+    with _pytest.raises(ValueError, match="centroid table is empty"):
+        bucketed_cosine_pairs_blocked(emb, empty)
