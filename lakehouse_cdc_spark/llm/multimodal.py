@@ -6,20 +6,29 @@ assets); every transform is an Arrow-batched ``mapInPandas`` over a
 declared output schema, so Spark plans the pipeline like any other
 columnar job (partition-parallel, spill-safe, no driver involvement).
 
-The decode kernels themselves need codec libraries that are NOT in
-this container, so ``decode_image_meta`` ships two modes:
+Decode support is tiered by codec availability:
 
-- ``fake=False`` (production): raises NotImplementedError where the
-  real decoder (e.g. PIL/ffmpeg) would be called — clearly-marked stub.
-- ``fake=True`` (tests): a deterministic stand-in derived from the
-  bytes themselves, so the Spark-side plumbing (schema, batching,
-  partitioning, UDF signature) is fully exercised and asserted.
+- **BMP (uncompressed) decodes FOR REAL, zero external deps**:
+  :func:`decode_bmp_stats` parses the BITMAPFILEHEADER /
+  BITMAPINFOHEADER byte layout with numpy — 24-bit BGR and 8-bit
+  paletted grayscale, 4-byte row padding, bottom-up or top-down rows
+  — and reduces each image to exact integer pixel statistics.
+  :func:`bmp_bytes` builds real BMP files deterministically from an
+  id, so the whole encode→decode path is oracle-checkable: the
+  closed-form pixel function is reproducible in SQL while the decoder
+  itself only ever sees honest bytes.
+- Compressed codecs (JPEG/PNG/ffmpeg) need libraries NOT in this
+  container; ``decode_image_meta(fake=True)`` remains the
+  deterministic stand-in that exercises the identical plumbing
+  (schema, batching, partitioning, UDF signature) for those.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,26 +70,179 @@ def attach_binary(
     )
 
 
+# ---------------------------------------------------------------- BMP codec
+# Deterministic fixture geometry/pixels, closed-form so a SQL oracle
+# can reproduce the decoded statistics without any codec:
+#   gray     = (doc_id % 4 == 0)          -> 8-bit paletted, else 24-bit BGR
+#   width    = 4 + doc_id % 13            (4..16)
+#   height   = 4 + (doc_id * 7) % 11      (4..14)
+#   pixel value at channel c, column x, TOP-DOWN row y:
+#            (doc_id + 3x + 5y + 11c) % 256
+
+
+def _bmp_geometry(doc_id: int) -> tuple[int, int, int]:
+    w = 4 + doc_id % 13
+    h = 4 + (doc_id * 7) % 11
+    channels = 1 if doc_id % 4 == 0 else 3
+    return w, h, channels
+
+
+def bmp_bytes(doc_id: int) -> bytes:
+    """A REAL .bmp file for the deterministic fixture image: proper
+    file + info headers, 4-byte-padded rows stored bottom-up, and for
+    the grayscale variant a 256-entry identity BGRA palette.  Any BMP
+    viewer opens these."""
+    w, h, channels = _bmp_geometry(doc_id)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(channels)[None, None, :]
+    pix = ((doc_id + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)  # (h, w, ch)
+    row_bytes = w * channels
+    stride = (row_bytes + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = pix.reshape(h, row_bytes)
+    data = rows[::-1].tobytes()  # bottom-up row order
+    palette = b""
+    if channels == 1:
+        idx = np.arange(256, dtype=np.uint8)
+        palette = np.stack([idx, idx, idx, np.zeros(256, np.uint8)], 1).tobytes()
+    data_off = 14 + 40 + len(palette)
+    bpp = 8 * channels
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bpp, 0, len(data), 2835, 2835,
+        256 if channels == 1 else 0, 0,
+    )
+    return file_hdr + info_hdr + palette + data
+
+
+def _parse_bmp(b: bytes) -> np.ndarray:
+    """Parse BMP bytes → (h, w, channels) uint8 array in top-down row
+    order.  Supports the uncompressed 24-bit and 8-bit-paletted
+    layouts; raises ValueError with the offending field otherwise."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    dib_size, w, h_raw = struct.unpack_from("<Iii", b, 14)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if dib_size < 40 or compression != 0 or bpp not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP (dib={dib_size}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 8/24-bit"
+        )
+    h = abs(h_raw)
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    rows = np.frombuffer(b, np.uint8, stride * h, data_off).reshape(h, stride)
+    if h_raw > 0:  # bottom-up file → flip to top-down
+        rows = rows[::-1]
+    if bpp == 24:
+        return rows[:, : w * 3].reshape(h, w, 3)
+    palette = np.frombuffer(b, np.uint8, 1024, 54).reshape(256, 4)
+    return palette[rows[:, :w], 0][:, :, None]  # B channel of each entry
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def encode_bmp_fixture(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a real BMP payload per row (Arrow-batched; the encode
+    happens executor-side, exactly where a real ingest would decode
+    object-store bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: [bmp_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, f"{id_col} long, {payload_col} binary"
+    )
+
+
+def decode_bmp_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode, zero external deps: parse each BMP payload's
+    headers/palette/padding with numpy and reduce to exact integer
+    pixel statistics — ``px_sum`` (orientation-invariant) and
+    ``px_wsum`` = Σ (1+x)(1+2y)·value over TOP-DOWN coordinates, which
+    is wrong unless the decoder honors BMP's bottom-up row order and
+    strips the row padding.  All-integer outputs => bit-exact on any
+    engine, so the stage sits on the oracle surface like any
+    relational operator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, chs, sums, wsums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pix = _parse_bmp(bytes(payload)).astype(np.int64)
+                h, w, ch = pix.shape
+                wx = (1 + np.arange(w))[None, :, None]
+                wy = (1 + 2 * np.arange(h))[:, None, None]
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(int(pix.sum()))
+                wsums.append(int((wx * wy * pix).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
 def decode_image_meta(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Arrow-batched "decode" of image payloads → (id, width, height,
-    channels).  Real decoding is stubbed (no codec libs in this
-    container); ``fake=True`` derives deterministic dimensions from the
-    payload bytes so the mapInPandas plumbing is testable end-to-end.
-    """
+    """Arrow-batched decode of image payloads → (id, width, height,
+    channels).  ``fake=False`` parses REAL BMP headers
+    (:func:`_parse_bmp`); ``fake=True`` derives deterministic
+    dimensions from the payload bytes so the mapInPandas plumbing is
+    exercisable on non-image payloads too (the stand-in for codecs
+    this container lacks)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/turbojpeg) "
-                    "not present in this environment; pass fake=True for "
-                    "the deterministic test kernel"
+                recs = []
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                    pix = _parse_bmp(bytes(payload))
+                    recs.append((int(doc_id), pix.shape[1], pix.shape[0], pix.shape[2]))
+                yield pd.DataFrame(
+                    recs, columns=["doc_id", "width", "height", "channels"]
+                ).astype(
+                    {"doc_id": "int64", "width": "int32",
+                     "height": "int32", "channels": "int32"}
                 )
+                continue
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {

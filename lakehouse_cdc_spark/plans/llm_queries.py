@@ -1052,6 +1052,46 @@ def multimodal_decode_fake(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(4 + d.doc_id % 13 AS INT) AS width,
+           CAST(4 + (d.doc_id * 7) % 11 AS INT) AS height,
+           CAST(CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(SUM((d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256) AS BIGINT)
+             AS px_sum,
+           CAST(SUM((1 + x.x) * (1 + 2 * y.y)
+                    * ((d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256)) AS BIGINT)
+             AS px_wsum
+    FROM documents d, range(0, 16) x(x), range(0, 14) y(y), range(0, 3) c(c)
+    WHERE x.x < 4 + d.doc_id % 13
+      AND y.y < 4 + (d.doc_id * 7) % 11
+      AND c.c < CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 3 END
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode on the oracle surface, zero external deps:
+    every document gets an actual BMP file (proper headers, palette,
+    4-byte row padding, bottom-up rows — llm/multimodal.py:bmp_bytes),
+    and decode_bmp_stats parses the bytes back with numpy and reduces
+    them to exact integer pixel statistics.  The fixture pixels are
+    closed-form, so DuckDB reproduces the DECODED output without any
+    codec — but the Spark stage only ever sees honest bytes: get the
+    padding, row order, palette, or header offsets wrong and px_wsum
+    (orientation-weighted) breaks the hash.  Replaces round-2's
+    NotImplementedError production stub."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        decode_bmp_stats,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_bmp_stats(encode_bmp_fixture(docs))
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (

@@ -241,13 +241,50 @@ def test_multimodal_attach_and_fake_decode(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+def test_multimodal_real_decode_roundtrip(spark, sf_dir):
+    """The real BMP decoder parses honest bytes back to the fixture's
+    closed-form geometry; non-image payloads fail with a clear error."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        _bmp_geometry,
+        decode_bmp_stats,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").limit(40)
+    rows = decode_bmp_stats(encode_bmp_fixture(docs)).collect()
+    assert len(rows) == 40
+    for r in rows:
+        w, h, ch = _bmp_geometry(r.doc_id)
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert 0 <= r.px_sum <= 255 * w * h * ch
+    # text payloads are not BMPs: the decoder must say so, not garble
     d = attach_binary(table(spark, sf_dir, "documents").limit(5))
     with pytest.raises(Exception) as exc_info:
         decode_image_meta(d, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    assert "BM" in str(exc_info.value) or "ValueError" in str(exc_info.value)
+
+
+def test_bmp_decoder_handles_topdown_rows():
+    """A negative height BMP stores rows top-down; px_wsum is y-weighted
+    so a decoder that ignores the sign flips the answer."""
+    import struct
+
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.multimodal import _parse_bmp, bmp_bytes
+
+    doc_id = 5  # 24-bit variant
+    b = bytearray(bmp_bytes(doc_id))
+    h_raw = struct.unpack_from("<i", b, 22)[0]
+    assert h_raw > 0
+    # rebuild as top-down: negate height, reverse the row order
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(bytes(b[data_off:]), np.uint8).reshape(h_raw, stride)
+    struct.pack_into("<i", b, 22, -h_raw)
+    b[data_off:] = rows[::-1].tobytes()
+    assert (_parse_bmp(bytes(b)) == _parse_bmp(bmp_bytes(doc_id))).all()
 
 
 def test_frame_sample_plan_fanout(spark, sf_dir):
