@@ -26,10 +26,71 @@ vocabulary-sized and broadcast.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.llm.text import tokens
 from lakehouse_cdc_spark.plans.registry import register, table
+
+# ---------------------------------------------------------- iterative BPE
+# Symbol sequences are encoded as marker-wrapped strings — each symbol
+# becomes "␟sym␞" — so one BPE merge is a LITERAL string replace:
+# replace(s, '␟a␞␟b␞', '␟ab␞').  The wrap makes boundary confusion
+# impossible (a pattern can neither start mid-symbol nor stop inside
+# one, and adjacent matches share no characters), so left-to-right
+# non-overlapping replace() — identical semantics in Spark and DuckDB
+# — IS the textbook greedy BPE merge scan.
+_BPE_ROUNDS = 3
+_BPE_TOPK = 5
+_M1, _M2 = "␟", "␞"  # ␟ symbol-start, ␞ symbol-end
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"words{r - 1}"
+    return f"""
+    syms{r} AS (SELECT string_split(s, '{_M2}') AS parts, cnt FROM {prev}),
+    pairs{r} AS (
+      SELECT substr(parts[i], 2) AS a, substr(parts[i + 1], 2) AS b, cnt
+      FROM syms{r}, unnest(generate_series(1, len(parts) - 2)) AS t(i)
+    ),
+    counted{r} AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM pairs{r} GROUP BY a, b
+    ),
+    top{r} AS (
+      SELECT CAST({r} AS INT) AS round,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS INT) AS rnk,
+             a AS pair_a, b AS pair_b, c AS pair_count
+      FROM counted{r} QUALIFY rnk <= {_BPE_TOPK}
+    ),
+    best{r} AS (SELECT pair_a AS a, pair_b AS b FROM top{r} WHERE rnk = 1),
+    words{r} AS (
+      SELECT replace(s,
+               '{_M1}' || (SELECT a FROM best{r}) || '{_M2}{_M1}'
+                       || (SELECT b FROM best{r}) || '{_M2}',
+               '{_M1}' || (SELECT a FROM best{r})
+                       || (SELECT b FROM best{r}) || '{_M2}') AS s,
+             cnt
+      FROM {prev}
+    )"""
+
+
+def _bpe_train_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM top{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    words0 AS (
+      SELECT regexp_replace(w, '(.)', '{_M1}\\1{_M2}', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE w <> '' GROUP BY 1
+    ),
+    {rounds}
+    {unions}
+    """
 
 
 @register(
@@ -80,6 +141,74 @@ def text_bpe_pair_merge(spark, sf_dir):
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "text_bpe_train_iterative",
+    oracle=_bpe_train_oracle(),
+    tags=("llm", "text", "tokenizer", "iterative", "A4"),
+)
+def text_bpe_train_iterative(spark, sf_dir):
+    """ITERATIVE BPE training: 3 merge rounds with the vocabulary
+    rewritten between rounds (text_bpe_pair_merge is the single-step
+    form).  Per round: count adjacent symbol pairs over the DISTINCT
+    vocabulary weighted by word count (the shuffle is |vocab|-sized,
+    never |corpus| — corpus size enters only through the words0
+    aggregation), pull the argmax pair to the driver (an O(1)-row
+    probe, same class as the documented convergence probes), and
+    rewrite every word with one literal replace() on the
+    marker-wrapped encoding — map-side over the cached vocabulary,
+    no shuffle.  Emits each round's top-5 merge candidates
+    (rank 1 = the applied merge); the oracle unrolls the identical
+    three rounds as CTEs, scalar-subquery argmax included."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.regexp_replace("w", "(.)", f"{_M1}$1{_M2}").alias("s"), "cnt")
+        .persist()
+    )
+    parts = f"split(s, '{_M2}')"
+    pair_expr = (
+        f"transform(sequence(1, size({parts}) - 2), "
+        f"i -> struct(substring(element_at({parts}, i), 2) AS a, "
+        f"substring(element_at({parts}, i + 1), 2) AS b))"
+    )
+    order = [F.desc("pair_count"), F.asc("a"), F.asc("b")]
+    rnk = F.row_number().over(Window.orderBy(*order))
+    cur = words
+    rounds = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        counted = (
+            # ≥ 2 symbols, i.e. ≥ 3 split parts: Spark's sequence(1, 0)
+            # counts DOWN instead of returning empty
+            cur.filter(F.expr(f"size({parts}) >= 3"))
+            .select("cnt", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = counted.orderBy(*order).limit(_BPE_TOPK)
+        rounds.append(
+            top.select(
+                F.lit(rnd).alias("round"),
+                rnk.alias("rnk"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                "pair_count",
+            )
+        )
+        best = top.orderBy(*order).first()  # O(1)-row driver probe
+        if best is None:
+            break
+        pat = f"{_M1}{best['a']}{_M2}{_M1}{best['b']}{_M2}"
+        rep = f"{_M1}{best['a']}{best['b']}{_M2}"
+        cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep)).alias("s"), "cnt")
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
 
 
 @register(

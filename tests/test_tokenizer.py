@@ -50,3 +50,32 @@ def test_mv_incremental_join_equals_full_recompute(spark):
     assert got.count() == full.count()  # no dupes from overlapping arms
     assert got.exceptAll(full).count() == 0
     assert full.exceptAll(got).count() == 0
+
+
+def test_bpe_iterative_rounds_see_merged_vocabulary(spark):
+    """Round r+1 must count pairs over the REWRITTEN vocabulary: the
+    merge applied in round r (rank 1) can never be a candidate pair
+    again, and merged symbols (length > 1) must show up as pair
+    members in later rounds."""
+    rows = REGISTRY["text_bpe_train_iterative"].fn(spark, SF).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    assert set(by_round) == {1, 2, 3}
+    applied = {}
+    for rnd, rs in by_round.items():
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        applied[rnd] = next((r.pair_a, r.pair_b) for r in rs if r.rnk == 1)
+        # counts are positive and ranked consistently
+        ordered = sorted(rs, key=lambda r: (-r.pair_count, r.pair_a, r.pair_b))
+        assert [r.rnk for r in ordered] == list(range(1, len(rs) + 1))
+    # an applied merge is gone from every later round's candidates
+    for rnd in (1, 2):
+        later = {(r.pair_a, r.pair_b) for n in range(rnd + 1, 4) for r in by_round[n]}
+        assert applied[rnd] not in later
+    # rewriting has an observable effect on the candidate ranking
+    sets = [
+        {(r.pair_a, r.pair_b) for r in by_round[n]} for n in (1, 2, 3)
+    ]
+    assert sets[0] != sets[1] and sets[1] != sets[2]
