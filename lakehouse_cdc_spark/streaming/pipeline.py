@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -64,6 +65,15 @@ def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sl
         raise last
 
     return wrapped
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer holds the claim for the snapshot this commit
+    targets.  The losing writer has written NOTHING under the claimed
+    snapshot — re-read ``committed()`` and retry on the new base, or
+    run ``recover_interrupted_commit()`` if the claim is from a
+    crashed writer (claim present, pointer never advanced, no writer
+    live)."""
 
 
 class SnapshotUpsertSink:
@@ -167,6 +177,82 @@ class SnapshotUpsertSink:
             if d.startswith("__bucket=")
         }
 
+    def _claim_path(self, snapshot: int) -> str:
+        return os.path.join(self.target_dir, f"v={snapshot}.claim")
+
+    def _claim(self, new_snap: int, batch_id: int | None) -> None:
+        """CAS-style writer fence: exclusively create ``v=N.claim``
+        BEFORE any snapshot data is written.  Exactly one writer can
+        claim a snapshot number, so two writers that both read base
+        snapshot N-1 can never interleave data files under the same
+        ``v=N`` directory — the loser fails here, having written
+        nothing, and the winner's manifest chain is untouched."""
+        try:
+            fd = os.open(
+                self._claim_path(new_snap), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            try:
+                with open(self._claim_path(new_snap)) as f:
+                    owner = f.read().rsplit(":", 1)[0]
+            except FileNotFoundError:
+                owner = None
+            if owner and owner == (self.lineage or ""):
+                # our own interrupted attempt: a checkpoint lineage has
+                # exactly one live writer (Spark's checkpoint lock), so
+                # retaking the fence after a crash-replay is safe — the
+                # replayed batch deterministically rewrites the same
+                # snapshot.
+                return
+            raise ConcurrentCommitError(
+                f"snapshot {new_snap} of {self.target_dir} is claimed by "
+                "another writer; re-read committed() and retry on the new "
+                "base (or recover_interrupted_commit() if that writer died)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{self.lineage or ''}:{'' if batch_id is None else batch_id}")
+
+    def recover_interrupted_commit(self) -> str | None:
+        """Resolve a claim left by a writer that died mid-commit (ONLY
+        call when no writer is live — the claim cannot distinguish
+        crashed from slow).  Two cases, both idempotent:
+
+        - claim + manifest exist but the pointer never advanced: the
+          data and manifest are complete (the manifest is written after
+          the data), so ROLL FORWARD — publish the pointer from the
+          manifest's own recorded lineage/batch.
+        - claim exists with no manifest: the data write never finished;
+          ROLL BACK — delete the orphan snapshot dir and the claim.
+
+        Returns "rolled_forward", "rolled_back", or None (nothing to
+        recover)."""
+        cur = self.committed_snapshot()
+        cand = (cur if cur is not None else -1) + 1
+        if not os.path.exists(self._claim_path(cand)):
+            return None
+        manifest = self._read_manifest(cand)
+        if manifest is not None and "committed_batch" in manifest:
+            self._publish_pointer(
+                manifest.get("committed_lineage") or None,
+                manifest["committed_batch"],
+                cand,
+            )
+            os.unlink(self._claim_path(cand))
+            return "rolled_forward"
+        shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
+        try:
+            os.unlink(self._manifest_path(cand))
+        except FileNotFoundError:
+            pass
+        os.unlink(self._claim_path(cand))
+        return "rolled_back"
+
+    def _publish_pointer(self, lineage, batch_id, new_snap: int) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{lineage or ''}:{batch_id}:{new_snap}")
+        os.replace(tmp, self._pointer)
+
     def _commit(
         self,
         new_snap: int,
@@ -178,18 +264,34 @@ class SnapshotUpsertSink:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
         first, pointer last, both atomically — a crash between the two
-        leaves the previous commit fully intact."""
-        new_manifest = {"n_buckets": n_buckets, "buckets": buckets}
+        leaves the previous commit fully intact (and is rolled forward
+        by ``recover_interrupted_commit``, since the manifest records
+        the committing lineage/batch).  Callers hold the ``_claim``
+        fence for ``new_snap``, so the pointer can only move forward."""
+        new_manifest = {
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            # the full commit record, so the pointer is reconstructible
+            "committed_lineage": self.lineage or "",
+            "committed_batch": batch_id,
+        }
         if watermark is not None:
             new_manifest["gc_watermark"] = watermark
         mtmp = self._manifest_path(new_snap) + ".tmp"
         with open(mtmp, "w") as f:
             json.dump(new_manifest, f)
         os.replace(mtmp, self._manifest_path(new_snap))
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{self.lineage or ''}:{batch_id}:{new_snap}")
-        os.replace(tmp, self._pointer)
+        cur_snap = self.committed_snapshot()
+        if cur_snap is not None and cur_snap >= new_snap:
+            raise RuntimeError(
+                f"commit fence violated: pointer already at {cur_snap}, "
+                f"refusing to move it back to {new_snap}"
+            )
+        self._publish_pointer(self.lineage, batch_id, new_snap)
+        try:
+            os.unlink(self._claim_path(new_snap))
+        except FileNotFoundError:
+            pass  # pre-claim-era caller
 
     def _read_manifest(self, snapshot: int | None) -> dict | None:
         if snapshot is None:
@@ -368,6 +470,7 @@ class SnapshotUpsertSink:
                 merged = tagged
 
             new_snap = (committed_snap if committed_snap is not None else -1) + 1
+            self._claim(new_snap, batch_id)  # writer fence, before any data
             snap_dir = self._snapshot_path(new_snap)
             # data first (always a fresh directory — never one being read);
             # static overwrite truncates any orphan files a crashed attempt
@@ -467,6 +570,7 @@ class SnapshotUpsertSink:
         if not todo:
             return []
         new_snap = committed_snap + 1
+        self._claim(new_snap, committed_batch)  # writer fence
         snap_dir = self._snapshot_path(new_snap)
         for b in sorted(todo):
             df = spark.read.parquet(self._bucket_path(manifest["buckets"][str(b)], b))
@@ -540,6 +644,7 @@ class SnapshotUpsertSink:
             # a commit would advance the snapshot number for no change
             return 0
         new_snap = committed_snap + 1
+        self._claim(new_snap, committed_batch)  # writer fence
         new_buckets = dict(manifest["buckets"])
         snap_dir = self._snapshot_path(new_snap)
         # the snapshot dir exists even when no bucket is rewritten (a
