@@ -230,3 +230,157 @@ def emb_srp_signatures(spark, sf_dir):
         .cast("bigint")
         .alias("bucket_size"),
     )
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # centroids per subspace
+_PQ_SUB = _DIM // _PQ_M  # dims per subspace
+_PQ_FP = 1000  # fixed-point scale for embedding components
+
+# deterministic codebook component: centroid c of subspace m, dim j
+# (md5-derived, in [-1000, 1000] — an integer "random" codebook, the
+# same engine-reproducibility trick the SRP hyperplanes use)
+_PQ_CEN_DUCK = (
+    "(CAST('0x' || substr(md5(CAST({m} AS VARCHAR) || ':' || CAST({c} AS VARCHAR)"
+    " || ':' || CAST({j} AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)"
+)
+_PQ_CEN_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST({m} AS STRING), ':', CAST({c} AS STRING),"
+    " ':', CAST({j} AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000"
+)
+_PQ_EINT_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+    f"{_PQ_FP} + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, {_PQ_EINT_DUCK} AS e FROM embeddings
+    ),
+    cen AS (
+      SELECT m.m, c.c, j.j, {_PQ_CEN_DUCK.format(m='m.m', c='c.c', j='j.j')} AS v
+      FROM range(0, {_PQ_M}) m(m), range(0, {_PQ_K}) c(c), range(1, {_PQ_SUB + 1}) j(j)
+    ),
+    dists AS (
+      SELECT vecs.vec_id, cen.m, cen.c,
+             SUM((vecs.e[cen.m * {_PQ_SUB} + cen.j] - cen.v)
+                 * (vecs.e[cen.m * {_PQ_SUB} + cen.j] - cen.v)) AS dist
+      FROM vecs, cen
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, c) = 1
+    ),
+    lut AS (SELECT m, c, dist FROM dists WHERE vec_id = 0),
+    adc AS (
+      SELECT codes.vec_id, SUM(lut.dist) AS adc_dist
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      GROUP BY 1
+    ),
+    q AS (SELECT e FROM vecs WHERE vec_id = 0),
+    exact AS (
+      SELECT v.vec_id,
+             SUM((v.e[j.j] - q.e[j.j]) * (v.e[j.j] - q.e[j.j])) AS exact_dist
+      FROM vecs v, q, range(1, {_DIM + 1}) j(j)
+      GROUP BY 1
+    )
+    SELECT a.vec_id, CAST(a.adc_dist AS BIGINT) AS adc_dist,
+           CAST(e.exact_dist AS BIGINT) AS exact_dist
+    FROM adc a JOIN exact e ON a.vec_id = e.vec_id
+    WHERE a.vec_id <> 0
+    ORDER BY adc_dist, a.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "quantization", "pq", "topk"),
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    """Product quantization + asymmetric distance (ADC) top-10 — the
+    memory-bound ANN serving layout: each 64-dim vector compresses to
+    8 one-byte codes (8 subspaces x 16 centroids), a query builds one
+    8x16 lookup table, and candidate distance is 8 table adds instead
+    of 64 multiplies.  Everything is EXACT integer arithmetic: vectors
+    fixed-point-scaled (floor(x*1000+0.5)), the codebook md5-derived
+    in [-1000,1000] (the SRP-hyperplane reproducibility trick), so
+    codes, LUT, ADC distances, and the exact-distance rescore column
+    are all bit-identical in DuckDB — the compression loss itself
+    (adc_dist vs exact_dist) is oracle-checked.
+
+    Plan shape: codebook (128 rows) and LUT (tiny) broadcast; code
+    assignment is map-side fanout x128 then a (vec_id, m)-keyed
+    min-struct aggregate; ADC is an 8-row-per-vector sum.  At 100 TB
+    codes are 8 bytes/vector — the shuffle-width reduction IS the
+    operator's purpose."""
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_FP}"
+            " + 0.5) AS BIGINT))"
+        ).alias("e"),
+    )
+    cen = (
+        spark.range(_PQ_M)
+        .selectExpr("id AS m")
+        .crossJoin(spark.range(_PQ_K).selectExpr("id AS c"))
+        .crossJoin(spark.range(1, _PQ_SUB + 1).selectExpr("id AS j"))
+        .select(
+            "m",
+            "c",
+            "j",
+            F.expr(_PQ_CEN_SPARK.format(m="m", c="c", j="j")).alias("v"),
+        )
+        .groupBy("m", "c")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, v))), s -> s.v)"
+            ).alias("cen")
+        )
+    )
+    sub = F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("m")
+    dists = (
+        vecs.select("vec_id", "e", sub)
+        .join(F.broadcast(cen), "m")
+        .select(
+            "vec_id",
+            "m",
+            "c",
+            F.expr(
+                f"aggregate(zip_with(slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB}), cen, "
+                "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dist"),
+        )
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "c")).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+    lut = dists.filter(F.col("vec_id") == 0).select(
+        "m", F.col("c").alias("code"), F.col("dist").alias("lut_dist")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("lut_dist").alias("adc_dist"))
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = vecs.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("exact_dist"),
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "adc_dist", "exact_dist")
+    )

@@ -33,3 +33,20 @@ def test_int8_topk_selfmatch_and_accuracy(spark, sf_dir):
     # int8 ranking must track the exact cosine closely on every hit
     for r in rows:
         assert abs(r["cos_q"] - r["cos_exact"]) < 0.01, r
+
+
+def test_pq_adc_partition_invariant_and_sane(spark, sf_dir):
+    """PQ codes/ADC are exact integer arithmetic: the top-10 must be
+    identical under any partitioning, and every ADC distance must be
+    a nonnegative sum of 8 LUT cells."""
+    rows = REGISTRY["emb_pq_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.adc_dist >= 0 and r.exact_dist >= 0 for r in rows)
+    assert 0 not in {r.vec_id for r in rows}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = REGISTRY["emb_pq_adc_topk"].fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
