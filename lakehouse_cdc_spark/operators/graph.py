@@ -82,3 +82,109 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+    base: int = 150_000,
+    tol: int = 10_000,
+    max_iter: int = 80,
+) -> tuple[DataFrame, int, int]:
+    """PageRank iterated to CONVERGENCE instead of a fixed round count
+    (the probe-driven sibling of plans/graph_queries.py's unrolled
+    form): stop when the max per-node rank change drops to ``tol``
+    fixed-point units.
+
+    The same exact-integer recurrence (rank scaled by ``scale``,
+    contribution ``(pr * 85) div (100 * outdeg)``), so every round is
+    bit-deterministic — and therefore so is the NUMBER of rounds: the
+    per-round max delta decays geometrically at the damping factor
+    (~0.85^i), making "converged at tol" a pure function of the graph.
+    An exact fixed point exists but sits ~100 rounds out (delta < 1),
+    so the stop is tolerance-based like every production PageRank.
+
+    Per round: one hash join of the cached degree-fused edge list with
+    the rank vector, a map-side-combined SUM, a left join back onto
+    the node list carrying the previous rank so the O(1)-row
+    convergence probe (``max(abs(delta))``) rides the same
+    localCheckpoint-ed result — no second pass.  Lineage is truncated
+    every round (unbounded loop ⇒ the plan must stay O(1) deep).
+
+    Returns ``(ranks, n_iters, final_delta)`` where ranks is
+    ``(node, pr)``.  Raises RuntimeError if ``max_iter`` rounds don't
+    reach ``tol``.
+    """
+    # normalize + materialize the edge list BEFORE anything downstream
+    # is checkpointed: an eager localCheckpoint whose lineage contains
+    # a not-yet-materialized cache over an arbitrary upstream plan can
+    # deadlock the first checkpoint job (observed on local[32] with
+    # AQE); a concrete cached RDD at the base removes the hazard and
+    # the fact-side derivation runs exactly once either way.
+    e2 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e2.count()
+    deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    ew = e2.join(deg, "src").persist()
+    ew.count()
+    nodes = deg.select(F.col("src").alias("node"))
+    # the rank vector is |nodes|-sized — far smaller than the default
+    # shuffle width, and the loop pays the per-partition fixed cost
+    # (checkpoint + probe) every round.  Narrow the shuffle for the
+    # loop only; restore on exit.  At a real 100 TB deployment this is
+    # the usual "size the iteration's parallelism to the VECTOR, not
+    # the edge scan" knob (the edge caches above were built at full
+    # width).  Exact integer arithmetic ⇒ the result is invariant to
+    # this setting (pinned by test).
+    session = edges.sparkSession
+    prev_parts = session.conf.get("spark.sql.shuffle.partitions")
+    try:
+        session.conf.set("spark.sql.shuffle.partitions", "8")
+        pr = nodes.select(
+            "node", F.lit(scale).cast("bigint").alias("pr")
+        ).localCheckpoint(eager=True)
+        for i in range(1, max_iter + 1):
+            contrib = (
+                ew.join(pr, ew.src == pr.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(pr * 85) div (100 * outdeg)").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            stepped = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # the O(1)-row probe joins the TWO CHECKPOINTED vectors
+            # (both flat LogicalRDD leaves).  Folding the previous
+            # vector into the checkpointed plan instead (3 joins under
+            # one eager checkpoint) nondeterministically stalls Spark
+            # 4.1's size-stats estimation on this shape — keep the
+            # delta join outside the checkpoint.
+            delta = (
+                stepped.join(
+                    pr.select("node", F.col("pr").alias("__prev")), "node"
+                )
+                .agg(F.max(F.abs(F.col("pr") - F.col("__prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            pr = stepped
+            if delta <= tol:
+                return pr, i, int(delta)
+        raise RuntimeError(
+            f"pagerank did not reach tol={tol} in {max_iter} rounds"
+        )
+    finally:
+        session.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        ew.unpersist()
+        deg.unpersist()
+        e2.unpersist()

@@ -312,3 +312,52 @@ def graph_pagerank_purchases(spark, sf_dir):
         .orderBy(F.desc("pr_scaled"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "graph_pagerank_converged",
+    # no oracle ON PURPOSE: the round count is data-dependent (probe-
+    # driven loop) — the driver records the weaker rows-only check,
+    # like the other genuinely non-SQL-expressible iterative ops.
+    tags=("graph", "iterative", "convergence", "rows-only"),
+)
+def graph_pagerank_converged(spark, sf_dir):
+    """PageRank run to CONVERGENCE over the purchase graph: same
+    exact-integer recurrence as graph_pagerank_purchases, but the
+    loop stops when the max per-node change falls to 1% of the rank
+    scale, detected by an O(1)-row probe riding each round's
+    localCheckpoint (operators/graph.py:pagerank_converged).  Because
+    the arithmetic is bit-deterministic, the round count itself is a
+    function of the graph — emitted as n_iters alongside the top-20
+    so any two engines/runs must agree on it."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    from lakehouse_cdc_spark.operators.graph import pagerank_converged
+
+    ranks, n_iters, delta = pagerank_converged(
+        edges, scale=_PR_SCALE, base=_PR_BASE, tol=_PR_SCALE // 100
+    )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("pr").alias("pr_scaled"),
+            F.lit(n_iters).cast("int").alias("n_iters"),
+            F.lit(delta).cast("bigint").alias("final_delta"),
+        )
+        .orderBy(F.desc("pr_scaled"), F.asc("node"))
+        .limit(20)
+    )

@@ -118,3 +118,23 @@ def test_pagerank_fixed_point_properties(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_pagerank_converged_probe_and_invariance(spark, sf_dir):
+    """The probe-driven loop must actually converge (delta <= tol),
+    agree with itself under different partitioning (exact integer
+    arithmetic), and one further round must not move any rank by more
+    than the tolerance decays."""
+    rows = REGISTRY["graph_pagerank_converged"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_iters = rows[0].n_iters
+    assert all(r.n_iters == n_iters for r in rows)
+    assert n_iters > 3  # strictly beyond the unrolled query's budget
+    assert all(r.final_delta <= 1_000_000 // 100 for r in rows)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = REGISTRY["graph_pagerank_converged"].fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
