@@ -1,0 +1,106 @@
+"""Modern-SQL declared queries (round 3): LATERAL joins and recursive
+CTEs, which Spark supports natively as of 4.x — the same SQL text (up
+to view naming and integer-division spelling) runs on BOTH engines,
+so these are the tightest possible oracle rows in the registry.
+
+- ``join_lateral_topn`` — per-customer top-3 orders via a correlated
+  LATERAL subquery (the "top-N per group without a window over the
+  whole fact table" idiom).  Catalyst rewrites the lateral into a
+  ranked window / limited join under the hood; at 100 TB the shuffle
+  is one hash partition by the correlation key, identical to the
+  window form, with predicate pushdown into the inner scan.
+- ``recursive_referral_rollup`` — a WITH RECURSIVE hierarchy walk
+  over a derived referral forest (parent(k) = floor(k/7), roots
+  k < 7): every customer is labeled with its root and depth.  Depth
+  is O(log N) so the recursion executes O(log N) joins — each one a
+  key-hash join of the frontier against the dimension, the same
+  frontier-expansion shape the iterative DataFrame loops
+  (operators/graph.py) use for unbounded iteration.  Spark's
+  recursive-CTE executor materializes the frontier per step, so this
+  is the SQL-native spelling of the same plan.
+
+The reference has no recursion or lateral support at all; DuckDB
+recursion was previously oracle-only machinery (the
+connected-components closure) — with Spark 4 the engine itself speaks
+it, and parity is checked hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from lakehouse_cdc_spark.plans.registry import register, table
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) o
+    WHERE c.c_custkey <= 300
+    """,
+    tags=("sql", "lateral", "J1", "topk-per-group"),
+)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL top-3 orders per customer — the same SQL
+    text DuckDB runs (view names aside).  The correlation predicate
+    pushes into the inner orders scan; the ORDER BY ... LIMIT inside
+    the lateral becomes a per-key ranked limit, not a global sort."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) o
+        WHERE c.c_custkey <= 300
+        """
+    )
+
+
+# parent(k) = floor(k/7); spelled with floor(k/7.0) because Spark uses
+# `div` and DuckDB `//` for integer division, while floor-over-double
+# is exact here (k ≤ ~1.5e6 ≪ 2^53) and parses identically on both.
+_REFERRAL_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
+      FROM {customer} WHERE c_custkey < 7
+      UNION ALL
+      SELECT c.c_custkey, chain.root, chain.depth + 1
+      FROM {customer} c
+      JOIN chain ON CAST(floor(c.c_custkey / 7.0) AS BIGINT) = chain.k
+      WHERE c.c_custkey >= 7
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM chain
+    GROUP BY depth
+"""
+
+
+@register(
+    "recursive_referral_rollup",
+    oracle=_REFERRAL_SQL.format(customer="customer"),
+    tags=("sql", "recursive", "hierarchy", "A4"),
+)
+def recursive_referral_rollup(spark, sf_dir):
+    """WITH RECURSIVE over the derived referral forest: roots are
+    custkeys < 7, each node's parent is floor(k/7), so the recursion
+    runs exactly ceil(log7(N)) frontier-expansion joins and labels
+    every customer with (root, depth).  Output is the per-depth
+    rollup (count / key-sum / distinct roots / key range) — every
+    level of the recursion contributes, so a missed or duplicated
+    frontier breaks the hash.  Identical SQL text on DuckDB."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rec")
+    return spark.sql(_REFERRAL_SQL.format(customer="customer_rec"))
