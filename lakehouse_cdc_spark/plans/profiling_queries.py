@@ -209,3 +209,84 @@ def layout_zorder_clustering(spark, sf_dir):
             F.max("dd").alias("max_dd"),
         )
     )
+
+
+_ZM_FILE_ROWS = 4096  # synthetic file = l_orderkey div 4096
+_ZM_LO = "DATE '1995-06-01'"
+_ZM_HI = "DATE '1995-08-31'"
+
+
+@register(
+    "maintenance_zone_map_skipping",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey // {_ZM_FILE_ROWS} AS file_id,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem
+    ),
+    zones AS (
+      SELECT file_id, MIN(d) AS zmin, MAX(d) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+             CAST(COUNT(*) FILTER (WHERE d BETWEEN {_ZM_LO} AND {_ZM_HI})
+                  AS BIGINT) AS rows_matching
+      FROM li GROUP BY file_id
+    ),
+    flagged AS (
+      SELECT *, (zmax >= {_ZM_LO} AND zmin <= {_ZM_HI}) AS scanned FROM zones
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(COUNT(*) FILTER (WHERE scanned) AS BIGINT) AS files_scanned,
+           CAST(COUNT(*) FILTER (WHERE NOT scanned) AS BIGINT) AS files_skipped,
+           CAST(SUM(rows_in_file) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN scanned THEN rows_in_file ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(rows_matching) AS BIGINT) AS rows_matching,
+           CAST(SUM(CASE WHEN NOT scanned THEN rows_matching ELSE 0 END) AS BIGINT)
+             AS rows_missed
+    FROM flagged
+    """,
+    tags=("maintenance", "zonemap", "data-skipping", "M1-scale"),
+)
+def maintenance_zone_map_skipping(spark, sf_dir):
+    """Zone-map (min/max statistics) data skipping, made explicit: rows
+    are assigned to synthetic files (orderkey div 4096 — the insert
+    order a CDC sink would produce), each file keeps a (min, max)
+    l_shipdate zone, and a 3-month predicate consults ONLY the zones to
+    decide which files to open.  Emits the skipping economics — files
+    skipped, rows NOT read, and the correctness invariant rows_missed
+    (matches inside skipped files) which MUST be 0, oracle-enforced:
+    zone pruning is lossless by construction.  The zone build is one
+    map-side-combined aggregate into |files| rows; at 100 TB this is
+    the maintenance scan that writes parquet footer/Iceberg manifest
+    stats, and the ratio rows_scanned/rows_matching is exactly the
+    read-amplification a z-order rewrite (layout_zorder_clustering)
+    exists to shrink."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {_ZM_FILE_ROWS}").alias("file_id"),
+        F.to_date("l_shipdate").alias("d"),
+    )
+    lo, hi = F.lit("1995-06-01").cast("date"), F.lit("1995-08-31").cast("date")
+    zones = li.groupBy("file_id").agg(
+        F.min("d").alias("zmin"),
+        F.max("d").alias("zmax"),
+        F.count(F.lit(1)).alias("rows_in_file"),
+        F.count(F.when((F.col("d") >= lo) & (F.col("d") <= hi), 1)).alias(
+            "rows_matching"
+        ),
+    )
+    flagged = zones.withColumn(
+        "scanned", (F.col("zmax") >= lo) & (F.col("zmin") <= hi)
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.count(F.when(F.col("scanned"), 1)).alias("files_scanned"),
+        F.count(F.when(~F.col("scanned"), 1)).alias("files_skipped"),
+        F.sum("rows_in_file").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("scanned"), F.col("rows_in_file")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("rows_matching").cast("bigint").alias("rows_matching"),
+        F.sum(F.when(~F.col("scanned"), F.col("rows_matching")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_missed"),
+    )

@@ -413,3 +413,80 @@ def q21_kept_waiting(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT flag, qty, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM q GROUP BY flag, qty
+    ),
+    mode AS (
+      SELECT flag, qty AS mode_qty, cnt AS mode_cnt FROM (
+        SELECT flag, qty, cnt,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY cnt DESC, qty ASC) AS rn
+        FROM counts) WHERE rn = 1
+    ),
+    med AS (
+      SELECT flag, qty AS median_qty FROM (
+        SELECT flag, qty,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY qty) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM q) WHERE rn = (n + 1) // 2
+    ),
+    ns AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows FROM q GROUP BY flag)
+    SELECT ns.flag, ns.n_rows, mode.mode_qty, mode.mode_cnt, med.median_qty
+    FROM ns JOIN mode ON ns.flag = mode.flag JOIN med ON ns.flag = med.flag
+    ORDER BY ns.flag
+    """,
+    tags=("agg", "mode", "median", "A4-scale"),
+)
+def agg_mode_median(spark, sf_dir):
+    """Ordered-set aggregates the ANSI way: per-group MODE (most
+    frequent quantity, deterministic min-value tie-break) and discrete
+    MEDIAN (the element at rank (n+1) div 2 — percentile_disc(0.5)
+    semantics, no interpolation arithmetic to disagree on).  Mode rides
+    the (flag, qty) count table — map-side combined, |groups x
+    distinct-values| rows, then a per-flag argmax window over a tiny
+    frame.  Median's rank selection partitions by flag, so the sort is
+    per-group and spreads across the cluster; at 100 TB you would swap
+    it for sketch_histogram_quantiles (same registry, mergeable) — this
+    query is the EXACT semantics those sketches are graded against.
+    Quantities are integral by generator contract; floor(q+0.5) makes
+    the BIGINT cast explicit and engine-identical."""
+    q = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("qty"),
+    )
+    counts = q.groupBy("flag", "qty").agg(F.count(F.lit(1)).alias("cnt"))
+    w_mode = Window.partitionBy("flag").orderBy(F.desc("cnt"), F.asc("qty"))
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_cnt"))
+    )
+    w_med = Window.partitionBy("flag").orderBy("qty")
+    w_n = Window.partitionBy("flag")
+    med = (
+        q.select(
+            "flag",
+            "qty",
+            F.row_number().over(w_med).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("flag", F.col("qty").alias("median_qty"))
+    )
+    ns = q.groupBy("flag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        ns.join(mode, "flag").join(med, "flag")
+        .select("flag", "n_rows", "mode_qty", "mode_cnt", "median_qty")
+        .orderBy("flag")
+    )

@@ -229,3 +229,261 @@ def sketch_bloom_join_prune(spark, sf_dir):
         F.count(F.when(F.col("maybe") & ~F.col("is_member"), 1)).alias("n_false_pos"),
         F.count(F.when(F.col("is_member") & ~F.col("maybe"), 1)).alias("n_false_neg"),
     )
+
+
+# ------------------------------------------------------------------ KMV
+# Bottom-k (KMV) distinct sketch per document source, used pairwise to
+# estimate cross-source Jaccard overlap.  Beyer et al. 2007 ("On
+# synopses for distinct-value estimation"); the pairwise-similarity use
+# is the standard KMV set-operation extension.
+
+_KMV_K = 64
+
+_KMV_H_SPARK = (
+    "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+)
+_KMV_H_DUCK = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
+
+
+@register(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT source, {_KMV_H_DUCK} AS h FROM documents
+    ),
+    bk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hs) WHERE rn <= {_KMV_K}
+    ),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY source),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+      FROM ns a JOIN ns b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT x.source AS s1, y.source AS s2, CAST(COUNT(*) AS BIGINT) AS i
+      FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT p.s1, p.s2, bk.h, 1 AS side
+      FROM pairs p JOIN bk ON bk.source = p.s1
+      UNION ALL
+      SELECT p.s1, p.s2, bk.h, 2 AS side
+      FROM pairs p JOIN bk ON bk.source = p.s2
+    ),
+    g AS (
+      SELECT s1, s2, h,
+             CASE WHEN COUNT(*) = 2 THEN 1 ELSE 0 END AS in_both
+      FROM u GROUP BY s1, s2, h
+    ),
+    merged AS (
+      SELECT s1, s2, in_both,
+             ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+      FROM g
+    ),
+    est AS (
+      SELECT s1, s2, CAST(SUM(in_both) AS BIGINT) AS kmv_matches
+      FROM merged WHERE rn <= {_KMV_K} GROUP BY s1, s2
+    )
+    SELECT p.s1, p.s2, p.n1, p.n2,
+           COALESCE(i.i, 0) AS inter_exact,
+           p.n1 + p.n2 - COALESCE(i.i, 0) AS union_exact,
+           round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (p.n1 + p.n2 - COALESCE(i.i, 0)), 6) AS jac_exact,
+           e.kmv_matches,
+           round(CAST(e.kmv_matches AS DOUBLE) / {_KMV_K}, 6) AS jac_kmv
+    FROM pairs p
+    JOIN est e ON p.s1 = e.s1 AND p.s2 = e.s2
+    LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2
+    ORDER BY p.s1, p.s2
+    """,
+    tags=("sketch", "kmv", "dedup", "similarity", "mergeable"),
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    """KMV (bottom-k) sketch Jaccard between document sources: each
+    source keeps its k=64 smallest md5 hashes of distinct texts; for a
+    pair, merge the two sketches, keep the k smallest of the union, and
+    count how many live in both — matches/k estimates J(A,B).  The
+    sketch build is a rank<=k window that Spark rewrites to
+    WindowGroupLimit (each map task forwards at most k rows per source
+    BEFORE the shuffle), so sketching 100 TB moves k rows per source
+    per task, never the corpus; the pair stage touches k x |sources|
+    rows.  The exact inter/union/jac columns are the EVALUATION side
+    (same role as true_cnt in the Count-Min row) — at scale you would
+    keep only the sketch columns.  All hashes are 60-bit md5 prefixes:
+    both engines derive identical sketches, so the estimate itself is
+    oracle-checked bit-for-bit."""
+    from pyspark.sql import Window
+
+    hs = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.expr(_KMV_H_SPARK).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    bk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    ns = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ns.alias("a"), ns.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+    )
+    x, y = hs.alias("x"), hs.alias("y")
+    inter = (
+        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("s1"), F.col("y.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    p_slim = pairs.select("s1", "s2")
+    u = (
+        p_slim.join(bk, bk.source == F.col("s1"))
+        .select("s1", "s2", "h", F.lit(1).alias("side"))
+        .unionAll(
+            p_slim.join(bk, bk.source == F.col("s2")).select(
+                "s1", "s2", "h", F.lit(2).alias("side")
+            )
+        )
+    )
+    g = u.groupBy("s1", "s2", "h").agg(
+        F.when(F.count(F.lit(1)) == 2, 1).otherwise(0).alias("in_both")
+    )
+    wm = Window.partitionBy("s1", "s2").orderBy("h")
+    est = (
+        g.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("s1", "s2")
+        .agg(F.sum("in_both").cast("bigint").alias("kmv_matches"))
+    )
+    return (
+        pairs.join(est, ["s1", "s2"])
+        .join(inter, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            "n1",
+            "n2",
+            F.coalesce(F.col("i"), F.lit(0)).cast("bigint").alias("inter_exact"),
+            (F.col("n1") + F.col("n2") - F.coalesce(F.col("i"), F.lit(0)))
+            .cast("bigint")
+            .alias("union_exact"),
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("n1") + F.col("n2") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("jac_exact"),
+            "kmv_matches",
+            F.round(F.col("kmv_matches").cast("double") / _KMV_K, 6).alias("jac_kmv"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+# ------------------------------------------------- histogram quantiles
+
+_HQ_W = 100_000  # bucket width in price cents ($1000)
+_HQ_QS = [(50, 100), (90, 100), (99, 100)]
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT c // {_HQ_W} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS cum_cnt FROM hist
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    qs AS (
+      SELECT * FROM (VALUES {', '.join(f'({num}, {den})' for num, den in _HQ_QS)})
+        t(num, den)
+    ),
+    targets AS (
+      SELECT qs.num AS q_pct, (qs.num * n.n + qs.den - 1) // qs.den AS rank
+      FROM qs, n
+    ),
+    est AS (
+      SELECT t.q_pct, t.rank, MIN(c.b) AS est_b
+      FROM targets t JOIN cum c ON c.cum_cnt >= t.rank
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v
+    )
+    SELECT e.q_pct, e.rank AS target_rank,
+           e.est_b * {_HQ_W} AS est_lo_cents,
+           r.c AS exact_cents,
+           r.c - e.est_b * {_HQ_W} AS err_cents
+    FROM est e JOIN ranked r ON r.rn = e.rank
+    ORDER BY e.q_pct
+    """,
+    tags=("sketch", "histogram", "quantile", "mergeable", "A3-scale"),
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-width histogram quantiles (p50/p90/p99 of
+    l_extendedprice in cents, $1000 buckets): the sketch is ONE
+    map-side-combined aggregation into ~100 bucket counters — constant
+    state at any corpus size, and two histograms merge by adding
+    counters, so the build parallelizes without coordination (the same
+    mergeability contract as Count-Min/HLL).  The quantile readout
+    walks the cumulative counts to the first bucket covering rank
+    ceil(q*N); its lower bound is the estimate, and the guaranteed
+    bound err in [0, width) is emitted against the EXACT rank-selected
+    percentile (the evaluation column — a global sort you would never
+    run at 100 TB; the histogram is the scale path).  All arithmetic is
+    integer (prices fixed-pointed to cents, ranks via ceiling
+    division), so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    hist = (
+        v.select((F.col("c") / _HQ_W).cast("bigint").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum_cnt", F.sum("cnt").over(Window.orderBy("b"))
+    )
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.createDataFrame(_HQ_QS, "num long, den long")
+    targets = qs.crossJoin(F.broadcast(n)).select(
+        F.col("num").alias("q_pct"),
+        F.expr("(num * n + den - 1) div den").alias("target_rank"),
+    )
+    est = (
+        targets.join(
+            F.broadcast(cum), F.col("cum_cnt") >= F.col("target_rank")
+        )
+        .groupBy("q_pct", "target_rank")
+        .agg(F.min("b").alias("est_b"))
+    )
+    ranked = v.withColumn("rn", F.row_number().over(Window.orderBy("c")))
+    return (
+        est.join(ranked, F.col("rn") == F.col("target_rank"))
+        .select(
+            "q_pct",
+            "target_rank",
+            (F.col("est_b") * _HQ_W).alias("est_lo_cents"),
+            F.col("c").alias("exact_cents"),
+            (F.col("c") - F.col("est_b") * _HQ_W).alias("err_cents"),
+        )
+        .orderBy("q_pct")
+    )

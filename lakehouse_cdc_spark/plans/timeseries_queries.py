@@ -242,3 +242,76 @@ def ts_ewma_recursive(spark, sf_dir):
         .select("user_id", "ts", "event_id", "value")
     )
     return e.groupBy("user_id").applyInPandas(_ewma_group, _EWMA_SCHEMA)
+
+
+@register(
+    "ts_downsample_ohlc",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+               AS day,
+             {_V100} AS v, ts, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM base
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_open = 1 THEN v END) AS open_c,
+           MAX(v) AS high_c,
+           MIN(v) AS low_c,
+           MAX(CASE WHEN rn_close = 1 THEN v END) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "downsample", "ohlc", "W1-scale"),
+)
+def ts_downsample_ohlc(spark, sf_dir):
+    """OHLC down-sampling (the canonical lossy time-series compaction:
+    candlestick open/high/low/close + volume per (series, day)).  Open
+    and close are row_number=1 picks under a TOTAL order (ts, event_id
+    — ties broken), so the result is partition-invariant; values ride
+    the x100 fixed-point BIGINT, so all five outputs are exact integer
+    selections both engines agree on.  ONE shuffle on (event_type,
+    day); the two row_number windows and the aggregate share that
+    partitioning, so Spark runs them in a single exchange's scope — at
+    100 TB the output is |series| x |days| rows, a ~10^5x reduction
+    that makes downstream dashboard scans interactive."""
+    base = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.expr(_V100).alias("v"),
+        "ts",
+        "event_id",
+    )
+    w_open = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_close = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.select(
+        "event_type",
+        "day",
+        "v",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("v"))).alias("open_c"),
+            F.max("v").alias("high_c"),
+            F.min("v").alias("low_c"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("v"))).alias("close_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )

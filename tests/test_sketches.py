@@ -88,3 +88,83 @@ def test_bloom_bitmap_is_mergeable(spark):
     whole = bitmap(member)
     halves = bitmap(member.repartition(7))  # any partitioning
     assert whole == halves
+
+
+def test_kmv_sketch_is_partial_limited_and_bounded(spark):
+    """The bottom-k build must compile to WindowGroupLimit (each map
+    task forwards <= k rows per source pre-shuffle) and the estimate
+    must be a valid Jaccard in [0, 1] with matches <= k."""
+    from lakehouse_cdc_spark.plans.sketch_queries import _KMV_K
+
+    q = REGISTRY["sketch_kmv_jaccard"]
+    df = q.fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    assert rows, "expected at least one source pair"
+    for r in rows:
+        assert 0 <= r.kmv_matches <= _KMV_K
+        assert 0.0 <= r.jac_kmv <= 1.0
+        assert 0.0 <= r.jac_exact <= 1.0
+
+
+def test_histogram_quantile_error_is_bounded_by_bucket_width(spark):
+    from lakehouse_cdc_spark.plans.sketch_queries import _HQ_W
+
+    rows = REGISTRY["sketch_histogram_quantiles"].fn(spark, SF).collect()
+    assert {r.q_pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        # the rank-th value must land inside the estimated bucket
+        assert 0 <= r.err_cents < _HQ_W
+        assert r.est_lo_cents <= r.exact_cents
+
+
+def test_zone_map_skipping_is_lossless(spark):
+    r = REGISTRY["maintenance_zone_map_skipping"].fn(spark, SF).collect()[0]
+    assert r.rows_missed == 0  # zone pruning must never drop a match
+    assert r.files_scanned + r.files_skipped == r.files_total
+    assert r.rows_scanned >= r.rows_matching
+
+
+def test_ohlc_is_partition_invariant(spark):
+    """open/close picks ride a total order, so any input partitioning
+    must produce the identical candle set."""
+    q = REGISTRY["ts_downsample_ohlc"]
+    base = {tuple(r) for r in q.fn(spark, SF).collect()}
+    # force a different physical layout through the same plan
+    from lakehouse_cdc_spark.plans.timeseries_queries import _V100
+    from pyspark.sql import Window
+
+    ev = table(spark, SF, "events").repartition(13).sortWithinPartitions("value")
+    w_open = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_close = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    alt = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.expr(_V100).alias("v"),
+            "ts",
+            "event_id",
+        )
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.row_number().over(w_open).alias("rn_open"),
+            F.row_number().over(w_close).alias("rn_close"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("v"))).alias("open_c"),
+            F.max("v").alias("high_c"),
+            F.min("v").alias("low_c"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("v"))).alias("close_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+    assert base == {tuple(r) for r in alt.collect()}
