@@ -1,0 +1,140 @@
+"""Span-level (substring) near-duplicate detection via winnowing.
+
+Document-level dedup (exact md5, MinHash, SimHash — llm/dedup.py)
+misses PARTIAL overlap: a document that embeds a long span of another
+survives every whole-doc signature.  Winnowing (Schleimer, Wilkerson &
+Aiken, SIGMOD 2003 — the MOSS algorithm) fixes that with a guarantee:
+hash every k-token gram, slide a w-gram window, keep each window's
+MINIMUM hash; any shared substring of length >= w + k - 1 tokens is
+then guaranteed to contribute at least one IDENTICAL selected
+fingerprint to both documents, while only ~2/(w+1) of gram hashes are
+kept.
+
+Reference parity: the reference has no substring-dedup operator; this
+extends its dedup family (SURVEY §2 LLM additions) with the span-level
+member every large-scale training-data pipeline needs.
+
+Scale notes (100 TB): gram hashing and the winnowing window are
+map-side per document (ONE shuffle on doc_id only if documents are
+split across rows — here they are single rows, so selection is
+entirely within a partition and the plan's first exchange is already
+the fingerprint join).  The fingerprint join is bounded two ways:
+winnowing itself drops ~60% of grams (w=4), and a document-frequency
+cap on fingerprints (mirrored in the oracle) excises degenerate
+boilerplate spans, the same guard dedup_ngram_jaccard uses — so the
+pair stage is |postings|-shaped, never |docs|^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register, table
+
+_WIN_K = 4  # tokens per gram
+_WIN_W = 4  # grams per winnowing window
+_WIN_MAX_DF = 64  # fingerprint document-frequency cap
+_WIN_SHARED = 5  # min shared fingerprints to emit a pair
+
+_WIN_H_DUCK = (
+    "CAST('0x' || substr(md5(array_to_string(t[p : p + {hi}], ' ')), 1, 15) "
+    "AS BIGINT)"
+).format(hi=_WIN_K - 1)
+_WIN_H_SPARK = (
+    "CAST(conv(substring(md5(concat_ws(' ', slice(t, p, {k}))), 1, 15), 16, 10) "
+    "AS BIGINT)"
+).format(k=_WIN_K)
+
+
+@register(
+    "dedup_winnowing_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, len(t) - {_WIN_K - 1} AS np,
+             unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS p
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p, np, {_WIN_H_DUCK} AS h FROM pos
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp,
+             p, np
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winnowed WHERE p <= np - {_WIN_W - 1}
+    ),
+    capped AS (
+      SELECT doc_id, fp FROM fps
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WIN_MAX_DF}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WIN_SHARED}
+    ORDER BY d1, d2
+    """,
+    tags=("llm", "dedup", "winnowing", "span", "fingerprint"),
+)
+def dedup_winnowing_spans(spark, sf_dir):
+    """Winnowing span dedup: k=4-token gram hashes, w=4 window minima
+    as fingerprints (guarantee: any shared run of >= w+k-1 = 7 tokens
+    yields a common fingerprint), document-frequency-capped postings
+    join, pairs sharing >= 5 fingerprints.  Hashes are 60-bit md5
+    prefixes and the window min is an integer selection, so the
+    fingerprint sets — and therefore the emitted pair list — are
+    bit-identical in DuckDB.  Tokenize/hash/winnow are all map-side
+    (documents are single rows; the window partitions by doc_id, which
+    arrives pre-grouped); the ONLY data-sized shuffle is the
+    fingerprint-keyed join, bounded by the ~2/(w+1) winnowing
+    selection rate times the df-cap — the |postings| shape that keeps
+    span dedup linear at 100 TB."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pos = toks.select(
+        "doc_id",
+        "t",
+        (F.size("t") - (_WIN_K - 1)).alias("np"),
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1))).alias("p"),
+    )
+    grams = pos.select("doc_id", "p", "np", F.expr(_WIN_H_SPARK).alias("h"))
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WIN_W - 1)
+    )
+    winnowed = grams.select(
+        "doc_id", "p", "np", F.min("h").over(w_min).alias("fp")
+    )
+    fps = (
+        winnowed.filter(F.col("p") <= F.col("np") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped = (
+        fps.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("doc_id", "fp")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WIN_SHARED)
+        .orderBy("d1", "d2")
+    )

@@ -338,3 +338,80 @@ def test_bucketed_neardup_probe_guard(spark):
     empty = spark.createDataFrame([], "cid bigint, cemb array<double>")
     with _pytest.raises(ValueError, match="centroid table is empty"):
         bucketed_cosine_pairs_blocked(emb, empty)
+
+
+def test_winnowing_guarantee_shared_span_yields_common_fingerprint(spark):
+    """Schleimer et al.'s guarantee: documents sharing a token run of
+    length >= w + k - 1 must select at least one identical fingerprint
+    (checked on planted data, independent of the testdata fixture)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.span_queries import (
+        _WIN_H_SPARK,
+        _WIN_K,
+        _WIN_W,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # w + k - 1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three four five {shared} six seven eight nine ten"),
+            (2, f"red orange yellow green blue {shared} indigo violet pink gray teal"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    pos = toks.select(
+        "doc_id",
+        (F.size("t") - (_WIN_K - 1)).alias("np"),
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1))).alias("p"),
+        "t",
+    )
+    grams = pos.select("doc_id", "p", "np", F.expr(_WIN_H_SPARK).alias("h"))
+    w_min = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WIN_W - 1)
+    fps = (
+        grams.select("doc_id", "p", "np", F.min("h").over(w_min).alias("fp"))
+        .filter(F.col("p") <= F.col("np") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    by_doc = {r.doc_id: set() for r in fps.collect()}
+    for r in fps.collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 7-token span must share a fingerprint"
+
+
+def test_pq_rerank_is_exact_over_the_coarse_list(spark):
+    """The re-ranked top-10 must be exactly the 10 smallest exact
+    distances WITHIN the 50-candidate ADC short list."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.quant_queries import (
+        _PQ_COARSE,
+        _pq_adc_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["emb_pq_rerank"].fn(spark, sf).collect()
+    assert len(out) == 10
+    assert all(1 <= r.coarse_rank <= _PQ_COARSE for r in out)
+    assert [r.exact_dist for r in out] == sorted(r.exact_dist for r in out)
+
+    adc, exact = _pq_adc_exact(spark, sf)
+    coarse_ids = {
+        r.vec_id
+        for r in adc.filter(F.col("vec_id") != 0)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(_PQ_COARSE)
+        .collect()
+    }
+    truth = sorted(
+        (
+            (r.exact_dist, r.vec_id)
+            for r in exact.collect()
+            if r.vec_id in coarse_ids
+        ),
+    )[:10]
+    assert [(r.exact_dist, r.vec_id) for r in out] == truth
