@@ -361,3 +361,118 @@ def graph_pagerank_converged(spark, sf_dir):
         .orderBy(F.desc("pr_scaled"), F.asc("node"))
         .limit(20)
     )
+
+
+_TRI_MIN_CO = 2  # co-purchase support threshold for an edge
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co_cnt
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1, p2 FROM co WHERE co_cnt >= {_TRI_MIN_CO}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT p1 AS node FROM edges UNION ALL SELECT p2 FROM edges)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS u,
+             CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS v
+      FROM edges e
+      JOIN deg d1 ON d1.node = e.p1
+      JOIN deg d2 ON d2.node = e.p2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.v
+      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node AS part_key, n_tri FROM per_node
+    ORDER BY n_tri DESC, part_key LIMIT 20
+    """,
+    tags=("graph", "triangles", "market-basket"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-purchase graph (edge = two
+    parts ordered together in >= 2 orders), using DEGREE-ORDERED edge
+    orientation: every edge points from its (degree, id)-smaller to
+    its larger endpoint, so each triangle is found exactly once AND
+    the wedge join fans out from low-degree vertices — the standard
+    trick that bounds the join to O(m^1.5) work and defuses hub skew
+    (a celebrity node's edges all point INTO it, so it never expands
+    wedges).  Emits the top-20 triangle-participating parts.  All
+    counts are integers over md5-free exact keys — bit-identical in
+    the oracle's triple self-join.  Scale shape: the co-purchase
+    build is one |basket|-bounded self-join keyed on order, the wedge
+    join shuffles on node keys, and the support threshold (>= 2
+    co-orders) keeps the edge set sparse at any corpus size."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+    )
+    edges = co.filter(F.col("co_cnt") >= _TRI_MIN_CO).select("p1", "p2")
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+    ).persist()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+        )
+    )
+    per_node = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        per_node.select(F.col("node").alias("part_key"), "n_tri")
+        .orderBy(F.desc("n_tri"), F.asc("part_key"))
+        .limit(20)
+    )

@@ -259,3 +259,94 @@ def validation_suite(spark, sf_dir):
         ts_col="o_orderdate",
         sample_pred=F.col("o_orderkey") % 50 == 0,
     )
+
+
+_DRIFT_W = 2_000_000  # $20k buckets in price cents
+
+
+@register(
+    "validation_distribution_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {_DRIFT_W}
+               AS bucket,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr
+      FROM orders
+      WHERE CAST(strftime(o_orderdate, '%Y') AS BIGINT) IN (1995, 1996)
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE yr = 1995) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) FILTER (WHERE yr = 1996) AS BIGINT) AS cnt_b
+      FROM base GROUP BY bucket
+    ),
+    ns AS (
+      SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM cells
+    ),
+    scored AS (
+      SELECT c.bucket, c.cnt_a, c.cnt_b,
+             abs(c.cnt_a * ns.nb - c.cnt_b * ns.na) AS tv_num,
+             2 * ns.na * ns.nb AS tv_den
+      FROM cells c, ns
+    )
+    SELECT bucket, cnt_a, cnt_b, tv_num,
+           round(CAST(tv_num AS DOUBLE) / tv_den, 8) AS tv_share,
+           CAST(SUM(tv_num) OVER () AS BIGINT) AS tv_num_total,
+           round(CAST(SUM(tv_num) OVER () AS DOUBLE)
+                 / MAX(tv_den) OVER (), 8) AS tv_distance
+    FROM scored
+    ORDER BY bucket
+    """,
+    tags=("validation", "drift", "data-quality"),
+)
+def validation_distribution_drift(spark, sf_dir):
+    """Distribution-drift monitor between two periods (1995 vs 1996
+    order-value histograms): per-bucket counts plus the total
+    variation distance TV = 1/2 * sum |p_i - q_i|, computed as EXACT
+    integer rationals — the per-bucket numerator |cnt_a*nb - cnt_b*na|
+    over denominator 2*na*nb — so the drift score is bit-identical
+    across engines (no float accumulation order to disagree on; the
+    rounded double is derived from the exact integers at the end).
+    This is the data-quality gate a training pipeline runs between
+    ingest snapshots before accepting a refresh.  One map-side-combined
+    aggregation into ~60 (bucket x period) cells: constant state,
+    mergeable, the same scan shape at any corpus size."""
+    base = table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div {_DRIFT_W}"
+        ).alias("bucket"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).filter(F.col("yr").isin(1995, 1996))
+    cells = base.groupBy("bucket").agg(
+        F.count(F.when(F.col("yr") == 1995, 1)).alias("cnt_a"),
+        F.count(F.when(F.col("yr") == 1996, 1)).alias("cnt_b"),
+    )
+    ns = cells.agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
+    )
+    scored = cells.crossJoin(F.broadcast(ns)).select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.abs(F.col("cnt_a") * F.col("nb") - F.col("cnt_b") * F.col("na")).alias(
+            "tv_num"
+        ),
+        (F.lit(2) * F.col("na") * F.col("nb")).alias("tv_den"),
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    return scored.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        "tv_num",
+        F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 8).alias(
+            "tv_share"
+        ),
+        F.sum("tv_num").over(w_all).cast("bigint").alias("tv_num_total"),
+        F.round(
+            F.sum("tv_num").over(w_all).cast("double") / F.max("tv_den").over(w_all),
+            8,
+        ).alias("tv_distance"),
+    ).orderBy("bucket")

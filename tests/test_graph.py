@@ -138,3 +138,78 @@ def test_pagerank_converged_probe_and_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_triangle_count_orientation_matches_naive(spark):
+    """Degree-ordered orientation must find exactly the triangles the
+    naive id-ordered (x<y<z) triple join finds."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.graph_queries import _TRI_MIN_CO
+    from lakehouse_cdc_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    items = (
+        table(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _TRI_MIN_CO)
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    naive = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .count()
+    )
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        )
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    by_degree = (
+        o1.join(o2, F.col("o2.u") == F.col("o1.v"))
+        .join(
+            o3,
+            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
+        )
+        .count()
+    )
+    assert by_degree == naive  # same triangles, each found once
+
+
+def test_distribution_drift_tv_is_a_metric(spark):
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    rows = REGISTRY["validation_distribution_drift"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    tv = rows[0].tv_distance
+    assert all(r.tv_distance == tv for r in rows)  # constant across rows
+    assert 0.0 <= tv <= 1.0
+    assert abs(sum(r.tv_share for r in rows) - tv) < 1e-6
