@@ -276,3 +276,136 @@ def frame_sample_plan(
     return with_frames.select(
         id_col, F.posexplode(idx).alias("pos", "frame_index")
     ).drop("pos")
+
+
+# ---------------------------------------------------------------- WAV codec
+# Second REAL modality, same design as BMP: RIFF/WAVE PCM16 files built
+# deterministically from an id with closed-form samples, so a SQL
+# oracle reproduces the DECODED statistics while the decoder only ever
+# sees honest bytes.  Fixture geometry:
+#   n_samples   = 64 + doc_id % 129          (64..192 frames)
+#   sample_rate = 8000 + (doc_id % 3) * 4000 (8/12/16 kHz)
+#   channels    = 1 + doc_id % 2             (mono / stereo)
+#   sample(i,c) = ((doc_id * 31 + i * 17 + c * 101) % 4096) - 2048
+
+
+def _wav_geometry(doc_id: int) -> tuple[int, int, int]:
+    n = 64 + doc_id % 129
+    sr = 8000 + (doc_id % 3) * 4000
+    ch = 1 + doc_id % 2
+    return n, sr, ch
+
+
+def wav_bytes(doc_id: int) -> bytes:
+    """A REAL .wav file for the deterministic fixture clip: RIFF
+    header, canonical 16-byte PCM fmt chunk, interleaved little-endian
+    int16 frames.  Any audio player opens these."""
+    n, sr, ch = _wav_geometry(doc_id)
+    i = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    s = ((doc_id * 31 + i * 17 + c * 101) % 4096) - 2048  # (n, ch)
+    data = s.astype("<i2").tobytes()  # interleaved frames
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16
+    )
+    data_ck = struct.pack("<4sI", b"data", len(data)) + data
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_ck), b"WAVE")
+    return riff + fmt + data_ck
+
+
+def _parse_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """Parse WAV bytes → (sample_rate, (n_frames, channels) int16
+    array) by walking RIFF chunks (fmt may precede or follow other
+    chunks; odd-sized chunks carry a pad byte).  PCM16 only; raises
+    ValueError with the offending field otherwise."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}); PCM16 only"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks are padded
+    if sr is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    frames = np.frombuffer(data, "<i2")
+    return sr, frames.reshape(-1, ch)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("amp_sum_abs", T.LongType()),
+        T.StructField("amp_sumsq", T.LongType()),
+        T.StructField("amp_max", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav_fixture(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a real WAV payload per row (Arrow-batched, executor-side
+    — the audio twin of encode_bmp_fixture)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: [wav_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, f"{id_col} long, {payload_col} binary"
+    )
+
+
+def decode_wav_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode, zero external deps: walk the RIFF chunk list,
+    de-interleave PCM16 frames with numpy, and reduce each clip to
+    exact integer amplitude statistics (Σ|s|, Σs², max s).  Get the
+    chunk walk, endianness, or interleaving wrong and the sums break
+    the oracle hash.  All-integer outputs => bit-exact on any engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "id", "nf", "ch", "sr", "sabs", "ssq", "smax")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, s = _parse_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                out["id"].append(int(doc_id))
+                out["nf"].append(s.shape[0])
+                out["ch"].append(s.shape[1])
+                out["sr"].append(sr)
+                out["sabs"].append(int(np.abs(s64).sum()))
+                out["ssq"].append(int((s64 * s64).sum()))
+                out["smax"].append(int(s64.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "n_frames": out["nf"],
+                    "channels": out["ch"],
+                    "sample_rate": out["sr"],
+                    "amp_sum_abs": out["sabs"],
+                    "amp_sumsq": out["ssq"],
+                    "amp_max": out["smax"],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)

@@ -368,6 +368,7 @@ _TRI_MIN_CO = 2  # co-purchase support threshold for an edge
 
 @register(
     "graph_triangle_count",
+    bench=True,
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -1092,6 +1092,49 @@ def multimodal_decode_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(64 + d.doc_id % 129 AS INT) AS n_frames,
+           CAST(1 + d.doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(SUM(abs((d.doc_id * 31 + i.i * 17 + c.c * 101) % 4096 - 2048))
+                AS BIGINT) AS amp_sum_abs,
+           CAST(SUM(((d.doc_id * 31 + i.i * 17 + c.c * 101) % 4096 - 2048)
+                    * ((d.doc_id * 31 + i.i * 17 + c.c * 101) % 4096 - 2048))
+                AS BIGINT) AS amp_sumsq,
+           CAST(MAX((d.doc_id * 31 + i.i * 17 + c.c * 101) % 4096 - 2048)
+                AS INT) AS amp_max
+    FROM documents d, range(0, 193) i(i), range(0, 2) c(c)
+    WHERE i.i < 64 + d.doc_id % 129
+      AND c.c < 1 + d.doc_id % 2
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode on the oracle surface, zero external deps —
+    the WAV twin of multimodal_decode_real: every document gets an
+    actual RIFF/WAVE PCM16 file (canonical fmt chunk, interleaved
+    little-endian frames — llm/multimodal.py:wav_bytes) and
+    decode_wav_stats walks the chunk list back with numpy, reducing
+    each clip to exact integer amplitude statistics.  The fixture
+    samples are closed-form, so DuckDB reproduces the DECODED output
+    with no audio library — while the Spark stage only sees honest
+    bytes: a wrong chunk offset, endianness, or channel interleave
+    breaks amp_sumsq.  Same 100 TB shape as the image path: encode and
+    decode are both Arrow-batched mapInPandas, partition-parallel, no
+    driver involvement."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        decode_wav_stats,
+        encode_wav_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_stats(encode_wav_fixture(docs))
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (

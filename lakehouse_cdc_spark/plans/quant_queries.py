@@ -406,6 +406,7 @@ _PQ_COARSE = 50  # ADC candidate-list size for the re-rank stage
 
 @register(
     "emb_pq_rerank",
+    bench=True,
     oracle=_PQ_CTES
     + f"""
     , coarse AS (

@@ -455,10 +455,10 @@ def agg_mode_median(spark, sf_dir):
     semantics, no interpolation arithmetic to disagree on).  Mode rides
     the (flag, qty) count table — map-side combined, |groups x
     distinct-values| rows, then a per-flag argmax window over a tiny
-    frame.  Median's rank selection partitions by flag, so the sort is
-    per-group and spreads across the cluster; at 100 TB you would swap
-    it for sketch_histogram_quantiles (same registry, mergeable) — this
-    query is the EXACT semantics those sketches are graded against.
+    frame.  Median reads the SAME count table via cumulative counts
+    (first qty whose cum covers rank (n+1) div 2), so neither
+    aggregate ever sorts raw rows — the whole query is one map-side
+    pass plus windows over ~50-row frames, exact at any corpus size.
     Quantities are integral by generator contract; floor(q+0.5) makes
     the BIGINT cast explicit and engine-identical."""
     q = table(spark, sf_dir, "lineitem").select(
@@ -472,17 +472,22 @@ def agg_mode_median(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("flag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_cnt"))
     )
-    w_med = Window.partitionBy("flag").orderBy("qty")
+    # median from the counts table, not the rows: cum counts over the
+    # ~50 distinct quantities replace a per-group row sort — the same
+    # histogram-readout trick sketch_histogram_quantiles uses, so the
+    # exact median costs |groups x distinct-values| at any corpus size
+    w_cum = Window.partitionBy("flag").orderBy("qty")
     w_n = Window.partitionBy("flag")
     med = (
-        q.select(
+        counts.select(
             "flag",
             "qty",
-            F.row_number().over(w_med).alias("rn"),
-            F.count(F.lit(1)).over(w_n).alias("n"),
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_n).alias("n"),
         )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("flag", F.col("qty").alias("median_qty"))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("flag")
+        .agg(F.min("qty").alias("median_qty"))
     )
     ns = q.groupBy("flag").agg(F.count(F.lit(1)).alias("n_rows"))
     return (

@@ -49,6 +49,7 @@ _WIN_H_SPARK = (
 
 @register(
     "dedup_winnowing_spans",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -246,6 +246,7 @@ def ts_ewma_recursive(spark, sf_dir):
 
 @register(
     "ts_downsample_ohlc",
+    bench=True,
     oracle=f"""
     WITH base AS (
       SELECT event_type, strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')

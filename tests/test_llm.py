@@ -415,3 +415,44 @@ def test_pq_rerank_is_exact_over_the_coarse_list(spark):
         ),
     )[:10]
     assert [(r.exact_dist, r.vec_id) for r in out] == truth
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """wav_bytes must produce a file the stdlib wave module agrees
+    with, and _parse_wav must survive a leading non-fmt chunk and odd
+    chunk padding."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.multimodal import (
+        _parse_wav,
+        _wav_geometry,
+        wav_bytes,
+    )
+
+    for doc_id in (0, 1, 7, 128, 255):
+        b = wav_bytes(doc_id)
+        n, sr, ch = _wav_geometry(doc_id)
+        with wave_mod.open(io.BytesIO(b)) as w:
+            assert w.getframerate() == sr
+            assert w.getnchannels() == ch
+            assert w.getnframes() == n
+            assert w.getsampwidth() == 2
+        got_sr, s = _parse_wav(b)
+        assert got_sr == sr and s.shape == (n, ch)
+        i = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        expect = ((doc_id * 31 + i * 17 + c * 101) % 4096) - 2048
+        assert (s == expect).all()
+
+    # chunk walk: inject an odd-sized LIST chunk before fmt
+    b = wav_bytes(5)
+    odd = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+    patched = b[:12] + odd + b[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr0, s0 = _parse_wav(b)
+    sr1, s1 = _parse_wav(patched)
+    assert sr0 == sr1 and (s0 == s1).all()
