@@ -412,3 +412,83 @@ def text_rare_token_ratio(spark, sf_dir):
         F.sum("is_rare").cast("bigint").alias("rare_tokens"),
         (F.sum("is_rare").cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
     )
+
+
+_TEMP_SCALE = 1_000_000  # fixed-point scale for sqrt(n) partials
+
+
+@register(
+    "mix_temperature_weights",
+    oracle=f"""
+    WITH ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs, n_chars,
+             CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * {_TEMP_SCALE})
+                  AS BIGINT) AS s
+      FROM ns
+    ),
+    tot AS (SELECT SUM(s) AS st, SUM(n_chars) AS nt FROM scaled)
+    SELECT sc.source, sc.n_docs, sc.n_chars,
+           round(CAST(sc.n_chars AS DOUBLE) / tot.nt, 8) AS p_natural,
+           round(CAST(sc.s AS DOUBLE) / tot.st, 8) AS p_temperature,
+           round((CAST(sc.s AS DOUBLE) / tot.st)
+                 / (CAST(sc.n_chars AS DOUBLE) / tot.nt), 6) AS upsample_factor
+    FROM scaled sc, tot
+    ORDER BY sc.source
+    """,
+    tags=("llm", "curation", "mixing", "temperature"),
+)
+def mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled source mixing (the alpha=0.5 sampling scheme
+    multilingual/multi-source training runs use: q_i proportional to
+    p_i^alpha flattens the source distribution so small sources are
+    not drowned): per source, natural share p_i = chars_i/total vs
+    temperature share q_i = sqrt(chars_i)/sum_j sqrt(chars_j), plus
+    the upsample factor q_i/p_i a sampler would apply.  Determinism:
+    sqrt is IEEE-correctly-rounded in both engines, and each sqrt is
+    floor-scaled to an INTEGER before the cross-source sum — so the
+    normalizing constant is an exact bigint sum (order-independent),
+    never a float accumulation.  One map-side-combined aggregate into
+    |sources| rows; the weights table is what the downstream
+    mix_sources_budget-style hash sampler consumes."""
+    ns = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    scaled = ns.withColumn(
+        "s",
+        F.floor(F.sqrt(F.col("n_chars").cast("double")) * _TEMP_SCALE).cast(
+            "bigint"
+        ),
+    )
+    tot = scaled.agg(
+        F.sum("s").alias("st"), F.sum("n_chars").alias("nt")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_chars").cast("double") / F.col("nt"), 8).alias(
+                "p_natural"
+            ),
+            F.round(F.col("s").cast("double") / F.col("st"), 8).alias(
+                "p_temperature"
+            ),
+            F.round(
+                (F.col("s").cast("double") / F.col("st"))
+                / (F.col("n_chars").cast("double") / F.col("nt")),
+                6,
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

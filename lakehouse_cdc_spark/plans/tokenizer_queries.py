@@ -64,7 +64,7 @@ def _bpe_round_sql(r: int) -> str:
     ),
     best{r} AS (SELECT pair_a AS a, pair_b AS b FROM top{r} WHERE rnk = 1),
     words{r} AS (
-      SELECT replace(s,
+      SELECT w, replace(s,
                '{_M1}' || (SELECT a FROM best{r}) || '{_M2}{_M1}'
                        || (SELECT b FROM best{r}) || '{_M2}',
                '{_M1}' || (SELECT a FROM best{r})
@@ -84,9 +84,9 @@ def _bpe_train_oracle() -> str:
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
     ),
     words0 AS (
-      SELECT regexp_replace(w, '(.)', '{_M1}\\1{_M2}', 'g') AS s,
+      SELECT w, regexp_replace(w, '(.)', '{_M1}\\1{_M2}', 'g') AS s,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM tok WHERE w <> '' GROUP BY 1
+      FROM tok WHERE w <> '' GROUP BY w
     ),
     {rounds}
     {unions}
@@ -149,6 +149,13 @@ def text_bpe_pair_merge(spark, sf_dir):
     tags=("llm", "text", "tokenizer", "iterative", "A4"),
 )
 def text_bpe_train_iterative(spark, sf_dir):
+    """Per-round top-5 merge candidates of the 3-round BPE fit (see
+    _bpe_fit for the full walkthrough and scale shape)."""
+    out, _ = _bpe_fit(spark, sf_dir)
+    return out
+
+
+def _bpe_fit(spark, sf_dir):
     """ITERATIVE BPE training: 3 merge rounds with the vocabulary
     rewritten between rounds (text_bpe_pair_merge is the single-step
     form).  Per round: count adjacent symbol pairs over the DISTINCT
@@ -167,7 +174,9 @@ def text_bpe_train_iterative(spark, sf_dir):
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.regexp_replace("w", "(.)", f"{_M1}$1{_M2}").alias("s"), "cnt")
+        .select(
+            "w", F.regexp_replace("w", "(.)", f"{_M1}$1{_M2}").alias("s"), "cnt"
+        )
         .persist()
     )
     parts = f"split(s, '{_M2}')"
@@ -204,11 +213,13 @@ def text_bpe_train_iterative(spark, sf_dir):
             break
         pat = f"{_M1}{best['a']}{_M2}{_M1}{best['b']}{_M2}"
         rep = f"{_M1}{best['a']}{best['b']}{_M2}"
-        cur = cur.select(F.replace("s", F.lit(pat), F.lit(rep)).alias("s"), "cnt")
+        cur = cur.select(
+            "w", F.replace("s", F.lit(pat), F.lit(rep)).alias("s"), "cnt"
+        )
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)
-    return out
+    return out, cur
 
 
 @register(
@@ -280,4 +291,82 @@ def text_cooccurrence_topk(spark, sf_dir):
         .select("w1", "w2", "pair_cnt", "w1_cnt", "w2_cnt")
         .orderBy(F.desc("pair_cnt"), F.asc("w1"), F.asc("w2"))
         .limit(30)
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    words0 AS (
+      SELECT w, regexp_replace(w, '(.)', '{_M1}\\1{_M2}', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    {rounds},
+    enc AS (
+      SELECT w,
+             CAST(len(string_split(s, '{_M2}')) - 1 AS BIGINT) AS enc_len
+      FROM words{_BPE_ROUNDS}
+    ),
+    docw AS (
+      SELECT d.source, d.doc_id,
+             unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+      FROM documents d
+    )
+    SELECT dw.source,
+           CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dw.w)) AS BIGINT) AS chars_total,
+           CAST(SUM(e.enc_len) AS BIGINT) AS symbols_total,
+           round(CAST(SUM(e.enc_len) AS DOUBLE)
+                 / SUM(length(dw.w)), 6) AS compression
+    FROM docw dw JOIN enc e ON dw.w = e.w
+    WHERE dw.w <> ''
+    GROUP BY dw.source
+    ORDER BY dw.source
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("llm", "text", "tokenizer", "encode", "A4"),
+)
+def text_bpe_encode(spark, sf_dir):
+    """The APPLY half of BPE: encode the whole corpus with the 3
+    trained merges and report per-source token economics (chars in,
+    symbols out, compression ratio).  The fitted vocabulary maps each
+    DISTINCT word to its merged symbol count, so encoding the corpus
+    is a broadcast join of that |vocab|-sized table against the
+    exploded token stream — documents are never re-scanned per merge,
+    and per-doc work is O(tokens).  This is exactly how production
+    tokenizers amortize: fit on the vocabulary, apply by lookup.  The
+    oracle replays the identical 3-round fit as CTEs and joins the
+    same mapping, so the compression numbers match bit-for-bit (ratio
+    derived from exact integer sums at the end)."""
+    _, vocab = _bpe_fit(spark, sf_dir)
+    enc = vocab.select(
+        "w",
+        (F.size(F.split("s", _M2)) - 1).cast("bigint").alias("enc_len"),
+    )
+    d = table(spark, sf_dir, "documents")
+    docw = d.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        docw.join(F.broadcast(enc), "w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("chars_total"),
+            F.sum("enc_len").cast("bigint").alias("symbols_total"),
+            F.round(
+                F.sum("enc_len").cast("double") / F.sum(F.length("w")), 6
+            ).alias("compression"),
+        )
+        .orderBy("source")
     )
