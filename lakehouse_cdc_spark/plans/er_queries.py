@@ -102,10 +102,9 @@ def _tail_digits_sql(n_expr: str, target: int = _ER_BLOCK_TARGET) -> str:
     )
 
 
-@register(
-    "er_blocked_fuzzy_match",
-    bench=True,
-    oracle=f"""
+#: shared match CTE chain — er_blocked_fuzzy_match emits `matches`
+#: directly; er_golden_record consumes it for survivorship
+_ER_MATCH_CTES = f"""
     WITH params AS (
       SELECT {_tail_digits_sql('COUNT(*)')} AS k FROM customer
     ),
@@ -128,10 +127,23 @@ def _tail_digits_sql(n_expr: str, target: int = _ER_BLOCK_TARGET) -> str:
       WHERE d.blk NOT IN (SELECT blk FROM big)
         AND abs(length(d.dirty_name) - length(c.c_name)) <= 2
     )
-    SELECT dirty_key, clean_key AS matched_key, lev,
-           CAST(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END AS INT) AS is_correct
-    FROM scored
-    WHERE rn = 1 AND lev <= 2
+    ,
+    matches AS (
+      SELECT dirty_key, clean_key AS matched_key, lev,
+             CAST(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END AS INT)
+               AS is_correct
+      FROM scored
+      WHERE rn = 1 AND lev <= 2
+    )
+"""
+
+
+@register(
+    "er_blocked_fuzzy_match",
+    bench=True,
+    oracle=_ER_MATCH_CTES
+    + """
+    SELECT dirty_key, matched_key, lev, is_correct FROM matches
     """,
     tags=("er", "fuzzy", "levenshtein", "J3"),
 )
@@ -157,6 +169,12 @@ def er_blocked_fuzzy_match(spark, sf_dir):
 
     Driver-side ``count()`` to pick k is one O(1)-result metadata
     aggregate, same class as the documented centroid-fit probes."""
+    return _fuzzy_matches(spark, sf_dir)
+
+
+def _fuzzy_matches(spark, sf_dir):
+    """The shared match stage (see er_blocked_fuzzy_match): one row per
+    accepted (dirty_key, matched_key, lev, is_correct) link."""
     c = table(spark, sf_dir, "customer")
     k = _tail_digits(c.count())
     dirty = c.select(
@@ -369,4 +387,100 @@ def gdpr_delete_propagation(spark, sf_dir):
         .unionAll(counts("orders", o, "o_custkey", req))
         .unionAll(counts("lineitem", li, "l_orderkey", purged_orders))
         .unionAll(counts("events", e, "user_id", req))
+    )
+
+
+@register(
+    "er_golden_record",
+    oracle=_ER_MATCH_CTES
+    + """
+    ,
+    members AS (
+      -- surviving clean record of every matched entity
+      SELECT m.matched_key AS entity, c.c_name AS name,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM (SELECT DISTINCT matched_key FROM matches) m
+      JOIN customer c ON c.c_custkey = m.matched_key
+      UNION ALL
+      -- its dirty replicas: corrupted name, dollar-truncated balance
+      SELECT m.matched_key AS entity, d.dirty_name AS name,
+             CAST(floor(c.c_acctbal) AS BIGINT) * 100 AS bal_cents
+      FROM matches m
+      JOIN dirty d ON d.dirty_key = m.dirty_key
+      JOIN customer c ON c.c_custkey = m.dirty_key
+    ),
+    ranked AS (
+      SELECT entity, name, bal_cents,
+             ROW_NUMBER() OVER (PARTITION BY entity
+                                ORDER BY length(name) DESC, name ASC) AS rn
+      FROM members
+    )
+    SELECT r.entity,
+           MAX(CASE WHEN r.rn = 1 THEN r.name END) AS golden_name,
+           MAX(r.bal_cents) AS golden_bal_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT r.name) AS BIGINT) AS n_name_variants
+    FROM ranked r
+    GROUP BY r.entity
+    ORDER BY r.entity
+    """,
+    tags=("er", "survivorship", "golden-record", "mdm"),
+)
+def er_golden_record(spark, sf_dir):
+    """Survivorship — the step AFTER record linkage that MDM pipelines
+    run: collapse each matched entity's records (the clean row + its
+    accepted dirty replicas) into one golden record by per-attribute
+    rules.  Name survives by longest-then-lexicographic (damaged names
+    are shorter or tie-break higher, so the undamaged spelling wins
+    without ever consulting provenance); balance survives by MAX over
+    fixed-point cents (the dirty source dollar-truncates, so max
+    recovers the precise value); variant counts expose the conflict
+    surface per entity.  All rules are total orders over exact
+    integers/strings — engine-identical.  Scale shape: the match stage
+    is the blocked O(N*const) join; survivorship itself is ONE
+    entity-keyed shuffle with windows over member groups whose size
+    the match acceptance bounds (<= 1 + replicas per entity)."""
+    matches = _fuzzy_matches(spark, sf_dir)
+    c = table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("dirty_key"),
+        _dirty_name().alias("dirty_name"),
+        F.col("c_acctbal").alias("dirty_bal"),
+    )
+    clean_members = (
+        matches.select("matched_key").distinct()
+        .join(c, F.col("matched_key") == F.col("c_custkey"))
+        .select(
+            F.col("matched_key").alias("entity"),
+            F.col("c_name").alias("name"),
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    dirty_members = (
+        matches.select("dirty_key", "matched_key")
+        .join(dirty, "dirty_key")
+        .select(
+            F.col("matched_key").alias("entity"),
+            F.col("dirty_name").alias("name"),
+            (F.floor("dirty_bal").cast("bigint") * 100).alias("bal_cents"),
+        )
+    )
+    members = clean_members.unionAll(dirty_members)
+    rn = F.row_number().over(
+        Window.partitionBy("entity").orderBy(
+            F.length("name").desc(), F.asc("name")
+        )
+    )
+    return (
+        members.withColumn("rn", rn)
+        .groupBy("entity")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("name"))).alias("golden_name"),
+            F.max("bal_cents").alias("golden_bal_cents"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("name").alias("n_name_variants"),
+        )
+        .orderBy("entity")
     )
