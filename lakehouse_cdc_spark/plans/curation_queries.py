@@ -492,3 +492,137 @@ def mix_temperature_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _split_oracle() -> str:
+    from lakehouse_cdc_spark.plans.llm_queries import (
+        _BAND_UNION,
+        _BANDS,
+        _MINS,
+        _SH_CTE,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    sym AS (SELECT da AS u, db AS v FROM cand
+            UNION SELECT db, da FROM cand),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS canonical,
+             CASE WHEN CAST('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                                    AS VARCHAR)), 1, 1) AS BIGINT) < 12
+                    THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                                    AS VARCHAR)), 1, 1) AS BIGINT) < 14
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leakage_pairs
+      FROM cand
+      JOIN assigned a1 ON a1.doc_id = cand.da
+      JOIN assigned a2 ON a2.doc_id = cand.db
+      WHERE a1.split <> a2.split
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.canonical) AS BIGINT) AS n_clusters,
+           bit_xor(a.doc_id) AS doc_xor,
+           MAX(l.leakage_pairs) AS leakage_pairs
+    FROM assigned a, leak l
+    GROUP BY a.split
+    ORDER BY a.split
+    """
+
+
+@register(
+    "sample_leakage_safe_split",
+    oracle=_split_oracle(),
+    tags=("llm", "curation", "split", "dedup", "graph"),
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware train/val/test split — the guard that stops
+    near-duplicate leakage from inflating eval scores: documents are
+    first grouped into near-dup clusters (MinHash+LSH candidates
+    promoted to connected components, the dedup_connected_components
+    machinery), then the split is assigned by hashing the CLUSTER
+    canonical id, so every member of a cluster lands in the same
+    split by construction.  The emitted leakage_pairs column counts
+    candidate pairs straddling splits — MUST be 0, oracle-enforced
+    (hash the doc_id instead and it is not).  Split shares ride the
+    first md5 hex digit of the canonical (12/2/2 of 16) — content-
+    derived, so the split is reproducible on any cluster and stable
+    under re-ingestion.  Scale shape: LSH + CC are the documented
+    bounded paths; assignment is map-side; the leakage audit joins
+    the pair list (LSH-bucket-capped) against the assignment twice on
+    doc_id."""
+    from lakehouse_cdc_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from lakehouse_cdc_spark.operators.graph import connected_components
+    from lakehouse_cdc_spark.plans.llm_queries import _LSH_MAX_BUCKET
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    ).persist()
+    cc = connected_components(pairs, src="da", dst="db")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(canonical AS STRING)), 1, 1), 16, 10) "
+        "AS BIGINT)"
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical"),
+        )
+        .withColumn(
+            "split",
+            F.when(h < 12, "train").when(h < 14, "val").otherwise("test"),
+        )
+        .persist()
+    )
+    a1 = assigned.select(
+        F.col("doc_id").alias("da"), F.col("split").alias("split_a")
+    )
+    a2 = assigned.select(
+        F.col("doc_id").alias("db"), F.col("split").alias("split_b")
+    )
+    leak = (
+        pairs.join(a1, "da")
+        .join(a2, "db")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("leakage_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical").alias("n_clusters"),
+            F.expr("bit_xor(doc_id)").alias("doc_xor"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "doc_xor", "leakage_pairs")
+        .orderBy("split")
+    )

@@ -114,3 +114,44 @@ def test_pseudonymize_masks_and_is_referentially_stable(spark, sf_dir):
     assert {r.c_custkey: r.surrogate_id for r in rows} == again
     # surrogates are unique per entity (no collisions at this scale)
     assert len({r.surrogate_id for r in rows}) == len(rows)
+
+
+def test_leakage_safe_split_has_zero_leakage_and_doc_hash_would_leak(spark):
+    """Cluster-hash assignment must yield leakage_pairs == 0; the
+    negative control (hashing doc_id directly) must produce at least
+    one straddling pair on the same fixture, proving the guard does
+    real work."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.llm_queries import _LSH_MAX_BUCKET
+    from lakehouse_cdc_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["sample_leakage_safe_split"].fn(spark, sf).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows) == table(spark, sf, "documents").count()
+    assert all(r.leakage_pairs == 0 for r in rows)
+
+    docs = table(spark, sf, "documents")
+    sigs = minhash_signatures(docs, k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"
+    )
+    naive = docs.select(
+        "doc_id",
+        F.when(h < 12, "train").when(h < 14, "val").otherwise("test").alias("split"),
+    )
+    a1 = naive.select(F.col("doc_id").alias("da"), F.col("split").alias("sa"))
+    a2 = naive.select(F.col("doc_id").alias("db"), F.col("split").alias("sb"))
+    naive_leak = (
+        pairs.join(a1, "da").join(a2, "db").filter(F.col("sa") != F.col("sb")).count()
+    )
+    assert naive_leak > 0, "fixture has no cross-split near-dup pairs to guard"
