@@ -477,3 +477,112 @@ def graph_triangle_count(spark, sf_dir):
         .orderBy(F.desc("n_tri"), F.asc("part_key"))
         .limit(20)
     )
+
+
+_LP_MAX_DEG = 256  # hub cap: a center node this connected predicts nothing
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co_cnt
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1, p2 FROM co WHERE co_cnt >= {_TRI_MIN_CO}),
+    sym AS (
+      SELECT p1 AS u, p2 AS v FROM edges
+      UNION ALL SELECT p2, p1 FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    centers AS (SELECT node FROM deg WHERE d <= {_LP_MAX_DEG}),
+    wedges AS (
+      SELECT a.u AS x, b.u AS y, a.v AS via
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      WHERE a.v IN (SELECT node FROM centers)
+    ),
+    cn AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common FROM wedges GROUP BY x, y
+    ),
+    nonedge AS (
+      SELECT cn.x, cn.y, cn.common
+      FROM cn LEFT JOIN edges e ON e.p1 = cn.x AND e.p2 = cn.y
+      WHERE e.p1 IS NULL
+    )
+    SELECT n.x AS part_a, n.y AS part_b, n.common,
+           round(CAST(n.common AS DOUBLE)
+                 / (da.d + db.d - n.common), 6) AS jaccard
+    FROM nonedge n
+    JOIN deg da ON da.node = n.x
+    JOIN deg db ON db.node = n.y
+    ORDER BY n.common DESC, jaccard DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "similarity"),
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction by common neighbors over the part co-purchase
+    graph: for every NON-adjacent pair sharing at least one neighbor,
+    count shared neighbors and the neighbor-set Jaccard — the
+    recommendation primitive behind \"parts bought with what you
+    bought\".  The wedge join fans out from CENTER nodes only, with a
+    degree cap ({_LP_MAX_DEG}) excising hubs — a hub's wedge fan-out
+    is degree^2 AND its co-occurrence evidence is the weakest, so the
+    cap is both the skew guard and a quality filter (mirrored in the
+    oracle).  Jaccard is derived from exact integer counts at the
+    end.  Same scale posture as graph_triangle_count: |basket|-bounded
+    co-purchase build, node-keyed wedge shuffle, sparse thresholded
+    edges."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ia, ib = items.alias("a"), items.alias("b")
+    edges = (
+        ia.join(ib, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _TRI_MIN_CO)
+        .select("p1", "p2")
+        .persist()
+    )
+    sym = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= _LP_MAX_DEG).select("node")
+    sa, sb = sym.alias("sa"), sym.alias("sb")
+    wedges = (
+        sa.join(F.broadcast(centers), F.col("sa.v") == F.col("node"))
+        .join(sb, (F.col("sa.v") == F.col("sb.v")) & (F.col("sa.u") < F.col("sb.u")))
+        .select(F.col("sa.u").alias("x"), F.col("sb.u").alias("y"))
+    )
+    cn = wedges.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common"))
+    nonedge = cn.join(
+        edges,
+        (F.col("p1") == F.col("x")) & (F.col("p2") == F.col("y")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("db"))
+    return (
+        nonedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common"), F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )

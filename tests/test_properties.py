@@ -198,3 +198,117 @@ def test_latest_per_key_is_partition_invariant(spark, changes):
         for r in latest_per_key(df.repartition(7), ["k"], ["seq"]).collect()
     }
     assert one == many
+
+
+# ------------------------------------------------------------- winnowing
+# Model-equivalence: the Spark winnowing pipeline must select EXACTLY
+# the fingerprints a straight-line Python implementation of Schleimer
+# et al. selects, on adversarial docs (planted shared spans, repeated
+# tokens, short docs) — and the shared-span guarantee must hold.
+
+
+def _py_winnow(text: str) -> set:
+    import hashlib
+
+    from lakehouse_cdc_spark.plans.span_queries import _WIN_K, _WIN_W
+
+    toks = text.split(" ")
+    grams = [
+        " ".join(toks[p : p + _WIN_K]) for p in range(len(toks) - _WIN_K + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    return {
+        min(hs[p : p + _WIN_W]) for p in range(len(hs) - _WIN_W + 1)
+    }
+
+
+def test_winnowing_matches_python_model_on_adversarial_docs(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.span_queries import (
+        _WIN_H_SPARK,
+        _WIN_K,
+        _WIN_W,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = "s0 s1 s2 s3 s4 s5 s6"  # w + k - 1 tokens
+    docs = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 40))]
+        if i % 2 == 0:  # even docs embed the shared span mid-text
+            cut = rng.randint(0, len(base))
+            base = base[:cut] + shared.split(" ") + base[cut:]
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = df.select("doc_id", F.split("text", " ").alias("t"))
+    pos = toks.select(
+        "doc_id",
+        (F.size("t") - (_WIN_K - 1)).alias("np"),
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1))).alias("p"),
+        "t",
+    )
+    grams = pos.select("doc_id", "p", "np", F.expr(_WIN_H_SPARK).alias("h"))
+    w_min = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WIN_W - 1)
+    fps = (
+        grams.select("doc_id", F.min("h").over(w_min).alias("fp"), "p", "np")
+        .filter(F.col("p") <= F.col("np") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    got: dict = {}
+    for r in fps:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in docs:
+        expect = _py_winnow(text)
+        assert got.get(doc_id, set()) == expect, f"doc {doc_id}"
+    # the guarantee: every pair of span-carrying docs shares a print
+    carriers = [i for i, _ in docs if i % 2 == 0]
+    for a in carriers:
+        for b in carriers:
+            if a < b:
+                assert got[a] & got[b]
+
+
+def test_zone_map_skipping_lossless_for_random_predicates(spark):
+    """Property: for ANY [lo, hi] predicate, files skipped by their
+    (min, max) zone contain zero matching rows."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.registry import table
+
+    li = (
+        table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select(
+            F.expr("l_orderkey div 512").alias("file_id"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .persist()
+    )
+    zones = {
+        r.file_id: (r.zmin, r.zmax)
+        for r in li.groupBy("file_id")
+        .agg(F.min("d").alias("zmin"), F.max("d").alias("zmax"))
+        .collect()
+    }
+    rows = li.collect()
+    rng = random.Random(7)
+    base = datetime.date(1994, 1, 1)
+    for _ in range(25):
+        lo = base + datetime.timedelta(days=rng.randint(0, 1200))
+        hi = lo + datetime.timedelta(days=rng.randint(0, 400))
+        skipped = {f for f, (zmin, zmax) in zones.items() if zmax < lo or zmin > hi}
+        missed = sum(1 for r in rows if r.file_id in skipped and lo <= r.d <= hi)
+        assert missed == 0, (lo, hi)
+    li.unpersist()
