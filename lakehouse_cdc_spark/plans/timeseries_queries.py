@@ -316,3 +316,97 @@ def ts_downsample_ohlc(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM({_V100}) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(s) AS st, SUM(n) AS nt
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             d.s * t.nt - t.st * d.n AS c
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    cusum AS (
+      SELECT event_type, day,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS cum
+      FROM dev
+    ),
+    peak AS (
+      SELECT event_type, day AS change_day, cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cum) DESC, day ASC) AS rn
+      FROM cusum
+    )
+    SELECT event_type, change_day,
+           abs(cum) AS cusum_peak,
+           CAST(CASE WHEN cum > 0 THEN 1 WHEN cum < 0 THEN -1 ELSE 0 END
+                AS INT) AS direction
+    FROM peak WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "changepoint", "cusum", "W1"),
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event series: the day where
+    the cumulative deviation from the series' global mean peaks is the
+    most likely mean-shift location (Page 1954).  All arithmetic stays
+    EXACT integer by clearing denominators — the daily deviation is
+    s_day*N - S*n_day (both sides of mean_day - mean_global scaled by
+    n_day*N), so the cumulative sum, the peak, and its sign are
+    bit-identical in both engines with no float drift over long
+    accumulations.  Shape: one (type, day) aggregate (map-side
+    combined), a broadcast of |types| totals, a per-type window
+    cumsum, and an argmax — nothing touches raw rows twice, and the
+    windows partition by series, so state per task is |days|."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr(_V100)).cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("s") * F.col("nt") - F.col("st") * F.col("n")).alias("c"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    cusum = dev.select(
+        "event_type", "day", F.sum("c").over(w_cum).alias("cum")
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cum")).desc(), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("cum")).alias("cusum_peak"),
+            F.when(F.col("cum") > 0, 1)
+            .when(F.col("cum") < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )

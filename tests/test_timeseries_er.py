@@ -176,3 +176,15 @@ def test_srp_similar_vectors_share_more_bits(spark):
     n_vec = df.count()
     # 16 planes over random vectors: buckets must spread, not collapse
     assert n_sig > max(2, n_vec // 50)
+
+
+def test_snm_multipass_recovers_what_forward_sort_misses(spark):
+    """The reversed-name pass must recover every corrupted twin the
+    forward-name sort misses (the fixture corrupts mid-name, so
+    forward order separates twins while suffix order adjoins them)."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    r = REGISTRY["er_snm_multipass"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.true_multipass > r.true_pass1
+    assert r.recovered_by_pass2 == r.true_multipass - r.true_pass1
+    assert r.cand_multipass >= r.cand_pass1
