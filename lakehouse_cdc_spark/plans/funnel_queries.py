@@ -1,0 +1,223 @@
+"""Event-analytics declared queries: ordered funnels and cohort
+retention — the two aggregate shapes every product-analytics engine
+(and the reference's events firehose) ultimately serves.
+
+- ``events_funnel_ordered`` — a 3-stage ORDERED funnel (view → click
+  → purchase): each later stage must happen strictly after the user's
+  entry into the previous one, which is what distinguishes a funnel
+  from three independent filters.
+- ``events_retention_cohorts`` — the weekly cohort retention matrix:
+  users grouped by first-seen week, activity bucketed by whole weeks
+  since, retention as an exact rational per cell.
+
+Scale notes (100 TB): both queries reduce the event stream ONCE by
+user (map-side-combined partials where possible, a single user-keyed
+shuffle otherwise) and then aggregate tiny per-user rows; nothing
+joins event-to-event.  The funnel's sequential constraint is computed
+from per-user stage minima — three conditional aggregates over one
+grouped pass, not a self-join — so cost is O(events) at any scale.
+The retention matrix is |cohorts x offsets| cells (~20 here), an
+output 10^6x smaller than its input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register, table
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT stage, n_users, conv_from_prev, conv_from_top FROM (
+      SELECT 1 AS ord, 'view' AS stage, n1 AS n_users,
+             CAST(1.0 AS DOUBLE) AS conv_from_prev,
+             CAST(1.0 AS DOUBLE) AS conv_from_top
+      FROM counts
+      UNION ALL
+      SELECT 2, 'view>click', n2,
+             round(CAST(n2 AS DOUBLE) / n1, 6),
+             round(CAST(n2 AS DOUBLE) / n1, 6)
+      FROM counts
+      UNION ALL
+      SELECT 3, 'view>click>purchase', n3,
+             round(CAST(n3 AS DOUBLE) / n2, 6),
+             round(CAST(n3 AS DOUBLE) / n1, 6)
+      FROM counts
+    ) ORDER BY ord
+    """,
+    tags=("events", "funnel", "analytics", "A4"),
+)
+def events_funnel_ordered(spark, sf_dir):
+    """Ordered 3-stage funnel (view → click → purchase): stage N
+    counts users whose earliest stage-N event falls STRICTLY after
+    their entry into stage N-1 — the ordering constraint that makes it
+    a funnel rather than three independent filters.  Each stage is one
+    user-keyed min-aggregate over a filtered scan joined to the
+    previous stage's (user, t) table — per-user state is a single
+    timestamp, no event-to-event self-join, so the funnel is O(events)
+    with map-side partial minima at any scale.  Conversion rates are
+    derived from exact counts and rounded at the end."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    r1 = counts.select(
+        F.lit(1).alias("ord"),
+        F.lit("view").alias("stage"),
+        F.col("n1").alias("n_users"),
+        F.lit(1.0).alias("conv_from_prev"),
+        F.lit(1.0).alias("conv_from_top"),
+    )
+    r2 = counts.select(
+        F.lit(2).alias("ord"),
+        F.lit("view>click").alias("stage"),
+        F.col("n2").alias("n_users"),
+        F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
+            "conv_from_top"
+        ),
+    )
+    r3 = counts.select(
+        F.lit(3).alias("ord"),
+        F.lit("view>click>purchase").alias("stage"),
+        F.col("n3").alias("n_users"),
+        F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias(
+            "conv_from_prev"
+        ),
+        F.round(F.col("n3").cast("double") / F.col("n1"), 6).alias(
+            "conv_from_top"
+        ),
+    )
+    return (
+        r1.unionAll(r2)
+        .unionAll(r3)
+        .orderBy("ord")
+        .select("stage", "n_users", "conv_from_prev", "conv_from_top")
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ),
+    anchored AS (
+      SELECT f.user_id,
+             date_diff('day', DATE '2024-01-01', f.d0) // 7 AS cohort_week,
+             date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) // 7
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, cohort_week, week_offset FROM anchored
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM active WHERE week_offset = 0 GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           round(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+    tags=("events", "retention", "cohort", "analytics", "A4"),
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: users are anchored to their
+    first-seen day, cohorts keyed by whole weeks from the corpus
+    epoch, activity bucketed by whole weeks since each user's anchor,
+    and every (cohort, offset) cell reports distinct active users over
+    cohort size.  All bucketing is integer day arithmetic (epoch-day
+    differences, floor-div 7) so cells match the oracle exactly;
+    retention is the exact rational rounded at the end.  Shape: one
+    user-keyed min (first-seen), one broadcastable (user, anchor)
+    join back onto the stream, a distinct over per-user-week rows, and
+    a cells-sized aggregate — the matrix is ~|cohorts x offsets| rows
+    regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("d0")
+    )
+    anchored = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.expr("datediff(d0, DATE '2024-01-01') div 7").alias("cohort_week"),
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), d0) div 7"
+            ).alias("week_offset"),
+        )
+    )
+    active = anchored.distinct()
+    sizes = (
+        active.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
