@@ -148,3 +148,30 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(repr, few)) == sorted(map(repr, many)), name
+
+
+def test_bench_plans_have_no_cartesian_or_row_udfs(spark):
+    """Plan hygiene over the whole headline set: no CartesianProduct
+    (an unkeyed fact-fact blowup) and no BatchEvalPython (row-at-a-
+    time Python UDF — everything Python must be Arrow-vectorized:
+    MapInPandas / FlatMapGroupsInPandas are fine)."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if not spec.bench:
+            continue
+        df = spec.fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(mode)
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
