@@ -322,3 +322,67 @@ def mv_incremental_join(spark, sf_dir):
         arm(o_delta, c_base).unionAll(arm(o_base, c_delta)).unionAll(arm(o_delta, c_delta))
     )
     return mv_base.unionAll(delta_mv)
+
+
+@register(
+    "join_asof_nearest_purchase",
+    oracle=f"""
+    WITH err AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT e.user_id, e.event_id,
+           strftime(e.ts, '{_TS_FMT_SQL}') AS error_ts,
+           n.v AS nearest_value_cents,
+           n.d AS asof_delta_us
+    FROM err e LEFT JOIN LATERAL (
+      SELECT CAST(ROUND(p.value * 100) AS BIGINT) AS v,
+             epoch_us(p.ts) - epoch_us(e.ts) AS d
+      FROM pur p
+      WHERE p.user_id = e.user_id
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts, p.event_id
+      LIMIT 1
+    ) n ON TRUE
+    ORDER BY e.user_id, e.event_id
+    """,
+    tags=("temporal", "asof", "nearest", "window"),
+)
+def join_asof_nearest_purchase(spark, sf_dir):
+    """Nearest as-of join (merge_asof direction='nearest'): every error
+    event is annotated with the user's time-closest purchase in EITHER
+    direction — the diagnostic join \"what transaction surrounds this
+    failure\".  The operator runs the union+window formulation twice
+    (closest prior via last, closest next via first) over ONE shared
+    partitioning and picks by integer microsecond distance, equal
+    distances resolving to the earlier row — so there is still exactly
+    one shuffle and no theta-join fan-out at any scale.  The oracle
+    states the same semantics declaratively as a correlated LATERAL
+    top-1, which DuckDB can afford at sf0.01 and a cluster could not —
+    a green row proves the scale formulation equals the obvious one."""
+    from lakehouse_cdc_spark.operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v_cents")
+    )
+    out = asof_join_nearest(
+        err,
+        pur,
+        on=["user_id"],
+        time_col="ts",
+        tiebreak=["event_id"],
+        payload={"v_cents": "nearest_value_cents"},
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT).alias("error_ts"),
+        "nearest_value_cents",
+        "asof_delta_us",
+    ).orderBy("user_id", "event_id")

@@ -257,3 +257,34 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_shuffle_and_direction_semantics(spark):
+    """The nearest variant must keep the backward form's one-exchange
+    property (both windows share the partitioning), and must actually
+    pick forward rows when they are closer."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 205, 2), (2, 50, 3)], "k long, t long, id long"
+    ).select("k", F.timestamp_micros(F.col("t")).alias("ts"), "id")
+    right = spark.createDataFrame(
+        [(1, 90, 10, 7.0), (1, 210, 11, 9.0), (2, 300, 12, 5.0)],
+        "k long, t long, id long, v double",
+    ).select("k", F.timestamp_micros(F.col("t")).alias("ts"), "id", "v")
+    out = asof_join_nearest(
+        left, right, on=["k"], time_col="ts", tiebreak=["id"], payload={"v": "v"}
+    )
+    # plan audit BEFORE the action (post-AQE strings repeat nodes):
+    # both direction windows must share one exchange and one Window op
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    got = {r.id: (r.v, r.asof_delta_us) for r in out.collect()}
+    assert got[1] == (7.0, -10)  # prior (90) closer than next (210)
+    assert got[2] == (9.0, 5)  # next (210) closer than prior (90)
+    assert got[3] == (5.0, 250)  # only a following row exists
