@@ -48,3 +48,15 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     return (
         spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC with zlib — the columnar interchange format Hive-era
+    warehouses emit; schema travels in the file footer like parquet."""
+    df.write.mode(mode).option("compression", "zlib").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; predicate pushdown and column pruning work as for
+    parquet (verify via PushedFilters/ReadSchema in .explain)."""
+    return spark.read.orc(path)

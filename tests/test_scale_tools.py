@@ -133,3 +133,55 @@ def test_query_progress_from_live_stream(spark, tmp_path):
     assert prog["input_rows"] == 100
     assert not lag_alert(prog)  # a 100-row batch is under 60 s
     assert lag_alert({"batch_duration_ms": 120_000})
+
+
+def test_orc_roundtrip_preserves_events(spark, sf_dir, tmp_path):
+    """ORC write/read must round-trip the events table byte-exactly
+    (including the rebuilt microsecond timestamps) and push filters
+    down to the scan."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.registry import table
+    from lakehouse_cdc_spark.sources.formats import read_orc, write_orc
+
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.schema == ev.schema
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    plan = (
+        back.filter(F.col("user_id") == 7)
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A selective dim filter joined on the partition column must
+    inject a dynamic pruning subquery into the fact scan (Spark's DPP
+    — the runtime analog of the static pruning
+    test_write_time_partitioned_prunes covers)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.registry import table
+
+    path = str(tmp_path / "events_by_type")
+    table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 2), ("click", 3)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type").select("event_id", "w")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "dynamicpruningexpression" in plan.lower()
+    # and the pruned read really only touches one partition's rows
+    expected = fact.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == expected
