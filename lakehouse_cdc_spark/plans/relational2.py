@@ -746,3 +746,57 @@ def join_skewed_salted(spark, sf_dir):
             dsum(F.col("value"), "sum_value"),
         )
     )
+
+
+@register(
+    "scalar_higher_order_functions",
+    oracle="""
+    WITH arr AS (
+      SELECT o_orderkey,
+             list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                            c -> CAST(c AS BIGINT)) AS digits
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           list_filter(digits, d -> d % 2 = 0) AS evens,
+           len(list_filter(digits, d -> d > 5)) > 0 AS any_big,
+           len(list_filter(digits, d -> d < 9)) = len(digits) AS all_small,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), digits),
+                       (a, d) -> a * 10 + d) AS refolded,
+           list_sort(digits) AS sorted_digits
+    FROM arr
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "higher-order", "F13"),
+)
+def scalar_higher_order_functions(spark, sf_dir):
+    """The lambda side of the scalar surface: filter / exists / forall
+    / aggregate / array_sort over a per-row array (each order key's
+    decimal digits).  `refolded` folds the digits back into the number
+    (proving element ORDER survives every engine's array machinery),
+    and the exists/forall forms compile to Spark's ArrayExists/
+    ArrayForAll primitives while the oracle states them as
+    filter-count identities — same semantics, different engine idiom.
+    All JVM-side codegen'd expressions: at 100 TB this family is free
+    compared to any UDF doing the same per-row work."""
+    arr = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "transform(split(CAST(o_orderkey AS STRING), ''), "
+                "c -> CAST(c AS BIGINT))"
+            ).alias("digits"),
+        )
+    )
+    return arr.select(
+        "o_orderkey",
+        F.filter("digits", lambda d: d % 2 == 0).alias("evens"),
+        F.exists("digits", lambda d: d > 5).alias("any_big"),
+        F.forall("digits", lambda d: d < 9).alias("all_small"),
+        F.aggregate(
+            "digits", F.lit(0).cast("bigint"), lambda a, d: a * 10 + d
+        ).alias("refolded"),
+        F.array_sort("digits").alias("sorted_digits"),
+    ).orderBy("o_orderkey")

@@ -521,3 +521,65 @@ def sketch_histogram_quantiles(spark, sf_dir):
         )
         .orderBy("q_pct")
     )
+
+
+# ------------------------------------------------- exact bitmap distinct
+
+_BM_WORD = 32  # user-id bits per bigint word (sign-safe everywhere)
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle=f"""
+    WITH words AS (
+      SELECT event_type,
+             user_id // {_BM_WORD} AS word,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(user_id % {_BM_WORD} AS INT)) AS bits
+      FROM events
+      GROUP BY event_type, user_id // {_BM_WORD}
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(MAX(word) + 1 AS BIGINT) AS id_space_words
+    FROM words
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sketch", "bitmap", "distinct", "A3-scale", "mergeable"),
+)
+def agg_bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct counting through mergeable integer bitmaps (the
+    roaring-bitmap layout ClickHouse/Druid use for high-cardinality
+    COUNT DISTINCT): each (group, id div 32) cell folds member ids
+    into one bigint word with bit_or — a partial that merges by OR, so
+    map-side combine does most of the work and the shuffle carries at
+    most |id-space|/32 words per group, NOT one row per distinct
+    member the way count(distinct) shuffles.  popcount over the words
+    is the exact answer.  Between HLL (approximate, constant state)
+    and count(distinct) (exact, member-sized shuffle) this is the
+    third point on the curve: exact AND bounded by the id space — the
+    right tool for dense surrogate-key domains.  Every op is integer
+    (shift, or, popcount): bit-identical in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id div {_BM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_users"),
+            F.count(F.lit(1)).alias("n_words"),
+            (F.max("word") + 1).cast("bigint").alias("id_space_words"),
+        )
+        .orderBy("event_type")
+    )
