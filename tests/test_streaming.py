@@ -760,3 +760,59 @@ def test_recover_interrupted_commit_both_directions(spark, tmp_path):
     assert sink.recover_interrupted_commit() == "rolled_forward"
     assert sink.committed() == (lineage, batch, snap)
     assert {r.id for r in sink.current_state(spark).collect()} == {1, 2}
+
+
+def test_ohlc_candles_stream_equals_batch(
+    spark, sf_dir, change_stream_dir, tmp_path
+):
+    """Streaming OHLC: candles computed as struct-argmin/argmax inside
+    a watermarked tumbling window must equal the batch
+    ts_downsample_ohlc result — open/close ride min/max of
+    (ts, event_id, v) structs, which streaming aggregation supports
+    where first()/last() would be nondeterministic."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    batch = {
+        tuple(r)
+        for r in REGISTRY["ts_downsample_ohlc"].fn(spark, sf_dir).collect()
+    }
+
+    e = table(spark, sf_dir, "events")
+    stream = file_cdc_source(
+        spark, change_stream_dir, e.withColumn("operation", F.lit("c")).schema
+    )
+    v = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", v.alias("v"))).alias("o"),
+            F.max(F.struct("ts", "event_id", v.alias("v"))).alias("c"),
+            F.max(v).alias("high_c"),
+            F.min(v).alias("low_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            F.col("o.v").alias("open_c"),
+            "high_c",
+            "low_c",
+            F.col("c.v").alias("close_c"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cko"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r.event_type, r.day, r.open_c, r.high_c, r.low_c, r.close_c, r.n_events)
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+    assert got == batch
