@@ -221,3 +221,85 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_RAU_WINDOW = 7  # trailing days per active-user window
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM daily),
+    contrib AS (
+      SELECT DISTINCT daily.d + k.k AS target_d, daily.user_id
+      FROM daily, range(0, {_RAU_WINDOW}) k(k)
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY d
+    )
+    SELECT s.d AS day_index,
+           strftime(DATE '2024-01-01' + INTERVAL (s.d) DAY, '%Y-%m-%d') AS day,
+           dau.dau,
+           CAST(COUNT(*) AS BIGINT) AS wau
+    FROM spine s
+    JOIN contrib c ON c.target_d = s.d
+    JOIN dau ON dau.d = s.d
+    GROUP BY s.d, dau.dau
+    ORDER BY s.d
+    """,
+    tags=("events", "rolling-distinct", "wau", "analytics", "A3-scale"),
+)
+def events_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users (WAU beside DAU) — the sliding
+    DISTINCT aggregate naive SQL cannot window (count(distinct) over a
+    frame is unsupported and a per-day self-join over the stream is
+    quadratic).  The scale formulation: reduce the stream ONCE to
+    distinct (day, user) pairs, fan each pair out to the <=7 target
+    days it can serve (a bounded map-side explode — no range join, no
+    re-scan), distinct the contributions, and count per day.  Shuffle
+    volume is |daily actives| x 7 regardless of event volume; the
+    oracle states the same thing with a range() cross join.  This
+    fan-out-to-targets trick is how every sliding-distinct metric
+    (WAU/MAU, rolling buyers) ships at warehouse scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01')"
+            ).alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    spine = daily.select("d").distinct()
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_RAU_WINDOW)])).alias("k")
+    contrib = (
+        daily.select("d", "user_id", ks)
+        .select((F.col("d") + F.col("k")).alias("target_d"), "user_id")
+        .distinct()
+    )
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        spine.join(contrib, F.col("target_d") == F.col("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .join(dau, "d")
+        .select(
+            F.col("d").alias("day_index"),
+            F.date_format(
+                F.expr("date_add(DATE '2024-01-01', CAST(d AS INT))"),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "dau",
+            "wau",
+        )
+        .orderBy("day_index")
+    )
