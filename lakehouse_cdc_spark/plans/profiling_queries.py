@@ -290,3 +290,68 @@ def maintenance_zone_map_skipping(spark, sf_dir):
         .cast("bigint")
         .alias("rows_missed"),
     )
+
+
+_CP_TARGET = 4 * 1024 * 1024  # compaction group target, bytes
+
+
+@register(
+    "maintenance_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+      SELECT l_orderkey // 512 AS file_id,
+             -- deterministic synthetic on-disk size: ~rows x row width
+             CAST(COUNT(*) AS BIGINT) * 96 AS bytes
+      FROM lineitem GROUP BY file_id
+    ),
+    small AS (SELECT * FROM files WHERE bytes < {_CP_TARGET}),
+    packed AS (
+      SELECT file_id, bytes,
+             (SUM(bytes) OVER (ORDER BY file_id) - bytes) // {_CP_TARGET}
+               AS group_id
+      FROM small
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM packed
+    GROUP BY group_id
+    ORDER BY group_id
+    """,
+    tags=("maintenance", "compaction", "bin-packing", "M1-scale"),
+)
+def maintenance_compaction_planner(spark, sf_dir):
+    """The PLANNING half of small-file compaction (the execute half
+    lives in maintenance.compact_small_files / the sink's
+    compact_buckets): files under the target size are packed into
+    rewrite groups by prefix-sum bin-packing — a file joins the group
+    its CUMULATIVE size before it falls into, so groups are contiguous
+    in layout order (preserving clustering/sort locality) and every
+    group lands within one file of the target.  The plan is a pure
+    window cumsum over the |files|-sized stats table — no data pages
+    are read to plan, which is what lets table services schedule
+    compaction across a 100 TB lakehouse every few minutes.  Exact
+    integer sizes; group boundaries identical in both engines."""
+    files = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.expr("l_orderkey div 512").alias("file_id"))
+        .agg((F.count(F.lit(1)) * 96).cast("bigint").alias("bytes"))
+    )
+    small = files.filter(F.col("bytes") < _CP_TARGET)
+    w = Window.orderBy("file_id")
+    packed = small.withColumn(
+        "group_id",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / _CP_TARGET).cast("bigint"),
+    )
+    return (
+        packed.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("group_id")
+    )

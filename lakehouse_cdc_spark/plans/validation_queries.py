@@ -350,3 +350,80 @@ def validation_distribution_drift(spark, sf_dir):
             8,
         ).alias("tv_distance"),
     ).orderBy("bucket")
+
+
+@register(
+    "validation_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM obs),
+    -- Benford P(d) = log10(1 + 1/d), pre-scaled to exact millionths so
+    -- no engine evaluates a logarithm at query time
+    expect AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+        t(d, p_ppm)
+    )
+    SELECT e.d AS first_digit, COALESCE(o.n, 0) AS observed,
+           e.p_ppm AS benford_ppm,
+           CAST(COALESCE(o.n, 0) * 1000000 // t.nt AS BIGINT) AS observed_ppm,
+           abs(CAST(COALESCE(o.n, 0) * 1000000 // t.nt AS BIGINT) - e.p_ppm)
+             AS abs_dev_ppm
+    FROM expect e LEFT JOIN obs o ON o.d = e.d, tot t
+    ORDER BY e.d
+    """,
+    tags=("validation", "benford", "data-quality"),
+)
+def validation_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of order values — the fraud /
+    synthetic-data screen auditors run on financial columns: the
+    leading digit of naturally-occurring amounts follows
+    P(d) = log10(1 + 1/d), and systematic deviation flags fabricated
+    or truncated data.  The expected distribution is embedded as
+    EXACT pre-computed millionths, so no engine evaluates a log at
+    query time, and observed shares use integer floor-division per
+    digit — every output column is a bigint both engines agree on.
+    One map-side-combined 9-cell aggregate: constant state at any
+    corpus size (and on THIS synthetic fixture the deviation columns
+    correctly expose that o_totalprice is uniform, not Benford —
+    which is exactly what the screen is for)."""
+    digits = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    benford = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "d long, p_ppm long",
+    )
+    return (
+        benford.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("observed"),
+            F.col("p_ppm").alias("benford_ppm"),
+            F.expr("COALESCE(n, 0) * 1000000 div nt").alias("observed_ppm"),
+            F.abs(
+                F.expr("COALESCE(n, 0) * 1000000 div nt") - F.col("p_ppm")
+            ).alias("abs_dev_ppm"),
+        )
+        .orderBy("first_digit")
+    )
