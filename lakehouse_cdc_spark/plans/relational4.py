@@ -495,3 +495,79 @@ def agg_mode_median(spark, sf_dir):
         .select("flag", "n_rows", "mode_qty", "mode_cnt", "median_qty")
         .orderBy("flag")
     )
+
+
+@register(
+    "topk_skyline_suppliers",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  * 1000 // COUNT(*) AS BIGINT) AS avg_price_mc,
+             CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) * 1000
+                  // COUNT(*) AS BIGINT) AS avg_delay_md
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    ),
+    ranked AS (
+      SELECT *,
+             MIN(avg_delay_md) OVER (
+               ORDER BY avg_price_mc, avg_delay_md, suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_delay_before
+      FROM per_supp
+    )
+    SELECT suppkey, avg_price_mc, avg_delay_md
+    FROM ranked
+    WHERE best_delay_before IS NULL OR avg_delay_md < best_delay_before
+    ORDER BY avg_price_mc, avg_delay_md, suppkey
+    """,
+    tags=("skyline", "pareto", "topk", "O-scale"),
+)
+def topk_skyline_suppliers(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of suppliers minimizing (average
+    line price, average ship delay) — the multi-criteria \"best
+    suppliers\" query no single ORDER BY can answer.  Uses the
+    sort-filter formulation: order by price (ties broken totally), a
+    point survives iff its delay beats the best delay seen at any
+    strictly better sort position — ONE window pass over the
+    |suppliers|-sized aggregate instead of the naive O(N^2) dominance
+    anti-join.  Both dimensions are exact fixed-point integers
+    (milli-cents / milli-days via integer floor-division), so frontier
+    membership is bit-identical in the oracle.  Scale shape: the heavy
+    join+aggregate is the usual map-side-combined fact pass; the
+    skyline itself runs over per-supplier rows, which any realistic
+    dimension cardinality keeps millions of times smaller than the
+    fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+                "* 1000 div COUNT(*) AS BIGINT)"
+            ).alias("avg_price_mc"),
+            F.expr(
+                "CAST(SUM(datediff(to_date(l_shipdate), to_date(o_orderdate))) "
+                "* 1000 div COUNT(*) AS BIGINT)"
+            ).alias("avg_delay_md"),
+        )
+    )
+    w = (
+        Window.orderBy("avg_price_mc", "avg_delay_md", "suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_supp.withColumn(
+        "best_delay_before", F.min("avg_delay_md").over(w)
+    )
+    return (
+        ranked.filter(
+            F.col("best_delay_before").isNull()
+            | (F.col("avg_delay_md") < F.col("best_delay_before"))
+        )
+        .select("suppkey", "avg_price_mc", "avg_delay_md")
+        .orderBy("avg_price_mc", "avg_delay_md", "suppkey")
+    )
