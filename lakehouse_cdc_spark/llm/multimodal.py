@@ -409,3 +409,148 @@ def decode_wav_stats(
             )
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------ resize
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("px_sum_resized", T.LongType()),
+        T.StructField("top_left", T.IntegerType()),
+        T.StructField("bottom_right", T.IntegerType()),
+    ]
+)
+
+
+def resize_bmp_stats(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL nearest-neighbor downscale inside ``mapInPandas``: decode
+    the BMP, gather out[y][x] = in[y*h//out_h][x*w//out_w] (integer
+    source coordinates — exact selection, no interpolation arithmetic),
+    and reduce the thumbnail to integer stats.  Channel 0 only (the
+    luma-proxy a thumbnail index stores).  Getting the source-index
+    floor math wrong shifts which pixels survive and breaks the oracle
+    hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "s", "tl", "br")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pix = _parse_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = pix.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                thumb = pix[np.ix_(ys, xs)][:, :, 0]
+                out["id"].append(int(doc_id))
+                out["s"].append(int(thumb.sum()))
+                out["tl"].append(int(thumb[0, 0]))
+                out["br"].append(int(thumb[-1, -1]))
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "px_sum_resized": out["s"],
+                    "top_left": out["tl"],
+                    "bottom_right": out["br"],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ------------------------------------------------------- video frames
+# Deterministic "video" container: b"VID0" + u32 frame count, then per
+# frame u32 length + a real BMP whose pixel seed is doc_id * 31 + f.
+#   n_frames = 6 + doc_id % 5
+
+
+def video_bytes(doc_id: int) -> bytes:
+    n = 6 + doc_id % 5
+    frames = [bmp_bytes(doc_id * 31 + f) for f in range(n)]
+    out = [b"VID0", struct.pack("<I", n)]
+    for fb in frames:
+        out.append(struct.pack("<I", len(fb)))
+        out.append(fb)
+    return b"".join(out)
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("sampled_px_sum", T.LongType()),
+    ]
+)
+
+
+def encode_video_fixture(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Attach a real multi-frame container per row (Arrow-batched)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    payload_col: [video_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, f"{id_col} long, {payload_col} binary"
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    stride: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling: walk the container's length-prefixed frame
+    list, decode only every ``stride``-th frame (the decode-cost saver
+    video pipelines rely on — skipped frames are never parsed), and
+    reduce the sampled frames to one integer stat row per clip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "nf", "ns", "s")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] != b"VID0":
+                    raise ValueError("not a VID0 container")
+                n = struct.unpack_from("<I", b, 4)[0]
+                pos, total, sampled = 8, 0, 0
+                for f in range(n):
+                    ln = struct.unpack_from("<I", b, pos)[0]
+                    pos += 4
+                    if f % stride == 0:
+                        pix = _parse_bmp(b[pos : pos + ln]).astype(np.int64)
+                        total += int(pix.sum())
+                        sampled += 1
+                    pos += ln
+                out["id"].append(int(doc_id))
+                out["nf"].append(n)
+                out["ns"].append(sampled)
+                out["s"].append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "n_frames": out["nf"],
+                    "n_sampled": out["ns"],
+                    "sampled_px_sum": out["s"],
+                }
+            )
+
+    return df.mapInPandas(batches, VIDEO_SAMPLE_SCHEMA)

@@ -1135,6 +1135,88 @@ def multimodal_decode_wav(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize_thumbnail",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(SUM((d.doc_id + 3 * ((x.x * (4 + d.doc_id % 13)) // 4)
+                     + 5 * ((y.y * (4 + (d.doc_id * 7) % 11)) // 4)) % 256)
+                AS BIGINT) AS px_sum_resized,
+           CAST(d.doc_id % 256 AS INT) AS top_left,
+           CAST((d.doc_id + 3 * ((3 * (4 + d.doc_id % 13)) // 4)
+                 + 5 * ((3 * (4 + (d.doc_id * 7) % 11)) // 4)) % 256
+                AS INT) AS bottom_right
+    FROM documents d, range(0, 4) x(x), range(0, 4) y(y)
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "resize", "pandas-udf"),
+)
+def multimodal_resize_thumbnail(spark, sf_dir):
+    """REAL image resize on the oracle surface: every document's BMP
+    is decoded and nearest-neighbor-downscaled to a 4x4 channel-0
+    thumbnail inside mapInPandas (llm/multimodal.py:resize_bmp_stats)
+    — integer source-coordinate selection, so the thumbnail is exact
+    and DuckDB reproduces it from the closed-form pixel function with
+    no codec.  Wrong floor math in the gather shifts which pixels
+    survive and breaks px_sum_resized.  Same 100 TB shape as decode:
+    Arrow-batched, partition-parallel, payload bytes never leave the
+    executor."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        encode_bmp_fixture,
+        resize_bmp_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return resize_bmp_stats(encode_bmp_fixture(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH seeds AS (
+      SELECT d.doc_id, 6 + d.doc_id % 5 AS n, f.f,
+             d.doc_id * 31 + f.f AS s
+      FROM documents d, range(0, 10) f(f)
+      WHERE f.f < 6 + d.doc_id % 5 AND f.f % 2 = 0
+    ),
+    frame_sums AS (
+      SELECT sd.doc_id, sd.n, sd.f,
+             SUM((sd.s + 3 * x.x + 5 * y.y + 11 * c.c) % 256) AS fsum
+      FROM seeds sd, range(0, 16) x(x), range(0, 14) y(y), range(0, 3) c(c)
+      WHERE x.x < 4 + sd.s % 13
+        AND y.y < 4 + (sd.s * 7) % 11
+        AND c.c < CASE WHEN sd.s % 4 = 0 THEN 1 ELSE 3 END
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(MAX(n) AS INT) AS n_frames,
+           CAST(COUNT(*) AS INT) AS n_sampled,
+           CAST(SUM(fsum) AS BIGINT) AS sampled_px_sum
+    FROM frame_sums
+    GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "video", "frame-sample", "pandas-udf"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL frame sampling over a multi-frame container: each document
+    gets a length-prefixed video of 6-10 real BMP frames
+    (llm/multimodal.py:video_bytes) and the sampler walks the frame
+    index decoding ONLY every 2nd frame — the skip is structural
+    (skipped frames' bytes are never parsed), which is the whole cost
+    model of video-pipeline frame sampling.  Frame seeds are
+    closed-form, so the oracle reproduces the sampled-frame pixel sums
+    with no codec; a mis-stepped frame offset or a decode of the wrong
+    frame subset breaks sampled_px_sum.  Arrow-batched mapInPandas,
+    no driver involvement."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        encode_video_fixture,
+        sample_video_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(encode_video_fixture(docs))
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (
