@@ -456,3 +456,50 @@ def test_wav_roundtrip_and_chunk_walk():
     sr0, s0 = _parse_wav(b)
     sr1, s1 = _parse_wav(patched)
     assert sr0 == sr1 and (s0 == s1).all()
+
+
+def test_resize_gather_matches_manual_numpy():
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.multimodal import _parse_bmp, bmp_bytes
+
+    for doc_id in (3, 4, 17):  # 24-bit and paletted variants
+        pix = _parse_bmp(bmp_bytes(doc_id)).astype(np.int64)
+        h, w, _ = pix.shape
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        thumb = pix[np.ix_(ys, xs)][:, :, 0]
+        # closed form the oracle uses, channel 0
+        exp = np.array(
+            [
+                [(doc_id + 3 * ((x * w) // 4) + 5 * ((y * h) // 4)) % 256
+                 for x in range(4)]
+                for y in range(4)
+            ]
+        )
+        assert (thumb == exp).all()
+
+
+def test_frame_sampler_stride_one_equals_sum_of_all_frames(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.llm.multimodal import (
+        encode_video_fixture,
+        sample_video_frames,
+    )
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    vids = encode_video_fixture(docs)
+    all_frames = {
+        r.doc_id: (r.n_frames, r.n_sampled, r.sampled_px_sum)
+        for r in sample_video_frames(vids, stride=1).collect()
+    }
+    every_other = {
+        r.doc_id: (r.n_frames, r.n_sampled, r.sampled_px_sum)
+        for r in sample_video_frames(vids, stride=2).collect()
+    }
+    for doc_id, (n, ns, s) in all_frames.items():
+        assert ns == n  # stride 1 decodes everything
+        n2, ns2, s2 = every_other[doc_id]
+        assert n2 == n and ns2 == (n + 1) // 2
+        assert 0 < s2 < s  # a strict subset of the pixel mass
