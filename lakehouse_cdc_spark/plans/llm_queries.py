@@ -1284,3 +1284,150 @@ def llm_curation_pipeline(spark, sf_dir):
         F.sum(ntok).cast("bigint").alias("total_tokens"),
         F.expr("bit_xor(doc_id)").alias("kept_ids_xor"),
     )
+
+
+_PACK_CAP = 512  # tokens per packed training example
+
+
+@register(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ntok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, ntok,
+             (SUM(ntok) OVER (ORDER BY doc_id) - ntok) // {_PACK_CAP}
+               AS example_id
+      FROM toks
+    ),
+    examples AS (
+      SELECT example_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS tokens,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      FROM packed GROUP BY example_id
+    )
+    SELECT example_id, n_docs, tokens, first_doc, last_doc,
+           round(CAST(tokens AS DOUBLE) / {_PACK_CAP}, 6) AS fill_ratio
+    FROM examples
+    ORDER BY example_id
+    LIMIT 50
+    """,
+    tags=("llm", "packing", "training-prep", "A4-scale"),
+)
+def llm_sequence_packing(spark, sf_dir):
+    """Sequence packing — the final data-prep step before LLM
+    training: documents are concatenated into fixed-capacity examples
+    (512 tokens here) so attention compute is never spent on padding.
+    Uses the same prefix-sum bin assignment as the compaction planner:
+    a document joins the example its CUMULATIVE token count before it
+    falls into, preserving corpus order (which the curation stages
+    upstream already made deterministic) — one window cumsum over the
+    doc-stats table, no sequential packer, no driver loop.  Documents
+    longer than the capacity overflow their example (fill_ratio > 1)
+    — the signal that they need chunking (text_chunk_windows) first.
+    Exact integer token counts; example boundaries identical in both
+    engines.  At 100 TB the cumsum runs range-partitioned over doc
+    order, and the emitted (example_id, fill) table IS the training
+    manifest."""
+    from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.llm.text import tokens
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("ntok")
+    )
+    w = Window.orderBy("doc_id")
+    packed = toks.withColumn(
+        "example_id",
+        ((F.sum("ntok").over(w) - F.col("ntok")) / _PACK_CAP).cast("bigint"),
+    )
+    return (
+        packed.groupBy("example_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "example_id",
+            "n_docs",
+            "tokens",
+            "first_doc",
+            "last_doc",
+            F.round(F.col("tokens").cast("double") / _PACK_CAP, 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("example_id")
+        .limit(50)
+    )
+
+
+@register(
+    "sample_deterministic_shuffle",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM documents
+    ),
+    adj AS (
+      SELECT source,
+             LEAD(source) OVER (ORDER BY pos) AS next_source
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE source = next_source) AS BIGINT)
+             AS same_source_adjacent,
+           (SELECT bit_xor(doc_id * pos) FROM ranked) AS order_digest
+    FROM adj WHERE next_source IS NOT NULL
+    """,
+    tags=("llm", "shuffle", "training-prep", "O-scale"),
+)
+def sample_deterministic_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: examples ordered by
+    md5(doc_id) — a content-derived permutation that is identical on
+    any cluster, any partitioning, any rerun (the reproducibility
+    contract training-data orders need; a rand() shuffle is neither
+    auditable nor resumable).  The emitted row audits the shuffle:
+    the adjacent same-source rate should sit near sum(p_i^2) if
+    sources are well interleaved (curriculum clumping shows up here),
+    and order_digest = XOR of doc_id*position pins the ENTIRE
+    permutation — any engine or partitioning that disagrees about a
+    single position breaks it.  At scale the order is realized by
+    range-partitioning on the hash (Spark's orderBy does exactly
+    this), so the shuffle is one exchange and writers stream examples
+    in final order."""
+    from pyspark.sql import Window
+
+    ranked = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("pos"),
+    )
+    adj = ranked.select(
+        "source", F.lead("source").over(Window.orderBy("pos")).alias("next_source")
+    )
+    digest = ranked.agg(
+        F.expr("bit_xor(doc_id * pos)").alias("order_digest")
+    )
+    return (
+        adj.filter(F.col("next_source").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("source") == F.col("next_source"), 1)).alias(
+                "same_source_adjacent"
+            ),
+        )
+        .crossJoin(F.broadcast(digest))
+    )
