@@ -1431,3 +1431,87 @@ def sample_deterministic_shuffle(spark, sf_dir):
         )
         .crossJoin(F.broadcast(digest))
     )
+
+
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id, text, n_chars,
+             md5(text) AS h,
+             {_Q_NTOK} AS ntok,
+             {_LANG_SCORES},
+             round(0.4 * least({_Q_NTOK} / 100.0, 1.0)
+                 + 0.4 * least(CAST({_Q_STOP} AS DOUBLE)
+                               / greatest({_Q_NTOK}, 1.0) * 5.0, 1.0)
+                 + 0.2 * (1.0 - least(({_Q_PUNCT} / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                                      + {_Q_DIGIT} / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                                      * 5.0, 1.0)),
+                 6) AS quality
+      FROM documents
+    ),
+    langed AS (
+      SELECT *,
+             CASE WHEN {_ALL_ZERO} THEN 'und'
+             {_LANG_CASE_ARMS}
+             ELSE 'und' END AS plang
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) FILTER (WHERE plang = 'en') AS BIGINT) AS n_english,
+           CAST(COUNT(*) FILTER (WHERE quality >= 0.5) AS BIGINT) AS n_quality_ok,
+           CAST(SUM(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS quality_sum_ppm
+    FROM langed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "dataset-card", "profiling", "curation"),
+)
+def llm_dataset_card(spark, sf_dir):
+    """The dataset card in one query: per-source doc/token/char
+    volumes, exact-duplicate count, English share, quality-gate pass
+    count, and the fixed-point quality mass — the governance artifact
+    published next to a training corpus, derived from the SAME
+    language/quality/dup primitives the curation pipeline filters
+    with (so the card can never drift from the pipeline's own
+    definitions).  One scan, one source-keyed aggregate; the dup count
+    rides count(distinct md5) per source.  Quality is summed as exact
+    ppm integers so the cross-engine sum is order-independent."""
+    from lakehouse_cdc_spark.llm.text import (
+        predicted_lang,
+        quality_score,
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        token_count(F.col("text")).alias("ntok"),
+        predicted_lang(F.col("text")).alias("plang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            (F.count(F.lit(1)) - F.countDistinct("h"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+            F.count(F.when(F.col("plang") == "en", 1)).alias("n_english"),
+            F.count(F.when(F.col("quality") >= 0.5, 1)).alias("n_quality_ok"),
+            F.sum(
+                F.floor(F.col("quality") * 1_000_000 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("quality_sum_ppm"),
+        )
+        .orderBy("source")
+    )
