@@ -303,3 +303,66 @@ def events_rolling_active_users(spark, sf_dir):
         )
         .orderBy("day_index")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outs AS (
+      SELECT from_type, SUM(n) AS n_out FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / o.n_out, 6) AS p
+    FROM trans t JOIN outs o ON t.from_type = o.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+    tags=("events", "markov", "sequence", "analytics", "W1"),
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the sequence-analytics
+    primitive behind next-action prediction and anomalous-flow
+    detection.  Successors come from ONE lead() window per user (the
+    stream's natural key partitioning, totally ordered by (ts,
+    event_id)), transitions aggregate map-side into |types|^2 cells,
+    and probabilities are exact rationals rounded at the end — the
+    matrix is 25 cells here and stays |alphabet|^2 at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outs = trans.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_out"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

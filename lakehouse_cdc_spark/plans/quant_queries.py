@@ -455,3 +455,103 @@ def emb_pq_rerank(spark, sf_dir):
         .limit(10)
         .select("vec_id", "adc_dist", "coarse_rank", "exact_dist")
     )
+
+
+_MRL_DIM = 16  # truncated prefix dimensionality
+
+
+@register(
+    "emb_matryoshka_truncation",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT e AS qe FROM q WHERE vec_id = 0),
+    scored AS (
+      SELECT q.vec_id,
+             list_sum(list_transform(generate_series(1, {_DIM}),
+                      i -> q.e[i] * qv.qe[i])) AS dot_full,
+             list_sum(list_transform(generate_series(1, {_MRL_DIM}),
+                      i -> q.e[i] * qv.qe[i])) AS dot_trunc
+      FROM q, qv WHERE q.vec_id <> 0
+    ),
+    rk AS (
+      SELECT vec_id, dot_full, dot_trunc,
+             ROW_NUMBER() OVER (ORDER BY dot_full DESC, vec_id) AS r_full,
+             ROW_NUMBER() OVER (ORDER BY dot_trunc DESC, vec_id) AS r_trunc
+      FROM scored
+    )
+    SELECT vec_id, dot_full, dot_trunc, r_full, r_trunc,
+           CAST(CASE WHEN r_trunc <= 10 THEN 1 ELSE 0 END AS INT)
+             AS in_trunc_top10
+    FROM rk
+    WHERE r_full <= 10
+    ORDER BY r_full
+    """,
+    tags=("llm", "similarity", "matryoshka", "truncation", "topk"),
+)
+def emb_matryoshka_truncation(spark, sf_dir):
+    """Matryoshka-style dimensionality truncation (Kusupati et al.
+    2022): rank the corpus by the dot product of only the FIRST 16 of
+    64 dimensions and report, for the full-precision top-10, where the
+    truncated ranking puts them — the recall-vs-width trade a serving
+    tier makes when it stores nested-prefix embeddings (4x narrower
+    scan for candidate generation, full width only to re-rank).  Both
+    scores are exact integer folds over floor-scaled coordinates, so
+    ranks and the in_trunc_top10 flags are bit-identical in the
+    oracle.  Map-side math + two TakeOrderedAndProject-class
+    rankings; the truncated scan reads a quarter of the vector
+    bytes — the point of the operator."""
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("bigint")
+        ).alias("e"),
+    )
+    qv = q.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+
+    def int_dot(n):
+        return F.expr(
+            f"aggregate(zip_with(slice(e, 1, {n}), slice(qe, 1, {n}), "
+            "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    from pyspark.sql import Window
+
+    scored = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            int_dot(_DIM).alias("dot_full"),
+            int_dot(_MRL_DIM).alias("dot_trunc"),
+        )
+    )
+    rk = scored.select(
+        "vec_id",
+        "dot_full",
+        "dot_trunc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dot_full"), F.asc("vec_id")))
+        .alias("r_full"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("dot_trunc"), F.asc("vec_id")))
+        .alias("r_trunc"),
+    )
+    return (
+        rk.filter(F.col("r_full") <= 10)
+        .select(
+            "vec_id",
+            "dot_full",
+            "dot_trunc",
+            "r_full",
+            "r_trunc",
+            F.when(F.col("r_trunc") <= 10, 1).otherwise(0).cast("int").alias(
+                "in_trunc_top10"
+            ),
+        )
+        .orderBy("r_full")
+    )
