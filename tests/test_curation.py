@@ -155,3 +155,45 @@ def test_leakage_safe_split_has_zero_leakage_and_doc_hash_would_leak(spark):
         pairs.join(a1, "da").join(a2, "db").filter(F.col("sa") != F.col("sb")).count()
     )
     assert naive_leak > 0, "fixture has no cross-split near-dup pairs to guard"
+
+
+def test_sequence_packing_examples_are_contiguous_and_bounded(spark):
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.llm_queries import _PACK_CAP
+
+    rows = REGISTRY["llm_sequence_packing"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    prev_last = None
+    for r in rows:
+        # contiguity: examples tile the doc-id order without gaps
+        if prev_last is not None:
+            assert r.first_doc == prev_last + 1
+        prev_last = r.last_doc
+        # bound: an example exceeds capacity only via its final doc
+        # (prefix-sum assignment => start offset < cap)
+        assert r.tokens < 2 * _PACK_CAP
+        assert r.n_docs >= 1
+
+
+def test_deterministic_shuffle_is_partition_invariant(spark):
+    """The order digest must not depend on input partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+
+    def digest(df):
+        ranked = df.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+            .alias("pos"),
+        )
+        return ranked.agg(F.expr("bit_xor(doc_id * pos)")).collect()[0][0]
+
+    base = table(spark, sf, "documents")
+    assert digest(base) == digest(base.repartition(17))
