@@ -583,3 +583,123 @@ def agg_bitmap_exact_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- weighted histogram quantiles
+
+
+@register(
+    "sketch_weighted_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT c // {_HQ_W} AS b, CAST(SUM(wt) AS BIGINT) AS w
+      FROM v GROUP BY 1
+    ),
+    cum AS (SELECT b, w, SUM(w) OVER (ORDER BY b) AS cum_w FROM hist),
+    n AS (SELECT CAST(SUM(wt) AS BIGINT) AS wt_total FROM v),
+    qs AS (
+      SELECT * FROM (VALUES {', '.join(f'({num}, {den})' for num, den in _HQ_QS)})
+        t(num, den)
+    ),
+    targets AS (
+      SELECT qs.num AS q_pct,
+             (qs.num * n.wt_total + qs.den - 1) // qs.den AS target_w
+      FROM qs, n
+    ),
+    est AS (
+      SELECT t.q_pct, t.target_w,
+             MIN(c.b) AS est_b,
+             MIN_BY(c.cum_w, c.b) AS cum_at
+      FROM targets t JOIN cum c ON c.cum_w >= t.target_w
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT e.q_pct, e.target_w, e.est_b, v.c, v.wt,
+             SUM(v.wt) OVER (PARTITION BY e.q_pct ORDER BY v.c, v.wt
+                             ROWS UNBOUNDED PRECEDING) AS run_w,
+             e.cum_at - SUM(v.wt) OVER (PARTITION BY e.q_pct) AS w_before
+      FROM est e JOIN v ON v.c // {_HQ_W} = e.est_b
+    )
+    SELECT q_pct, target_w,
+           est_b * {_HQ_W} AS est_lo_cents,
+           MIN(c) AS exact_cents
+    FROM ranked
+    WHERE run_w >= target_w - w_before
+    GROUP BY q_pct, target_w, est_b
+    ORDER BY q_pct
+    """,
+    tags=("sketch", "histogram", "quantile", "weighted", "mergeable"),
+)
+def sketch_weighted_quantiles(spark, sf_dir):
+    """WEIGHTED quantiles (price percentiles by shipped quantity — the
+    'p50 of spend' class of metric where each row counts as its
+    weight, not as 1): the same mergeable fixed-width histogram as
+    sketch_histogram_quantiles, but bucket counters accumulate integer
+    weights, and the rank becomes a target cumulative weight
+    ceil(q*W_total).  The exact evaluation pick again narrows to the
+    target bucket — only its rows sort, by (value, weight) with a
+    running-weight filter — so the weighted-exact column also avoids
+    any global sort.  All integer: weights are unit quantities, prices
+    cents, targets ceiling-division rationals; both engines agree
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("wt"),
+    )
+    hist = (
+        v.select((F.col("c") / _HQ_W).cast("bigint").alias("b"), "wt")
+        .groupBy("b")
+        .agg(F.sum("wt").alias("w"))
+    )
+    cum = hist.withColumn("cum_w", F.sum("w").over(Window.orderBy("b")))
+    n = v.agg(F.sum("wt").alias("wt_total"))
+    qs = spark.createDataFrame(_HQ_QS, "num long, den long")
+    targets = qs.crossJoin(F.broadcast(n)).select(
+        F.col("num").alias("q_pct"),
+        F.expr("(num * wt_total + den - 1) div den").alias("target_w"),
+    )
+    est = (
+        targets.join(F.broadcast(cum), F.col("cum_w") >= F.col("target_w"))
+        .groupBy("q_pct", "target_w")
+        .agg(F.min(F.struct("b", "cum_w")).alias("fc"))
+        .select(
+            "q_pct",
+            "target_w",
+            F.col("fc.b").alias("est_b"),
+            F.col("fc.cum_w").alias("cum_at"),
+        )
+    )
+    in_bucket = v.join(
+        F.broadcast(est), (F.col("c") / _HQ_W).cast("bigint") == F.col("est_b")
+    )
+    w_run = (
+        Window.partitionBy("q_pct")
+        .orderBy("c", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bucket = Window.partitionBy("q_pct")
+    picked = (
+        in_bucket.withColumn("run_w", F.sum("wt").over(w_run))
+        .withColumn(
+            "w_before", F.col("cum_at") - F.sum("wt").over(w_bucket)
+        )
+        .filter(F.col("run_w") >= F.col("target_w") - F.col("w_before"))
+    )
+    return (
+        picked.groupBy("q_pct", "target_w", "est_b")
+        .agg(F.min("c").alias("exact_cents"))
+        .select(
+            "q_pct",
+            "target_w",
+            (F.col("est_b") * _HQ_W).alias("est_lo_cents"),
+            "exact_cents",
+        )
+        .orderBy("q_pct")
+    )
