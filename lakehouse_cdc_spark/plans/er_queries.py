@@ -643,3 +643,119 @@ def er_snm_multipass(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "er_agreement_patterns",
+    oracle=f"""
+    WITH params AS (
+      SELECT {_tail_digits_sql('COUNT(*)')} AS k FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS dk, {_DIRTY_SQL} AS dname,
+             CAST(floor(c_acctbal) AS BIGINT) AS dbal,
+             c_nationkey AS dnat,
+             right({_DIRTY_SQL}, (SELECT k FROM params)) AS blk
+      FROM customer
+    ),
+    clean AS (
+      SELECT c_custkey AS ck, c_name AS cname,
+             CAST(floor(c_acctbal) AS BIGINT) AS cbal,
+             c_nationkey AS cnat,
+             right(c_name, (SELECT k FROM params)) AS blk
+      FROM customer
+    ),
+    pairs AS (
+      SELECT d.dk, c.ck,
+             LEAST(CAST(levenshtein(d.dname, c.cname) AS INT), 3) AS name_band,
+             CAST(d.dbal = c.cbal AS INT) AS bal_agree,
+             CAST(d.dnat = c.cnat AS INT) AS nat_agree,
+             CAST(d.dk = c.ck AS INT) AS is_match
+      FROM dirty d JOIN clean c USING (blk)
+      WHERE abs(length(d.dname) - length(c.cname)) <= 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(is_match) AS BIGINT) AS n_match,
+             CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS n_nonmatch
+      FROM pairs
+    )
+    SELECT p.name_band, p.bal_agree, p.nat_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(p.is_match) AS BIGINT) AS n_matches,
+           CAST(SUM(p.is_match) * 1000000 // t.n_match AS BIGINT) AS m_ppm,
+           CAST((COUNT(*) - SUM(p.is_match)) * 1000000 // t.n_nonmatch
+                AS BIGINT) AS u_ppm
+    FROM pairs p, tot t
+    GROUP BY p.name_band, p.bal_agree, p.nat_agree, t.n_match, t.n_nonmatch
+    ORDER BY p.name_band, p.bal_agree, p.nat_agree
+    """,
+    tags=("er", "fellegi-sunter", "linkage", "A4"),
+)
+def er_agreement_patterns(spark, sf_dir):
+    """Fellegi–Sunter groundwork: the agreement-pattern frequency
+    table probabilistic record linkage estimates its m/u weights from.
+    Every within-block candidate pair gets an agreement vector —
+    name edit-distance band (0/1/2/3+), dollar-balance agreement,
+    nation agreement — and each pattern reports m = P(pattern | match)
+    and u = P(pattern | non-match) as integer ppm (the labels come
+    from the fixture's known ground truth; in production an EM loop
+    replaces them).  log-weights stay OFF the oracle surface
+    (transcendental) — m/u ppm are the exact sufficient statistics.
+    Shape: the same blocked O(N*const) candidate join as the match
+    query, then a map-side aggregate into <= 16 pattern cells."""
+    c = table(spark, sf_dir, "customer")
+    k = _tail_digits(c.count())
+    dirty = c.select(
+        F.col("c_custkey").alias("dk"),
+        _dirty_name().alias("dname"),
+        F.floor("c_acctbal").cast("bigint").alias("dbal"),
+        F.col("c_nationkey").alias("dnat"),
+    ).withColumn("blk", F.expr(f"right(dname, {k})"))
+    clean = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("cname"),
+        F.floor("c_acctbal").cast("bigint").alias("cbal"),
+        F.col("c_nationkey").alias("cnat"),
+        F.expr(f"right(c_name, {k})").alias("blk"),
+    )
+    pairs = (
+        dirty.join(clean, "blk")
+        .filter(F.abs(F.length("dname") - F.length("cname")) <= 2)
+        .select(
+            F.least(
+                F.when(F.levenshtein("dname", "cname", 3) < 0, 3).otherwise(
+                    F.levenshtein("dname", "cname", 3)
+                ),
+                F.lit(3),
+            )
+            .cast("int")
+            .alias("name_band"),
+            (F.col("dbal") == F.col("cbal")).cast("int").alias("bal_agree"),
+            (F.col("dnat") == F.col("cnat")).cast("int").alias("nat_agree"),
+            (F.col("dk") == F.col("ck")).cast("int").alias("is_match"),
+        )
+    )
+    tot = pairs.agg(
+        F.sum("is_match").cast("bigint").alias("n_match"),
+        (F.count(F.lit(1)) - F.sum("is_match")).cast("bigint").alias("n_nonmatch"),
+    )
+    return (
+        pairs.groupBy("name_band", "bal_agree", "nat_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_matches"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "name_band",
+            "bal_agree",
+            "nat_agree",
+            "n_pairs",
+            "n_matches",
+            F.expr("n_matches * 1000000 div n_match").alias("m_ppm"),
+            F.expr("(n_pairs - n_matches) * 1000000 div n_nonmatch").alias(
+                "u_ppm"
+            ),
+        )
+        .orderBy("name_band", "bal_agree", "nat_agree")
+    )
