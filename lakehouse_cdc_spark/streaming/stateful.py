@@ -221,3 +221,96 @@ def seen_dedup_v2(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+# ----------------------------------------------------- session totals
+
+SESSION_SCHEMA = (
+    "user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, "
+    "n_events BIGINT, value_cents BIGINT"
+)
+_SESSION_STATE_SCHEMA = "start_us BIGINT, last_us BIGINT, n BIGINT, sum_c BIGINT"
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+def _session_kernel(key, pdfs, state):
+    """Event-time sessionization: buffer the open session per user in
+    state; split on in-batch gaps immediately; close the open session
+    via an EVENT-TIME timer when the watermark passes last + gap
+    (no processing-time timers, so bounded replays terminate — the
+    round-2 hazard class).  Emits one row per CLOSED session."""
+    import pandas as pd
+
+    user_id = key[0]
+    if state.hasTimedOut:
+        start_us, last_us, n, sum_c = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_us": [start_us],
+                "session_end_us": [last_us],
+                "n_events": [n],
+                "value_cents": [sum_c],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["ts_us"] = rows["ts"].astype("int64") // 1000  # ns -> µs
+    rows = rows.sort_values(["ts_us", "event_id"])
+    cents = (rows["value"] * 100).round().astype("int64")
+
+    if state.exists:
+        start_us, last_us, n, sum_c = state.get
+    else:
+        start_us = None
+
+    closed = {k: [] for k in ("s", "e", "n", "c")}
+    for ts_us, c in zip(rows["ts_us"], cents):
+        ts_us, c = int(ts_us), int(c)
+        if start_us is None:
+            start_us, last_us, n, sum_c = ts_us, ts_us, 1, c
+        elif ts_us - last_us > _SESSION_GAP_US:
+            closed["s"].append(start_us)
+            closed["e"].append(last_us)
+            closed["n"].append(n)
+            closed["c"].append(sum_c)
+            start_us, last_us, n, sum_c = ts_us, ts_us, 1, c
+        else:
+            last_us, n, sum_c = ts_us, n + 1, sum_c + c
+    state.update((start_us, last_us, n, sum_c))
+    # close the tail when the WATERMARK (not wall clock) passes the gap
+    state.setTimeoutTimestamp(last_us // 1000 + _SESSION_GAP_US // 1000)
+    if closed["s"]:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed["s"]),
+                "session_start_us": closed["s"],
+                "session_end_us": closed["e"],
+                "n_events": closed["n"],
+                "value_cents": closed["c"],
+            }
+        )
+
+
+def session_totals(changes: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful sessionization (the applyInPandasWithState
+    member of the window family, beside the declarative
+    ``session_window_agg``): per-key open-session state, in-batch gap
+    splitting, and an EVENT-TIME timeout that closes idle sessions as
+    the watermark advances.  Emits closed sessions only — the open
+    tail stays in state until the watermark proves no late event can
+    extend it, which is exactly the semantics a billing/engagement
+    pipeline needs.  Requires ``withWatermark`` upstream (event-time
+    timers are driven by it)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return changes.groupBy(key_col).applyInPandasWithState(
+        _session_kernel,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -203,3 +203,66 @@ def test_seen_dedup_v2_env_gate_is_explicit(spark, sf_dir):
 
     with pytest.raises(ImportError, match="protobuf"):
         seen_dedup_v2(table(spark, sf_dir, "events").select("user_id", "event_id"))
+
+
+def test_session_totals_closes_sessions_on_watermark(spark, tmp_path):
+    """Event-time sessionization e2e: crafted per-user gaps must close
+    exactly the expected sessions once a far-future flush event drives
+    the watermark past their timers; the flush user's own session
+    stays open (append mode emits closed sessions only)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.streaming.stateful import (
+        _SESSION_GAP_US,
+        session_totals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(user, minute, eid, value):
+        return (eid, t0 + dt.timedelta(minutes=minute), user, "click", value)
+
+    # user 1: two sessions (gap 45 min > 30); user 2: one session
+    rows = [
+        ev(1, 0, 1, 1.0),
+        ev(1, 10, 2, 2.0),
+        ev(1, 55, 3, 4.0),   # 45-min gap -> new session
+        ev(1, 60, 4, 8.0),
+        ev(2, 5, 5, 16.0),
+        ev(2, 20, 6, 32.0),
+        # flush: far future, separate user -> advances the watermark
+        ev(999, 60 * 24, 7, 0.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 minute")
+    )
+    out = session_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.value_cents)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    def us(minute):
+        return int((t0 + dt.timedelta(minutes=minute)).timestamp() * 1_000_000)
+
+    expected = {
+        (1, us(0), us(10), 2, 300),    # 1.0 + 2.0
+        (1, us(55), us(60), 2, 1200),  # 4.0 + 8.0
+        (2, us(5), us(20), 2, 4800),   # 16.0 + 32.0
+    }
+    assert got == expected  # flush user's open session correctly absent
