@@ -586,3 +586,101 @@ def graph_common_neighbors(spark, sf_dir):
         .orderBy(F.desc("common"), F.desc("jaccard"), "part_a", "part_b")
         .limit(20)
     )
+
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_khop",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co_cnt
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT p1, p2 FROM co WHERE co_cnt >= {_TRI_MIN_CO}),
+    sym AS (
+      SELECT p1 AS u, p2 AS v FROM edges
+      UNION ALL SELECT p2, p1 FROM edges
+    ),
+    src AS (SELECT MIN(u) AS s FROM sym),
+    walk(node, dist) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.v, w.dist + 1
+      FROM walk w JOIN sym e ON e.u = w.node
+      WHERE w.dist < {_BFS_MAX_HOPS}
+    ),
+    dists AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM dists
+    GROUP BY dist
+    ORDER BY dist
+    """,
+    tags=("graph", "bfs", "shortest-path", "iterative"),
+)
+def graph_bfs_khop(spark, sf_dir):
+    """Bounded BFS / k-hop shortest distances from the smallest node
+    of the co-purchase graph — the reachability-with-distance member
+    of the graph family (components answer \"connected at all\",
+    PageRank \"how central\", this answers \"how FAR\").  The Spark
+    side runs frontier-expansion label propagation: per round, one
+    edge-keyed join of the FRONTIER only (not all labeled nodes)
+    against the cached symmetric edge list, a map-side-combined min,
+    and an anti-join that keeps newly-reached nodes — so round r
+    shuffles |frontier_r| x avg-degree rows, the textbook Pregel BFS
+    cost.  The oracle replays it as a depth-bounded recursive CTE with
+    a MIN(dist) readout.  Distances are small exact integers; the
+    per-ring digest columns pin every ring's membership."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _TRI_MIN_CO)
+        .select("p1", "p2")
+    )
+    sym = (
+        edges.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .persist()
+    )
+    src = sym.agg(F.min("u").alias("s"))
+    reached = src.select(F.col("s").alias("node"), F.lit(0).alias("dist")).persist()
+    frontier = reached
+    for r in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r))
+            .persist()
+        )
+        if nxt.rdd.isEmpty():  # O(1)-row convergence probe
+            break
+        reached = reached.unionAll(nxt).persist()
+        frontier = nxt
+    return (
+        reached.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").cast("bigint").alias("node_sum"),
+        )
+        .orderBy("dist")
+    )
