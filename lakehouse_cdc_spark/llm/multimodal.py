@@ -554,3 +554,49 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(batches, VIDEO_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------------------- aHash
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_bmp(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash perceptual image signature: decode, 8x8
+    nearest-neighbor downscale (channel 0), threshold each cell
+    against the integer FLOOR of the thumbnail mean, pack the 64
+    bits row-major into one bigint.  Near-identical images agree on
+    most bits; equal hashes are duplicate candidates.  Everything is
+    integer selection + integer division, so the signature is
+    bit-identical across engines and partitionings."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pix = _parse_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = pix.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                thumb = pix[np.ix_(ys, xs)][:, :, 0]
+                mean_floor = int(thumb.sum()) // 64
+                bits = (thumb > mean_floor).astype(np.uint64).ravel()
+                sig = 0
+                for i, bval in enumerate(bits):
+                    sig |= int(bval) << i
+                # keep in signed-bigint range the same way both engines
+                # do: interpret the 64-bit pattern as two's complement
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(sig)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes})
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)

@@ -1217,6 +1217,56 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_ahash_signatures",
+    oracle="""
+    WITH cells AS (
+      SELECT d.doc_id, y.y, x.x,
+             (d.doc_id + 3 * ((x.x * (4 + d.doc_id % 13)) // 8)
+              + 5 * ((y.y * (4 + (d.doc_id * 7) % 11)) // 8)) % 256 AS v
+      FROM documents d, range(0, 8) x(x), range(0, 8) y(y)
+    ),
+    means AS (
+      SELECT doc_id, SUM(v) // 64 AS mean_floor FROM cells GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT c.doc_id,
+             bit_or(CASE WHEN c.v <= m.mean_floor THEN 0
+                         -- bit 63 is the sign bit: DuckDB rejects the
+                         -- overflowing shift, so state it as min-bigint
+                         WHEN c.y * 8 + c.x = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(c.y * 8 + c.x AS INT)
+                         END) AS ahash
+      FROM cells c JOIN means m ON c.doc_id = m.doc_id
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, ahash FROM sigs ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "dedup", "phash", "pandas-udf"),
+)
+def multimodal_ahash_signatures(spark, sf_dir):
+    """Perceptual image signatures (average hash): every document's
+    BMP decodes, downsamples to 8x8, and thresholds against the
+    integer floor-mean into a packed 64-bit signature — the
+    content-based image-dedup primitive (equal or near-equal hashes =
+    visually duplicate candidates), connecting the multimodal family
+    to the dedup family.  Bit packing uses two's-complement bigint
+    semantics both engines share; the oracle rebuilds every cell from
+    the closed-form pixels, so one wrong gather coordinate or a
+    mean-rounding difference flips bits and breaks the hash.  Same
+    Arrow-batched shape as the other decode stages; at 100 TB the
+    64-bit signature REPLACES the image in every downstream dedup
+    shuffle."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        ahash_bmp,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return ahash_bmp(encode_bmp_fixture(docs)).orderBy("doc_id")
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (
