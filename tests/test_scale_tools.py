@@ -185,3 +185,41 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     # and the pruned read really only touches one partition's rows
     expected = fact.filter(F.col("event_type") == "purchase").count()
     assert joined.count() == expected
+
+
+def test_csv_malformed_row_handling_modes(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE captures the corrupt line in
+    the designated column, DROPMALFORMED silently drops it, FAILFAST
+    raises — the three contract modes a production CSV loader needs."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    path = tmp_path / "dirty.csv"
+    path.write_text("1,alice,10.5\n2,bob,not_a_number\n3,carol,7.25\n")
+    schema = "id long, name string, score double"
+
+    permissive = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(path))
+        .cache()
+    )
+    assert permissive.count() == 3
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0].id == 2 and bad[0].score is None
+    assert "not_a_number" in bad[0]._corrupt_record
+
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(path))
+        .collect()
+    )
+    assert {r.id for r in dropped} == {1, 3}
+
+    with _pytest.raises((Py4JJavaError, Exception)):
+        spark.read.schema(schema).option("mode", "FAILFAST").csv(
+            str(path)
+        ).collect()
