@@ -600,3 +600,50 @@ def ahash_bmp(
             yield pd.DataFrame({id_col: ids, "ahash": hashes})
 
     return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+# ----------------------------------------------------- audio fingerprint
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("audio_fp", T.LongType()),
+    ]
+)
+
+_AFP_BLOCK = 16  # frames per energy block
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Energy-delta audio fingerprint (the Shazam-style primitive at
+    its simplest): channel-0 samples are cut into 16-frame blocks,
+    each block reduced to its integer energy (sum of squares), and
+    bit j of the signature records whether block j+1's energy exceeds
+    block j's.  Loudness-invariant by construction (monotone under
+    gain applied uniformly) and exact-integer throughout, so the
+    fingerprint is engine- and partitioning-identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nbs, fps = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, s = _parse_wav(bytes(payload))
+                ch0 = s[:, 0].astype(np.int64)
+                nb = len(ch0) // _AFP_BLOCK
+                blocks = ch0[: nb * _AFP_BLOCK].reshape(nb, _AFP_BLOCK)
+                energy = (blocks * blocks).sum(axis=1)
+                sig = 0
+                for j in range(nb - 1):
+                    if energy[j + 1] > energy[j]:
+                        sig |= 1 << j
+                ids.append(int(doc_id))
+                nbs.append(nb)
+                fps.append(sig)
+            yield pd.DataFrame(
+                {id_col: ids, "n_blocks": nbs, "audio_fp": fps}
+            )
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -1267,6 +1267,58 @@ def multimodal_ahash_signatures(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    WITH frames AS (
+      -- channel-0 sample i of doc: ((doc*31 + i*17) % 4096) - 2048
+      SELECT d.doc_id,
+             (64 + d.doc_id % 129) // 16 AS nb,
+             i.i // 16 AS block,
+             ((d.doc_id * 31 + i.i * 17) % 4096 - 2048) AS s
+      FROM documents d, range(0, 193) i(i)
+      WHERE i.i < ((64 + d.doc_id % 129) // 16) * 16
+    ),
+    energy AS (
+      SELECT doc_id, nb, block, SUM(s * s) AS e
+      FROM frames GROUP BY doc_id, nb, block
+    ),
+    deltas AS (
+      SELECT doc_id, nb, block,
+             e > LAG(e) OVER (PARTITION BY doc_id ORDER BY block) AS up
+      FROM energy
+    )
+    SELECT doc_id, CAST(MAX(nb) AS INT) AS n_blocks,
+           CAST(COALESCE(SUM(CASE WHEN up THEN
+                 CAST(1 AS BIGINT) << CAST(block - 1 AS INT) ELSE 0 END), 0)
+                AS BIGINT) AS audio_fp
+    FROM deltas
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "fingerprint", "pandas-udf"),
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Audio perceptual fingerprints — the WAV twin of the image
+    aHash: real RIFF decode, channel-0 energy per 16-frame block, one
+    signature bit per consecutive-block energy INCREASE
+    (loudness-invariant, like every production audio fingerprint).
+    The oracle rebuilds block energies from the closed-form samples
+    and replays the delta bits with a lag() window — a wrong channel
+    de-interleave or block boundary breaks the signature.  With <= 12
+    blocks per fixture clip the signature fits well under the sign
+    bit.  Arrow-batched mapInPandas; at 100 TB the fingerprint
+    replaces the clip in dedup/retrieval shuffles exactly as the
+    image hash does."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        audio_fingerprint,
+        encode_wav_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_fingerprint(encode_wav_fixture(docs)).orderBy("doc_id")
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (
