@@ -647,3 +647,68 @@ def audio_fingerprint(
             )
 
     return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+# ----------------------------------------------------------- scene cuts
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_cuts", T.IntegerType()),
+        T.StructField("max_frame_diff", T.LongType()),
+    ]
+)
+
+_SCENE_CUT_THRESHOLD = 3000  # Σ|Δ| over the 8x8 grid that counts as a cut
+
+
+def detect_scene_cuts(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Scene-cut detection over the multi-frame container: every frame
+    reduces to the same 8x8 channel-0 grid the image hash uses, and a
+    cut is declared where the L1 distance between CONSECUTIVE frame
+    grids exceeds the threshold — the shot-boundary primitive video
+    curation uses to pick representative frames.  Comparing on the
+    fixed grid makes frames of different native geometries comparable
+    and keeps the math exact-integer."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "nf", "nc", "mx")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] != b"VID0":
+                    raise ValueError("not a VID0 container")
+                n = struct.unpack_from("<I", b, 4)[0]
+                pos, grids = 8, []
+                for _f in range(n):
+                    ln = struct.unpack_from("<I", b, pos)[0]
+                    pos += 4
+                    pix = _parse_bmp(b[pos : pos + ln]).astype(np.int64)
+                    h, w, _c = pix.shape
+                    ys = (np.arange(8) * h) // 8
+                    xs = (np.arange(8) * w) // 8
+                    grids.append(pix[np.ix_(ys, xs)][:, :, 0])
+                    pos += ln
+                diffs = [
+                    int(np.abs(grids[j + 1] - grids[j]).sum())
+                    for j in range(n - 1)
+                ]
+                out["id"].append(int(doc_id))
+                out["nf"].append(n)
+                out["nc"].append(
+                    sum(1 for d in diffs if d > _SCENE_CUT_THRESHOLD)
+                )
+                out["mx"].append(max(diffs) if diffs else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "n_frames": out["nf"],
+                    "n_cuts": out["nc"],
+                    "max_frame_diff": out["mx"],
+                }
+            )
+
+    return df.mapInPandas(batches, SCENE_CUT_SCHEMA)

@@ -1319,6 +1319,56 @@ def multimodal_audio_fingerprint(spark, sf_dir):
 
 
 @register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH grids AS (
+      -- 8x8 channel-0 grid cell of frame f (seed s = doc*31 + f):
+      -- v = (s + 3*((x*w)//8) + 5*((y*h)//8)) % 256
+      SELECT d.doc_id, 6 + d.doc_id % 5 AS n, f.f, y.y, x.x,
+             ((d.doc_id * 31 + f.f)
+              + 3 * ((x.x * (4 + (d.doc_id * 31 + f.f) % 13)) // 8)
+              + 5 * ((y.y * (4 + ((d.doc_id * 31 + f.f) * 7) % 11)) // 8))
+               % 256 AS v
+      FROM documents d, range(0, 10) f(f), range(0, 8) x(x), range(0, 8) y(y)
+      WHERE f.f < 6 + d.doc_id % 5
+    ),
+    diffs AS (
+      SELECT a.doc_id, a.n, a.f,
+             SUM(abs(b.v - a.v)) AS d1
+      FROM grids a
+      JOIN grids b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                  AND b.y = a.y AND b.x = a.x
+      GROUP BY a.doc_id, a.n, a.f
+    )
+    SELECT doc_id, CAST(MAX(n) AS INT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE d1 > 3000) AS INT) AS n_cuts,
+           CAST(MAX(d1) AS BIGINT) AS max_frame_diff
+    FROM diffs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "video", "scene-cut", "pandas-udf"),
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over the real multi-frame container:
+    consecutive frames reduce to the SAME 8x8 grid the image hash
+    uses (making different native geometries comparable) and a cut is
+    an L1 grid distance above threshold — the primitive video
+    curation uses to pick representative frames before captioning.
+    The oracle rebuilds every grid cell closed-form and replays the
+    consecutive-frame self-join; decoder-side the cut count breaks if
+    any frame offset, gather coordinate, or abs-diff is wrong.
+    Arrow-batched mapInPandas, one row out per clip."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        detect_scene_cuts,
+        encode_video_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return detect_scene_cuts(encode_video_fixture(docs)).orderBy("doc_id")
+
+
+@register(
     "llm_curation_pipeline",
     oracle=f"""
     WITH deduped AS (
