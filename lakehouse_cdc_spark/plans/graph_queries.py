@@ -684,3 +684,85 @@ def graph_bfs_khop(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM items),
+    freq AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS f FROM items GROUP BY p
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co_cnt
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_TRI_MIN_CO}
+    )
+    SELECT co.p1 AS part_a, co.p2 AS part_b, co.co_cnt,
+           f1.f AS cnt_a, f2.f AS cnt_b,
+           round(CAST(co.co_cnt AS DOUBLE) / n.n, 8) AS support,
+           round(CAST(co.co_cnt AS DOUBLE) / f1.f, 6) AS confidence_a_to_b,
+           round(CAST(co.co_cnt AS DOUBLE) * n.n / (f1.f * f2.f), 6) AS lift
+    FROM co
+    JOIN freq f1 ON f1.p = co.p1
+    JOIN freq f2 ON f2.p = co.p2, n_orders n
+    ORDER BY lift DESC, co.co_cnt DESC, part_a, part_b
+    LIMIT 25
+    """,
+    tags=("graph", "market-basket", "association-rules", "A4"),
+)
+def market_basket_rules(spark, sf_dir):
+    """Association rules (the output stage of Apriori/FP-growth):
+    part pairs ranked by LIFT = P(A,B)/(P(A)P(B)), with support and
+    directional confidence — \"customers who bought A also bought B\"
+    with the popularity bias divided out.  All three metrics are exact
+    rationals over basket counts (rounded at the end), computed from
+    the one |basket|-bounded co-occurrence self-join the graph family
+    already uses, plus a broadcastable item-frequency table — no
+    candidate-generation explosion, because the support threshold
+    prunes BEFORE the metrics (the actual Apriori insight).  Total
+    order on (lift, count, pair) keeps the top-25 engine-identical."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = items.select("o").distinct().count()
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("f"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _TRI_MIN_CO)
+    )
+    f1 = freq.select(F.col("p").alias("p1"), F.col("f").alias("cnt_a"))
+    f2 = freq.select(F.col("p").alias("p2"), F.col("f").alias("cnt_b"))
+    return (
+        co.join(F.broadcast(f1), "p1")
+        .join(F.broadcast(f2), "p2")
+        .select(
+            F.col("p1").alias("part_a"),
+            F.col("p2").alias("part_b"),
+            "co_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(F.col("co_cnt").cast("double") / n_orders, 8).alias(
+                "support"
+            ),
+            F.round(F.col("co_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("co_cnt").cast("double") * n_orders
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("co_cnt"), "part_a", "part_b")
+        .limit(25)
+    )
