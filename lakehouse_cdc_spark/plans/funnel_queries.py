@@ -228,6 +228,7 @@ _RAU_WINDOW = 7  # trailing days per active-user window
 
 @register(
     "events_rolling_active_users",
+    bench=True,
     oracle=f"""
     WITH daily AS (
       SELECT DISTINCT

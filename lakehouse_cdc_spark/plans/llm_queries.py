@@ -1218,6 +1218,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_ahash_signatures",
+    bench=True,
     oracle="""
     WITH cells AS (
       SELECT d.doc_id, y.y, x.x,
