@@ -626,3 +626,132 @@ def sample_leakage_safe_split(spark, sf_dir):
         .select("split", "n_docs", "n_clusters", "doc_xor", "leakage_pairs")
         .orderBy("split")
     )
+
+
+def _cascade_oracle() -> str:
+    from lakehouse_cdc_spark.plans.llm_queries import (
+        _BAND_UNION,
+        _BANDS,
+        _MINS,
+        _SH_CTE,
+    )
+
+    sh_on_surv = _SH_CTE.replace("FROM documents", "FROM surv")
+    return f"""
+    WITH RECURSIVE surv AS (
+      SELECT * FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id ASC) = 1
+    ),
+    {sh_on_surv},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    sym AS (SELECT da AS u, db AS v FROM cand
+            UNION SELECT db, da FROM cand),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_after_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM comp
+              WHERE node <> component) AS removed_near
+    )
+    SELECT n_docs,
+           n_docs - n_after_exact AS removed_exact,
+           removed_near,
+           n_after_exact - removed_near AS n_kept,
+           round(CAST(n_docs - n_after_exact AS DOUBLE) / n_docs, 6)
+             AS exact_rate,
+           round(CAST(removed_near AS DOUBLE) / n_after_exact, 6)
+             AS near_rate,
+           round(CAST(n_after_exact - removed_near AS DOUBLE) / n_docs, 6)
+             AS keep_rate
+    FROM stats
+    """
+
+
+@register(
+    "dedup_cascade_report",
+    oracle=_cascade_oracle(),
+    tags=("llm", "dedup", "cascade", "pipeline-economics"),
+)
+def dedup_cascade_report(spark, sf_dir):
+    """Dedup-cascade economics — the per-stage removal accounting every
+    curation pipeline publishes: stage 1 removes byte-exact copies
+    (md5 canonical, cheapest first), stage 2 runs MinHash+LSH →
+    connected components ONLY on the exact survivors and removes the
+    non-canonical member of every near-dup group.  Ordering matters
+    operationally (each stage shrinks the next stage's input — here
+    LSH shingles ~stage-1-survivors instead of the full corpus) and
+    statistically (near-dup rates are reported against the deduped
+    base, not inflated by exact copies).  The oracle replays both
+    stages including the recursive-CTE closure, so the whole
+    cascade's arithmetic is pinned.  Scale posture inherits from the
+    member operators: one md5 window, the LSH-bucket-capped pair
+    join, and the bounded CC iteration."""
+    from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from lakehouse_cdc_spark.operators.graph import connected_components
+    from lakehouse_cdc_spark.plans.llm_queries import _LSH_MAX_BUCKET
+
+    docs = table(spark, sf_dir, "documents")
+    surv = (
+        docs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+    sigs = minhash_signatures(surv, k=8)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    cc = connected_components(pairs, src="da", dst="db")
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_after_exact")))
+        .crossJoin(
+            cc.filter(F.col("node") != F.col("component")).agg(
+                F.count(F.lit(1)).alias("removed_near")
+            )
+        )
+    )
+    return counts.select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_after_exact")).alias("removed_exact"),
+        "removed_near",
+        (F.col("n_after_exact") - F.col("removed_near")).alias("n_kept"),
+        F.round(
+            (F.col("n_docs") - F.col("n_after_exact")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("exact_rate"),
+        F.round(
+            F.col("removed_near").cast("double") / F.col("n_after_exact"), 6
+        ).alias("near_rate"),
+        F.round(
+            (F.col("n_after_exact") - F.col("removed_near")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("keep_rate"),
+    )
