@@ -571,3 +571,85 @@ def topk_skyline_suppliers(spark, sf_dir):
         .select("suppkey", "avg_price_mc", "avg_delay_md")
         .orderBy("avg_price_mc", "avg_delay_md", "suppkey")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS d_ref FROM orders
+    ),
+    rfm AS (
+      SELECT o.o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), m.d_ref)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders o, maxd m
+      GROUP BY o.o_custkey, m.d_ref
+    ),
+    scored AS (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_value_cents,
+           CAST(MIN(custkey) AS BIGINT) AS sample_customer
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("rfm", "segmentation", "analytics", "W1"),
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic BI cohorting: per customer,
+    recency (days since last order, anchored to the corpus max date so
+    the query is reproducible), frequency, and fixed-point monetary
+    value, each quartiled with NTILE under a total order (key
+    tie-break, so bucket boundaries are engine-identical), then
+    aggregated into the 64-cell segment matrix with per-segment value.
+    One order scan + customer-keyed aggregate; three window rankings
+    over the |customers|-sized RFM table (which any realistic scale
+    keeps millions of times smaller than the fact table); output is
+    <= 64 rows at any volume."""
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("d_ref"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("d_ref"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_value_cents"),
+            F.min("custkey").alias("sample_customer"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -410,3 +410,105 @@ def ts_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(SUM({_V100}) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ),
+    centered AS (
+      SELECT d.event_type, d.d, t.n, d.x * t.n - t.s AS c
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS den
+      FROM centered GROUP BY event_type
+    ),
+    lags AS (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag),
+    num AS (
+      SELECT a.event_type, l.lag, CAST(SUM(a.c * b.c) AS BIGINT) AS num
+      FROM centered a
+      JOIN lags l ON TRUE
+      JOIN centered b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT n.event_type, n.lag, n.num, d.den,
+           round(CAST(n.num AS DOUBLE) / d.den, 6) AS acf
+    FROM num n JOIN den d ON n.event_type = d.event_type
+    ORDER BY n.event_type, n.lag
+    """,
+    tags=("timeseries", "autocorrelation", "seasonality", "W1"),
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation of daily series values at lags 1/2/3/7 — the
+    seasonality probe (a weekly cycle surfaces as an acf(7) spike)
+    run before choosing forecast features.  Denominators are cleared
+    the CUSUM way: centered terms become n*x_d - S (exact bigints), so
+    numerator and denominator are integer dot products and the
+    biased-ACF ratio is derived exactly, rounded once at the end.
+    int64 headroom: |n*x - S| stays < ~2^31 at these row counts, so
+    c*c sums sit far from overflow; a 100 TB deployment would push the
+    two products through DECIMAL(38,0) — a type swap, not a plan
+    change.  Shape: the daily table is tiny (|types| x |days|); lag
+    joins and both dot products run over it, never over raw events."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01')"
+            ).alias("d"),
+        )
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    centered = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type", "d", (F.col("x") * F.col("n") - F.col("s")).alias("c")
+    )
+    den = centered.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("den")
+    )
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag long")
+    a = centered.alias("a")
+    b = centered.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("d").alias("d_b"),
+        F.col("c").alias("c_b"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("d_b") == F.col("d") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("c") * F.col("c_b")).cast("bigint").alias("num"))
+    )
+    return (
+        num.join(den, "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "num",
+            "den",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
