@@ -1,0 +1,138 @@
+"""Streaming-ingest throughput benchmark.
+
+Replays the events table as a chronological micro-batched change log
+through the FULL CDC path — file source → op classification →
+last-write-wins compaction → bucketed snapshot-sink upsert under a
+checkpoint — and prints ONE JSON line with end-to-end rows/sec and
+per-phase timings.  This is the streaming complement to bench.py
+(which the driver runs); it exists so the sink's ingest posture is a
+measured number, not a claim.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/stream_bench.py
+
+Environment: ``SPARK_GRAFT_SF_DIR`` (default sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32), ``STREAM_BENCH_BATCHES`` (default
+8 micro-batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.dedup import latest_per_key
+from lakehouse_cdc_spark.plans.registry import table
+from lakehouse_cdc_spark.session import get_spark
+from lakehouse_cdc_spark.streaming import (
+    SnapshotUpsertSink,
+    cdc_pipeline,
+    file_cdc_source,
+)
+
+
+def op_col():
+    return (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_batches = int(os.environ.get("STREAM_BENCH_BATCHES", "8"))
+    spark = get_spark(f"stream_bench_local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        src = os.path.join(work, "changes")
+        t0 = time.time()
+        e = (
+            table(spark, sf_dir, "events")
+            .withColumn("operation", op_col())
+            .withColumn(
+                "bucket",
+                F.ntile(n_batches).over(Window.orderBy("ts", "event_id")),
+            )
+        )
+        e.withColumn("b", F.col("bucket")).drop("bucket").repartition(
+            1
+        ).write.partitionBy("b").mode("overwrite").parquet(src)
+        # flatten chronological chunk files for the file source
+        flat = os.path.join(work, "flat")
+        os.makedirs(flat)
+        i = 0
+        for root, _, files in sorted(os.walk(src)):
+            for f_ in sorted(files):
+                if f_.endswith(".parquet"):
+                    os.link(
+                        os.path.join(root, f_), os.path.join(flat, f"{i:04d}.parquet")
+                    )
+                    i += 1
+        n_rows = table(spark, sf_dir, "events").count()
+        prep_s = time.time() - t0
+
+        schema = (
+            table(spark, sf_dir, "events").withColumn("operation", op_col()).schema
+        )
+        stream = file_cdc_source(spark, flat, schema, max_files_per_trigger=1)
+        sink = SnapshotUpsertSink(
+            os.path.join(work, "target"),
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+        )
+        t1 = time.time()
+        q = cdc_pipeline(stream, sink, os.path.join(work, "ckpt"))
+        finished = q.awaitTermination(1800)
+        ingest_s = time.time() - t1
+        if not finished:
+            q.stop()
+            raise RuntimeError("stream did not drain in 1800s")
+
+        # verify: sink state must equal batch last-write-wins compaction
+        got = sink.current_table(spark).select("user_id", "event_id")
+        expected = (
+            latest_per_key(
+                table(spark, sf_dir, "events").withColumn("operation", op_col()),
+                ["user_id"],
+                ["ts", "event_id"],
+            )
+            .filter(F.col("operation") != "d")
+            .select("user_id", "event_id")
+        )
+        diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+        if diff:
+            raise RuntimeError(f"sink state diverges from batch by {diff} rows")
+
+        print(
+            json.dumps(
+                {
+                    "metric": "stream_ingest_rows_per_sec",
+                    "value": round(n_rows / ingest_s, 1),
+                    "unit": "rows/sec",
+                    "rows": n_rows,
+                    "micro_batches": n_batches,
+                    "ingest_sec": round(ingest_s, 3),
+                    "prep_sec": round(prep_s, 3),
+                    "verified": True,
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
