@@ -150,11 +150,14 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     assert sorted(map(repr, few)) == sorted(map(repr, many)), name
 
 
-def test_bench_plans_have_no_cartesian_or_row_udfs(spark):
-    """Plan hygiene over the whole headline set: no CartesianProduct
-    (an unkeyed fact-fact blowup) and no BatchEvalPython (row-at-a-
-    time Python UDF — everything Python must be Arrow-vectorized:
-    MapInPandas / FlatMapGroupsInPandas are fine)."""
+def test_all_plans_have_no_cartesian_or_row_udfs(spark):
+    """Plan hygiene over the ENTIRE registry: no CartesianProduct (an
+    unkeyed fact-fact blowup) and no BatchEvalPython (row-at-a-time
+    Python UDF — everything Python must be Arrow-vectorized:
+    MapInPandas / FlatMapGroupsInPandas are fine).  Building each plan
+    also executes the documented O(1) driver probes (blocking-key
+    sizing, BPE argmax, convergence checks), so this doubles as a
+    registry-wide smoke test at sf0.001."""
     from lakehouse_cdc_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"
@@ -162,9 +165,7 @@ def test_bench_plans_have_no_cartesian_or_row_udfs(spark):
         "formatted"
     )
     offenders = {}
-    for name, spec in REGISTRY.items():
-        if not spec.bench:
-            continue
+    for name, spec in sorted(REGISTRY.items()):
         df = spec.fn(spark, sf)
         plan = df._jdf.queryExecution().explainString(mode)
         bad = [
