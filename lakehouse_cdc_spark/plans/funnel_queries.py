@@ -367,3 +367,80 @@ def events_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+      FROM seq WHERE prev_ts IS NOT NULL
+    ),
+    bucketed AS (
+      -- log2-ish buckets over minutes: 0, 1, 2, 4, 8, ... via
+      -- integer bit length of the whole-minute gap
+      SELECT CASE WHEN gap_us < 60000000 THEN 0
+                  ELSE CAST(floor(log2(gap_us // 60000000)) AS BIGINT) + 1
+             END AS bucket
+      FROM gaps
+    )
+    SELECT bucket,
+           CASE WHEN bucket = 0 THEN 0
+                ELSE CAST(pow(2, bucket - 1) AS BIGINT) END AS lo_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("events", "interarrival", "histogram", "analytics", "W1"),
+)
+def events_interarrival_histogram(spark, sf_dir):
+    """Inter-arrival time distribution per user stream, in doubling
+    (log2) minute buckets — the burstiness profile behind session-gap
+    and TTL tuning (the 30-minute session threshold and state-store
+    TTLs upstream are read off exactly this histogram).  One lag()
+    window per user, then a map-side bucket aggregate into ~15 cells.
+    Buckets are computed from INTEGER whole-minute gaps, and log2 of
+    an integer's value used only to pick the power-of-two bucket —
+    exact for any count that fits an int (both engines' log2 of 2^k
+    is exactly k, and non-powers floor identically since the true
+    log2 is irrational, never on a representability boundary)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "ts", F.lag("ts").over(w).alias("prev_ts")
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us")
+        )
+    )
+    bucket = (
+        F.when(F.col("gap_us") < 60_000_000, F.lit(0))
+        .otherwise(
+            F.floor(F.log2(F.expr("gap_us div 60000000"))).cast("bigint") + 1
+        )
+        .alias("bucket")
+    )
+    return (
+        gaps.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, 0)
+            .otherwise(F.pow(F.lit(2), F.col("bucket") - 1).cast("bigint"))
+            .alias("lo_minutes"),
+            "n_gaps",
+        )
+        .orderBy("bucket")
+    )
