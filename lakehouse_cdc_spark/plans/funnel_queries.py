@@ -444,3 +444,69 @@ def events_interarrival_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n, sx,
+           2 * six - (n + 1) * sx AS gini_num,
+           n * sx AS gini_den,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6)
+             AS gini
+    FROM agg
+    """,
+    tags=("events", "gini", "concentration", "analytics", "A4"),
+)
+def events_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity — the concentration
+    number behind whale analysis and abuse heuristics (0 = everyone
+    equally active, →1 = a few users generate everything).  Uses the
+    rank formulation G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted counts with a total order (key tie-break), so
+    numerator and denominator are EXACT bigints and the rounded ratio
+    is engine-identical.  The sort runs over the |users|-sized count
+    table, not the event stream; output is one row."""
+    from pyspark.sql import Window
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "user_id")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    ).select(
+        "n",
+        "sx",
+        (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).alias(
+            "gini_num"
+        ),
+        (F.col("n") * F.col("sx")).alias("gini_den"),
+        F.round(
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )
