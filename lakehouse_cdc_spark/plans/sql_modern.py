@@ -104,3 +104,39 @@ def recursive_referral_rollup(spark, sf_dir):
     frontier breaks the hash.  Identical SQL text on DuckDB."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rec")
     return spark.sql(_REFERRAL_SQL.format(customer="customer_rec"))
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "modern", "group-by-all"),
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL — the DuckDB-originated ergonomics
+    Spark adopted in 3.4: every non-aggregate select item groups, and
+    the output orders by the full select list, so adding a dimension
+    to a report is a ONE-line change with no position lists to keep in
+    sync.  Same fixed-point revenue discipline as every money column;
+    both engines parse and execute the identical modern-SQL text."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(date_format(o_orderdate, 'yyyy') AS BIGINT) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -503,3 +503,41 @@ def test_frame_sampler_stride_one_equals_sum_of_all_frames(spark):
         n2, ns2, s2 = every_other[doc_id]
         assert n2 == n and ns2 == (n + 1) // 2
         assert 0 < s2 < s  # a strict subset of the pixel mass
+
+
+def test_multimodal_parsers_reject_malformed_payloads():
+    """Negative paths: every parser must fail loudly (ValueError with
+    the offending field) on junk, truncation, and unsupported
+    variants — never return garbage stats silently."""
+    import struct
+
+    import pytest as _pytest
+
+    from lakehouse_cdc_spark.llm.multimodal import (
+        _parse_bmp,
+        _parse_wav,
+        bmp_bytes,
+        wav_bytes,
+    )
+
+    with _pytest.raises(ValueError, match="BM"):
+        _parse_bmp(b"NOTABMP" * 10)
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"JUNK" * 10)
+
+    # unsupported bit depth: patch a valid header to 16 bpp
+    b = bytearray(bmp_bytes(3))
+    struct.pack_into("<H", b, 28, 16)
+    with _pytest.raises(ValueError, match="bpp"):
+        _parse_bmp(bytes(b))
+
+    # non-PCM audio format code
+    w = bytearray(wav_bytes(3))
+    struct.pack_into("<H", w, 20, 3)  # IEEE float fmt
+    with _pytest.raises(ValueError, match="fmt"):
+        _parse_wav(bytes(w))
+
+    # WAV with fmt but truncated before the data chunk
+    w2 = wav_bytes(3)
+    with _pytest.raises(ValueError, match="data"):
+        _parse_wav(w2[:36])
