@@ -73,3 +73,44 @@ def deleted_flag(col: str = "__deleted") -> Column:
     """``__deleted`` string → boolean, case-insensitive, null → false
     (spark_batch.py:107's ``.get('__deleted','false').lower()=='true'``)."""
     return F.lower(F.coalesce(F.col(col), F.lit("false"))) == "true"
+
+
+def decode_debezium_with_dlq(
+    raw: DataFrame,
+    value_col: str = "value",
+    schema: T.StructType = DEBEZIUM_ITEM_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`decode_debezium` with a DEAD-LETTER channel: returns
+    ``(good, dlq)`` where ``dlq`` carries every dropped message's raw
+    bytes plus a reason tag (``null_or_empty`` / ``sentinel_empty`` /
+    ``unparseable``) — the operational half the silent drop hides.  A
+    production pipeline writes ``dlq`` to a side sink for replay after
+    a schema fix; reprocessing is safe because the main path's merge
+    is last-write-wins-idempotent.  Both halves derive from ONE pass
+    (same ``from_json``), split by complementary filters — Spark
+    evaluates the common subplan per sink, so no second scan of the
+    source is required within a foreachBatch."""
+    value = F.col(value_col).cast("string")
+    parsed = raw.select(
+        F.from_json(value, schema).alias("env"),
+        value.alias("__raw"),
+    )
+    ok = (
+        F.col("__raw").isNotNull()
+        & (F.trim(F.col("__raw")) != "")
+        & (F.trim(F.col("__raw")) != "empty")
+        & F.col("env.payload").isNotNull()
+    )
+    good = parsed.filter(ok).select("env.payload.*")
+    reason = (
+        F.when(
+            F.col("__raw").isNull() | (F.trim(F.col("__raw")) == ""),
+            "null_or_empty",
+        )
+        .when(F.trim(F.col("__raw")) == "empty", "sentinel_empty")
+        .otherwise("unparseable")
+    )
+    dlq = parsed.filter(~ok).select(
+        F.col("__raw").alias("raw_value"), reason.alias("reason")
+    )
+    return good, dlq

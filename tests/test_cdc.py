@@ -203,3 +203,38 @@ def test_snapshot_diff_rejects_schema_mismatch(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_decode_dlq_accounts_for_every_dropped_message(spark):
+    """good + dlq must partition the input exactly, with the right
+    reason tag per drop class."""
+    from lakehouse_cdc_spark.cdc.decode import (
+        decode_debezium,
+        decode_debezium_with_dlq,
+    )
+
+    rows = [
+        ('{"payload": {"id": 1, "name": "a", "description": "d", '
+         '"price": 10, "on_offer": true, "__deleted": "false"}}',),
+        (None,),
+        ("   ",),
+        ("empty",),
+        ("{not json at all",),
+        ('{"other": 1}',),  # parseable but no payload
+        ('{"payload": {"id": 2, "name": "b", "description": "e", '
+         '"price": 20, "on_offer": false, "__deleted": "true"}}',),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    good, dlq = decode_debezium_with_dlq(raw)
+    assert {r.id for r in good.collect()} == {1, 2}
+    reasons = sorted(r.reason for r in dlq.collect())
+    assert reasons == [
+        "null_or_empty",
+        "null_or_empty",
+        "sentinel_empty",
+        "unparseable",
+        "unparseable",
+    ]
+    assert good.count() + dlq.count() == len(rows)
+    # and the plain decoder keeps exactly the good half
+    assert decode_debezium(raw).count() == good.count()
