@@ -176,3 +176,44 @@ def test_all_plans_have_no_cartesian_or_row_udfs(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_spatial_grid_join_equals_naive_cross_join(spark):
+    """The 3x3 grid candidate set must yield EXACTLY the pairs the
+    O(N*M) cross join finds — the superset property plus the exact
+    distance filter leave no pair behind and admit none extra."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.registry import table
+    from lakehouse_cdc_spark.plans.spatial_queries import (
+        _RADIUS,
+        _XY_SPARK,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.custkey, r.suppkey, r.dist_linf)
+        for r in REGISTRY["spatial_grid_join"].fn(spark, sf).collect()
+    }
+    cust = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.expr(_XY_SPARK[0].format(tag="c", key="c_custkey")).alias("x"),
+        F.expr(_XY_SPARK[1].format(tag="c", key="c_custkey")).alias("y"),
+    )
+    supp = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.expr(_XY_SPARK[0].format(tag="s", key="s_suppkey")).alias("sx_"),
+        F.expr(_XY_SPARK[1].format(tag="s", key="s_suppkey")).alias("sy_"),
+    )
+    dist = F.greatest(
+        F.abs(F.col("x") - F.col("sx_")), F.abs(F.col("y") - F.col("sy_"))
+    )
+    naive = {
+        (r.ck, r.sk, r.d)
+        for r in cust.crossJoin(supp)
+        .withColumn("d", dist)
+        .filter(F.col("d") <= _RADIUS)
+        .collect()
+    }
+    assert got == naive and naive, "expected a non-empty identical pair set"
