@@ -139,3 +139,107 @@ def spatial_grid_join(spark, sf_dir):
         )
         .orderBy("custkey", "suppkey")
     )
+
+
+_DB_MIN_PTS = 4  # neighbors (excluding self) within r that make a core
+
+
+@register(
+    "spatial_dbscan_cores",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             {_XY_DUCK[0].format(tag='c', key='c_custkey')} AS x,
+             {_XY_DUCK[1].format(tag='c', key='c_custkey')} AS y
+      FROM customer
+    ),
+    agrid AS (
+      SELECT k, x, y,
+             (x // {_RADIUS}) + dx.dx AS gx,
+             (y // {_RADIUS}) + dy.dy AS gy
+      FROM pts, range(-1, 2) dx(dx), range(-1, 2) dy(dy)
+    ),
+    bgrid AS (
+      SELECT k, x, y, x // {_RADIUS} AS gx, y // {_RADIUS} AS gy FROM pts
+    ),
+    neigh AS (
+      SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM agrid a JOIN bgrid b ON a.gx = b.gx AND a.gy = b.gy
+      WHERE a.k <> b.k
+        AND GREATEST(abs(a.x - b.x), abs(a.y - b.y)) <= {_RADIUS}
+      GROUP BY a.k
+    ),
+    labeled AS (
+      SELECT p.k, COALESCE(n.n_neighbors, 0) AS n_neighbors,
+             COALESCE(n.n_neighbors, 0) >= {_DB_MIN_PTS} AS is_core
+      FROM pts p LEFT JOIN neigh n ON p.k = n.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) FILTER (WHERE is_core) AS BIGINT) AS n_core,
+           CAST(COUNT(*) FILTER (WHERE n_neighbors = 0) AS BIGINT) AS n_isolated,
+           CAST(MAX(n_neighbors) AS BIGINT) AS max_neighbors,
+           CAST(SUM(n_neighbors) AS BIGINT) AS total_neighbor_links
+    FROM labeled
+    """,
+    tags=("spatial", "dbscan", "density", "clustering"),
+)
+def spatial_dbscan_cores(spark, sf_dir):
+    """The density step of DBSCAN: a point is CORE when at least
+    minPts other points sit within distance r — computed with the
+    same 3x3 grid replication as spatial_grid_join, but as a
+    SELF-join (each point's neighborhood count is one grouped
+    aggregate over co-celled candidates).  Core identification is the
+    expensive, shuffling part of DBSCAN; the subsequent cluster
+    expansion is connected components over core-core edges, which
+    operators/graph.py already provides — so this query plus CC IS
+    distributed DBSCAN.  Emits the density profile (cores, isolated
+    points, the hottest neighborhood) as exact integers."""
+    cx = F.expr(_XY_SPARK[0].format(tag="c", key="c_custkey"))
+    cy = F.expr(_XY_SPARK[1].format(tag="c", key="c_custkey"))
+    pts = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), cx.alias("x"), cy.alias("y")
+    )
+    offsets = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+    agrid = (
+        pts.select("k", "x", "y", offsets.alias("dx"))
+        .select("k", "x", "y", "dx", offsets.alias("dy"))
+        .select(
+            "k",
+            "x",
+            "y",
+            (F.expr(f"x div {_RADIUS}") + F.col("dx")).alias("gx"),
+            (F.expr(f"y div {_RADIUS}") + F.col("dy")).alias("gy"),
+        )
+    )
+    bgrid = pts.select(
+        F.col("k").alias("bk"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x div {_RADIUS}").alias("gx"),
+        F.expr(f"y div {_RADIUS}").alias("gy"),
+    )
+    neigh = (
+        agrid.join(bgrid, ["gx", "gy"])
+        .filter(
+            (F.col("k") != F.col("bk"))
+            & (
+                F.greatest(
+                    F.abs(F.col("x") - F.col("bx")),
+                    F.abs(F.col("y") - F.col("by")),
+                )
+                <= _RADIUS
+            )
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    labeled = pts.join(neigh, "k", "left").select(
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors")
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count(F.when(F.col("n_neighbors") >= _DB_MIN_PTS, 1)).alias("n_core"),
+        F.count(F.when(F.col("n_neighbors") == 0, 1)).alias("n_isolated"),
+        F.max("n_neighbors").cast("bigint").alias("max_neighbors"),
+        F.sum("n_neighbors").cast("bigint").alias("total_neighbor_links"),
+    )
