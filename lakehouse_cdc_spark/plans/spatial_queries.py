@@ -243,3 +243,106 @@ def spatial_dbscan_cores(spark, sf_dir):
         F.max("n_neighbors").cast("bigint").alias("max_neighbors"),
         F.sum("n_neighbors").cast("bigint").alias("total_neighbor_links"),
     )
+
+
+@register(
+    "spatial_nearest_in_radius",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey AS ck,
+             {_XY_DUCK[0].format(tag='c', key='c_custkey')} AS x,
+             {_XY_DUCK[1].format(tag='c', key='c_custkey')} AS y
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS sk,
+             {_XY_DUCK[0].format(tag='s', key='s_suppkey')} AS x,
+             {_XY_DUCK[1].format(tag='s', key='s_suppkey')} AS y
+      FROM supplier
+    ),
+    cgrid AS (
+      SELECT ck, x, y,
+             (x // {_RADIUS}) + dx.dx AS gx,
+             (y // {_RADIUS}) + dy.dy AS gy
+      FROM cust, range(-1, 2) dx(dx), range(-1, 2) dy(dy)
+    ),
+    sgrid AS (
+      SELECT sk, x, y, x // {_RADIUS} AS gx, y // {_RADIUS} AS gy FROM supp
+    ),
+    cand AS (
+      SELECT c.ck, s.sk,
+             GREATEST(abs(c.x - s.x), abs(c.y - s.y)) AS d
+      FROM cgrid c JOIN sgrid s ON c.gx = s.gx AND c.gy = s.gy
+      WHERE GREATEST(abs(c.x - s.x), abs(c.y - s.y)) <= {_RADIUS}
+    )
+    SELECT ck AS custkey, sk AS nearest_suppkey, d AS dist_linf
+    FROM (
+      SELECT ck, sk, d,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY d, sk) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+    tags=("spatial", "knn", "nearest", "W1"),
+)
+def spatial_nearest_in_radius(spark, sf_dir):
+    """Nearest-neighbor-within-radius (\"closest depot within range\"):
+    for every customer with at least one supplier inside r, the single
+    closest one — grid candidates from spatial_grid_join's 3x3
+    replication, resolved by a per-customer argmin window with a total
+    order (distance, then key).  The radius bound is what keeps this
+    exact AND bounded: within r the 3x3 superset is provably complete,
+    so no expanding-ring search is needed; customers with nothing in
+    range are correctly absent (the business answer is \"none in
+    range\", not a far-away fallback).  All integer distances —
+    bit-identical pick in the oracle."""
+    from pyspark.sql import Window
+
+    cx = F.expr(_XY_SPARK[0].format(tag="c", key="c_custkey"))
+    cy = F.expr(_XY_SPARK[1].format(tag="c", key="c_custkey"))
+    sx = F.expr(_XY_SPARK[0].format(tag="s", key="s_suppkey"))
+    sy = F.expr(_XY_SPARK[1].format(tag="s", key="s_suppkey"))
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), cx.alias("x"), cy.alias("y")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), sx.alias("sx_"), sy.alias("sy_")
+    )
+    offsets = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+    cgrid = (
+        cust.select("ck", "x", "y", offsets.alias("dx"))
+        .select("ck", "x", "y", "dx", offsets.alias("dy"))
+        .select(
+            "ck",
+            "x",
+            "y",
+            (F.expr(f"x div {_RADIUS}") + F.col("dx")).alias("gx"),
+            (F.expr(f"y div {_RADIUS}") + F.col("dy")).alias("gy"),
+        )
+    )
+    sgrid = supp.select(
+        "sk",
+        "sx_",
+        "sy_",
+        F.expr(f"sx_ div {_RADIUS}").alias("gx"),
+        F.expr(f"sy_ div {_RADIUS}").alias("gy"),
+    )
+    dist = F.greatest(
+        F.abs(F.col("x") - F.col("sx_")), F.abs(F.col("y") - F.col("sy_"))
+    )
+    cand = (
+        cgrid.join(sgrid, ["gx", "gy"])
+        .withColumn("d", dist)
+        .filter(F.col("d") <= _RADIUS)
+    )
+    rn = F.row_number().over(Window.partitionBy("ck").orderBy("d", "sk"))
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("sk").alias("nearest_suppkey"),
+            F.col("d").alias("dist_linf"),
+        )
+        .orderBy("custkey")
+    )
