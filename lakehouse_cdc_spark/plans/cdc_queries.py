@@ -405,3 +405,69 @@ def cdc_snapshot_diff(spark, sf_dir):
     before = _latest_state(e.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
     after = _latest_state(e)
     return snapshot_diff(before, after, keys=["user_id"])
+
+
+@register(
+    "cdc_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    ),
+    late AS (
+      SELECT CASE WHEN high_water IS NULL OR ts >= high_water THEN 0
+                  ELSE epoch_us(high_water) - epoch_us(ts) END AS late_us
+      FROM arr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+           CAST(COUNT(*) FILTER (WHERE late_us > 60000000) AS BIGINT)
+             AS late_over_1m,
+           CAST(COUNT(*) FILTER (WHERE late_us > 600000000) AS BIGINT)
+             AS late_over_10m,
+           CAST(COUNT(*) FILTER (WHERE late_us > 3600000000) AS BIGINT)
+             AS late_over_1h,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM late
+    """,
+    tags=("cdc", "watermark", "lateness", "tuning", "W1"),
+)
+def cdc_lateness_audit(spark, sf_dir):
+    """Watermark-tuning audit: replay the stream in ARRIVAL order
+    (event_id) and measure each event's lateness against the running
+    event-time high-water mark — exactly the quantity
+    ``withWatermark(delay)`` trades against state size.  The emitted
+    row answers \"what would a 1-minute / 10-minute / 1-hour
+    watermark drop?\" BEFORE deploying the streaming job; pair it
+    with events_interarrival_histogram for gap-based TTL tuning.
+    One cummax window in arrival order plus a 6-cell aggregate —
+    integer microsecond arithmetic throughout."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = table(spark, sf_dir, "events").select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late = arr.select(
+        F.when(
+            F.col("high_water").isNull() | (F.col("ts") >= F.col("high_water")),
+            0,
+        )
+        .otherwise(F.unix_micros("high_water") - F.unix_micros("ts"))
+        .alias("late_us")
+    )
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).alias("n_late"),
+        F.count(F.when(F.col("late_us") > 60_000_000, 1)).alias("late_over_1m"),
+        F.count(F.when(F.col("late_us") > 600_000_000, 1)).alias(
+            "late_over_10m"
+        ),
+        F.count(F.when(F.col("late_us") > 3_600_000_000, 1)).alias(
+            "late_over_1h"
+        ),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

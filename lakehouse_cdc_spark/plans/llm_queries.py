@@ -1668,3 +1668,76 @@ def llm_dataset_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _sweep_cfg_sql(tag: str, bands: int, rows: int) -> str:
+    """CTEs for one (bands, rows_per_band) LSH config over the k=8
+    signature table: band hashes + distinct candidate-pair count."""
+    band_defs = ",\n             ".join(
+        "md5(" + " || '|' || ".join(f"h{rows * b + j}" for j in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    union = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS da, b.doc_id AS db\n"
+        f"      FROM bands_{tag} a JOIN bands_{tag} b\n"
+        f"        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    bands_{tag} AS (SELECT doc_id,
+             {band_defs}
+            FROM sig),
+    cand_{tag} AS (
+{union}
+    ),
+    cnt_{tag} AS (
+      SELECT CAST({bands} AS BIGINT) AS n_bands,
+             CAST({rows} AS BIGINT) AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand_{tag}
+    )"""
+
+
+@register(
+    "dedup_lsh_parameter_sweep",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    {_sweep_cfg_sql('a', 8, 1)},
+    {_sweep_cfg_sql('b', 4, 2)},
+    {_sweep_cfg_sql('c', 2, 4)}
+    SELECT * FROM cnt_a
+    UNION ALL SELECT * FROM cnt_b
+    UNION ALL SELECT * FROM cnt_c
+    ORDER BY n_bands DESC
+    """,
+    tags=("llm", "dedup", "lsh", "tuning"),
+)
+def dedup_lsh_parameter_sweep(spark, sf_dir):
+    """LSH banding-parameter sweep over ONE shared k=8 MinHash
+    signature table: candidate-pair volume at (8 bands x 1 row),
+    (4 x 2), and (2 x 4) — the recall/precision dial every LSH
+    deployment tunes (more bands & shorter rows ≈ catch lower
+    similarities but explode candidates; the s-curve threshold
+    (1/b)^(1/r) moves from ~0.07 to ~0.5 to ~0.84 across these
+    configs).  The expensive part — shingling + signatures — is
+    computed ONCE and reused by all three configs; each config costs
+    only its band hashing and bucket joins, which is how a real sweep
+    amortizes at 100 TB.  Counts are exact; the irrational s-curve
+    thresholds stay in the docstring, off the oracle surface."""
+    from lakehouse_cdc_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8).persist()
+    rows = []
+    for bands, rpb in ((8, 1), (4, 2), (2, 4)):
+        n = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb).count()
+        rows.append((bands, rpb, n))
+    return spark.createDataFrame(
+        rows, "n_bands long, rows_per_band long, n_candidates long"
+    ).orderBy(F.desc("n_bands"))
