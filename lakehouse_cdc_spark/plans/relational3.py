@@ -634,3 +634,79 @@ def q17_small_quantity_revenue(spark, sf_dir):
             / 7.0
         ).alias("avg_yearly")
     )
+
+
+@register(
+    "checksum_merkle_partitions",
+    oracle="""
+    WITH rows_h AS (
+      SELECT l_orderkey // 4096 AS part_id,
+             md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    parts AS (
+      SELECT part_id,
+             md5(string_agg(h, '' ORDER BY h)) AS part_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM rows_h GROUP BY part_id
+    ),
+    root AS (
+      SELECT md5(string_agg(part_digest, '' ORDER BY part_id)) AS root_digest
+      FROM parts
+    )
+    SELECT p.part_id, p.part_digest, p.n_rows, r.root_digest
+    FROM parts p, root r
+    ORDER BY p.part_id
+    """,
+    tags=("checksum", "merkle", "A6-scale", "replication"),
+)
+def checksum_merkle_partitions(spark, sf_dir):
+    """Merkle-style hierarchical table checksum: per-partition digests
+    (md5 over the partition's SORTED row hashes — order-insensitive to
+    physical layout) rolled into one root digest over partition order.
+    Two replicas compare roots in O(1); on mismatch they walk DOWN the
+    partition digests and re-sync only the differing partitions — the
+    O(changed-partitions) replica-validation protocol, vs re-hashing
+    the table that checksum_* single digests require.  Each partition
+    digest is computed from that partition's rows only (partition-
+    local sort of ~4k hashes), so the scan parallelizes per partition
+    and the root is a tiny final fold.  String md5 concatenation is
+    engine-identical under the explicit ORDER BY."""
+    rows_h = table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey div 4096").alias("part_id"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+            )
+        ).alias("h"),
+    )
+    parts = rows_h.groupBy("part_id").agg(
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("h")))
+        ).alias("part_digest"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    root = parts.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(part_id, "
+                    "part_digest))), s -> s.part_digest)"
+                ),
+            )
+        ).alias("root_digest")
+    )
+    return (
+        parts.crossJoin(F.broadcast(root))
+        .select("part_id", "part_digest", "n_rows", "root_digest")
+        .orderBy("part_id")
+    )

@@ -512,3 +512,78 @@ def ts_autocorrelation(spark, sf_dir):
         )
         .orderBy("event_type", "lag")
     )
+
+
+_WMA_W = [1, 2, 3, 4, 5, 6, 7]  # ascending recency weights, sum 28
+
+
+@register(
+    "ts_weighted_moving_average",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(SUM({_V100}) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, d, x,
+             {", ".join(f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY d) AS x{k}" for k in range(1, 7))}
+      FROM daily
+    )
+    SELECT event_type, d, x,
+           {" + ".join(f"{_WMA_W[6 - k]} * x{k}" if k else f"{_WMA_W[6]} * x" for k in range(7))}
+             AS wma_num,
+           CAST(28 AS BIGINT) AS wma_den,
+           round(({" + ".join(f"{_WMA_W[6 - k]} * x{k}" if k else f"{_WMA_W[6]} * x" for k in range(7))})
+                 / 28.0, 4) AS wma
+    FROM lagged
+    WHERE x6 IS NOT NULL
+    ORDER BY event_type, d
+    """,
+    tags=("timeseries", "wma", "smoothing", "W1"),
+)
+def ts_weighted_moving_average(spark, sf_dir):
+    """Linearly-weighted moving average (weights 1..7 over the
+    trailing week, newest heaviest) — the finite-window smoother next
+    to the EWMA recurrence: no per-key sequential state, just 6 lag()
+    taps sharing one window partitioning, so it vectorizes where EWMA
+    must run a kernel.  Numerator and denominator are exact integers
+    (the rounded ratio is derived once at the end); rows before a full
+    window are excluded rather than partially weighted, which is the
+    bias-free convention.  One (series)-keyed shuffle total."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01')"
+            ).alias("d"),
+        )
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 7)],
+    )
+    num = sum(
+        (F.col(f"x{k}") if k else F.col("x")) * _WMA_W[6 - k] for k in range(7)
+    )
+    return (
+        lagged.filter(F.col("x6").isNotNull())
+        .select(
+            "event_type",
+            "d",
+            "x",
+            num.alias("wma_num"),
+            F.lit(28).cast("bigint").alias("wma_den"),
+            F.round(num / 28.0, 4).alias("wma"),
+        )
+        .orderBy("event_type", "d")
+    )
