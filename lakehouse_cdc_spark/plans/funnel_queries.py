@@ -510,3 +510,97 @@ def events_activity_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ),
+    anchored AS (
+      SELECT f.user_id,
+             date_diff('day', DATE '2024-01-01', f.d0) // 7 AS cohort_week,
+             date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) // 7
+               AS week_offset,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS v
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+      FROM anchored WHERE week_offset = 0 GROUP BY cohort_week
+    ),
+    weekly AS (
+      SELECT cohort_week, week_offset, CAST(SUM(v) AS BIGINT) AS value_cents
+      FROM anchored GROUP BY cohort_week, week_offset
+    ),
+    cum AS (
+      SELECT cohort_week, week_offset, value_cents,
+             SUM(value_cents) OVER (PARTITION BY cohort_week
+                                    ORDER BY week_offset) AS cum_cents
+      FROM weekly
+    )
+    SELECT c.cohort_week, c.week_offset, c.value_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_value_cents,
+           s.cohort_size,
+           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size / 100.0, 4)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY c.cohort_week, c.week_offset
+    """,
+    tags=("events", "ltv", "cohort", "analytics", "W1"),
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves — the money companion to the retention
+    matrix: per (cohort, weeks-since-anchor) cell, weekly and
+    CUMULATIVE value with per-user LTV, which is the number pricing
+    and acquisition budgets are set against.  Value rides the x100
+    fixed-point bigint; the cumulative is a per-cohort window over the
+    cells-sized weekly table, so nothing re-reads events; per-user
+    dollars are derived once at the end.  Same anchored-bucketing
+    integer math as events_retention_cohorts — the two queries share
+    cells, and a real dashboard computes them in one pass."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("d0")
+    )
+    anchored = ev.join(first_seen, "user_id").select(
+        "user_id",
+        F.expr("datediff(d0, DATE '2024-01-01') div 7").alias("cohort_week"),
+        F.expr("datediff(to_date(date_trunc('day', ts)), d0) div 7").alias(
+            "week_offset"
+        ),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    )
+    sizes = (
+        anchored.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("cohort_size"))
+    )
+    weekly = anchored.groupBy("cohort_week", "week_offset").agg(
+        F.sum("v").cast("bigint").alias("value_cents")
+    )
+    cum = weekly.withColumn(
+        "cum_cents",
+        F.sum("value_cents").over(
+            Window.partitionBy("cohort_week").orderBy("week_offset")
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "value_cents",
+            F.col("cum_cents").cast("bigint").alias("cum_value_cents"),
+            "cohort_size",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("cohort_size") / 100.0,
+                4,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
