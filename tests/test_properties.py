@@ -312,3 +312,69 @@ def test_zone_map_skipping_lossless_for_random_predicates(spark):
         missed = sum(1 for r in rows if r.file_id in skipped and lo <= r.d <= hi)
         assert missed == 0, (lo, hi)
     li.unpersist()
+
+
+# ---------------------------------------------------------------- as-of
+def test_asof_operators_match_python_model_on_random_data(spark):
+    """Backward and nearest as-of joins vs a straight-line model on
+    seeded random data with heavy timestamp ties (the adversarial
+    case for tie-break determinism)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_nearest,
+    )
+
+    rng = random.Random(20240814)
+    left = [
+        (rng.randint(0, 4), rng.randint(0, 40), i) for i in range(120)
+    ]  # (key, t, id)
+    right = [
+        (rng.randint(0, 4), rng.randint(0, 40), 1000 + i, float(i))
+        for i in range(120)
+    ]
+    ldf = spark.createDataFrame(left, "k long, t long, id long").select(
+        "k", F.timestamp_micros(F.col("t")).alias("ts"), "id"
+    )
+    rdf = spark.createDataFrame(
+        right, "k long, t long, id long, v double"
+    ).select("k", F.timestamp_micros(F.col("t")).alias("ts"), "id", "v")
+
+    def model_backward(lk, lt):
+        cands = [(t, i, v) for (k, t, i, v) in right if k == lk and t < lt]
+        return max(cands)[2] if cands else None
+
+    def model_nearest(lk, lt):
+        # union-order semantics: a right row at the SAME timestamp has
+        # a larger tiebreak id here, so it sorts after the left row and
+        # is a distance-0 FOLLOWING candidate
+        prior = [(t, i, v) for (k, t, i, v) in right if k == lk and t < lt]
+        following = [(t, i, v) for (k, t, i, v) in right if k == lk and t >= lt]
+        b = max(prior) if prior else None
+        f = min(following) if following else None
+        if b is None and f is None:
+            return None
+        if b is None:
+            return f[2]
+        if f is None:
+            return b[2]
+        return b[2] if (lt - b[0]) <= (f[0] - lt) else f[2]
+
+    got_b = {
+        r.id: r.vv
+        for r in asof_join_backward(
+            ldf, rdf, on=["k"], time_col="ts", tiebreak=["id"], payload={"v": "vv"}
+        ).collect()
+    }
+    got_n = {
+        r.id: r.vv
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], time_col="ts", tiebreak=["id"], payload={"v": "vv"}
+        ).collect()
+    }
+    for lk, lt, lid in left:
+        assert got_b[lid] == model_backward(lk, lt), ("backward", lid)
+        assert got_n[lid] == model_nearest(lk, lt), ("nearest", lid)
