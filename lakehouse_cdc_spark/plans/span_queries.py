@@ -139,3 +139,96 @@ def dedup_winnowing_spans(spark, sf_dir):
         .filter(F.col("shared_fps") >= _WIN_SHARED)
         .orderBy("d1", "d2")
     )
+
+
+_BP_TOP = 20
+
+
+@register(
+    "text_boilerplate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, len(t) - {_WIN_K - 1} AS np,
+             unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS p
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, p, np,
+             array_to_string(t[p : p + {_WIN_K - 1}], ' ') AS gram,
+             {_WIN_H_DUCK} AS h
+      FROM pos
+    ),
+    winnowed AS (
+      SELECT doc_id, gram, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp,
+             p, np
+      FROM grams
+    ),
+    -- a doc's selected fingerprints, each tagged with ONE gram whose
+    -- hash equals the selected minimum (deterministic representative)
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winnowed WHERE p <= np - {_WIN_W - 1}
+    ),
+    reps AS (
+      SELECT h AS fp, MIN(gram) AS sample_gram FROM grams GROUP BY h
+    ),
+    df AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM fps GROUP BY fp
+    )
+    SELECT d.fp, d.doc_freq, r.sample_gram
+    FROM df d JOIN reps r ON r.fp = d.fp
+    ORDER BY d.doc_freq DESC, d.fp
+    LIMIT {_BP_TOP}
+    """,
+    tags=("llm", "text", "boilerplate", "winnowing", "curation"),
+)
+def text_boilerplate_spans(spark, sf_dir):
+    """Boilerplate mining — the other use of winnowing fingerprints:
+    rank selected fingerprints by DOCUMENT FREQUENCY and surface the
+    spans that appear across the most documents (headers, footers,
+    license blocks — the text a curation pipeline strips before
+    training, and exactly what dedup_winnowing_spans' df-cap
+    excises).  Each fingerprint carries a deterministic representative
+    gram (min gram among those hashing to it) so the output is
+    human-auditable.  Same map-side winnowing pass; the df ranking is
+    one fingerprint-keyed count — the |postings| shape again."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pos = toks.select(
+        "doc_id",
+        "t",
+        (F.size("t") - (_WIN_K - 1)).alias("np"),
+        F.explode(F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1))).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id",
+        "p",
+        "np",
+        F.expr(f"concat_ws(' ', slice(t, p, {_WIN_K}))").alias("gram"),
+        F.expr(_WIN_H_SPARK).alias("h"),
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WIN_W - 1)
+    winnowed = grams.select(
+        "doc_id", "p", "np", F.min("h").over(w_min).alias("fp")
+    )
+    fps = (
+        winnowed.filter(F.col("p") <= F.col("np") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    reps = grams.groupBy(F.col("h").alias("fp")).agg(
+        F.min("gram").alias("sample_gram")
+    )
+    df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        df.join(reps, "fp")
+        .select("fp", "doc_freq", "sample_gram")
+        .orderBy(F.desc("doc_freq"), F.asc("fp"))
+        .limit(_BP_TOP)
+    )

@@ -386,3 +386,72 @@ def join_asof_nearest_purchase(spark, sf_dir):
         "nearest_value_cents",
         "asof_delta_us",
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust, o_orderkey AS k,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS s,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 30 AS e
+      FROM orders
+    )
+    SELECT a.cust, a.k AS order_a, b.k AS order_b,
+           GREATEST(a.s, b.s) AS overlap_start,
+           LEAST(a.e, b.e) AS overlap_end,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.cust = b.cust AND a.k < b.k
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY a.cust, order_a, order_b
+    """,
+    tags=("temporal", "interval", "overlap-join", "J2"),
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (the temporal-database classic: which
+    order fulfilment windows of the SAME customer overlap) — each
+    order becomes [start, start + key%30 days] and pairs overlap iff
+    a.s <= b.e AND b.s <= a.e.  The join is keyed on the customer, so
+    the quadratic comparison is bounded by per-key interval counts
+    (~10 here) and the plan is one key-hash shuffle + within-group
+    filter — the partition-bounded form every temporal engine uses
+    before reaching for interval trees.  At scale a hot key would get
+    the same start-bucket treatment as join_range_bucketed; the
+    overlap arithmetic is epoch-day integers, exact in both
+    engines."""
+    iv = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "datediff(to_date(o_orderdate), DATE '1992-01-01')"
+        ).alias("s"),
+        (
+            F.expr("datediff(to_date(o_orderdate), DATE '1992-01-01')")
+            + F.col("o_orderkey") % 30
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.cust").alias("cust"),
+            F.col("a.k").alias("order_a"),
+            F.col("b.k").alias("order_b"),
+            F.greatest(F.col("a.s"), F.col("b.s")).alias("overlap_start"),
+            F.least(F.col("a.e"), F.col("b.e")).alias("overlap_end"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_days"),
+        )
+        .orderBy("cust", "order_a", "order_b")
+    )
