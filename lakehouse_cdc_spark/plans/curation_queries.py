@@ -755,3 +755,94 @@ def dedup_cascade_report(spark, sf_dir):
             6,
         ).alias("keep_rate"),
     )
+
+
+_APPORTION_BUDGET = 10_000  # sample slots to allocate
+
+
+@register(
+    "sample_apportion_quotas",
+    oracle=f"""
+    WITH ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM ns),
+    shares AS (
+      SELECT ns.source, ns.n,
+             (ns.n * {_APPORTION_BUDGET}) // t.nt AS floor_quota,
+             (ns.n * {_APPORTION_BUDGET}) % t.nt AS remainder
+      FROM ns, tot t
+    ),
+    short AS (
+      SELECT CAST({_APPORTION_BUDGET} - SUM(floor_quota) AS BIGINT) AS slots
+      FROM shares
+    ),
+    ranked AS (
+      SELECT s.*, ROW_NUMBER() OVER (ORDER BY s.remainder DESC, s.source)
+               AS rr
+      FROM shares s
+    )
+    SELECT r.source, r.n, r.floor_quota,
+           CAST(CASE WHEN r.rr <= sh.slots THEN 1 ELSE 0 END AS BIGINT)
+             AS bonus,
+           r.floor_quota
+             + CASE WHEN r.rr <= sh.slots THEN 1 ELSE 0 END AS quota
+    FROM ranked r, short sh
+    ORDER BY r.source
+    """,
+    tags=("llm", "sampling", "apportionment", "curation"),
+)
+def sample_apportion_quotas(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget across sources — the integer-correct answer to \"take
+    10,000 docs proportionally\": floor quotas always under-allocate,
+    and naive per-source rounding can over- or under-shoot the budget;
+    distributing the leftover slots by largest remainder (totally
+    ordered, remainder then name) is the standard method that sums to
+    the budget EXACTLY.  Every quantity is an integer (remainders via
+    modulo, never floats), so the quota table is engine-identical —
+    and downstream, mix_sources_budget-style hash sampling consumes
+    exactly these quotas."""
+    from pyspark.sql import Window
+
+    ns = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ns.agg(F.sum("n").alias("nt"))
+    shares = ns.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {_APPORTION_BUDGET}) div nt").alias("floor_quota"),
+        F.expr(f"(n * {_APPORTION_BUDGET}) % nt").alias("remainder"),
+    )
+    short = shares.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_quota"))
+        .cast("bigint")
+        .alias("slots")
+    )
+    ranked = shares.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.desc("remainder"), F.asc("source"))
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            "n",
+            "floor_quota",
+            F.when(F.col("rr") <= F.col("slots"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bonus"),
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rr") <= F.col("slots"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -427,3 +427,51 @@ def validation_benford_first_digit(spark, sf_dir):
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "validation_key_gap_islands",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    lagged AS (
+      SELECT k, LAG(k) OVER (ORDER BY k) AS prev_k FROM ks
+    ),
+    gaps AS (
+      SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end,
+             k - prev_k - 1 AS gap_len
+      FROM lagged WHERE prev_k IS NOT NULL AND k - prev_k > 1
+    )
+    SELECT gap_start, gap_end, CAST(gap_len AS BIGINT) AS gap_len
+    FROM gaps
+    ORDER BY gap_len DESC, gap_start
+    LIMIT 20
+    """,
+    tags=("validation", "gaps", "surrogate-keys", "W1"),
+)
+def validation_key_gap_islands(spark, sf_dir):
+    """Surrogate-key gap detection (the keys-not-time twin of session
+    islands): contiguous RANGES of missing order keys, largest first —
+    the audit that distinguishes \"sequence generator skips\" (many
+    small gaps, normal) from \"lost ingestion batch\" (one huge gap,
+    an incident).  One lag() over the sorted distinct keys; emitting
+    RANGES instead of per-key rows is what keeps the output readable
+    when a million keys are missing.  Exact integer ranges, total
+    order on (len desc, start)."""
+    from pyspark.sql import Window
+
+    ks = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    lagged = ks.withColumn("prev_k", F.lag("k").over(Window.orderBy("k")))
+    return (
+        lagged.filter(
+            F.col("prev_k").isNotNull() & (F.col("k") - F.col("prev_k") > 1)
+        )
+        .select(
+            (F.col("prev_k") + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+            (F.col("k") - F.col("prev_k") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(20)
+    )

@@ -197,3 +197,16 @@ def test_deterministic_shuffle_is_partition_invariant(spark):
 
     base = table(spark, sf, "documents")
     assert digest(base) == digest(base.repartition(17))
+
+
+def test_apportionment_sums_exactly_to_budget(spark):
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.curation_queries import _APPORTION_BUDGET
+
+    rows = REGISTRY["sample_apportion_quotas"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r.quota for r in rows) == _APPORTION_BUDGET  # the whole point
+    for r in rows:
+        assert r.bonus in (0, 1)
+        assert r.quota in (r.floor_quota, r.floor_quota + 1)
