@@ -355,3 +355,123 @@ def maintenance_compaction_planner(spark, sf_dir):
         )
         .orderBy("group_id")
     )
+
+
+_CORR_PAIRS = (
+    ("l_extendedprice", "l_quantity"),
+    ("l_extendedprice", "l_discount"),
+    ("l_discount", "l_tax"),
+    ("l_quantity", "l_tax"),
+)
+
+#: every column fixed-pointed to integers (prices cents, rates x100)
+_CORR_FP = {
+    "l_extendedprice": "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+    "l_quantity": "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+    "l_discount": "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+    "l_tax": "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)",
+}
+
+
+def _corr_cell_sql(cx: str, cy: str) -> str:
+    x, y = _CORR_FP[cx], _CORR_FP[cy]
+    return f"""
+      SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({x}) AS BIGINT) AS sx,
+             CAST(SUM({y}) AS BIGINT) AS sy,
+             CAST(SUM({x} * {y}) AS BIGINT) AS sxy,
+             CAST(SUM({x} * {x}) AS BIGINT) AS sxx,
+             CAST(SUM({y} * {y}) AS BIGINT) AS syy
+      FROM lineitem"""
+
+
+@register(
+    "stats_correlation_matrix",
+    oracle=f"""
+    WITH cells AS (
+{" UNION ALL ".join(_corr_cell_sql(cx, cy) for cx, cy in _CORR_PAIRS)}
+    ),
+    wide AS (
+      SELECT col_x, col_y,
+             CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS cov,
+             CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varx,
+             CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+               - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vary
+      FROM cells
+    )
+    SELECT col_x, col_y,
+           CAST(cov AS VARCHAR) AS cov_num,
+           CAST(varx AS VARCHAR) AS varx_num,
+           CAST(vary AS VARCHAR) AS vary_num,
+           CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+                AS INT) AS r_sign,
+           round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+                 / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6)
+             AS r_squared
+    FROM wide
+    ORDER BY col_x, col_y
+    """,
+    tags=("stats", "correlation", "profiling", "A4"),
+)
+def stats_correlation_matrix(spark, sf_dir):
+    """Pearson correlation between numeric column pairs with the
+    denominators CLEARED (the ACF/CUSUM discipline): covariance and
+    variance numerators n·Σxy − ΣxΣy etc. are exact bigints over
+    fixed-point columns, the SIGN of r is read off the integer
+    covariance, and r² is the exact rational rounded once — no sqrt
+    ever computed, so nothing transcendental sits on the oracle
+    surface.  One scan produces all four pairs' sufficient statistics
+    as map-side-combined sums — the profiling pass a feature-selection
+    or drift job runs, exact at ANY scale: per-row products are
+    int64-safe, the sums accumulate in DECIMAL(38,0), and the final
+    n*S products run in 128-bit (Spark decimal / DuckDB HUGEINT) with
+    numerators emitted as digit strings — no overflow cliff to fall
+    off when the table grows 1000x."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = None
+    for cx, cy in _CORR_PAIRS:
+        x, y = F.expr(_CORR_FP[cx]), F.expr(_CORR_FP[cy])
+        cell = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("bigint").alias("sx"),
+            F.sum(y).cast("bigint").alias("sy"),
+            F.sum((x * y).cast("decimal(38,0)")).cast("bigint").alias("sxy"),
+            F.sum((x * x).cast("decimal(38,0)")).cast("bigint").alias("sxx"),
+            F.sum((y * y).cast("decimal(38,0)")).cast("bigint").alias("syy"),
+        ).select(
+            F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"), "*"
+        )
+        cells = cell if cells is None else cells.unionAll(cell)
+    def d(col):  # int64 sums widen to decimal(38,0) before products
+        return F.col(col).cast("decimal(38,0)")
+
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    wide = cells.select(
+        "col_x",
+        "col_y",
+        cov.alias("cov"),
+        varx.alias("varx"),
+        vary.alias("vary"),
+    )
+    return wide.select(
+        "col_x",
+        "col_y",
+        F.col("cov").cast("decimal(38,0)").cast("string").alias("cov_num"),
+        F.col("varx").cast("decimal(38,0)").cast("string").alias("varx_num"),
+        F.col("vary").cast("decimal(38,0)").cast("string").alias("vary_num"),
+        F.when(F.col("cov") > 0, 1)
+        .when(F.col("cov") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("r_sign"),
+        F.round(
+            F.col("cov").cast("double") * F.col("cov").cast("double")
+            / (F.col("varx").cast("double") * F.col("vary").cast("double")),
+            6,
+        ).alias("r_squared"),
+    ).orderBy("col_x", "col_y")
