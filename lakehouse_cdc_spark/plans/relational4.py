@@ -653,3 +653,101 @@ def customer_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "customer_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt,
+                   CAST(COUNT(*) AS BIGINT) AS nc FROM rev),
+    ranked AS (
+      SELECT ck, r,
+             SUM(r) OVER (ORDER BY r DESC, ck) AS cum_r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, ck) AS rn
+      FROM rev
+    ),
+    classed AS (
+      SELECT ck, r, rn,
+             CASE WHEN (cum_r - r) * 100 < t.rt * 80 THEN 'A'
+                  WHEN (cum_r - r) * 100 < t.rt * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked, tot t
+    )
+    SELECT c.abc,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c.r) AS BIGINT) AS class_revenue_cents,
+           round(CAST(SUM(c.r) AS DOUBLE) / t.rt, 6) AS revenue_share,
+           round(CAST(COUNT(*) AS DOUBLE) / t.nc, 6) AS customer_share
+    FROM classed c, tot t
+    GROUP BY c.abc, t.rt, t.nc
+    ORDER BY c.abc
+    """,
+    tags=("abc", "pareto", "analytics", "O-scale"),
+)
+def customer_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification of customers by revenue: rank by
+    fixed-point revenue under a total order, classify by the
+    cumulative share BEFORE each customer (strictly-integer
+    comparison (cum - r)*100 < total*80 — no float share ever drives
+    a class boundary), and report each class's customer and revenue
+    shares — the 80/20 curve purchasing and support tiers are built
+    on.  The ranking window runs over the |customers|-sized revenue
+    aggregate; classification and the 3-row rollup are map-side
+    after it.  Exact integers everywhere; shares rounded once."""
+    from pyspark.sql import Window
+
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).alias("nc"),
+    )
+    w = Window.orderBy(F.desc("r"), F.asc("ck"))
+    ranked = rev.select(
+        "ck",
+        "r",
+        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_r"
+        ),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "rt",
+        "nc",
+        F.when((F.col("cum_r") - F.col("r")) * 100 < F.col("rt") * 80, "A")
+        .when((F.col("cum_r") - F.col("r")) * 100 < F.col("rt") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc", "rt", "nc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("bigint").alias("class_revenue_cents"),
+        )
+        .select(
+            "abc",
+            "n_customers",
+            "class_revenue_cents",
+            F.round(
+                F.col("class_revenue_cents").cast("double") / F.col("rt"), 6
+            ).alias("revenue_share"),
+            F.round(F.col("n_customers").cast("double") / F.col("nc"), 6).alias(
+                "customer_share"
+            ),
+        )
+        .orderBy("abc")
+    )

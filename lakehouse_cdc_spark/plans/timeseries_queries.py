@@ -587,3 +587,108 @@ def ts_weighted_moving_average(spark, sf_dir):
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "ts_mad_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(SUM({_V100}) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      -- discrete median by rank over the per-series daily values
+      SELECT event_type, x AS m FROM (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.event_type, d.d, d.x, m.m, abs(d.x - m.m) AS ad
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(v.m) AS median_cents,
+           MAX(md.mad) AS mad_cents,
+           CAST(COUNT(*) FILTER (WHERE v.ad > 3 * md.mad) AS BIGINT)
+             AS n_anomalies_3mad,
+           CAST(COUNT(*) FILTER (WHERE v.ad > 5 * md.mad) AS BIGINT)
+             AS n_anomalies_5mad
+    FROM dev v JOIN mad md ON v.event_type = md.event_type
+    GROUP BY v.event_type
+    ORDER BY v.event_type
+    """,
+    tags=("timeseries", "mad", "robust", "anomaly", "W1"),
+)
+def ts_mad_anomalies(spark, sf_dir):
+    """Robust (MAD) anomaly detection per daily series — the
+    breakdown-resistant twin of ts_anomaly_zscore: the z-score's mean
+    and stddev are themselves dragged by the outliers they hunt, while
+    median and median-absolute-deviation tolerate up to 50%
+    contamination.  Both medians come from discrete rank selection
+    ((n+1) div 2) over the tiny per-series daily table, deviations
+    and thresholds stay exact integers (3*MAD / 5*MAD comparisons
+    need no float), so the anomaly counts are engine-identical.
+    Nothing here touches raw events twice: one daily aggregate, two
+    rank picks, one counting pass."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01')"
+            ).alias("d"),
+        )
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+        .persist()
+    )
+
+    def rank_pick(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                col,
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = rank_pick(daily, "x", "m")
+    dev = daily.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("x") - F.col("m"))
+    )
+    mad = rank_pick(dev, "ad", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("m").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.count(F.when(F.col("ad") > 3 * F.col("mad"), 1)).alias(
+                "n_anomalies_3mad"
+            ),
+            F.count(F.when(F.col("ad") > 5 * F.col("mad"), 1)).alias(
+                "n_anomalies_5mad"
+            ),
+        )
+        .orderBy("event_type")
+    )
