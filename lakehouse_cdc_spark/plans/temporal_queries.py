@@ -455,3 +455,67 @@ def join_interval_overlap(spark, sf_dir):
         )
         .orderBy("cust", "order_a", "order_b")
     )
+
+
+@register(
+    "orders_concurrency_curve",
+    oracle="""
+    WITH iv AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS s,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               + o_orderkey % 30 AS e
+      FROM orders
+    ),
+    deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1, -1 FROM iv
+    ),
+    curve AS (
+      SELECT d, SUM(SUM(delta)) OVER (ORDER BY d) AS open_orders
+      FROM deltas GROUP BY d
+    )
+    SELECT d AS day_index, CAST(open_orders AS BIGINT) AS open_orders
+    FROM curve
+    ORDER BY open_orders DESC, d
+    LIMIT 20
+    """,
+    tags=("temporal", "interval", "concurrency", "W1-scale"),
+)
+def orders_concurrency_curve(spark, sf_dir):
+    """Interval-concurrency curve (\"how many orders were open each
+    day\") via the +1/-1 sweep: every fulfilment window [s, e]
+    contributes +1 at s and -1 at e+1, deltas collapse per day
+    (map-side combined), and a running sum over day order yields the
+    concurrency — O(N) total against the O(N x days) explode or the
+    O(N^2) self-join the naive forms cost.  Top-20 peak days under a
+    total order.  This is the capacity-planning primitive (concurrent
+    sessions, open tickets, active loans) every ops dashboard needs;
+    at scale the cumsum range-partitions on day like any ordered
+    window."""
+    from pyspark.sql import Window
+
+    iv = table(spark, sf_dir, "orders").select(
+        F.expr("datediff(to_date(o_orderdate), DATE '1992-01-01')").alias("s"),
+        (
+            F.expr("datediff(to_date(o_orderdate), DATE '1992-01-01')")
+            + F.col("o_orderkey") % 30
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("e") + 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    curve = (
+        deltas.groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+        .withColumn("open_orders", F.sum("net").over(Window.orderBy("d")))
+    )
+    return (
+        curve.select(
+            F.col("d").alias("day_index"),
+            F.col("open_orders").cast("bigint").alias("open_orders"),
+        )
+        .orderBy(F.desc("open_orders"), F.asc("day_index"))
+        .limit(20)
+    )

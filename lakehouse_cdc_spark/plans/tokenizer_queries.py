@@ -370,3 +370,72 @@ def text_bpe_encode(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_HEAPS_FRACS = (125, 250, 500, 1000)  # permille of max doc_id
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    fr AS (SELECT unnest(ARRAY{list(_HEAPS_FRACS)}) AS permille),
+    tok AS (
+      SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+      FROM documents d
+    )
+    SELECT f.permille,
+           CAST(COUNT(DISTINCT CASE WHEN t.doc_id * 1000 <= m.m * f.permille
+                                    THEN t.doc_id END) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN t.doc_id * 1000 <= m.m * f.permille
+                           AND t.w <> '' THEN 1 END) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT CASE WHEN t.doc_id * 1000 <= m.m * f.permille
+                                    AND t.w <> '' THEN t.w END) AS BIGINT)
+             AS vocab_size
+    FROM tok t, mx m, fr f
+    GROUP BY f.permille
+    ORDER BY f.permille
+    """,
+    tags=("llm", "text", "heaps", "vocabulary", "A3"),
+)
+def text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-word counts over nested
+    corpus prefixes (12.5% / 25% / 50% / 100% by doc id) — the
+    empirical sub-linear curve that justifies every \"shuffle is
+    |vocab|, not |corpus|\" claim the tokenizer family makes, measured
+    rather than asserted.  One token explosion serves all four
+    prefixes via conditional aggregation (integer permille thresholds,
+    no float fractions), so the scan cost is paid once.  At 100 TB the
+    same query shape monitors vocabulary drift between ingest
+    snapshots."""
+    docs = table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    fr = spark.createDataFrame([(p,) for p in _HEAPS_FRACS], "permille long")
+    return (
+        tok.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(fr))
+        .groupBy("permille")
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"),
+                    F.col("doc_id"),
+                )
+            ).alias("n_docs"),
+            F.count(
+                F.when(
+                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"), 1
+                )
+            ).alias("n_tokens"),
+            F.countDistinct(
+                F.when(
+                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"),
+                    F.col("w"),
+                )
+            ).alias("vocab_size"),
+        )
+        .orderBy("permille")
+    )
