@@ -710,3 +710,130 @@ def checksum_merkle_partitions(spark, sf_dir):
         .select("part_id", "part_digest", "n_rows", "root_digest")
         .orderBy("part_id")
     )
+
+
+@register(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      -- a nullable key set that CONTAINS a NULL: customers' nation
+      -- keys, with one NULL injected deterministically
+      SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+                  ELSE c_nationkey END AS nk
+      FROM customer
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       WHERE n_nationkey NOT IN (SELECT nk FROM probe)) AS not_in_count,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+       WHERE NOT EXISTS (SELECT 1 FROM probe p
+                         WHERE p.nk = n.n_nationkey)) AS not_exists_count,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe WHERE nk IS NULL)
+        AS n_nulls_in_set
+    """,
+    tags=("subquery", "null-semantics", "three-valued-logic", "P6"),
+)
+def subquery_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, executed rather than footnoted: when the
+    subquery set contains a NULL, `x NOT IN (set)` is UNKNOWN for
+    every x (x <> NULL is never TRUE), so NOT IN returns ZERO rows
+    while NOT EXISTS — the null-safe formulation — returns the real
+    anti-join answer.  The emitted row shows not_in_count = 0,
+    not_exists_count > 0, and the null count that caused it: the
+    single most common correctness bug in hand-written anti-joins,
+    pinned as an oracle-checked contract so this engine's three-valued
+    logic provably matches ANSI.  Plan-wise, Spark turns the NOT IN
+    into a null-aware anti join — the expensive variant — which is
+    exactly why production code should write NOT EXISTS."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    probe = c.select(
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk")
+    )
+    probe.createOrReplaceTempView("probe_nulls")
+    n.createOrReplaceTempView("nation_nn")
+    not_in = spark.sql(
+        "SELECT COUNT(*) AS c FROM nation_nn "
+        "WHERE n_nationkey NOT IN (SELECT nk FROM probe_nulls)"
+    )
+    not_exists = spark.sql(
+        "SELECT COUNT(*) AS c FROM nation_nn n "
+        "WHERE NOT EXISTS (SELECT 1 FROM probe_nulls p "
+        "WHERE p.nk = n.n_nationkey)"
+    )
+    nulls = probe.filter(F.col("nk").isNull()).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        not_in.select(F.col("c").alias("not_in_count"))
+        .crossJoin(not_exists.select(F.col("c").alias("not_exists_count")))
+        .crossJoin(nulls.select(F.col("c").alias("n_nulls_in_set")))
+    )
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+    WITH wanted AS (
+      -- the divisor: every part the BUSIEST order contains
+      SELECT l_partkey AS p FROM lineitem
+      WHERE l_orderkey = (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY COUNT(*) DESC, l_orderkey LIMIT 1)
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wanted),
+    hits AS (
+      SELECT o.o_custkey AS ck,
+             CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS matched
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN wanted w ON w.p = l.l_partkey
+      GROUP BY o.o_custkey
+    )
+    SELECT h.ck AS custkey, h.matched, k.k AS divisor_size
+    FROM hits h, k
+    WHERE h.matched = k.k
+    ORDER BY custkey
+    """,
+    tags=("join", "relational-division", "set-containment", "J3"),
+)
+def join_relational_division(spark, sf_dir):
+    """Relational DIVISION — \"customers who bought EVERY part in the
+    divisor set\" (here: all parts of the busiest order), the
+    universal-quantifier query SQL has no operator for.  The scalable
+    encoding: semi-join the fact against the broadcast divisor,
+    count DISTINCT divisor members per candidate, and keep candidates
+    whose count equals |divisor| — one fact pass + a candidate-sized
+    aggregate, versus the double-NOT-EXISTS textbook form whose
+    nested correlation Catalyst turns into two anti-join passes.
+    Exact set arithmetic; the divisor derivation is its own
+    deterministic subquery."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    busiest = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_orderkey"))
+        .limit(1)
+    )
+    wanted = (
+        li.join(F.broadcast(busiest), "l_orderkey")
+        .select(F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    k = wanted.agg(F.count(F.lit(1)).alias("k"))
+    hits = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(wanted), li.l_partkey == F.col("p"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct("l_partkey").alias("matched"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(k))
+        .filter(F.col("matched") == F.col("k"))
+        .select("custkey", "matched", F.col("k").alias("divisor_size"))
+        .orderBy("custkey")
+    )
