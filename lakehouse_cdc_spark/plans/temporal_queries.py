@@ -519,3 +519,70 @@ def orders_concurrency_curve(spark, sf_dir):
         .orderBy(F.desc("open_orders"), F.asc("day_index"))
         .limit(20)
     )
+
+
+_PIT_TS = "2024-01-15 12:00:00"
+
+
+@register(
+    "cdc_scd2_point_in_time",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             {_OP_CASE_SQL} AS operation
+      FROM events
+    ), closed AS (
+      SELECT *,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to_ts
+      FROM tagged
+    )
+    SELECT user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+           strftime(ts, '{_TS_FMT_SQL}') AS valid_from
+    FROM closed
+    WHERE operation <> 'd'
+      AND ts <= TIMESTAMP '{_PIT_TS}'
+      AND (valid_to_ts IS NULL OR valid_to_ts > TIMESTAMP '{_PIT_TS}')
+    ORDER BY user_id
+    """,
+    tags=("cdc", "scd2", "time-travel", "temporal"),
+)
+def cdc_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time lookup over the SCD2 history — the CONSUMPTION
+    side of cdc_scd2_history and the join shape every \"training
+    features as of prediction time\" pipeline runs: the version row
+    valid at timestamp T is the one with valid_from <= T < valid_to
+    (open versions qualify via NULL).  One key-partitioned lead()
+    builds the intervals and a pure filter selects the slice — no
+    as-of join needed when the question is one global timestamp, which
+    is why dimension snapshots are cheap to serve at any scale.  Same
+    deletion semantics and total order as the history query."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    closed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        _op_col().alias("operation"),
+        F.lead("ts").over(w).alias("valid_to_ts"),
+    )
+    t = F.lit(_PIT_TS).cast("timestamp")
+    return (
+        closed.filter(
+            (F.col("operation") != "d")
+            & (F.col("ts") <= t)
+            & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > t))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+            F.date_format("ts", _TS_FMT).alias("valid_from"),
+        )
+        .orderBy("user_id")
+    )

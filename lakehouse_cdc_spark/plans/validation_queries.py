@@ -475,3 +475,86 @@ def validation_key_gap_islands(spark, sf_dir):
         .orderBy(F.desc("gap_len"), F.asc("gap_start"))
         .limit(20)
     )
+
+
+@register(
+    "validation_error_rate_pchart",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS xt
+      FROM daily
+    )
+    SELECT d.d AS day_index, d.n, d.x,
+           round(CAST(d.x AS DOUBLE) / d.n, 6) AS error_rate,
+           CAST(CASE WHEN (d.x * p.nt - d.n * p.xt)
+                          * (d.x * p.nt - d.n * p.xt)
+                          > 9 * d.n * p.xt * (p.nt - p.xt)
+                     THEN 1 ELSE 0 END AS INT) AS out_of_control,
+           CAST(CASE WHEN d.x * p.nt > d.n * p.xt THEN 1
+                     WHEN d.x * p.nt < d.n * p.xt THEN -1
+                     ELSE 0 END AS INT) AS direction
+    FROM daily d, pooled p
+    ORDER BY d.d
+    """,
+    tags=("validation", "spc", "p-chart", "anomaly", "A4"),
+)
+def validation_error_rate_pchart(spark, sf_dir):
+    """Statistical-process-control p-chart over the daily error rate,
+    with the 3-sigma binomial limits cleared to EXACT integers: under
+    the pooled rate p = X/N, a day is out of control when
+    (x*N - n*X)^2 > 9 * n * X * (N - X) — the squared deviation vs
+    nine binomial variances with every denominator multiplied out, so
+    the control flags carry no float boundary (the displayed rate is
+    cosmetic).  This is the release-health gate an ingest pipeline
+    alarms on; per-day state is two integers, the pooled row is one
+    broadcast, flags are map-side."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01')"
+            ).alias("day_index")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("x"),
+        )
+    )
+    pooled = daily.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+    )
+    dev = F.col("x") * F.col("nt") - F.col("n") * F.col("xt")
+    return (
+        daily.crossJoin(F.broadcast(pooled))
+        .select(
+            "day_index",
+            "n",
+            "x",
+            F.round(F.col("x").cast("double") / F.col("n"), 6).alias(
+                "error_rate"
+            ),
+            F.when(
+                dev * dev
+                > 9 * F.col("n") * F.col("xt") * (F.col("nt") - F.col("xt")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("out_of_control"),
+            F.when(dev > 0, 1)
+            .when(dev < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy("day_index")
+    )
