@@ -751,3 +751,61 @@ def customer_abc_pareto(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "orders_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%m') AS BIGINT) AS month,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(rev) AS BIGINT) AS rt,
+             CAST(COUNT(*) AS BIGINT) AS n_months
+      FROM monthly
+    )
+    SELECT m.month, m.n_orders, m.rev,
+           round(CAST(m.rev AS DOUBLE) * t.n_months / t.rt, 6)
+             AS seasonal_index
+    FROM monthly m, tot t
+    ORDER BY m.month
+    """,
+    tags=("seasonal", "analytics", "A4"),
+)
+def orders_seasonal_index(spark, sf_dir):
+    """Monthly seasonal indices (month revenue over the average
+    month, across all years) — the demand-planning normalization that
+    turns raw monthlies into \"December runs 1.3x\".  Index =
+    rev_m * n_months / total — one multiplication before one division
+    of exact integers, rounded once; a 12-row output from one
+    map-side-combined aggregate at any scale."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("bigint").alias("month"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    tot = monthly.agg(
+        F.sum("rev").cast("bigint").alias("rt"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "n_orders",
+            "rev",
+            F.round(
+                F.col("rev").cast("double") * F.col("n_months") / F.col("rt"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )

@@ -439,3 +439,77 @@ def text_vocab_growth(spark, sf_dir):
         )
         .orderBy("permille")
     )
+
+
+@register(
+    "text_word_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
+    per_doc AS (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w, doc_id
+    ),
+    stats AS (
+      SELECT w,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS total_sq,
+             CAST(COUNT(*) AS BIGINT) AS docs_with
+      FROM per_doc GROUP BY w
+    )
+    SELECT s.w AS word, s.total, s.docs_with,
+           -- Fano factor (VMR) with denominators cleared: zero-count
+           -- docs included via nd; var_num = nd*Σc² - (Σc)², mean_num
+           -- = nd*Σc, VMR = var_num / mean_num (exact integers)
+           n.nd * s.total_sq - s.total * s.total AS var_num,
+           n.nd * s.total AS mean_num,
+           round(CAST(n.nd * s.total_sq - s.total * s.total AS DOUBLE)
+                 / (n.nd * s.total), 6) AS burstiness_vmr
+    FROM stats s, nd n
+    ORDER BY s.total DESC, s.w
+    LIMIT 20
+    """,
+    tags=("llm", "text", "burstiness", "dispersion", "A4"),
+)
+def text_word_burstiness(spark, sf_dir):
+    """Word burstiness (Fano factor / variance-to-mean ratio of
+    per-document counts, zero-count documents included): function
+    words spread evenly (VMR near 1, Poisson-like) while topical
+    words CLUMP (VMR >> 1) — the dispersion signal behind stopword
+    induction and keyword weighting, computed for the corpus' top-20
+    words.  Denominators cleared as everywhere: var and mean
+    numerators are exact bigints over one (word, doc) count table;
+    the output ratio rounds once.  Shape: token explosion → two
+    grouped aggregates, both map-side combined."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    nd = tok.agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("total_sq"),
+        F.count(F.lit(1)).alias("docs_with"),
+    )
+    var_num = F.col("nd") * F.col("total_sq") - F.col("total") * F.col("total")
+    mean_num = F.col("nd") * F.col("total")
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("word"),
+            "total",
+            "docs_with",
+            var_num.alias("var_num"),
+            mean_num.alias("mean_num"),
+            F.round(var_num.cast("double") / mean_num, 6).alias(
+                "burstiness_vmr"
+            ),
+        )
+        .orderBy(F.desc("total"), F.asc("word"))
+        .limit(20)
+    )
