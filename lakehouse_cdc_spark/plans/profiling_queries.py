@@ -475,3 +475,70 @@ def stats_correlation_matrix(spark, sf_dir):
             6,
         ).alias("r_squared"),
     ).orderBy("col_x", "col_y")
+
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_cell_sql(tbl: str, col: str) -> str:
+    return f"""
+      SELECT '{tbl}.{col}' AS key_col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+             CAST(MIN(cnt) AS BIGINT) AS min_key_rows
+      FROM (SELECT {col}, COUNT(*) AS cnt FROM {tbl} GROUP BY {col})"""
+
+
+@register(
+    "profile_join_key_skew",
+    oracle=f"""
+    WITH cells AS (
+{" UNION ALL ".join(_skew_cell_sql(t, c) for t, c in _SKEW_KEYS)}
+    )
+    SELECT key_col, n_rows, n_keys, max_key_rows,
+           -- hottest key's share in parts-per-million (integer div)
+           max_key_rows * 1000000 // n_rows AS top_key_ppm,
+           -- skew factor: hottest key vs the average key (x1000)
+           max_key_rows * n_keys * 1000 // n_rows AS skew_x1000
+    FROM cells
+    ORDER BY key_col
+    """,
+    tags=("profiling", "skew", "join-tuning", "A4"),
+)
+def profile_join_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic — the measurement that DECIDES between
+    a plain shuffle join, AQE skew splitting, and the salted variant
+    (join_skewed_salted): for each join-key family, the hottest key's
+    row share and its ratio to the average key (x1000, integer
+    floor-division — no float thresholds).  A skew_x1000 near 1000
+    means uniform keys (salting would only add overhead); orders of
+    magnitude above means one reducer owns the whale and the salted
+    path pays for itself.  Each cell is one group-count aggregate
+    (map-side combined) over its table; the report is five rows that
+    an autotuner — or the engineer reading SCALE.md — acts on."""
+    cells = None
+    for tbl, col in _SKEW_KEYS:
+        t = table(spark, sf_dir, tbl)
+        per_key = t.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cell = per_key.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("max_key_rows"),
+            F.min("cnt").cast("bigint").alias("min_key_rows"),
+        ).select(F.lit(f"{tbl}.{col}").alias("key_col"), "*")
+        cells = cell if cells is None else cells.unionAll(cell)
+    return cells.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("max_key_rows * 1000000 div n_rows").alias("top_key_ppm"),
+        F.expr("max_key_rows * n_keys * 1000 div n_rows").alias("skew_x1000"),
+    ).orderBy("key_col")
