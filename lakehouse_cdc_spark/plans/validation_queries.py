@@ -558,3 +558,70 @@ def validation_error_rate_pchart(spark, sf_dir):
         )
         .orderBy("day_index")
     )
+
+
+@register(
+    "validation_linenumber_contiguity",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+             CAST(MIN(l_linenumber) AS BIGINT) AS min_ln,
+             CAST(MAX(l_linenumber) AS BIGINT) AS max_ln
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+             WHERE min_ln = 1 AND max_ln = n_lines AND n_distinct = n_lines)
+             AS BIGINT) AS n_contiguous,
+           CAST(COUNT(*) FILTER (WHERE n_distinct < n_lines) AS BIGINT)
+             AS n_duplicated_lines,
+           CAST(COUNT(*) FILTER (
+             WHERE n_distinct = n_lines
+               AND (min_ln <> 1 OR max_ln <> n_lines)) AS BIGINT)
+             AS n_gapped,
+           CAST(MAX(n_lines) AS BIGINT) AS max_lines_per_order
+    FROM per_order
+    """,
+    tags=("validation", "contiguity", "integrity", "A4"),
+)
+def validation_linenumber_contiguity(spark, sf_dir):
+    """Child-sequence integrity contract: every order's line numbers
+    must be exactly 1..n (no duplicates, no gaps, starts at 1) — the
+    shape a correct CDC replication of a parent-child pair preserves
+    and a lost or doubled child row breaks.  Classified per failure
+    mode (duplicated vs gapped) because they implicate different bugs:
+    duplicates point at at-least-once apply without keys, gaps at
+    partial-batch loss.  One group-by pass; the invariant check is
+    three integer comparisons per order."""
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_linenumber").alias("n_distinct"),
+            F.min("l_linenumber").cast("bigint").alias("min_ln"),
+            F.max("l_linenumber").cast("bigint").alias("max_ln"),
+        )
+    )
+    contiguous = (
+        (F.col("min_ln") == 1)
+        & (F.col("max_ln") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(contiguous, 1)).alias("n_contiguous"),
+        F.count(F.when(F.col("n_distinct") < F.col("n_lines"), 1)).alias(
+            "n_duplicated_lines"
+        ),
+        F.count(
+            F.when(
+                (F.col("n_distinct") == F.col("n_lines"))
+                & ((F.col("min_ln") != 1) | (F.col("max_ln") != F.col("n_lines"))),
+                1,
+            )
+        ).alias("n_gapped"),
+        F.max("n_lines").cast("bigint").alias("max_lines_per_order"),
+    )
