@@ -29,5 +29,6 @@ from lakehouse_cdc_spark.plans import sql_modern  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import span_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import funnel_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import spatial_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import lm_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]

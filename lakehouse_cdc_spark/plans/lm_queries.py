@@ -1,0 +1,345 @@
+"""Language-model-flavored curation queries (wave 18).
+
+The quality-filter family a real pretraining pipeline runs between
+dedup and tokenization:
+
+- ``text_bigram_lm_score`` — corpus-trained add-one-smoothed bigram
+  LM, per-document fluency score (the CCNet/KenLM perplexity-filter
+  shape, in exact integer arithmetic so DuckDB reproduces it bit-for-
+  bit: probabilities are parts-per-billion integers, never floats).
+- ``text_pii_redaction`` — regex PII detection + redaction with a
+  residual-match audit column (the scrubbing stage; patterns planted
+  deterministically so both engines see identical inputs).
+- ``text_quality_logit`` — a linear quality classifier with fixed
+  integer weights over integer features (the fasttext-style keep/drop
+  gate, exact end to end).
+- ``text_ngram_novelty`` — per-document fraction of 3-gram shingles
+  first seen in that document (corpus-order novelty curve; the
+  "how much new text does each shard add" curation metric).
+
+Scale notes (100 TB):
+- The bigram LM's shuffles are |bigram-vocab|-sized (groupBy on the
+  pair key with map-side partial counts), never |corpus|-sized; the
+  score join shuffles doc-bigrams on the pair key — AQE broadcasts
+  the stats side automatically when the vocabulary is small, and
+  falls back to a plain shuffle join when it isn't (a 100 TB corpus
+  can have 1e9+ distinct bigrams, so a forced broadcast would be
+  wrong).
+- PII redaction and the logit gate are pure map-side codegen (regexp
+  + arithmetic) — streamable, no shuffle at any scale.
+- Novelty shuffles once on the shingle key (min-doc aggregation with
+  partial agg) and once back on (doc, shingle) — both |shingles|-
+  sized, the same posture as the dedup inverted index.
+
+Reference parity: the reference has no LM/PII operators; these are
+north-star LLM-pipeline extensions (BASELINE.json), built per
+SURVEY.md §7 item 7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.llm.text import (
+    digit_count,
+    punct_count,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from lakehouse_cdc_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency score
+# ---------------------------------------------------------------------------
+
+#: fixed-point probability scale: parts-per-billion.  (c2+1)*1e9 stays
+#: far under int64 even at 1e7 occurrences of one bigram.
+_PPB = 1_000_000_000
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS cn FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u) AS vsz
+          FROM (SELECT unnest(t) AS u FROM toks)),
+    scored AS (SELECT bg.doc_id,
+                      ((c2.c + 1) * {_PPB}) // (c1.cn + v.vsz) AS p_ppb
+               FROM bg JOIN c2 USING (w1, w2)
+                       JOIN c1 USING (w1)
+                       CROSS JOIN v)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_ppb) AS BIGINT) AS score_sum,
+           CAST(SUM(p_ppb) // COUNT(*) AS BIGINT) AS avg_p_ppb
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM score per document — the perplexity-
+    filter shape (CCNet-style) with add-one smoothing, entirely in
+    integer arithmetic: P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) emitted as
+    floor(P * 1e9).  Summing scaled probabilities (not log-probs)
+    keeps both engines bit-exact while preserving the filter's
+    ranking power on the fixture distribution.
+
+    Plan shape: bigrams are built MAP-SIDE from the token array
+    (transform over sequence — no window, no self-join), then
+    aggregated on the pair key.  V is a one-row broadcast.  The score
+    join shuffles on (w1, w2); stats side is AQE-broadcast when small.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cn"))
+    v = (
+        tok.select(F.explode("t").alias("u"))
+        .agg(F.count_distinct("u").alias("vsz"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(f"((c + 1) * {_PPB}) div (cn + vsz)").alias("p_ppb"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_ppb").cast("bigint").alias("score_sum"),
+        F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: regexes kept to constructs with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): character classes, +, bounded repeats.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+#: deterministic planted-PII body: docs with doc_id % 3 != 0 get one
+#: email + one phone appended to a text prefix; multiples of 3 stay
+#: clean so the detector has true negatives to prove itself on.
+#: (only the string-type keyword differs between dialects)
+def _body_sql(strty: str) -> str:
+    return (
+        "substr(text, 1, 120) || CASE WHEN doc_id % 3 = 0 THEN ''"
+        f" ELSE ' contact user' || CAST(doc_id AS {strty})"
+        f"   || '@mail' || CAST(doc_id % 7 AS {strty}) || '.com"
+        f" tel 555-' || lpad(CAST(doc_id % 10000 AS {strty}), 4, '0') END"
+    )
+
+
+_BODY_SQL = _body_sql("VARCHAR")  # DuckDB oracle form
+_BODY_SPARK = _body_sql("STRING")  # Spark form
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH body AS (SELECT doc_id, {_BODY_SQL} AS body FROM documents),
+    red AS (SELECT doc_id, body,
+                   regexp_replace(regexp_replace(body, '{_EMAIL_RE}',
+                       '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g')
+                   AS redacted
+            FROM body)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(redacted, '{_EMAIL_RE}'))
+              + len(regexp_extract_all(redacted, '{_PHONE_RE}')) AS BIGINT)
+             AS n_residual,
+           md5(redacted) AS red_hash
+    FROM red
+    """,
+    tags=("llm", "text", "governance"),
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub stage: detect emails/phones, redact with typed
+    placeholders, and audit that zero matches survive redaction
+    (``n_residual`` — the column a governance gate alerts on).
+    Patterns are planted deterministically from doc_id so the oracle
+    sees byte-identical input; the operator itself is the real one.
+
+    Pure map-side regexp codegen — no shuffle, streamable, and at
+    100 TB it is scan-bound (the correct cost model for scrubbing).
+    """
+    d = table(spark, sf_dir, "documents")
+    body = d.select("doc_id", F.expr(_BODY_SPARK).alias("body"))
+    red = body.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count("body", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("body", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        (
+            F.regexp_count("redacted", F.lit(_EMAIL_RE))
+            + F.regexp_count("redacted", F.lit(_PHONE_RE))
+        ).cast("bigint").alias("n_residual"),
+        F.md5("redacted").alias("red_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (integer logit)
+# ---------------------------------------------------------------------------
+
+#: fixed integer weights (micro-units).  A trained classifier would
+#: load these from a table; the operator — feature extraction + dot
+#: product + threshold, all codegen — is identical either way.
+_W_UNIQ = 15_000
+_W_TOK = 500
+_W_PUNCT = -20_000
+_W_DIGIT = -10_000
+_BIAS = -2_000_000
+
+
+@register(
+    "text_quality_logit",
+    oracle=f"""
+    WITH f AS (SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                 len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS n_uniq,
+                 length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+                 length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit
+               FROM documents)
+    SELECT doc_id, n_tok, n_uniq, n_punct, n_digit,
+           CAST({_BIAS} + {_W_UNIQ} * n_uniq + {_W_TOK} * n_tok
+              + {_W_PUNCT} * n_punct + {_W_DIGIT} * n_digit AS BIGINT)
+             AS logit_micro,
+           ({_BIAS} + {_W_UNIQ} * n_uniq + {_W_TOK} * n_tok
+              + {_W_PUNCT} * n_punct + {_W_DIGIT} * n_digit) > 0 AS keep
+    FROM f
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_logit(spark, sf_dir):
+    """Linear keep/drop quality gate: integer features (token count,
+    distinct-token count, punctuation, digits) dotted with fixed
+    integer micro-weights; sigmoid is monotone so thresholding the
+    logit IS thresholding the probability — no float ever appears.
+    Map-side only; the shape of every fasttext-style quality filter.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    f = d.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq"),
+        punct_count("text").cast("bigint").alias("n_punct"),
+        digit_count("text").cast("bigint").alias("n_digit"),
+    )
+    logit = (
+        F.lit(_BIAS)
+        + F.lit(_W_UNIQ) * F.col("n_uniq")
+        + F.lit(_W_TOK) * F.col("n_tok")
+        + F.lit(_W_PUNCT) * F.col("n_punct")
+        + F.lit(_W_DIGIT) * F.col("n_digit")
+    )
+    return f.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "n_punct",
+        "n_digit",
+        logit.cast("bigint").alias("logit_micro"),
+        (logit > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM idx),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN firsts f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of its distinct 3-gram
+    shingles whose corpus-wide first occurrence (min doc_id) is this
+    document.  Plotted over ingest order this is the "new information
+    per shard" curve that decides when more of a source stops paying.
+
+    Two |shingle|-sized shuffles (min-doc agg with map-side partials,
+    then the join back on the shingle key) — same inverted-index
+    posture as the Jaccard dedup family; no quadratic term anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel_flag = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel_flag).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000) div count(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
