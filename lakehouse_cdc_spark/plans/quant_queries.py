@@ -198,28 +198,45 @@ def emb_srp_signatures(spark, sf_dir):
     (emb_ivf_assign) and MinHash (dedup_minhash_lsh).  All arithmetic
     is exact: coordinates are floor-scaled to int (float->double->
     floor is deterministic, no rounding-mode traps), and the dot
-    against a ±1 plane is an integer fold, so signatures are
-    bit-identical on any engine or partitioning.  Pure map-side work —
-    ZERO shuffles to sign 100 TB of vectors (the bucket_size window is
-    one key-hash shuffle on the 16-bit signature, bounded at 65536
+    against a ±1 plane is an integer matmul — integer addition is
+    associative, so ANY fold order (numpy row-major here, DuckDB's
+    list_sum in the oracle) yields bit-identical signatures.
+
+    The 16×64 ±1 dot is an Arrow-vectorized numpy kernel
+    (``mapInPandas``), not 16 zip_with/aggregate higher-order
+    functions: the HOF formulation benched ~4× slower end-to-end —
+    per-row array allocation plus interpreted lambda evaluation, and
+    a 1000-node expression tree that pays seconds of Catalyst/janino
+    compile per run (the fully-flattened codegen variant was slower
+    still).  Same kernel policy as the blocked ANN scorer
+    (llm/similarity.py): numpy for dense vector math, one batch at a
+    time, closure-shipped constant matrix.  Still pure map-side —
+    ZERO shuffles to sign 100 TB of vectors (the bucket_size window
+    is one key-hash shuffle on the 16-bit signature, bounded at 65536
     buckets)."""
-    quant = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("bigint")
-        ).alias("q"),
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_SRP_SIGNS, dtype=np.int64)  # (16, 64), closure-shipped
+
+    def _sign_batches(batches):
+        shifts = np.arange(_SRP_PLANES, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(e * 10000.0).astype(np.int64)
+            dots = q @ planes.T  # (n, 16) exact int64
+            sig = ((dots >= 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "srp_sig": sig}
+            )
+
+    sigs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(_sign_batches, "vec_id bigint, srp_sig bigint")
     )
-    sig = None
-    for j in range(_SRP_PLANES):
-        plane = F.array(*[F.lit(s) for s in _SRP_SIGNS[j]])
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), plane, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    sigs = quant.select("vec_id", sig.cast("bigint").alias("srp_sig"))
     from pyspark.sql import Window
 
     return sigs.select(
@@ -319,14 +336,12 @@ def emb_pq_adc_topk(spark, sf_dir):
     are all bit-identical in DuckDB — the compression loss itself
     (adc_dist vs exact_dist) is oracle-checked.
 
-    Plan shape: codebook (128 rows) and LUT (tiny) broadcast; code
-    assignment is map-side fanout x128 then a (vec_id, m)-keyed
-    min-struct aggregate; ADC is an 8-row-per-vector sum.  At 100 TB
-    codes are 8 bytes/vector — the shuffle-width reduction IS the
-    operator's purpose."""
-    adc, exact = _pq_adc_exact(spark, sf_dir)
+    Plan shape: one map-side Arrow kernel (codebook + query LUT are
+    closure constants — see _pq_adc_exact); no shuffle before the
+    top-k.  At 100 TB codes are 8 bytes/vector — the shuffle-width
+    reduction IS the operator's purpose."""
     return (
-        adc.join(exact, "vec_id")
+        _pq_adc_exact(spark, sf_dir)
         .filter(F.col("vec_id") != 0)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
@@ -334,71 +349,79 @@ def emb_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _pq_cen_int(m: int, c: int, j: int) -> int:
+    """One codebook integer — the same md5-derived value the DuckDB
+    oracle (_PQ_CEN_DUCK) computes at runtime; Python evaluates it at
+    plan-build time so the kernel ships it as a closure constant."""
+    return (
+        int(hashlib.md5(f"{m}:{c}:{j}".encode()).hexdigest()[:15], 16) % 2001
+        - 1000
+    )
+
+
 def _pq_adc_exact(spark, sf_dir):
-    """Shared PQ pipeline: returns (adc, exact) distance DataFrames
-    keyed by vec_id against query vector 0 (see emb_pq_adc_topk for
-    the full stage walkthrough)."""
-    vecs = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_FP}"
-            " + 0.5) AS BIGINT))"
-        ).alias("e"),
+    """Shared PQ pipeline: ONE map-side Arrow kernel emitting
+    (vec_id, adc_dist, exact_dist) per vector against query vector 0.
+
+    The serving model done the way a real PQ index does it: the query
+    vector is fetched once at the driver (O(1) collect, same policy as
+    the IVF centroid table in llm/similarity.py), its 8×16 LUT is
+    precomputed in Python, and the corpus scan is a closure-shipped
+    numpy kernel — code assignment is an (n,8,16,8) integer argmin
+    (ties → smallest centroid id, numpy argmin-first = the oracle's
+    ORDER BY dist, c), ADC is 8 LUT gathers, the exact rescore is 64
+    integer multiply-adds.  All arithmetic is int64 and integer
+    addition is associative, so any fold order is bit-identical to
+    DuckDB's.  This replaced an explode(×8)+broadcast-join+groupBy
+    formulation that benched ~3× slower (per-row array HOFs plus a
+    (vec_id, m)-keyed shuffle the kernel simply doesn't need) — the
+    kernel is map-side only: ZERO shuffles to code 100 TB of vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
-    cen = (
-        spark.range(_PQ_M)
-        .selectExpr("id AS m")
-        .crossJoin(spark.range(_PQ_K).selectExpr("id AS c"))
-        .crossJoin(spark.range(1, _PQ_SUB + 1).selectExpr("id AS j"))
-        .select(
-            "m",
-            "c",
-            "j",
-            F.expr(_PQ_CEN_SPARK.format(m="m", c="c", j="j")).alias("v"),
-        )
-        .groupBy("m", "c")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(j, v))), s -> s.v)"
-            ).alias("cen")
-        )
+    qint = np.floor(
+        np.asarray(qrow, dtype=np.float64) * _PQ_FP + 0.5
+    ).astype(np.int64)
+    cen = np.array(
+        [
+            [
+                [_pq_cen_int(m, c, j) for j in range(1, _PQ_SUB + 1)]
+                for c in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ],
+        dtype=np.int64,
+    )  # (M, K, SUB)
+    lut = ((qint.reshape(_PQ_M, _PQ_SUB)[:, None, :] - cen) ** 2).sum(axis=2)
+
+    def _pq_batches(batches):
+        m_idx = np.arange(_PQ_M)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(e * _PQ_FP + 0.5).astype(np.int64)
+            qs = q.reshape(len(q), _PQ_M, _PQ_SUB)
+            d = ((qs[:, :, None, :] - cen[None]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=2)  # (n, M); first-min = smallest c
+            adc = lut[m_idx[None, :], codes].sum(axis=1)
+            exact = ((q - qint[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist": adc,
+                    "exact_dist": exact,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _pq_batches, "vec_id bigint, adc_dist bigint, exact_dist bigint"
     )
-    sub = F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("m")
-    dists = (
-        vecs.select("vec_id", "e", sub)
-        .join(F.broadcast(cen), "m")
-        .select(
-            "vec_id",
-            "m",
-            "c",
-            F.expr(
-                f"aggregate(zip_with(slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB}), cen, "
-                "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ).alias("dist"),
-        )
-    )
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "c")).alias("best"))
-        .select("vec_id", "m", F.col("best.c").alias("code"))
-    )
-    lut = dists.filter(F.col("vec_id") == 0).select(
-        "m", F.col("c").alias("code"), F.col("dist").alias("lut_dist")
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("lut_dist").alias("adc_dist"))
-    )
-    q = vecs.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
-    exact = vecs.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        F.expr(
-            "aggregate(zip_with(e, qe, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).alias("exact_dist"),
-    )
-    return adc, exact
 
 
 _PQ_COARSE = 50  # ADC candidate-list size for the re-rank stage
@@ -432,15 +455,19 @@ def emb_pq_rerank(spark, sf_dir):
     the exact pass applied to the ADC list — the compression error the
     judge can read off the row.  Same determinism contract as
     emb_pq_adc_topk (fixed-point vectors, md5 codebook): both stages
-    are bit-identical in DuckDB.  At 100 TB the exact-vector fetch
-    touches 50 rows instead of the corpus — the whole point: full
-    vectors stay in cold storage, codes (64x smaller) serve the scan,
-    and the re-rank join is a broadcast of the candidate list."""
-    adc, exact = _pq_adc_exact(spark, sf_dir)
+    are bit-identical in DuckDB.  Both stages read the ONE map-side
+    kernel scan (_pq_adc_exact): stage 1 is TakeOrdered-50 on
+    adc_dist, stage 2 re-orders those 50 rows by the exact column —
+    no join, no second pass over the corpus.  (In a deployment where
+    full vectors live in cold storage the stage-2 fetch would be a
+    broadcast semi-join of the 50 candidate ids against the vector
+    store; here the kernel has the vector in hand, so carrying the
+    64-madd exact column is strictly cheaper than re-fetching.)"""
     from pyspark.sql import Window
 
     coarse = (
-        adc.filter(F.col("vec_id") != 0)
+        _pq_adc_exact(spark, sf_dir)
+        .filter(F.col("vec_id") != 0)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_PQ_COARSE)
         .withColumn(
@@ -449,9 +476,7 @@ def emb_pq_rerank(spark, sf_dir):
         )
     )
     return (
-        F.broadcast(coarse)
-        .join(exact, "vec_id")
-        .orderBy(F.asc("exact_dist"), F.asc("vec_id"))
+        coarse.orderBy(F.asc("exact_dist"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "adc_dist", "coarse_rank", "exact_dist")
     )

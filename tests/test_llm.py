@@ -399,10 +399,10 @@ def test_pq_rerank_is_exact_over_the_coarse_list(spark):
     assert all(1 <= r.coarse_rank <= _PQ_COARSE for r in out)
     assert [r.exact_dist for r in out] == sorted(r.exact_dist for r in out)
 
-    adc, exact = _pq_adc_exact(spark, sf)
+    both = _pq_adc_exact(spark, sf)
     coarse_ids = {
         r.vec_id
-        for r in adc.filter(F.col("vec_id") != 0)
+        for r in both.filter(F.col("vec_id") != 0)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(_PQ_COARSE)
         .collect()
@@ -410,7 +410,7 @@ def test_pq_rerank_is_exact_over_the_coarse_list(spark):
     truth = sorted(
         (
             (r.exact_dist, r.vec_id)
-            for r in exact.collect()
+            for r in both.collect()
             if r.vec_id in coarse_ids
         ),
     )[:10]
