@@ -231,16 +231,26 @@ def q13_custdist(spark, sf_dir):
 def q18_large_orders(spark, sf_dir):
     """TPC-H q18: large-volume orders — aggregate-then-HAVING, joined
     to the customer dim, global top-100 (TakeOrderedAndProject; the
-    HAVING prunes before the sort so only qualifying orders rank)."""
+    HAVING prunes before the sort so only qualifying orders rank).
+
+    Plan shape: the quantity aggregate runs on lineitem ALONE keyed by
+    l_orderkey (o_orderkey functionally determines c_name and
+    o_orderdate, so grouping pre-join is identical to the literal
+    group-after-join formulation — the classic q18 rewrite), and the
+    HAVING prunes to a handful of orders BEFORE any join: both the
+    orders and customer joins then broadcast the tiny qualifying set
+    instead of shuffling the fact-fact join at full width."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    agg = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(dsum(F.col("l_quantity"), "total_qty"))
         .filter(F.col("total_qty") > 210.0)
+    )
+    agg = (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         agg.select(
