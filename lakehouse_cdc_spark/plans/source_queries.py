@@ -1,0 +1,116 @@
+"""Declared queries over the custom Python Data Source (wave 19).
+
+These put the Spark-4 ``pyspark.sql.datasource`` source
+(``sources/cdclog.py``) on the correctness gate: the source generates
+a deterministic Debezium-style change log, Spark consumes it through
+the REAL pipeline (scan → from_json decode → window compaction), and
+DuckDB regenerates the identical log from ``generate_series`` — so a
+brand-new source *kind* (not just a new format) is oracle-checked
+end-to-end.
+
+Scale: generation is lazy and per-partition on executors; pushdown
+prunes whole partitions before a row exists (see the source module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.plans.registry import register
+from lakehouse_cdc_spark.sources.cdclog import duck_log_cte, register_cdclog
+
+_N, _PARTS, _KEYS = 4000, 8, 400
+
+_ENV_SCHEMA = "id BIGINT, name STRING, __deleted STRING, ts_ms BIGINT"
+
+
+def _scan(spark, n=_N, parts=_PARTS, keys=_KEYS):
+    register_cdclog(spark)
+    # runtime conf (like nanosAsLong in registry.table): the driver's
+    # harness session is vanilla, so the source enables its own
+    # pushdown capability here — consulted at planning time
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("cdclog")
+        .option("n", n)
+        .option("parts", parts)
+        .option("keys", keys)
+        .load()
+    )
+
+
+@register(
+    "source_python_cdclog_latest",
+    oracle=f"""
+    WITH {duck_log_cte(_N, _PARTS, _KEYS)},
+    ranked AS (
+      SELECT id, name, deleted, ts_ms,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts_ms DESC) AS rn
+      FROM envelope
+    )
+    SELECT id, name, deleted, ts_ms FROM ranked WHERE rn = 1
+    """,
+    tags=("source", "python-datasource", "cdc", "S1"),
+)
+def source_python_cdclog_latest(spark, sf_dir):
+    """Full CDC pipeline over the Python data source: scan the
+    generated envelope stream, ``from_json`` decode (the real S3
+    decode path, not the oracle's direct regeneration), then
+    last-write-wins compaction per id — W1 applied to a source Spark
+    itself planned and parallelized.  ts_ms is unique per offset so
+    the rank needs no extra tie-break."""
+    raw = _scan(spark)
+    parsed = raw.select(
+        F.from_json("value", _ENV_SCHEMA).alias("p")
+    ).select("p.*")
+    w = Window.partitionBy("id").orderBy(F.desc("ts_ms"))
+    return (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "id",
+            "name",
+            (F.col("__deleted") == "true").alias("deleted"),
+            "ts_ms",
+        )
+    )
+
+
+@register(
+    "source_python_cdclog_pushdown",
+    oracle=f"""
+    WITH {duck_log_cte(_N, _PARTS, _KEYS)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN("offset") AS min_off,
+           MAX("offset") AS max_off,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM envelope
+    WHERE part = 3 AND "offset" >= 1000 AND "offset" < 3000
+    """,
+    tags=("source", "python-datasource", "pushdown", "S6"),
+)
+def source_python_cdclog_pushdown(spark, sf_dir):
+    """Filter pushdown through the Python source: the part equality
+    prunes 7 of 8 input partitions and the offset bounds narrow the
+    generation range arithmetically — both consumed by ``pushFilters``
+    before any row is generated (asserted object-level in
+    tests/test_pyds.py).  The aggregate proves the pruned scan still
+    produces exactly the oracle's row set."""
+    raw = _scan(spark)
+    pid = F.from_json("value", _ENV_SCHEMA).alias("p")
+    return (
+        raw.filter(
+            (F.col("part") == 3)
+            & (F.col("offset") >= 1000)
+            & (F.col("offset") < 3000)
+        )
+        .select("offset", pid)
+        .select("offset", "p.id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("offset").alias("min_off"),
+            F.max("offset").alias("max_off"),
+            F.sum("id").cast("bigint").alias("sum_id"),
+        )
+    )

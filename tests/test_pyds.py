@@ -1,0 +1,120 @@
+"""Tests for the custom Python Data Source (sources/cdclog.py):
+pushdown pruning at the reader-object level, generation laziness
+bounds, and batch ≡ stream envelope equality."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    LessThan,
+    StringContains,
+)
+
+from lakehouse_cdc_spark.sources.cdclog import (
+    CdcLogBatchReader,
+    CdcLogStreamReader,
+    register_cdclog,
+)
+
+
+def test_pushdown_consumes_part_and_offset_filters():
+    r = CdcLogBatchReader({"n": "1000", "parts": "4", "keys": "50"})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("part",), 2),
+                GreaterThanOrEqual(("offset",), 100),
+                LessThan(("offset",), 500),
+                StringContains(("value",), "item_7"),  # unsupported
+            ]
+        )
+    )
+    # only the unsupported filter is handed back to Spark
+    assert [type(f) for f in leftover] == [StringContains]
+    parts = r.partitions()
+    assert [p.value for p in parts] == [2]  # 3 of 4 partitions pruned
+    offs = [row[0] for row in r.read(parts[0])]
+    assert offs == list(range(102, 500, 4))  # ≡2 (mod 4), within bounds
+    # row arity and partition column match the pruned partition
+    row = next(iter(r.read(parts[0])))
+    assert len(row) == 3 and row[1] == 2
+
+
+def test_pushdown_can_prune_everything():
+    r = CdcLogBatchReader({"n": "1000", "parts": "4", "keys": "50"})
+    list(r.pushFilters([GreaterThanOrEqual(("offset",), 5000)]))
+    assert r.partitions() == []
+
+
+def test_batch_filter_results_match_unfiltered_subset(spark):
+    register_cdclog(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    opts = {"n": "800", "parts": "4", "keys": "60"}
+    full = (
+        spark.read.format("cdclog").options(**opts).load().collect()
+    )
+    pushed = (
+        spark.read.format("cdclog")
+        .options(**opts)
+        .load()
+        .filter((F.col("part") == 1) & (F.col("offset") < 300))
+        .collect()
+    )
+    manual = [r for r in full if r.part == 1 and r.offset < 300]
+    assert sorted(pushed) == sorted(manual) and len(pushed) == 75
+
+
+def test_stream_replays_identical_envelopes(spark, tmp_path):
+    register_cdclog(spark)
+    opts = {"n": "500", "parts": "4", "keys": "50"}
+    batch_rows = {
+        (r.offset, r.part, r.value)
+        for r in spark.read.format("cdclog").options(**opts).load().collect()
+    }
+    # NOTE availableNow + SimpleDataSourceStreamReader drains only the
+    # one prefetched micro-batch, so run the continuous trigger and
+    # poll the sink for the full log instead (same drain strategy as
+    # the stateful-TTL test after round 2's hang fix)
+    q = (
+        spark.readStream.format("cdclog")
+        .options(**opts)
+        .option("batch", "137")  # deliberately ≠ n so batches straddle
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdclog_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM cdclog_stream").count() >= 500:
+                break
+            time.sleep(0.5)
+        got = {
+            (r.offset, r.part, r.value)
+            for r in spark.sql("SELECT * FROM cdclog_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_rows  # exactly-once, byte-identical envelopes
+
+
+def test_stream_reader_offset_contract():
+    r = CdcLogStreamReader({"n": "10", "batch": "4", "parts": "2", "keys": "5"})
+    assert r.initialOffset() == {"offset": 0}
+    rows, nxt = r.read({"offset": 0})
+    assert [t[0] for t in rows] == [0, 1, 2, 3] and nxt == {"offset": 4}
+    rows, nxt = r.read({"offset": 8})
+    assert [t[0] for t in rows] == [8, 9] and nxt == {"offset": 10}
+    rows, nxt = r.read({"offset": 10})  # drained: empty batch, no advance
+    assert list(rows) == [] and nxt == {"offset": 10}
+    # crash-recovery replay is bit-identical generation
+    replay = list(r.readBetweenOffsets({"offset": 2}, {"offset": 6}))
+    assert [t[0] for t in replay] == [2, 3, 4, 5]
