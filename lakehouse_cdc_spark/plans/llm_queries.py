@@ -1741,3 +1741,93 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
     return spark.createDataFrame(
         rows, "n_bands long, rows_per_band long, n_candidates long"
     ).orderBy(F.desc("n_bands"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster → within-cluster ε-graph → CC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 32),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+                   / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) AS cs
+      FROM n e, c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM scored) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+      FROM assign x JOIN assign y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+    ),
+    edges AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib,
+               round(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(a.norm_sq) * sqrt(b.norm_sq)), 6) AS cos_sim
+        FROM cand JOIN n a ON a.vec_id = cand.ia
+                  JOIN n b ON b.vec_id = cand.ib
+      ) WHERE cos_sim >= 0.4
+    ),
+    sym AS (SELECT ia AS u, ib AS v FROM edges
+            UNION SELECT ib, ia FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT component AS keep_vec_id,
+           COUNT(*) AS group_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY component
+    """,
+    tags=("llm", "dedup", "embedding", "semantic", "connected-components"),
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup over EMBEDDINGS —
+    cluster the corpus (IVF, 2-probe, 32 centroids), build the
+    within-cluster ε-similarity graph (cosine ≥ 0.4 via the blocked
+    numpy scorer), close it transitively (min-label connected
+    components), and keep one representative per component (min
+    vec_id; closest-to-centroid is a drop-in swap).  ``n_dropped``
+    per group is the dedup yield a curation run reports.
+
+    This composes the engine's three scale primitives — map-side IVF
+    assignment, cluster-keyed blocked pair scoring, O(rounds) label
+    propagation — so the pair space is O(Σ bucket²) and the closure
+    shuffles |edges| per round, never all-pairs.  The oracle replays
+    assignment, scoring, AND the transitive closure (recursive CTE)
+    — a green row proves the full decision, not just the pair list."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    pairs = bucketed_cosine_pairs_blocked(
+        emb, centroids, threshold=0.4, probes=2
+    )
+    from lakehouse_cdc_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, src="ia", dst="ib")
+    return cc.groupBy(F.col("component").alias("keep_vec_id")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
+    )
