@@ -26,11 +26,7 @@ _ENV_SCHEMA = "id BIGINT, name STRING, __deleted STRING, ts_ms BIGINT"
 
 
 def _scan(spark, n=_N, parts=_PARTS, keys=_KEYS):
-    register_cdclog(spark)
-    # runtime conf (like nanosAsLong in registry.table): the driver's
-    # harness session is vanilla, so the source enables its own
-    # pushdown capability here — consulted at planning time
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_cdclog(spark)  # also enables python filter pushdown
     return (
         spark.read.format("cdclog")
         .option("n", n)

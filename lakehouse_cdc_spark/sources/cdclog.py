@@ -160,7 +160,15 @@ class CdcLogDataSource(DataSource):
 
 
 def register_cdclog(spark) -> None:
-    """Idempotently register the source with a session."""
+    """Idempotently register the source with a session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, same pattern as ``nanosAsLong`` in ``registry.table``):
+    Spark REFUSES to plan a reader that implements ``pushFilters``
+    while the capability flag is off, so registration and the flag
+    must travel together — including on the driver's vanilla harness
+    session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CdcLogDataSource)
 
 

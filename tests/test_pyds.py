@@ -118,3 +118,62 @@ def test_stream_reader_offset_contract():
     # crash-recovery replay is bit-identical generation
     replay = list(r.readBetweenOffsets({"offset": 2}, {"offset": 6}))
     assert [t[0] for t in replay] == [2, 3, 4, 5]
+
+
+def test_cdclog_source_through_snapshot_sink(spark, tmp_path):
+    """Full CDC path over the Python source: stream → flat-envelope
+    decode → classify → bucketed snapshot-sink upsert (tombstones
+    delete), resumed across multiple availableNow rounds from one
+    checkpoint (the simple stream reader drains one prefetched batch
+    per round — each restart IS a checkpoint-recovery exercise).
+    Final state must equal the batch latest-state minus deletions."""
+    from lakehouse_cdc_spark.cdc import classify_operation
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink, cdc_pipeline
+
+    register_cdclog(spark)
+    opts = {"n": "2000", "parts": "4", "keys": "200"}
+    env = "id BIGINT, name STRING, __deleted STRING, ts_ms BIGINT"
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "target"), keys=["id"], order_by=["ts_ms"]
+    )
+    for _ in range(8):  # 2000 rows / 500-per-batch + idle rounds
+        raw = (
+            spark.readStream.format("cdclog")
+            .options(**opts)
+            .option("batch", "500")
+            .load()
+        )
+        changes = classify_operation(
+            raw.select(F.from_json("value", env).alias("p")).select("p.*")
+        )
+        q = cdc_pipeline(changes, sink, str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+
+    got = {
+        r.id: (r.name, r.ts_ms) for r in sink.current_table(spark).collect()
+    }
+    latest = (
+        spark.read.format("cdclog")
+        .options(**opts)
+        .load()
+        .select(F.from_json("value", env).alias("p"))
+        .select("p.*")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("id")
+                .orderBy(F.desc("ts_ms"))
+            ),
+        )
+        .filter("rn = 1")
+    )
+    want = {
+        r.id: (r.name, r.ts_ms)
+        for r in latest.filter(F.col("__deleted") != "true").collect()
+    }
+    assert got == want
+    # tombstoned keys must be absent
+    gone = {r.id for r in latest.filter(F.col("__deleted") == "true").collect()}
+    assert not (gone & set(got))
