@@ -92,6 +92,7 @@ def stream_interval_join(
     right_ts: str = "r_ts",
     lookback: str = "INTERVAL 1 HOUR",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matches right
     events with the same key in ``(left_ts - lookback, left_ts]``.
@@ -106,6 +107,13 @@ def stream_interval_join(
     ``r_`` to keep the joined schema unambiguous.  Works identically
     on batch frames (watermarks are no-ops there), so batch≡stream
     equivalence is testable.
+
+    ``how="left_outer"`` adds the null-padded unmatched-left rows —
+    emitted only once the watermark proves no future right row can
+    still match (i.e. null results trail by watermark + lookback;
+    the standard outer-join latency, not a bug).  Outer joins REQUIRE
+    the watermark + time-bound state eviction above — Spark rejects
+    an outer stream-stream join without them.
     """
     r = right.select(
         *[F.col(c).alias(f"r_{c}" if not c.startswith("r_") else c) for c in right.columns]
@@ -120,4 +128,4 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) > F.expr(f"{left_ts} - {lookback}"))
     )
-    return left.join(r, cond, "inner")
+    return left.join(r, cond, how)

@@ -816,3 +816,63 @@ def test_ohlc_candles_stream_equals_batch(
         for r in spark.sql("SELECT * FROM ohlc_out").collect()
     }
     assert got == batch
+
+
+def test_stream_stream_left_outer_join_emits_null_padded_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched purchases
+    must eventually emit null-padded — but only after the right-side
+    watermark PROVES no matching view can still arrive.  A far-future
+    sentinel event in a second micro-batch advances the watermark past
+    the first batch's rows, releasing their outer results; the
+    sentinel's own outer row stays buffered (watermark never passes
+    it) — asserting both sides of the eviction contract."""
+    import datetime
+
+    from lakehouse_cdc_spark.streaming import stream_interval_join
+
+    ts = datetime.datetime.fromisoformat
+    sentinel = ts("2024-06-01T00:00:00")
+    views = [
+        (1, ts("2024-01-01T10:00:00"), 100),
+        (9, sentinel, 199),  # watermark pusher on the right stream
+    ]
+    purchases = [
+        (1, ts("2024-01-01T10:45:00"), 200),  # matched (view 100 in 1h)
+        (3, ts("2024-01-01T11:00:00"), 202),  # never matched → null row
+        (9, sentinel, 299),  # watermark pusher; outer row still buffered
+    ]
+    v_df = spark.createDataFrame(views, "user_id int, ts timestamp, event_id int")
+    p_df = spark.createDataFrame(purchases, "user_id int, ts timestamp, event_id int")
+    v_src, p_src = str(tmp_path / "v"), str(tmp_path / "p")
+    v_df.coalesce(1).write.parquet(v_src)
+    p_df.coalesce(1).write.parquet(p_src)
+
+    joined = stream_interval_join(
+        file_cdc_source(spark, p_src, p_df.schema),
+        file_cdc_source(spark, v_src, v_df.schema),
+        on="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        lookback="INTERVAL 1 HOUR",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT event_id, r_event_id FROM ssj_outer").collect()
+    }
+    # matched pair + watermark-released null row; the sentinel pair
+    # matches itself (same user, same instant within the interval)
+    assert (200, 100) in got
+    assert (202, None) in got
+    assert (299, 199) in got
+    # no spurious nulls for matched rows
+    assert (200, None) not in got
