@@ -1831,3 +1831,174 @@ def emb_semantic_dedup(spark, sf_dir):
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
         F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new shard vs existing corpus (wave 20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_new_shard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    cross_cand AS (
+      SELECT CASE WHEN da % 5 = 0 THEN da ELSE db END AS new_id,
+             CASE WHEN da % 5 = 0 THEN db ELSE da END AS old_id
+      FROM cand
+      WHERE (da % 5 = 0) <> (db % 5 = 0)
+    ),
+    best AS (
+      SELECT new_id,
+             COUNT(DISTINCT old_id) AS n_old_candidates,
+             MIN(old_id) AS best_old
+      FROM cross_cand GROUP BY new_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT b.new_id, COUNT(*) AS n_inter
+      FROM best b
+      JOIN sh sa ON sa.doc_id = b.new_id
+      JOIN sh sb ON sb.doc_id = b.best_old AND sb.shingle = sa.shingle
+      GROUP BY b.new_id
+    )
+    SELECT b.new_id, b.n_old_candidates, b.best_old,
+           CAST((COALESCE(i.n_inter, 0) * 1000000)
+                // (sn.n_sh + so.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+             AS jac_ppm,
+           (COALESCE(i.n_inter, 0) * 2 >= sn.n_sh + so.n_sh
+            - COALESCE(i.n_inter, 0)) AS is_dup
+    FROM best b
+    JOIN szs sn ON sn.doc_id = b.new_id
+    JOIN szs so ON so.doc_id = b.best_old
+    LEFT JOIN inter i ON i.new_id = b.new_id
+    """,
+    tags=("llm", "dedup", "incremental", "minhash", "lsh"),
+)
+def dedup_incremental_new_shard(spark, sf_dir):
+    """Incremental dedup — the shape every DAILY ingest runs: a new
+    shard (docs with doc_id % 5 = 0, ~20%) is checked against the
+    EXISTING corpus index (the other 80%), never against itself.
+    MinHash band buckets give the cross-candidates (old-vs-old and
+    new-vs-new pairs are filtered out — the existing corpus is already
+    deduped, so recomparing it is pure waste); each new doc keeps its
+    lowest-id candidate and verifies with the exact shingle Jaccard
+    (integer ppm), and `is_dup` applies the J >= 0.5 keep/drop rule
+    (cleared denominators: 2·|∩| >= |∪|).
+
+    At 100 TB the old side's signatures/bands are a PRECOMPUTED index
+    read from storage, so per-shard cost is O(|shard|·k) + band joins
+    against the index — the whole point of incremental dedup.  Here
+    both sides derive from one table so the oracle can regenerate
+    them; the operator shape (band join restricted to cross pairs,
+    exact verify on the one retained partner) is the production one.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8)
+    cands = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    is_new_a = F.col("da") % 5 == 0
+    is_new_b = F.col("db") % 5 == 0
+    cross = cands.filter(is_new_a != is_new_b).select(
+        F.when(is_new_a, F.col("da")).otherwise(F.col("db")).alias("new_id"),
+        F.when(is_new_a, F.col("db")).otherwise(F.col("da")).alias("old_id"),
+    )
+    best = cross.groupBy("new_id").agg(
+        F.count_distinct("old_id").alias("n_old_candidates"),
+        F.min("old_id").alias("best_old"),
+    )
+    from lakehouse_cdc_spark.llm.dedup import shingle_table
+
+    sh = shingle_table(docs)
+    szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("best_old"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        best.select("new_id", "best_old")
+        .join(sa, "new_id")
+        .join(sb, "best_old")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_int = F.coalesce(F.col("n_inter"), F.lit(0))
+    union_sz = F.col("sn.n_sh") + F.col("so.n_sh") - n_int
+    return (
+        best.join(szs.alias("sn"), best.new_id == F.col("sn.doc_id"))
+        .join(szs.alias("so"), best.best_old == F.col("so.doc_id"))
+        .join(inter, "new_id", "left")
+        .select(
+            "new_id",
+            "n_old_candidates",
+            "best_old",
+            F.expr(
+                "CAST((coalesce(n_inter, 0) * 1000000)"
+                " div (sn.n_sh + so.n_sh - coalesce(n_inter, 0)) AS BIGINT)"
+            ).alias("jac_ppm"),
+            (n_int * 2 >= union_sz).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_exact",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(text) AS raw_hash,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))) AS canon_hash
+      FROM documents
+    )
+    SELECT canon_hash,
+           COUNT(*) AS dup_cnt,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+    FROM canon GROUP BY canon_hash
+    """,
+    tags=("llm", "dedup", "canonicalization"),
+)
+def dedup_canonical_exact(spark, sf_dir):
+    """Canonical-form exact dedup: lowercase, strip punctuation,
+    collapse whitespace, THEN hash-group — catches the trivially-
+    reformatted duplicates raw-byte hashing misses (the first rule of
+    every dedup stack: canonicalize before you hash).
+    ``n_raw_variants`` > 1 marks groups that only canonicalization
+    merged — the operator's measured yield over dedup_exact_documents.
+    Same scale posture as exact dedup: map-side canonicalize+hash,
+    one |distinct|-sized shuffle."""
+    d = table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[.,!?;:]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("raw_hash"),
+            canon.alias("canon_hash"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count_distinct("raw_hash").alias("n_raw_variants"),
+        )
+    )

@@ -541,3 +541,36 @@ def test_multimodal_parsers_reject_malformed_payloads():
     w2 = wav_bytes(3)
     with _pytest.raises(ValueError, match="data"):
         _parse_wav(w2[:36])
+
+
+def test_incremental_shard_dedup_only_cross_pairs(spark, sf_dir):
+    """Every reported candidate is new-vs-old (never old-old/new-new),
+    jac_ppm is consistent with is_dup at the J>=0.5 rule, and the
+    best_old partner is the minimum old candidate."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    rows = REGISTRY["dedup_incremental_new_shard"].fn(spark, sf_dir).collect()
+    assert rows, "fixture produced no cross candidates"
+    for r in rows:
+        assert r.new_id % 5 == 0 and r.best_old % 5 != 0
+        assert r.n_old_candidates >= 1
+        assert (r.jac_ppm >= 500_000) == bool(r.is_dup)
+
+
+def test_canonical_dedup_merges_reformatted_docs(spark, tmp_path):
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    rows = [
+        (1, "Hello, World!  this IS   a test.", "en", "s", 30),
+        (2, "hello world this is a test", "en", "s", 26),  # canonical twin
+        (3, "entirely different content", "en", "s", 26),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.keep_doc_id: (r.dup_cnt, r.n_raw_variants)
+        for r in REGISTRY["dedup_canonical_exact"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 2)  # merged ONLY by canonicalization
+    assert got[3] == (1, 1)
