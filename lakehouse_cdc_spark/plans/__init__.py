@@ -31,5 +31,6 @@ from lakehouse_cdc_spark.plans import funnel_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import spatial_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import lm_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import source_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import semantics_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "table"]
