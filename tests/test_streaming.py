@@ -876,3 +876,51 @@ def test_stream_stream_left_outer_join_emits_null_padded_unmatched(spark, tmp_pa
     assert (299, 199) in got
     # no spurious nulls for matched rows
     assert (200, None) not in got
+
+
+def test_progress_listener_sees_every_batch(spark, tmp_path):
+    """Push-based T8: a StreamingQueryListener must observe query
+    start, one progress event per data micro-batch (with exact input
+    row counts), and termination — the monitoring surface the
+    reference polled Debezium REST for."""
+    import time as _time
+
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+    from lakehouse_cdc_spark.streaming.monitor import (
+        ProgressHistoryListener,
+        attach_progress_listener,
+    )
+
+    register_cdclog(spark)
+    hist = ProgressHistoryListener(max_batch_ms=60_000)
+    handle = attach_progress_listener(spark, hist)
+    try:
+        q = (
+            spark.readStream.format("cdclog")
+            .option("n", "400").option("batch", "150")
+            .option("parts", "2").option("keys", "40")
+            .load()
+            .writeStream.format("memory")
+            .queryName("listener_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline and hist.total_input_rows() < 400:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        # listener events are delivered async; allow them to drain
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not hist.terminated:
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(handle)
+
+    assert str(q.id) in hist.started
+    assert hist.total_input_rows() == 400  # every row seen exactly once
+    data_batches = [p for p in hist.progresses if p["input_rows"]]
+    assert [p["input_rows"] for p in data_batches] == [150, 150, 100]
+    assert str(q.id) in hist.terminated
+    assert hist.alerts == []  # no batch breached the 60 s lag gate
