@@ -143,3 +143,59 @@ def scalar_div_by_zero_contract(spark, sf_dir):
             " div nullif(o_custkey % 7, 0)"
         ).alias("cents_per_unit"),
     )
+
+
+#: nested JSON payload derived from event columns (string concat in
+#: both dialects), so the VARIANT path walks real nesting
+_VJ_SPARK = (
+    "concat('{\"k\": ', get_json_object(props, '$.k'),"
+    " ', \"meta\": {\"type\": \"', event_type, '\", \"vc\": ',"
+    " CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING), '}}')"
+)
+_VJ_DUCK = (
+    "'{\"k\": ' || json_extract_string(props, '$.k')"
+    " || ', \"meta\": {\"type\": \"' || event_type || '\", \"vc\": '"
+    " || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) || '}}'"
+)
+
+
+@register(
+    "scalar_variant_semistructured",
+    oracle=f"""
+    WITH j AS (SELECT {_VJ_DUCK} AS doc FROM events),
+    x AS (
+      SELECT json_extract_string(doc, '$.meta.type') AS etype,
+             CAST(json_extract(doc, '$.meta.vc') AS BIGINT) AS vc,
+             CAST(json_extract(doc, '$.k') AS BIGINT) AS k
+      FROM j
+    )
+    SELECT etype,
+           COUNT(*) AS cnt,
+           CAST(SUM(vc) AS BIGINT) AS sum_vc,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM x GROUP BY etype
+    """,
+    tags=("scalar", "variant", "json", "spark4"),
+)
+def scalar_variant_semistructured(spark, sf_dir):
+    """Spark 4 VARIANT over semi-structured payloads: a nested JSON
+    document is parsed ONCE to the binary variant encoding
+    (``parse_json``) and fields come out with ``variant_get`` typed
+    path extraction — the open-schema ingestion shape (vs declaring a
+    StructType up front, the reference's fixed-schema decode).  At
+    100 TB the win is the encoding: variant parses/shreds at the scan
+    and repeated path access skips re-parsing the JSON text.  The
+    oracle walks the identical documents with DuckDB's JSON
+    extraction, pinning value-level equivalence of the two paths."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(F.expr(f"parse_json({_VJ_SPARK})").alias("v"))
+    x = v.select(
+        F.expr("variant_get(v, '$.meta.type', 'string')").alias("etype"),
+        F.expr("variant_get(v, '$.meta.vc', 'bigint')").alias("vc"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return x.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("vc").cast("bigint").alias("sum_vc"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
