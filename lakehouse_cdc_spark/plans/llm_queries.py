@@ -1921,6 +1921,11 @@ def dedup_incremental_new_shard(spark, sf_dir):
     )
     from lakehouse_cdc_spark.llm.dedup import shingle_table
 
+    # NOTE deliberately NOT persisted: three consumers re-derive the
+    # shingle set, but each re-derivation is a cheap map-side
+    # tokenize+explode the joins then prune, while a persist blocks on
+    # materializing EVERY doc's shingles up front (measured 1.7×
+    # slower at sf0.1)
     sh = shingle_table(docs)
     szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("new_id"), "shingle")
