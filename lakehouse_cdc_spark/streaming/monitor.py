@@ -69,6 +69,11 @@ class ProgressHistoryListener:
             "batch_id": p.batchId,
             "input_rows": p.numInputRows,
             "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+            # per-batch df.observe() counters (free in-pass validation)
+            "observed": {
+                k: v.asDict() if hasattr(v, "asDict") else dict(v)
+                for k, v in (p.observedMetrics or {}).items()
+            },
         }
         self.progresses.append(d)
         del self.progresses[: -self.keep]

@@ -157,3 +157,77 @@ def test_remove_orphan_files(tmp_path):
     removed = remove_orphan_files(str(d))
     assert sorted(removed) == ["_VERSION.tmp", "junk.compacting"]
     assert (d / "keep.parquet").exists()
+
+
+def test_observe_quality_free_in_pass_metrics(spark, sf_dir):
+    """Observation counters must equal a dedicated aggregation pass —
+    but arrive as a side-effect of the action the caller already ran."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans.registry import table
+    from lakehouse_cdc_spark.quality.validation import observe_quality
+
+    df = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("den")
+    )
+    observed, obs = observe_quality(df, ["den"], name="orders_quality")
+    n_out = observed.count()  # the "real work" action
+    got = obs.get
+    want_nulls = df.filter(F.col("den").isNull()).count()
+    assert got["rows"] == n_out
+    assert got["nulls_den"] == want_nulls and want_nulls > 0
+
+
+def test_streaming_observe_metrics_reach_listener(spark, tmp_path):
+    """df.observe on a STREAM: per-batch counters must surface in the
+    progress events the listener records — validation without a
+    second pass, per micro-batch."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+    from lakehouse_cdc_spark.streaming.monitor import (
+        ProgressHistoryListener,
+        attach_progress_listener,
+    )
+
+    register_cdclog(spark)
+    hist = ProgressHistoryListener()
+    handle = attach_progress_listener(spark, hist)
+    try:
+        stream = (
+            spark.readStream.format("cdclog")
+            .option("n", "300").option("batch", "100")
+            .option("parts", "2").option("keys", "30")
+            .load()
+            .observe(
+                "envelope_quality",
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("null_values"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("observe_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline and hist.total_input_rows() < 300:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.streams.removeListener(handle)
+
+    per_batch = [
+        p["observed"]["envelope_quality"]
+        for p in hist.progresses
+        if p["input_rows"] and "envelope_quality" in p["observed"]
+    ]
+    assert [m["rows"] for m in per_batch] == [100, 100, 100]
+    assert all(m["null_values"] == 0 for m in per_batch)
