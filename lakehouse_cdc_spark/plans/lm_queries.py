@@ -365,3 +365,43 @@ def text_ngram_novelty(spark, sf_dir):
             "CAST((sum(novel) * 1000000) div count(*) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+@register(
+    "text_zipf_profile",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                 FROM documents),
+    freq AS (SELECT w, COUNT(*) AS f FROM tok WHERE w <> '' GROUP BY w),
+    ranked AS (SELECT w, f,
+                      ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rnk
+               FROM freq)
+    SELECT rnk, w, f, CAST(rnk * f AS BIGINT) AS rank_x_freq
+    FROM ranked WHERE rnk <= 30
+    """,
+    tags=("llm", "text", "stats", "zipf"),
+)
+def text_zipf_profile(spark, sf_dir):
+    """Zipf rank-frequency profile: top-30 words with the rank×freq
+    product — near-constant under Zipf's law, so drift in this column
+    across corpus snapshots flags distribution shift (the companion
+    to the Heaps-law vocabulary-growth probe, `text_vocab_growth`).
+    One |vocab|-sized aggregate then a tiny global rank; everything
+    exact integers."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("w"))
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select(
+            "rnk", "w", "f", (F.col("rnk") * F.col("f")).cast("bigint").alias("rank_x_freq")
+        )
+    )

@@ -586,3 +586,96 @@ def cdc_scd2_point_in_time(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------------- bitemporal
+
+#: bitemporal cut points: transaction time = arrival order proxied by
+#: event_id (the log offset) — the cut is HALF the log so the probe is
+#: meaningful at every scale factor; valid time = the event timestamp.
+_BT_TXN_SQL = "(SELECT MAX(event_id) // 2 FROM events)"
+_BT_VALID = "TIMESTAMP '2024-02-15 00:00:00'"
+
+
+@register(
+    "cdc_bitemporal_asof",
+    oracle=f"""
+    WITH knew_then AS (
+      SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_id <= {_BT_TXN_SQL} AND ts <= {_BT_VALID}
+    ),
+    know_now AS (
+      SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= {_BT_VALID}
+    )
+    SELECT n.user_id,
+           t.event_id AS then_event,
+           n.event_id AS now_event,
+           t.vc AS then_vc,
+           n.vc AS now_vc,
+           (t.event_id IS NULL OR t.event_id <> n.event_id) AS revised
+    FROM (SELECT * FROM know_now WHERE rn = 1) n
+    LEFT JOIN (SELECT * FROM knew_then WHERE rn = 1) t USING (user_id)
+    """,
+    tags=("cdc", "temporal", "bitemporal"),
+)
+def cdc_bitemporal_asof(spark, sf_dir):
+    """Bitemporal as-of: TWO time axes — transaction time (what the
+    system had INGESTED: event_id as the log offset) and valid time
+    (when the fact was true: the event timestamp).  For each user,
+    compare the latest state at valid time V *as known at transaction
+    time T* against the same valid-time cut with full present
+    knowledge; ``revised`` marks users whose history was retroactively
+    changed by late-arriving events (event_id > T but ts <= V) — the
+    audit question ("what did we believe on the 15th when we filed
+    the report?") that a single-axis SCD2 cannot answer.
+
+    Plan: two window ranks over pushdown-filtered scans + one
+    user-keyed left join; both filters reach parquet (transaction
+    bound prunes by event_id, valid bound by ts)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    txn_max = e.agg(
+        F.expr("MAX(event_id) div 2").alias("txn_max")
+    ).collect()[0][0]  # O(1) scalar, min/max served from parquet footers
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    valid = F.col("ts") <= F.expr(_BT_VALID)
+
+    def latest(df):
+        return (
+            df.select("user_id", "event_id", vc, "ts")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    then = latest(e.filter((F.col("event_id") <= txn_max) & valid)).select(
+        "user_id",
+        F.col("event_id").alias("then_event"),
+        F.col("vc").alias("then_vc"),
+    )
+    now = latest(e.filter(valid)).select(
+        "user_id",
+        F.col("event_id").alias("now_event"),
+        F.col("vc").alias("now_vc"),
+    )
+    return now.join(then, "user_id", "left").select(
+        "user_id",
+        "then_event",
+        "now_event",
+        "then_vc",
+        "now_vc",
+        (
+            F.col("then_event").isNull()
+            | (F.col("then_event") != F.col("now_event"))
+        ).alias("revised"),
+    )
