@@ -177,3 +177,41 @@ def test_cdclog_source_through_snapshot_sink(spark, tmp_path):
     # tombstoned keys must be absent
     gone = {r.id for r in latest.filter(F.col("__deleted") == "true").collect()}
     assert not (gone & set(got))
+
+
+def test_pushdown_equals_manual_filter_property():
+    """Property: for ANY offset bounds + optional part equality, the
+    pruned reader generates exactly the rows a manual filter of the
+    full log keeps — pruning is an optimization, never a semantics
+    change."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    full = {
+        (r[0], r[1])
+        for p in CdcLogBatchReader({"n": "600", "parts": "5", "keys": "40"}).partitions()
+        for r in CdcLogBatchReader({"n": "600", "parts": "5", "keys": "40"}).read(p)
+    }
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lo=st.integers(-50, 700),
+        hi=st.integers(-50, 700),
+        part=st.one_of(st.none(), st.integers(-1, 6)),
+    )
+    def check(lo, hi, part):
+        r = CdcLogBatchReader({"n": "600", "parts": "5", "keys": "40"})
+        filters = [GreaterThanOrEqual(("offset",), lo), LessThan(("offset",), hi)]
+        if part is not None:
+            filters.append(EqualTo(("part",), part))
+        leftover = list(r.pushFilters(filters))
+        assert leftover == []  # all three shapes are fully consumed
+        got = {(row[0], row[1]) for p in r.partitions() for row in r.read(p)}
+        want = {
+            (o, pp)
+            for (o, pp) in full
+            if lo <= o < hi and (part is None or pp == part)
+        }
+        assert got == want
+
+    check()
