@@ -378,11 +378,11 @@ def _corr_cell_sql(cx: str, cy: str) -> str:
     return f"""
       SELECT '{cx}' AS col_x, '{cy}' AS col_y,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM({x}) AS BIGINT) AS sx,
-             CAST(SUM({y}) AS BIGINT) AS sy,
-             CAST(SUM({x} * {y}) AS BIGINT) AS sxy,
-             CAST(SUM({x} * {x}) AS BIGINT) AS sxx,
-             CAST(SUM({y} * {y}) AS BIGINT) AS syy
+             CAST(SUM({x}) AS HUGEINT) AS sx,
+             CAST(SUM({y}) AS HUGEINT) AS sy,
+             CAST(SUM({x} * {y}) AS HUGEINT) AS sxy,
+             CAST(SUM({x} * {x}) AS HUGEINT) AS sxx,
+             CAST(SUM({y} * {y}) AS HUGEINT) AS syy
       FROM lineitem"""
 
 
@@ -436,11 +436,14 @@ def stats_correlation_matrix(spark, sf_dir):
         x, y = F.expr(_CORR_FP[cx]), F.expr(_CORR_FP[cy])
         cell = li.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(x).cast("bigint").alias("sx"),
-            F.sum(y).cast("bigint").alias("sy"),
-            F.sum((x * y).cast("decimal(38,0)")).cast("bigint").alias("sxy"),
-            F.sum((x * x).cast("decimal(38,0)")).cast("bigint").alias("sxx"),
-            F.sum((y * y).cast("decimal(38,0)")).cast("bigint").alias("syy"),
+            # per-row products are int64-safe; the SUMS accumulate in
+            # decimal(38,0)/HUGEINT with NO bigint narrowing anywhere —
+            # sf0.1 already pushes sum(x^2) past int64 (2.2e19)
+            F.sum(x.cast("decimal(38,0)")).alias("sx"),
+            F.sum(y.cast("decimal(38,0)")).alias("sy"),
+            F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
         ).select(
             F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"), "*"
         )
