@@ -431,23 +431,26 @@ _ACF_LAGS = (1, 2, 3, 7)
       FROM daily GROUP BY event_type
     ),
     centered AS (
-      SELECT d.event_type, d.d, t.n, d.x * t.n - t.s AS c
+      SELECT d.event_type, d.d, t.n,
+             CAST(d.x AS HUGEINT) * t.n - t.s AS c
       FROM daily d JOIN tot t ON d.event_type = t.event_type
     ),
     den AS (
-      SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS den
+      SELECT event_type, SUM(c * c) AS den
       FROM centered GROUP BY event_type
     ),
     lags AS (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag),
     num AS (
-      SELECT a.event_type, l.lag, CAST(SUM(a.c * b.c) AS BIGINT) AS num
+      SELECT a.event_type, l.lag, SUM(a.c * b.c) AS num
       FROM centered a
       JOIN lags l ON TRUE
       JOIN centered b ON b.event_type = a.event_type AND b.d = a.d + l.lag
       GROUP BY a.event_type, l.lag
     )
-    SELECT n.event_type, n.lag, n.num, d.den,
-           round(CAST(n.num AS DOUBLE) / d.den, 6) AS acf
+    SELECT n.event_type, n.lag,
+           CAST(n.num AS VARCHAR) AS num,
+           CAST(d.den AS VARCHAR) AS den,
+           round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
     FROM num n JOIN den d ON n.event_type = d.event_type
     ORDER BY n.event_type, n.lag
     """,
@@ -460,10 +463,13 @@ def ts_autocorrelation(spark, sf_dir):
     the CUSUM way: centered terms become n*x_d - S (exact bigints), so
     numerator and denominator are integer dot products and the
     biased-ACF ratio is derived exactly, rounded once at the end.
-    int64 headroom: |n*x - S| stays < ~2^31 at these row counts, so
-    c*c sums sit far from overflow; a 100 TB deployment would push the
-    two products through DECIMAL(38,0) — a type swap, not a plan
-    change.  Shape: the daily table is tiny (|types| x |days|); lag
+    The centered terms and both dot products accumulate in
+    DECIMAL(38,0)/HUGEINT and the numerators are EMITTED as digit
+    strings — valid until a dot product passes 1e38, four orders past
+    a 100 TB deployment's worst case (the int64 version cliffs at
+    2^63, within 10x of real daily volumes — same fix as
+    stats_correlation_matrix).  Shape: the daily table is tiny
+    (|types| x |days|); lag
     joins and both dot products run over it, never over raw events."""
     daily = (
         table(spark, sf_dir, "events")
@@ -479,10 +485,14 @@ def ts_autocorrelation(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     centered = daily.join(F.broadcast(tot), "event_type").select(
-        "event_type", "d", (F.col("x") * F.col("n") - F.col("s")).alias("c")
+        "event_type",
+        "d",
+        (
+            F.col("x").cast("decimal(38,0)") * F.col("n") - F.col("s")
+        ).alias("c"),
     )
     den = centered.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("den")
+        F.sum(F.col("c") * F.col("c")).alias("den")
     )
     lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag long")
     a = centered.alias("a")
@@ -499,16 +509,18 @@ def ts_autocorrelation(spark, sf_dir):
             & (F.col("d_b") == F.col("d") + F.col("lag")),
         )
         .groupBy("event_type", "lag")
-        .agg(F.sum(F.col("c") * F.col("c_b")).cast("bigint").alias("num"))
+        .agg(F.sum(F.col("c") * F.col("c_b")).alias("num"))
     )
     return (
         num.join(den, "event_type")
         .select(
             "event_type",
             "lag",
-            "num",
-            "den",
-            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf"),
+            F.col("num").cast("decimal(38,0)").cast("string").alias("num"),
+            F.col("den").cast("decimal(38,0)").cast("string").alias("den"),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
         )
         .orderBy("event_type", "lag")
     )

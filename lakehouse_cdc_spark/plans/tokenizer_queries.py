@@ -456,18 +456,21 @@ def text_vocab_growth(spark, sf_dir):
     stats AS (
       SELECT w,
              CAST(SUM(c) AS BIGINT) AS total,
-             CAST(SUM(c * c) AS BIGINT) AS total_sq,
+             SUM(c * c) AS total_sq,  -- HUGEINT: Σc² cliffs int64 first
              CAST(COUNT(*) AS BIGINT) AS docs_with
       FROM per_doc GROUP BY w
     )
     SELECT s.w AS word, s.total, s.docs_with,
            -- Fano factor (VMR) with denominators cleared: zero-count
            -- docs included via nd; var_num = nd*Σc² - (Σc)², mean_num
-           -- = nd*Σc, VMR = var_num / mean_num (exact integers)
-           n.nd * s.total_sq - s.total * s.total AS var_num,
-           n.nd * s.total AS mean_num,
-           round(CAST(n.nd * s.total_sq - s.total * s.total AS DOUBLE)
-                 / (n.nd * s.total), 6) AS burstiness_vmr
+           -- = nd*Σc — 128-bit math, emitted as digit strings
+           CAST(CAST(n.nd AS HUGEINT) * s.total_sq
+                - CAST(s.total AS HUGEINT) * s.total AS VARCHAR) AS var_num,
+           CAST(CAST(n.nd AS HUGEINT) * s.total AS VARCHAR) AS mean_num,
+           round(CAST(CAST(n.nd AS HUGEINT) * s.total_sq
+                      - CAST(s.total AS HUGEINT) * s.total AS DOUBLE)
+                 / CAST(CAST(n.nd AS HUGEINT) * s.total AS DOUBLE), 6)
+             AS burstiness_vmr
     FROM stats s, nd n
     ORDER BY s.total DESC, s.w
     LIMIT 20
@@ -493,22 +496,26 @@ def text_word_burstiness(spark, sf_dir):
     per_doc = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     stats = per_doc.groupBy("w").agg(
         F.sum("c").cast("bigint").alias("total"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("total_sq"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+            "total_sq"
+        ),
         F.count(F.lit(1)).alias("docs_with"),
     )
-    var_num = F.col("nd") * F.col("total_sq") - F.col("total") * F.col("total")
-    mean_num = F.col("nd") * F.col("total")
+    ndw = F.col("nd").cast("decimal(38,0)")
+    totw = F.col("total").cast("decimal(38,0)")
+    var_num = ndw * F.col("total_sq") - totw * totw
+    mean_num = ndw * totw
     return (
         stats.crossJoin(F.broadcast(nd))
         .select(
             F.col("w").alias("word"),
             "total",
             "docs_with",
-            var_num.alias("var_num"),
-            mean_num.alias("mean_num"),
-            F.round(var_num.cast("double") / mean_num, 6).alias(
-                "burstiness_vmr"
-            ),
+            var_num.cast("decimal(38,0)").cast("string").alias("var_num"),
+            mean_num.cast("decimal(38,0)").cast("string").alias("mean_num"),
+            F.round(
+                var_num.cast("double") / mean_num.cast("double"), 6
+            ).alias("burstiness_vmr"),
         )
         .orderBy(F.desc("total"), F.asc("word"))
         .limit(20)
