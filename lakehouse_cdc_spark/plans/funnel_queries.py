@@ -459,13 +459,15 @@ def events_interarrival_histogram(spark, sf_dir):
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(i * x) AS BIGINT) AS six
+             SUM(i * x) AS six  -- HUGEINT: Σi·x ~ n²·avg cliffs int64
       FROM ranked
     )
     SELECT n, sx,
-           2 * six - (n + 1) * sx AS gini_num,
-           n * sx AS gini_den,
-           round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6)
+           CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS VARCHAR)
+             AS gini_num,
+           CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS gini_den,
+           round(CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6)
              AS gini
     FROM agg
     """,
@@ -476,9 +478,11 @@ def events_activity_gini(spark, sf_dir):
     number behind whale analysis and abuse heuristics (0 = everyone
     equally active, →1 = a few users generate everything).  Uses the
     rank formulation G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
-    ascending-sorted counts with a total order (key tie-break), so
-    numerator and denominator are EXACT bigints and the rounded ratio
-    is engine-identical.  The sort runs over the |users|-sized count
+    ascending-sorted counts with a total order (key tie-break);
+    Σi·x grows as n²·mean, so it accumulates in DECIMAL(38,0)/HUGEINT
+    and the exact numerator/denominator emit as digit strings (the
+    128-bit discipline of stats_correlation_matrix), keeping the
+    rounded ratio engine-identical at any population.  The sort runs over the |users|-sized count
     table, not the event stream; output is one row."""
     from pyspark.sql import Window
 
@@ -491,24 +495,21 @@ def events_activity_gini(spark, sf_dir):
         "x",
         F.row_number().over(Window.orderBy("x", "user_id")).alias("i"),
     )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
     ).select(
         "n",
         "sx",
-        (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).alias(
-            "gini_num"
-        ),
-        (F.col("n") * F.col("sx")).alias("gini_den"),
-        F.round(
-            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
-                "double"
-            )
-            / (F.col("n") * F.col("sx")),
-            6,
-        ).alias("gini"),
+        num.cast("decimal(38,0)").cast("string").alias("gini_num"),
+        den.cast("decimal(38,0)").cast("string").alias("gini_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
 
 

@@ -494,12 +494,18 @@ def validation_key_gap_islands(spark, sf_dir):
     )
     SELECT d.d AS day_index, d.n, d.x,
            round(CAST(d.x AS DOUBLE) / d.n, 6) AS error_rate,
-           CAST(CASE WHEN (d.x * p.nt - d.n * p.xt)
-                          * (d.x * p.nt - d.n * p.xt)
-                          > 9 * d.n * p.xt * (p.nt - p.xt)
+           -- all products in HUGEINT: x·N alone passes int64 at
+           -- ~1e10 rows, the square at far smaller tables
+           CAST(CASE WHEN (CAST(d.x AS HUGEINT) * p.nt
+                           - CAST(d.n AS HUGEINT) * p.xt)
+                          * (CAST(d.x AS HUGEINT) * p.nt
+                           - CAST(d.n AS HUGEINT) * p.xt)
+                          > 9 * CAST(d.n AS HUGEINT) * p.xt * (p.nt - p.xt)
                      THEN 1 ELSE 0 END AS INT) AS out_of_control,
-           CAST(CASE WHEN d.x * p.nt > d.n * p.xt THEN 1
-                     WHEN d.x * p.nt < d.n * p.xt THEN -1
+           CAST(CASE WHEN CAST(d.x AS HUGEINT) * p.nt
+                          > CAST(d.n AS HUGEINT) * p.xt THEN 1
+                     WHEN CAST(d.x AS HUGEINT) * p.nt
+                          < CAST(d.n AS HUGEINT) * p.xt THEN -1
                      ELSE 0 END AS INT) AS direction
     FROM daily d, pooled p
     ORDER BY d.d
@@ -511,9 +517,10 @@ def validation_error_rate_pchart(spark, sf_dir):
     with the 3-sigma binomial limits cleared to EXACT integers: under
     the pooled rate p = X/N, a day is out of control when
     (x*N - n*X)^2 > 9 * n * X * (N - X) — the squared deviation vs
-    nine binomial variances with every denominator multiplied out, so
-    the control flags carry no float boundary (the displayed rate is
-    cosmetic).  This is the release-health gate an ingest pipeline
+    nine binomial variances with every denominator multiplied out and
+    every product run in DECIMAL(38,0)/HUGEINT (x·N alone passes int64
+    near 1e10 rows), so the control flags carry no float boundary AND
+    no overflow cliff (the displayed rate is cosmetic).  This is the release-health gate an ingest pipeline
     alarms on; per-day state is two integers, the pooled row is one
     broadcast, flags are map-side."""
     daily = (
@@ -532,7 +539,10 @@ def validation_error_rate_pchart(spark, sf_dir):
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("x").cast("bigint").alias("xt"),
     )
-    dev = F.col("x") * F.col("nt") - F.col("n") * F.col("xt")
+    # decimal(38,0) throughout: x·N alone passes int64 at ~1e10 rows
+    xw = F.col("x").cast("decimal(38,0)")
+    nw = F.col("n").cast("decimal(38,0)")
+    dev = xw * F.col("nt") - nw * F.col("xt")
     return (
         daily.crossJoin(F.broadcast(pooled))
         .select(
@@ -544,7 +554,10 @@ def validation_error_rate_pchart(spark, sf_dir):
             ),
             F.when(
                 dev * dev
-                > 9 * F.col("n") * F.col("xt") * (F.col("nt") - F.col("xt")),
+                > F.lit(9).cast("decimal(38,0)")
+                * nw
+                * F.col("xt")
+                * (F.col("nt") - F.col("xt")),
                 1,
             )
             .otherwise(0)
