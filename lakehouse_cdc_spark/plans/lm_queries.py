@@ -341,11 +341,13 @@ def text_ngram_novelty(spark, sf_dir):
     as the Jaccard dedup family; no quadratic term anywhere."""
     from pyspark.sql import Window
 
+    from lakehouse_cdc_spark.llm.dedup import shingle_table
+
+    # shingle_table (not an inline explode): it carries the explicit
+    # repartition that stops AQE from coalescing the CPU-heavy explode
+    # onto one task
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
-    ).select(
+    sh = shingle_table(d).select(
         "doc_id",
         F.expr(
             "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"

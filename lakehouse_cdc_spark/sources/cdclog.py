@@ -113,6 +113,10 @@ class CdcLogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition) -> Iterator[tuple]:
+        if partition is None:
+            # PySpark substitutes [None] when partitions() returns []
+            # (fully-pruned scan) and still calls read — yield nothing
+            return
         p, step = partition.value, self.o.parts
         # first offset >= lo congruent to p (mod parts)
         start = self.lo + (p - self.lo) % step
@@ -124,6 +128,9 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.o = _Opts(options)
         self.batch = int(options.get("batch", 100))
+        if self.batch <= 0:
+            raise ValueError("cdclog: batch > 0 required (batch <= 0 "
+                             "would yield empty micro-batches forever)")
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

@@ -79,6 +79,7 @@ class ProgressHistoryListener:
         del self.progresses[: -self.keep]
         if d["duration_ms"] is not None and d["duration_ms"] > self.max_batch_ms:
             self.alerts.append(d)
+            del self.alerts[: -self.keep]  # same bound as progresses
 
     def record_stop(self, qid: str) -> None:
         self.terminated.append(qid)

@@ -215,3 +215,28 @@ def test_pushdown_equals_manual_filter_property():
         assert got == want
 
     check()
+
+
+def test_fully_pruned_scan_returns_zero_rows_through_spark(spark):
+    """Regression (review finding): PySpark substitutes [None] when
+    partitions() prunes to empty and STILL calls read — the real query
+    path must return 0 rows, not crash in the executor."""
+    register_cdclog(spark)
+    got = (
+        spark.read.format("cdclog")
+        .option("n", "100")
+        .load()
+        .filter(F.col("offset") >= 5000)
+        .count()
+    )
+    assert got == 0
+
+
+def test_stream_reader_rejects_nonpositive_batch():
+    """Regression (review finding): batch <= 0 would livelock (empty
+    micro-batches at the same offset forever) — must fail fast."""
+    import pytest
+
+    for bad in ("0", "-5"):
+        with pytest.raises(ValueError, match="batch > 0"):
+            CdcLogStreamReader({"n": "10", "batch": bad})
