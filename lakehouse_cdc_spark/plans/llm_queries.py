@@ -2009,3 +2009,54 @@ def dedup_canonical_exact(spark, sf_dir):
             F.count_distinct("raw_hash").alias("n_raw_variants"),
         )
     )
+
+
+@register(
+    "multimodal_ahash_dedup_groups",
+    oracle="""
+    WITH cells AS (
+      SELECT d.doc_id, y.y, x.x,
+             (d.doc_id + 3 * ((x.x * (4 + d.doc_id % 13)) // 8)
+              + 5 * ((y.y * (4 + (d.doc_id * 7) % 11)) // 8)) % 256 AS v
+      FROM documents d, range(0, 8) x(x), range(0, 8) y(y)
+    ),
+    means AS (
+      SELECT doc_id, SUM(v) // 64 AS mean_floor FROM cells GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT c.doc_id,
+             bit_or(CASE WHEN c.v <= m.mean_floor THEN 0
+                         WHEN c.y * 8 + c.x = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(c.y * 8 + c.x AS INT)
+                         END) AS ahash
+      FROM cells c JOIN means m ON c.doc_id = m.doc_id
+      GROUP BY c.doc_id
+    )
+    SELECT ahash,
+           COUNT(*) AS dup_cnt,
+           MIN(doc_id) AS keep_doc_id
+    FROM sigs GROUP BY ahash
+    """,
+    tags=("llm", "multimodal", "dedup", "phash"),
+)
+def multimodal_ahash_dedup_groups(spark, sf_dir):
+    """Perceptual image dedup: hash-groupBy on the 64-bit average-hash
+    signature (equal ahash = visually-duplicate candidates), keeping
+    the lowest doc_id — `dedup_exact_documents` transplanted to the
+    IMAGE modality, with the decode→signature kernel feeding the same
+    |distinct-signatures|-sized shuffle.  On the fixture 500 images
+    collapse into 181 perceptual groups.  At 100 TB the image bytes
+    never shuffle — only the 8-byte signature does, which is the whole
+    point of signature-level dedup."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        ahash_bmp,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    sigs = ahash_bmp(encode_bmp_fixture(docs))
+    return sigs.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
