@@ -937,3 +937,36 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "agg_approx_percentile_dual",
+    oracle=None,  # approximate by design → rows-only check
+    tags=("agg", "approx", "percentile", "A5-scale"),
+)
+def agg_approx_percentile_dual(spark, sf_dir):
+    """approx_percentile (GK sketch: one pass, bounded memory,
+    MERGEABLE partials — the 100 TB path) side by side with the exact
+    interpolated percentile, plus the absolute error — the same
+    dual-reporting contract as agg_approx_distinct vs the exact count.
+    The exact arm needs a full sort-and-index per group; the sketch
+    arm shuffles O(1/accuracy) tuples per partition regardless of row
+    count.  Accuracy is pinned by test (rel. error < 1% at accuracy
+    10000), not by the oracle — approximation is the point."""
+    li = table(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+        ).alias("exact"),
+    )
+    return out.select(
+        F.round(F.element_at("approx", 1), 2).alias("p50_approx"),
+        F.round(F.element_at("exact", 1), 2).alias("p50_exact"),
+        F.round(F.element_at("approx", 2), 2).alias("p90_approx"),
+        F.round(F.element_at("exact", 2), 2).alias("p90_exact"),
+        F.round(F.element_at("approx", 3), 2).alias("p99_approx"),
+        F.round(F.element_at("exact", 3), 2).alias("p99_exact"),
+    )

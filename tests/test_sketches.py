@@ -168,3 +168,12 @@ def test_ohlc_is_partition_invariant(spark):
         .orderBy("event_type", "day")
     )
     assert base == {tuple(r) for r in alt.collect()}
+
+
+def test_approx_percentile_within_one_percent(spark):
+    """The GK sketch's quantiles must sit within 1% relative error of
+    the exact interpolated percentiles at accuracy 10000."""
+    r = REGISTRY["agg_approx_percentile_dual"].fn(spark, SF).collect()[0]
+    for q in ("p50", "p90", "p99"):
+        a, e = r[f"{q}_approx"], r[f"{q}_exact"]
+        assert abs(a - e) / e < 0.01, (q, a, e)
