@@ -924,3 +924,63 @@ def test_progress_listener_sees_every_batch(spark, tmp_path):
     assert [p["input_rows"] for p in data_batches] == [150, 150, 100]
     assert str(q.id) in hist.terminated
     assert hist.alerts == []  # no batch breached the 60 s lag gate
+
+
+def test_rocksdb_state_store_provider_end_to_end(spark, tmp_path):
+    """State-backend portability: the same watermarked stateful dedup
+    runs under the RocksDB state store provider (the provider
+    production clusters run for large state — spillable, incremental
+    checkpoints) — proving the engine's stateful operators don't
+    depend on the default HDFS-backed in-memory provider."""
+    import time as _time
+
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+
+    register_cdclog(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.format("cdclog")
+            .option("n", "200").option("batch", "80")
+            .option("parts", "4").option("keys", "50")
+            .load()
+            .withColumn(
+                "ts", F.timestamp_millis(F.col("offset") + 1700000000000)
+            )
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicates(["part"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocksdb_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM rocksdb_probe").collect()[0].c >= 4:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = sorted(
+        (r.part, r.c)
+        for r in spark.sql(
+            "SELECT part, count(*) c FROM rocksdb_probe GROUP BY part"
+        ).collect()
+    )
+    assert got == [(0, 1), (1, 1), (2, 1), (3, 1)]  # exactly one per key
