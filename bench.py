@@ -34,6 +34,7 @@ def main():
     # queries, not session startup
     for spec in bench_specs.values():
         spec.fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
 
     # best-of-2 to damp co-tenant noise on shared hardware
     timings: dict[str, float] = {}
@@ -44,6 +45,10 @@ def main():
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # several queries persist() intermediates that are part of the
+        # returned lazy plan and so cannot unpersist themselves — drop
+        # them here so no query's cache residue skews the next one
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

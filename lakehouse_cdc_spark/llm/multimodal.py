@@ -139,7 +139,9 @@ def _parse_bmp(b: bytes) -> np.ndarray:
         rows = rows[::-1]
     if bpp == 24:
         return rows[:, : w * 3].reshape(h, w, 3)
-    palette = np.frombuffer(b, np.uint8, 1024, 54).reshape(256, 4)
+    # palette sits immediately after the DIB header (14 + dib_size),
+    # NOT at a fixed 54: V4/V5 headers (dib 108/124) are legal here
+    palette = np.frombuffer(b, np.uint8, 1024, 14 + dib_size).reshape(256, 4)
     return palette[rows[:, :w], 0][:, :, None]  # B channel of each entry
 
 

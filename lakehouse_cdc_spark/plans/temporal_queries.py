@@ -343,7 +343,18 @@ def mv_incremental_join(spark, sf_dir):
              epoch_us(p.ts) - epoch_us(e.ts) AS d
       FROM pur p
       WHERE p.user_id = e.user_id
-      ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), p.ts, p.event_id
+      -- mirror the window operator's exact tie mechanics: equal
+      -- |distance| resolves to the PRIOR side (prior = sorts before
+      -- the probe in (ts, event_id) order); within a tied-ts group
+      -- the prior side keeps its LAST row (largest event_id), the
+      -- following side its FIRST (smallest event_id)
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+               CASE WHEN p.ts < e.ts
+                         OR (p.ts = e.ts AND p.event_id < e.event_id)
+                    THEN 0 ELSE 1 END,
+               CASE WHEN p.ts < e.ts
+                         OR (p.ts = e.ts AND p.event_id < e.event_id)
+                    THEN -p.event_id ELSE p.event_id END
       LIMIT 1
     ) n ON TRUE
     ORDER BY e.user_id, e.event_id

@@ -410,31 +410,22 @@ def text_vocab_growth(spark, sf_dir):
     snapshots."""
     docs = table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("m"))
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).filter(F.col("w") != "")
+    # NO early w != '' filter: a token-less document must still count
+    # in n_docs (the oracle guards only n_tokens/vocab_size on w —
+    # both sides now agree for all-whitespace documents)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     fr = spark.createDataFrame([(p,) for p in _HEAPS_FRACS], "permille long")
+    in_prefix = F.col("doc_id") * 1000 <= F.col("m") * F.col("permille")
+    nonempty = F.col("w") != ""
     return (
         tok.crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(fr))
         .groupBy("permille")
         .agg(
+            F.countDistinct(F.when(in_prefix, F.col("doc_id"))).alias("n_docs"),
+            F.count(F.when(in_prefix & nonempty, 1)).alias("n_tokens"),
             F.countDistinct(
-                F.when(
-                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"),
-                    F.col("doc_id"),
-                )
-            ).alias("n_docs"),
-            F.count(
-                F.when(
-                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"), 1
-                )
-            ).alias("n_tokens"),
-            F.countDistinct(
-                F.when(
-                    F.col("doc_id") * 1000 <= F.col("m") * F.col("permille"),
-                    F.col("w"),
-                )
+                F.when(in_prefix & nonempty, F.col("w"))
             ).alias("vocab_size"),
         )
         .orderBy("permille")

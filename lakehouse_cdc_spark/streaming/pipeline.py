@@ -186,7 +186,15 @@ class SnapshotUpsertSink:
         claim a snapshot number, so two writers that both read base
         snapshot N-1 can never interleave data files under the same
         ``v=N`` directory — the loser fails here, having written
-        nothing, and the winner's manifest chain is untouched."""
+        nothing, and the winner's manifest chain is untouched.
+
+        After taking the claim the base is RE-VERIFIED: a writer whose
+        base went stale while it was planning (the fast writer claimed
+        N, committed, and RELEASED the claim) would otherwise re-create
+        the recycled claim file and overwrite the just-committed
+        snapshot's data before _commit's pointer check could object.
+        Once we hold the claim the check is race-free — advancing the
+        pointer to N requires holding this same claim."""
         try:
             fd = os.open(
                 self._claim_path(new_snap), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -211,6 +219,15 @@ class SnapshotUpsertSink:
             ) from None
         with os.fdopen(fd, "w") as f:
             f.write(f"{self.lineage or ''}:{'' if batch_id is None else batch_id}")
+        cur = self.committed_snapshot()
+        base_ok = (cur is None and new_snap == 0) or cur == new_snap - 1
+        if not base_ok:
+            os.unlink(self._claim_path(new_snap))
+            raise ConcurrentCommitError(
+                f"stale base: snapshot {new_snap} was already committed "
+                f"(pointer at {cur}) while this writer was planning; "
+                "re-read committed() and retry on the new base"
+            )
 
     def recover_interrupted_commit(self) -> str | None:
         """Resolve a claim left by a writer that died mid-commit (ONLY

@@ -574,3 +574,30 @@ def test_canonical_dedup_merges_reformatted_docs(spark, tmp_path):
     }
     assert got[1] == (2, 2)  # merged ONLY by canonicalization
     assert got[3] == (1, 1)
+
+
+def test_parse_bmp_v4_header_palette_offset():
+    """Regression (review finding): an 8-bit BMP with a 108-byte
+    BITMAPV4HEADER passes the header guard, so the palette must be
+    read at 14 + dib_size — not hardcoded offset 54 (which reads
+    header bytes as palette and silently decodes garbage)."""
+    import struct
+
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.multimodal import _parse_bmp
+
+    w = h = 4
+    dib = 108  # BITMAPV4HEADER
+    palette = b"".join(struct.pack("<BBBB", i, 0, 0, 0) for i in range(256))
+    stride = (w + 3) // 4 * 4
+    pixels = bytes(range(h * stride))
+    data_off = 14 + dib + 1024
+    header = b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+    dib_hdr = struct.pack("<IiiHHII", dib, w, -h, 1, 8, 0, len(pixels))
+    dib_hdr += b"\x00" * (dib - len(dib_hdr))
+    img = _parse_bmp(header + dib_hdr + palette + pixels)
+    assert img.shape == (h, w, 1)
+    # identity palette: pixel value == palette index
+    want = np.frombuffer(pixels, np.uint8).reshape(h, stride)[:, :w]
+    assert (img[:, :, 0] == want).all()

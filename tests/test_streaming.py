@@ -984,3 +984,38 @@ def test_rocksdb_state_store_provider_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == [(0, 1), (1, 1), (2, 1), (3, 1)]  # exactly one per key
+
+
+def test_stale_base_writer_rejected_after_claim_recycle(spark, tmp_path):
+    """Regression (review finding): writer A claims N, commits, and
+    RELEASES the claim; a slow writer B still holding base N-1 could
+    then re-create the recycled claim file and overwrite A's committed
+    snapshot.  The fence must re-verify the base after taking the
+    claim and reject B before any data is written."""
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import (
+        ConcurrentCommitError,
+        SnapshotUpsertSink,
+    )
+
+    target = str(tmp_path / "target")
+    a = SnapshotUpsertSink(target, keys=["id"], order_by=["seq"], lineage="A")
+    mk = lambda seq: spark.createDataFrame(
+        [(1, "x", seq, "u")], "id int, name string, seq int, operation string"
+    )
+    a.process_batch(mk(1), 0)  # commits v=0, releases claim
+    a.process_batch(mk(2), 1)  # commits v=1, releases claim
+
+    b = SnapshotUpsertSink(target, keys=["id"], order_by=["seq"], lineage="B")
+    # B planned against base v=0 (stale): claiming v=1 must fail even
+    # though A released the v=1 claim file
+    with pytest.raises(ConcurrentCommitError, match="stale base"):
+        b._claim(1, batch_id=99)
+    # and no claim residue is left behind to wedge future writers
+    import os
+
+    assert not os.path.exists(b._claim_path(1))
+    # the current-base claim still works
+    b._claim(2, batch_id=99)
+    os.unlink(b._claim_path(2))

@@ -288,3 +288,37 @@ def test_asof_nearest_single_shuffle_and_direction_semantics(spark):
     assert got[1] == (7.0, -10)  # prior (90) closer than next (210)
     assert got[2] == (9.0, 5)  # next (210) closer than prior (90)
     assert got[3] == (5.0, 250)  # only a following row exists
+
+
+def test_asof_nearest_duplicate_ts_tiebreak_pinned(spark):
+    """Regression (review finding): duplicate right-side timestamps
+    must resolve the way the oracle states — prior side wins |d| ties,
+    a tied-ts prior group keeps its largest event_id — so the operator
+    and the LATERAL oracle can never diverge on tie-heavy data."""
+    import datetime
+
+    from lakehouse_cdc_spark.operators.asof import asof_join_nearest
+
+    ts = datetime.datetime.fromisoformat
+    T = ts("2024-01-01T10:00:00")
+    pur = spark.createDataFrame(
+        [
+            (1, T, 5, 50),
+            (1, T, 6, 60),  # tied-ts pair: id 6 must win
+            (2, ts("2024-01-01T09:59:59.999995"), 11, 110),
+            (2, ts("2024-01-01T10:00:00.000005"), 12, 120),  # |d| tie
+        ],
+        "user_id int, ts timestamp, event_id int, v_cents int",
+    )
+    err = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00.000010"), 9), (2, T, 19)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    out = {
+        r.user_id: (r.nearest_value_cents, r.asof_delta_us)
+        for r in asof_join_nearest(
+            err, pur, on=["user_id"], time_col="ts",
+            tiebreak=["event_id"], payload={"v_cents": "nearest_value_cents"},
+        ).collect()
+    }
+    assert out == {1: (60, -10), 2: (110, -5)}

@@ -68,6 +68,11 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # queries that persist() plan intermediates cannot
+            # unpersist them (the cache backs the returned lazy plan);
+            # dropping here keeps a 235-query run's memory flat
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"----  {name}: rows-only ({len(srows)} rows)")
             n_noracle += 1

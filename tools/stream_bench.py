@@ -73,7 +73,18 @@ def main() -> None:
         flat = os.path.join(work, "flat")
         os.makedirs(flat)
         i = 0
-        for root, _, files in sorted(os.walk(src)):
+        # sort partition dirs NUMERICALLY by their b= value: the
+        # lexicographic order replays b=10 before b=2, breaking the
+        # chronological premise once n_batches >= 10
+        def _bkey(path):
+            base = os.path.basename(path.rstrip(os.sep))
+            return (
+                int(base.split("=", 1)[1])
+                if base.startswith("b=") and base.split("=", 1)[1].isdigit()
+                else -1
+            )
+
+        for root, _, files in sorted(os.walk(src), key=lambda t: _bkey(t[0])):
             for f_ in sorted(files):
                 if f_.endswith(".parquet"):
                     os.link(
