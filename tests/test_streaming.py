@@ -1019,3 +1019,48 @@ def test_stale_base_writer_rejected_after_claim_recycle(spark, tmp_path):
     # the current-base claim still works
     b._claim(2, batch_id=99)
     os.unlink(b._claim_path(2))
+
+
+def test_state_data_source_reads_checkpointed_aggregation(spark, tmp_path):
+    """Spark 4 State Data Source: the checkpointed state of a running
+    aggregation is readable as a BATCH DataFrame — the operational
+    introspection path for debugging stateful streams (what keys is
+    the store carrying? how big is each?) without touching the query.
+    The state must equal the sink's final answer exactly."""
+    import time as _time
+
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+
+    register_cdclog(spark)
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("cdclog")
+        .option("n", "300").option("batch", "100")
+        .option("parts", "4").option("keys", "40")
+        .load()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("state_src_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        rows = spark.sql("SELECT * FROM state_src_probe").collect()
+        if rows and sum(r.cnt for r in rows) >= 300:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    sink = {r.part: r.cnt for r in spark.sql("SELECT * FROM state_src_probe").collect()}
+    state = {
+        r["key"]["part"]: r["value"]["count"]
+        for r in spark.read.format("statestore").load(ck).collect()
+    }
+    assert state == sink == {0: 75, 1: 75, 2: 75, 3: 75}
