@@ -1064,3 +1064,7 @@ def test_state_data_source_reads_checkpointed_aggregation(spark, tmp_path):
         for r in spark.read.format("statestore").load(ck).collect()
     }
     assert state == sink == {0: 75, 1: 75, 2: 75, 3: 75}
+    # the companion state-metadata source catalogs the operator/store
+    md = spark.read.format("state-metadata").load(ck).collect()
+    assert len(md) == 1 and md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["maxBatchId"] >= md[0]["minBatchId"] >= 0
