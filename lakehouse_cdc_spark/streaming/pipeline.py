@@ -202,15 +202,24 @@ class SnapshotUpsertSink:
         except FileExistsError:
             try:
                 with open(self._claim_path(new_snap)) as f:
-                    owner = f.read().rsplit(":", 1)[0]
+                    raw = f.read()
+                owner, _, owner_batch = raw.rpartition(":")
             except FileNotFoundError:
-                owner = None
-            if owner and owner == (self.lineage or ""):
-                # our own interrupted attempt: a checkpoint lineage has
-                # exactly one live writer (Spark's checkpoint lock), so
-                # retaking the fence after a crash-replay is safe — the
-                # replayed batch deterministically rewrites the same
-                # snapshot.
+                owner, owner_batch = None, None
+            ours = f"{'' if batch_id is None else batch_id}"
+            if (
+                owner is not None
+                and owner == (self.lineage or "")
+                and owner_batch == ours
+            ):
+                # our own interrupted attempt: same lineage AND same
+                # batch id — a crash-replay of this exact write (a
+                # checkpoint lineage has one live writer per batch, and
+                # maintenance calls carry batch_id=None so a concurrent
+                # gc/compact on the same sink object can never alias a
+                # live stream batch's claim).  Retaking the fence is
+                # safe: the replayed batch deterministically rewrites
+                # the same snapshot.
                 return
             raise ConcurrentCommitError(
                 f"snapshot {new_snap} of {self.target_dir} is claimed by "
@@ -268,7 +277,15 @@ class SnapshotUpsertSink:
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(f"{lineage or ''}:{batch_id}:{new_snap}")
+            f.flush()
+            os.fsync(f.fileno())  # survive power loss, not just crash
         os.replace(tmp, self._pointer)
+        # fsync the directory so the rename itself is durable
+        dfd = os.open(self.target_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _commit(
         self,
@@ -293,17 +310,30 @@ class SnapshotUpsertSink:
             "committed_batch": batch_id,
         }
         if watermark is not None:
+            # event-time watermarks arrive as datetime/date: store the
+            # ISO string (json-safe); process_batch's late-data filter
+            # compares it against the timestamp column via Spark's
+            # implicit string→timestamp cast
+            if hasattr(watermark, "isoformat"):
+                watermark = watermark.isoformat(sep=" ") if hasattr(
+                    watermark, "time"
+                ) else watermark.isoformat()
             new_manifest["gc_watermark"] = watermark
-        mtmp = self._manifest_path(new_snap) + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(new_manifest, f)
-        os.replace(mtmp, self._manifest_path(new_snap))
+        # fence FIRST: if another writer already advanced the pointer,
+        # fail before touching the manifest — replacing it afterwards
+        # would leave the committed pointer describing the loser's map
         cur_snap = self.committed_snapshot()
         if cur_snap is not None and cur_snap >= new_snap:
             raise RuntimeError(
                 f"commit fence violated: pointer already at {cur_snap}, "
                 f"refusing to move it back to {new_snap}"
             )
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(new_manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, self._manifest_path(new_snap))
         self._publish_pointer(self.lineage, batch_id, new_snap)
         try:
             os.unlink(self._claim_path(new_snap))
@@ -331,8 +361,16 @@ class SnapshotUpsertSink:
         expired."""
         manifest = self._read_manifest(snapshot)
         if manifest is None:
-            if os.path.isdir(self._snapshot_path(snapshot)):
-                # pre-manifest flat snapshot
+            # the flat fallback is ONLY for true pre-manifest legacy
+            # targets (no manifest anywhere).  A manifest-era target
+            # with a bare v=N dir is an uncommitted/crashed attempt —
+            # reading it would return partial, never-committed state.
+            any_manifest = any(
+                n.startswith("_MANIFEST_") and n.endswith(".json")
+                for n in os.listdir(self.target_dir)
+            )
+            if not any_manifest and os.path.isdir(self._snapshot_path(snapshot)):
+                # pre-manifest flat snapshot (legacy layout)
                 return spark.read.parquet(self._snapshot_path(snapshot))
             raise ValueError(
                 f"snapshot {snapshot} has no retained manifest "
@@ -367,11 +405,33 @@ class SnapshotUpsertSink:
                         f"snapshot {snapshot} is not fully retained "
                         f"(bucket {b} expired)"
                     )
-        _lineage, committed_batch, _snap = self.committed()
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{self.lineage or ''}:{committed_batch}:{snapshot}")
-        os.replace(tmp, self._pointer)
+        cur_lineage, committed_batch, cur_snap = self.committed()
+        if cur_snap is None:
+            # no committed pointer: there is nothing to roll back FROM,
+            # and writing a pointer with a non-integer batch field
+            # would corrupt the chain permanently
+            raise ValueError(
+                "cannot roll back: target has no committed pointer"
+            )
+        # preserve the POINTER's lineage (a maintenance sink rolling
+        # back a stream's target must not hijack its replay guard) and
+        # reuse the one pointer writer so format/fsync stay in one place
+        self._publish_pointer(cur_lineage, committed_batch, snapshot)
+        # later snapshots are now rolled back: drop their manifests and
+        # any stale claim so recover_interrupted_commit cannot re-roll
+        # them forward and fresh writers aren't wedged by dead claims
+        for d in os.listdir(self.target_dir):
+            name = os.path.basename(d)
+            snap_s = None
+            if name.startswith("_MANIFEST_") and name.endswith(".json"):
+                snap_s = name[len("_MANIFEST_"):-len(".json")]
+            elif name.startswith("v=") and name.endswith(".claim"):
+                snap_s = name[len("v="):-len(".claim")]
+            if snap_s is not None and snap_s.isdigit() and int(snap_s) > snapshot:
+                try:
+                    os.unlink(os.path.join(self.target_dir, name))
+                except FileNotFoundError:
+                    pass
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         """Full state incl. delete tombstones (one row per ever-seen key)

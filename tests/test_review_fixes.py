@@ -147,3 +147,119 @@ def test_fresh_checkpoint_lineage_reprocesses(spark, tmp_path):
     # and within the new lineage, replay is still idempotent
     new.process_batch(mk("b0-replay", 11), 0)
     assert new.current_table(spark).collect()[0].v == "b0"
+
+
+def test_claim_retake_requires_matching_batch(spark, tmp_path):
+    """Review finding: a gc/compact call (batch_id=None) on the same
+    sink object must NOT silently retake a live stream batch's claim
+    just because the lineage matches."""
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import (
+        ConcurrentCommitError,
+        SnapshotUpsertSink,
+    )
+
+    s = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], lineage="L"
+    )
+    s._claim(0, batch_id=7)  # stream batch holds the fence
+    with pytest.raises(ConcurrentCommitError):
+        s._claim(0, batch_id=None)  # maintenance must not alias it
+    # the true crash-replay (same lineage AND batch) still retakes
+    s._claim(0, batch_id=7)
+    import os
+
+    os.unlink(s._claim_path(0))
+
+
+def test_lineage_none_writer_can_retake_own_claim(spark, tmp_path):
+    """Review finding: a standalone sink (lineage=None) whose write
+    failed transiently must be able to retry — the empty-lineage owner
+    check used to reject its own claim forever."""
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["seq"])
+    s._claim(0, batch_id=3)
+    s._claim(0, batch_id=3)  # same writer retrying: must not raise
+    import os
+
+    os.unlink(s._claim_path(0))
+
+
+def test_gc_watermark_datetime_is_json_safe(spark, tmp_path):
+    """Review finding: an event-time (datetime) GC watermark crashed
+    json.dump AFTER data was written; it must round-trip via ISO
+    string and still filter late data."""
+    import datetime
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["ts"])
+    ts = datetime.datetime.fromisoformat
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-10T00:00:00"), "u"),
+            (2, ts("2024-03-01T00:00:00"), "d"),
+        ],
+        "id int, ts timestamp, operation string",
+    )
+    s.process_batch(df, 0)
+    s.gc_tombstones(spark, ts("2024-02-01T00:00:00"))
+    wm = s._read_manifest(s.committed_snapshot()).get("gc_watermark")
+    assert isinstance(wm, str) and wm.startswith("2024-02-01")
+    # late-data floor still applies: a pre-watermark change is dropped
+    late = spark.createDataFrame(
+        [(3, ts("2024-01-05T00:00:00"), "u")],
+        "id int, ts timestamp, operation string",
+    )
+    s.process_batch(late, 2)
+    assert 3 not in {r.id for r in s.current_table(spark).collect()}
+
+
+def test_state_at_rejects_uncommitted_snapshot_dir(spark, tmp_path):
+    """Review finding: a bare v=N dir from a crashed writer (no
+    manifest) must raise, not silently serve partial state."""
+    import os
+
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["seq"])
+    df = spark.createDataFrame(
+        [(1, 1, "u")], "id int, seq int, operation string"
+    )
+    s.process_batch(df, 0)  # committed v=0 with manifest
+    # crashed attempt: data dir exists, no manifest
+    orphan = s._snapshot_path(1)
+    os.makedirs(os.path.join(orphan, "__bucket=0"))
+    with pytest.raises(ValueError, match="never committed"):
+        s.state_at(spark, 1)
+
+
+def test_rollback_drops_later_manifests_and_claims(spark, tmp_path):
+    """Review finding: rollback_to left later manifests + claims in
+    place, so recover_interrupted_commit could re-roll the rolled-back
+    snapshot forward (and stale claims wedged fresh writers)."""
+    import os
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], lineage="L"
+    )
+    mk = lambda seq: spark.createDataFrame(
+        [(1, "x", seq, "u")], "id int, name string, seq int, operation string"
+    )
+    s.process_batch(mk(1), 0)
+    s.process_batch(mk(2), 1)
+    # simulate a stale claim left beyond the rollback target
+    open(s._claim_path(2), "w").write("L:5")
+    s.rollback_to(0)
+    assert s.committed_snapshot() == 0
+    assert not os.path.exists(s._manifest_path(1))
+    assert not os.path.exists(s._claim_path(2))
+    assert s.recover_interrupted_commit() is None  # nothing to re-roll
+    state = {r.seq for r in s.current_table(spark).collect()}
+    assert state == {1}
