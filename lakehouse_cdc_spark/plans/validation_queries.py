@@ -638,3 +638,83 @@ def validation_linenumber_contiguity(spark, sf_dir):
         ).alias("n_gapped"),
         F.max("n_lines").cast("bigint").alias("max_lines_per_order"),
     )
+
+
+@register(
+    "validation_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+             AS orphan_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("validation", "referential-integrity", "J3", "A2"),
+)
+def validation_referential_integrity(spark, sf_dir):
+    """Referential-integrity sweep: every FK edge of the schema
+    checked in one report (child rows + orphans per edge) — the
+    replication-health companion to row counts and checksums: a CDC
+    pipeline that applies child inserts before parents (or loses
+    parent batches) shows up here first, per edge, with exact counts.
+
+    Plan: each edge is a left join counting null parents — parent
+    sides are dimension-sized (broadcast) except lineitem→orders,
+    which AQE plans as a shuffle join on the key; counts are map-side
+    partial everywhere.  At 100 TB you run the edges you suspect;
+    the report shape (edge, child_rows, orphan_rows) is the contract."""
+    def edge(name, child, ckey, parent, pkey):
+        c = table(spark, sf_dir, child).select(F.col(ckey))
+        p = table(spark, sf_dir, parent).select(F.col(pkey))
+        j = c.join(p, c[ckey] == p[pkey], "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col(pkey).isNull(), 1))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        ).select("fk_edge", "child_rows", "orphan_rows")
+
+    edges = [
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
