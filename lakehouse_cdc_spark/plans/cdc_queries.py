@@ -443,13 +443,47 @@ def cdc_lateness_audit(spark, sf_dir):
     row answers \"what would a 1-minute / 10-minute / 1-hour
     watermark drop?\" BEFORE deploying the streaming job; pair it
     with events_interarrival_histogram for gap-based TTL tuning.
-    One cummax window in arrival order plus a 6-cell aggregate —
-    integer microsecond arithmetic throughout."""
+    The running max is the two-pass distributed prefix max
+    (operators/prefix.py): event_id range-bucket → per-bucket cummax
+    window (UNBOUNDED PRECEDING .. 1 PRECEDING) → per-bucket max ts
+    combined over strictly-lower buckets by broadcast; high_water =
+    greatest(within-bucket prev max, lower-bucket carry) — no
+    unpartitioned global window, no SinglePartition exchange.  Integer
+    microsecond arithmetic throughout."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = table(spark, sf_dir, "events").select(
-        "ts", F.max("ts").over(w).alias("high_water")
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
+
+    e = with_range_bucket(
+        table(spark, sf_dir, "events").select("event_id", "ts"), "event_id", 64
+    )
+    carry = lower_bucket_agg(
+        e.groupBy("__bkt").agg(F.max("ts").alias("__bmax")),
+        "__bkt",
+        "__bmax",
+        "__carry",
+        combine="max",
+        default=None,
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = (
+        e.join(F.broadcast(carry), "__bkt", "left")
+        .select(
+            "ts",
+            # greatest() skips NULLs: a bucket's first row has no
+            # within-bucket prev max (carry alone applies); bucket 0's
+            # first row has neither -> NULL, exactly the global first
+            F.greatest(F.max("ts").over(w), F.col("__carry")).alias(
+                "high_water"
+            ),
+        )
     )
     late = arr.select(
         F.when(

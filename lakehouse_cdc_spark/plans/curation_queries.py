@@ -804,7 +804,7 @@ def sample_apportion_quotas(spark, sf_dir):
     modulo, never floats), so the quota table is engine-identical —
     and downstream, mix_sources_budget-style hash sampling consumes
     exactly these quotas."""
-    from pyspark.sql import Window
+    from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
 
     ns = (
         table(spark, sf_dir, "documents")
@@ -823,11 +823,11 @@ def sample_apportion_quotas(spark, sf_dir):
         .cast("bigint")
         .alias("slots")
     )
-    ranked = shares.withColumn(
-        "rr",
-        F.row_number().over(
-            Window.orderBy(F.desc("remainder"), F.asc("source"))
-        ),
+    # two-pass distributed rank (largest remainder first, name
+    # tie-break) — no SinglePartition window even if the source
+    # taxonomy grows to thousands of entries
+    ranked = row_number_two_pass(
+        shares, "remainder", ["source"], "rr", ascending=False
     )
     return (
         ranked.crossJoin(F.broadcast(short))

@@ -482,34 +482,48 @@ def events_activity_gini(spark, sf_dir):
     Σi·x grows as n²·mean, so it accumulates in DECIMAL(38,0)/HUGEINT
     and the exact numerator/denominator emit as digit strings (the
     128-bit discipline of stats_correlation_matrix), keeping the
-    rounded ratio engine-identical at any population.  The sort runs over the |users|-sized count
-    table, not the event stream; output is one row."""
-    from pyspark.sql import Window
+    rounded ratio engine-identical at any population.  NO window at
+    all: ranks within a tie group (same x) are consecutive integers
+    whatever the user order, so the rank-sum has the closed form
+    Σ_(group x) i = cnt·below + cnt·(cnt+1)/2 with below = count of
+    users with smaller x.  Grouping the |users|-sized count table by
+    DISTINCT x (a small set — activity counts repeat heavily) and
+    combining strictly-lower groups by broadcast
+    (operators/prefix.py:lower_bucket_agg, with x itself as the
+    bucket) yields 2·Σi·x exactly, in DECIMAL(38,0), with one extra
+    tiny self-join instead of a SinglePartition global row_number."""
+    from lakehouse_cdc_spark.operators.prefix import lower_bucket_agg
 
     per_user = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "user_id")).alias("i"),
+    byx = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    below = lower_bucket_agg(byx, "x", "cnt", "n_below")
+    dec = lambda c: c.cast("decimal(38,0)")
+    # 2·Σ ranks in group x = 2·cnt·below + cnt·(cnt+1)  (no halving →
+    # no division anywhere; everything stays exact integer decimal)
+    six2_term = dec(F.col("x")) * (
+        F.lit(2).cast("decimal(38,0)") * dec(F.col("cnt")) * dec(F.col("n_below"))
+        + dec(F.col("cnt")) * (dec(F.col("cnt")) + F.lit(1).cast("decimal(38,0)"))
     )
-    num = (
-        F.lit(2).cast("decimal(38,0)") * F.col("six")
-        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
-    )
+    num = F.col("six2") - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
     den = F.col("n").cast("decimal(38,0)") * F.col("sx")
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
-    ).select(
-        "n",
-        "sx",
-        num.cast("decimal(38,0)").cast("string").alias("gini_num"),
-        den.cast("decimal(38,0)").cast("string").alias("gini_den"),
-        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    return (
+        byx.join(F.broadcast(below), "x")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum(F.col("x") * F.col("cnt")).cast("bigint").alias("sx"),
+            F.sum(six2_term).alias("six2"),
+        )
+        .select(
+            "n",
+            "sx",
+            num.cast("decimal(38,0)").cast("string").alias("gini_num"),
+            den.cast("decimal(38,0)").cast("string").alias("gini_den"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+        )
     )
 
 

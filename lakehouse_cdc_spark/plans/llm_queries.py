@@ -1477,28 +1477,47 @@ def llm_sequence_packing(spark, sf_dir):
     """Sequence packing — the final data-prep step before LLM
     training: documents are concatenated into fixed-capacity examples
     (512 tokens here) so attention compute is never spent on padding.
-    Uses the same prefix-sum bin assignment as the compaction planner:
-    a document joins the example its CUMULATIVE token count before it
+    A document joins the example its CUMULATIVE token count before it
     falls into, preserving corpus order (which the curation stages
-    upstream already made deterministic) — one window cumsum over the
-    doc-stats table, no sequential packer, no driver loop.  Documents
-    longer than the capacity overflow their example (fill_ratio > 1)
-    — the signal that they need chunking (text_chunk_windows) first.
-    Exact integer token counts; example boundaries identical in both
-    engines.  At 100 TB the cumsum runs range-partitioned over doc
-    order, and the emitted (example_id, fill) table IS the training
-    manifest."""
+    upstream already made deterministic).  The cumsum is the two-pass
+    distributed prefix sum (operators/prefix.py): doc_id range-bucket →
+    per-bucket window cumsum → per-bucket totals (one tiny row each)
+    combined over strictly-lower buckets by broadcast — NO
+    unpartitioned global window, so no SinglePartition straggler at
+    any scale (at 100 TB the doc-stats table this runs over is two
+    ints per doc and would be materialized once).  Documents longer
+    than the capacity overflow their example (fill_ratio > 1) — the
+    signal that they need chunking (text_chunk_windows) first.  Exact
+    integer token counts; example boundaries identical in both
+    engines."""
     from pyspark.sql import Window
 
     from lakehouse_cdc_spark.llm.text import tokens
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("ntok")
     )
-    w = Window.orderBy("doc_id")
-    packed = toks.withColumn(
-        "example_id",
-        ((F.sum("ntok").over(w) - F.col("ntok")) / _PACK_CAP).cast("bigint"),
+    b = with_range_bucket(toks, "doc_id", 64)
+    offsets = lower_bucket_agg(
+        b.groupBy("__bkt").agg(F.sum("ntok").alias("__tot")),
+        "__bkt",
+        "__tot",
+        "__off",
+    )
+    w = Window.partitionBy("__bkt").orderBy("doc_id")
+    packed = (
+        b.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "example_id",
+            (
+                (F.sum("ntok").over(w) + F.col("__off") - F.col("ntok"))
+                / _PACK_CAP
+            ).cast("bigint"),
+        )
     )
     return (
         packed.groupBy("example_id")
@@ -1555,28 +1574,49 @@ def sample_deterministic_shuffle(spark, sf_dir):
     sources are well interleaved (curriculum clumping shows up here),
     and order_digest = XOR of doc_id*position pins the ENTIRE
     permutation — any engine or partitioning that disagrees about a
-    single position breaks it.  At scale the order is realized by
-    range-partitioning on the hash (Spark's orderBy does exactly
-    this), so the shuffle is one exchange and writers stream examples
-    in final order."""
+    single position breaks it.  Positions come from the two-pass
+    distributed rank (operators/prefix.py): the first md5 byte is a
+    deterministic 256-way bucket that is a PREFIX of the (md5, doc_id)
+    sort order, so pos = within-bucket row_number + broadcast count of
+    strictly-lower buckets — no unpartitioned global window, no
+    SinglePartition exchange.  Adjacency is a pos+1 equi self-join
+    (one hash shuffle) instead of a global lead() window; the audit
+    columns are unchanged."""
     from pyspark.sql import Window
 
-    ranked = table(spark, sf_dir, "documents").select(
+    from lakehouse_cdc_spark.operators.prefix import lower_bucket_agg
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    ).withColumn(
+        "__bkt", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    offsets = lower_bucket_agg(
+        d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt")),
+        "__bkt",
+        "__cnt",
+        "__off",
+    )
+    ranked = d.join(F.broadcast(offsets), "__bkt").select(
         "doc_id",
         "source",
-        F.row_number()
-        .over(Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
-        .alias("pos"),
+        (
+            F.row_number().over(
+                Window.partitionBy("__bkt").orderBy("__h", "doc_id")
+            )
+            + F.col("__off")
+        ).cast("int").alias("pos"),
     )
-    adj = ranked.select(
-        "source", F.lead("source").over(Window.orderBy("pos")).alias("next_source")
+    nxt = ranked.select(
+        (F.col("pos") - 1).alias("__prev_pos"),
+        F.col("source").alias("next_source"),
     )
+    pairs = ranked.join(nxt, F.col("pos") == F.col("__prev_pos"), "inner")
     digest = ranked.agg(
         F.expr("bit_xor(doc_id * pos)").alias("order_digest")
     )
     return (
-        adj.filter(F.col("next_source").isNotNull())
-        .agg(
+        pairs.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.count(F.when(F.col("source") == F.col("next_source"), 1)).alias(
                 "same_source_adjacent"

@@ -329,21 +329,41 @@ def maintenance_compaction_planner(spark, sf_dir):
     rewrite groups by prefix-sum bin-packing — a file joins the group
     its CUMULATIVE size before it falls into, so groups are contiguous
     in layout order (preserving clustering/sort locality) and every
-    group lands within one file of the target.  The plan is a pure
-    window cumsum over the |files|-sized stats table — no data pages
-    are read to plan, which is what lets table services schedule
-    compaction across a 100 TB lakehouse every few minutes.  Exact
-    integer sizes; group boundaries identical in both engines."""
+    group lands within one file of the target.  The cumsum over the
+    |files|-sized stats table (a 100 TB lakehouse has millions of
+    files) is the two-pass distributed prefix sum
+    (operators/prefix.py): file_id range-bucket → per-bucket window
+    cumsum → strictly-lower-bucket byte totals combined by broadcast
+    — no SinglePartition window.  No data pages are read to plan,
+    which is what lets table services schedule compaction across a
+    100 TB lakehouse every few minutes.  Exact integer sizes; group
+    boundaries identical in both engines."""
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
+
     files = (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.expr("l_orderkey div 512").alias("file_id"))
         .agg((F.count(F.lit(1)) * 96).cast("bigint").alias("bytes"))
     )
-    small = files.filter(F.col("bytes") < _CP_TARGET)
-    w = Window.orderBy("file_id")
-    packed = small.withColumn(
+    small = with_range_bucket(
+        files.filter(F.col("bytes") < _CP_TARGET), "file_id", 64
+    )
+    offsets = lower_bucket_agg(
+        small.groupBy("__bkt").agg(F.sum("bytes").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__off",
+    )
+    w = Window.partitionBy("__bkt").orderBy("file_id")
+    packed = small.join(F.broadcast(offsets), "__bkt").withColumn(
         "group_id",
-        ((F.sum("bytes").over(w) - F.col("bytes")) / _CP_TARGET).cast("bigint"),
+        (
+            (F.sum("bytes").over(w) + F.col("__off") - F.col("bytes"))
+            / _CP_TARGET
+        ).cast("bigint"),
     )
     return (
         packed.groupBy("group_id")

@@ -527,9 +527,14 @@ def emb_matryoshka_truncation(spark, sf_dir):
     scan for candidate generation, full width only to re-rank).  Both
     scores are exact integer folds over floor-scaled coordinates, so
     ranks and the in_trunc_top10 flags are bit-identical in the
-    oracle.  Map-side math + two TakeOrderedAndProject-class
-    rankings; the truncated scan reads a quarter of the vector
-    bytes — the point of the operator."""
+    oracle.  The full-rank top-10 is a real TakeOrderedAndProject
+    (orderBy + limit); each survivor's truncated rank is 1 + the COUNT
+    of vectors that beat it on (dot_trunc, vec_id), computed by
+    broadcasting the 10 survivors against the scored corpus — no
+    unpartitioned global window ranks the whole table, so no
+    SinglePartition exchange (the only window left runs over the
+    10-row post-limit result).  The truncated scan reads a quarter of
+    the vector bytes — the point of the operator."""
     q = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -555,28 +560,48 @@ def emb_matryoshka_truncation(spark, sf_dir):
             int_dot(_MRL_DIM).alias("dot_trunc"),
         )
     )
-    rk = scored.select(
-        "vec_id",
-        "dot_full",
-        "dot_trunc",
-        F.row_number()
-        .over(Window.orderBy(F.desc("dot_full"), F.asc("vec_id")))
-        .alias("r_full"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("dot_trunc"), F.asc("vec_id")))
-        .alias("r_trunc"),
+    top10 = (
+        scored.orderBy(F.desc("dot_full"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn(
+            "r_full",
+            F.row_number().over(
+                Window.orderBy(F.desc("dot_full"), F.asc("vec_id"))
+            ),
+        )
+    )
+    t = top10.select(
+        F.col("vec_id").alias("__t_vid"),
+        F.col("dot_trunc").alias("__t_dt"),
+    )
+    beats = (
+        scored.join(
+            F.broadcast(t),
+            (F.col("dot_trunc") > F.col("__t_dt"))
+            | (
+                (F.col("dot_trunc") == F.col("__t_dt"))
+                & (F.col("vec_id") < F.col("__t_vid"))
+            ),
+        )
+        .groupBy("__t_vid")
+        .agg(F.count(F.lit(1)).alias("__n_beat"))
     )
     return (
-        rk.filter(F.col("r_full") <= 10)
+        top10.join(
+            F.broadcast(beats), top10.vec_id == F.col("__t_vid"), "left"
+        )
         .select(
             "vec_id",
             "dot_full",
             "dot_trunc",
             "r_full",
-            "r_trunc",
-            F.when(F.col("r_trunc") <= 10, 1).otherwise(0).cast("int").alias(
-                "in_trunc_top10"
-            ),
+            (F.coalesce(F.col("__n_beat"), F.lit(0)) + 1)
+            .cast("int")
+            .alias("r_trunc"),
+        )
+        .withColumn(
+            "in_trunc_top10",
+            F.when(F.col("r_trunc") <= 10, 1).otherwise(0).cast("int"),
         )
         .orderBy("r_full")
     )

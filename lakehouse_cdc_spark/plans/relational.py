@@ -852,16 +852,39 @@ def checksum_stats_lineitem(spark, sf_dir):
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design → rows-only check
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    """,
     tags=("agg", "A3-scale"),
 )
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++): the 100 TB replacement for exact
-    distinct counts (single pass, fixed memory, no shuffle of keys)."""
+    distinct counts (single pass, fixed memory, no shuffle of keys).
+    The accuracy contract is ON the oracle surface: the query emits
+    the exact counts plus a within-5%-tolerance flag comparing the
+    sketch against them, and the DuckDB oracle emits (exact, TRUE) —
+    a hash match PROVES the sketch met its bound on this dataset.
+    At 100 TB only the sketch arm runs; the exact arm exists here to
+    make the bound verifiable."""
     li = table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (
+        F.abs(F.col(approx) - F.col(exact))
+        <= F.lit(0.05) * F.col(exact)
+    ).alias(approx.replace("approx_", "") + "_within_5pct")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders"),
+        within("approx_parts", "exact_parts"),
     )
 
 
@@ -941,7 +964,19 @@ def q10_returned_items(spark, sf_dir):
 
 @register(
     "agg_approx_percentile_dual",
-    oracle=None,  # approximate by design → rows-only check
+    oracle="""
+    SELECT
+      CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT)
+        AS p50_exact_cents,
+      CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) AS BIGINT)
+        AS p90_exact_cents,
+      CAST(floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) AS BIGINT)
+        AS p99_exact_cents,
+      TRUE AS p50_within_1pct,
+      TRUE AS p90_within_1pct,
+      TRUE AS p99_within_1pct
+    FROM lineitem
+    """,
     tags=("agg", "approx", "percentile", "A5-scale"),
 )
 def agg_approx_percentile_dual(spark, sf_dir):
@@ -951,8 +986,11 @@ def agg_approx_percentile_dual(spark, sf_dir):
     dual-reporting contract as agg_approx_distinct vs the exact count.
     The exact arm needs a full sort-and-index per group; the sketch
     arm shuffles O(1/accuracy) tuples per partition regardless of row
-    count.  Accuracy is pinned by test (rel. error < 1% at accuracy
-    10000), not by the oracle — approximation is the point."""
+    count.  The accuracy contract (rel. error < 1% at accuracy 10000)
+    is ON the oracle surface: the query emits the exact interpolated
+    percentiles (fixed-point cents) plus within-1% flags comparing the
+    sketch against them; the DuckDB oracle emits (exact, TRUE), so a
+    hash match PROVES the bound on this dataset."""
     li = table(spark, sf_dir, "lineitem")
     out = li.agg(
         F.expr(
@@ -962,11 +1000,23 @@ def agg_approx_percentile_dual(spark, sf_dir):
             "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
         ).alias("exact"),
     )
+
+    def cents(i, name):
+        return (
+            F.floor(F.element_at("exact", i) * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    def flag(i, name):
+        a, e = F.element_at("approx", i), F.element_at("exact", i)
+        return (F.abs(a - e) <= F.lit(0.01) * F.abs(e)).alias(name)
+
     return out.select(
-        F.round(F.element_at("approx", 1), 2).alias("p50_approx"),
-        F.round(F.element_at("exact", 1), 2).alias("p50_exact"),
-        F.round(F.element_at("approx", 2), 2).alias("p90_approx"),
-        F.round(F.element_at("exact", 2), 2).alias("p90_exact"),
-        F.round(F.element_at("approx", 3), 2).alias("p99_approx"),
-        F.round(F.element_at("exact", 3), 2).alias("p99_exact"),
+        cents(1, "p50_exact_cents"),
+        cents(2, "p90_exact_cents"),
+        cents(3, "p99_exact_cents"),
+        flag(1, "p50_within_1pct"),
+        flag(2, "p90_within_1pct"),
+        flag(3, "p99_within_1pct"),
     )

@@ -492,13 +492,20 @@ def q7_nation_flows(spark, sf_dir):
 )
 def window_ntile_quartiles(spark, sf_dir):
     """ntile(4) balance quartiles (total order via key tie-break) —
-    the bucketing primitive for stratified splits."""
-    from pyspark.sql import Window
+    the bucketing primitive for stratified splits.  A literal
+    ``ntile(4) OVER (ORDER BY ...)`` is a SinglePartition global
+    window; instead the global position is the two-pass distributed
+    rank (operators/prefix.py: acctbal value-range bucket →
+    per-bucket row_number + broadcast lower-bucket counts) and the
+    quartile is ntile's exact arithmetic — the first n%4 quartiles
+    take ceil(n/4) rows, the rest floor(n/4) — applied to the
+    position with the broadcast total.  Integer math only, so the
+    assignment is bit-identical to NTILE in any engine."""
+    from lakehouse_cdc_spark.operators.prefix import ntile_two_pass
 
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    c = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     return (
-        c.withColumn("quartile", F.ntile(4).over(w))
+        ntile_two_pass(c, 4, "c_acctbal", "c_custkey", "quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("cust_cnt"),

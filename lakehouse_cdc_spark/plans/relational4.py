@@ -537,9 +537,11 @@ def topk_skyline_suppliers(spark, sf_dir):
     (milli-cents / milli-days via integer floor-division), so frontier
     membership is bit-identical in the oracle.  Scale shape: the heavy
     join+aggregate is the usual map-side-combined fact pass; the
-    skyline itself runs over per-supplier rows, which any realistic
-    dimension cardinality keeps millions of times smaller than the
-    fact table."""
+    running best-delay is the two-pass distributed prefix MIN
+    (operators/prefix.py): range-bucket on avg_price_mc → per-bucket
+    cummin window → strictly-lower-bucket minima combined by
+    broadcast — the |suppliers|-sized aggregate never funnels through
+    a SinglePartition window."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     per_supp = (
@@ -556,12 +558,30 @@ def topk_skyline_suppliers(spark, sf_dir):
             ).alias("avg_delay_md"),
         )
     )
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
+
+    b = with_range_bucket(per_supp, "avg_price_mc", 64)
+    carry = lower_bucket_agg(
+        b.groupBy("__bkt").agg(F.min("avg_delay_md").alias("__bmin")),
+        "__bkt",
+        "__bmin",
+        "__carry",
+        combine="min",
+        default=None,
+    )
     w = (
-        Window.orderBy("avg_price_mc", "avg_delay_md", "suppkey")
+        Window.partitionBy("__bkt")
+        .orderBy("avg_price_mc", "avg_delay_md", "suppkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = per_supp.withColumn(
-        "best_delay_before", F.min("avg_delay_md").over(w)
+    ranked = b.join(F.broadcast(carry), "__bkt", "left").withColumn(
+        # least() skips NULLs: bucket-first rows use the carry alone;
+        # the global first row has neither -> NULL (frontier by def.)
+        "best_delay_before",
+        F.least(F.min("avg_delay_md").over(w), F.col("__carry")),
     )
     return (
         ranked.filter(
@@ -613,10 +633,12 @@ def customer_rfm_segments(spark, sf_dir):
     value, each quartiled with NTILE under a total order (key
     tie-break, so bucket boundaries are engine-identical), then
     aggregated into the 64-cell segment matrix with per-segment value.
-    One order scan + customer-keyed aggregate; three window rankings
-    over the |customers|-sized RFM table (which any realistic scale
-    keeps millions of times smaller than the fact table); output is
-    <= 64 rows at any volume."""
+    One order scan + customer-keyed aggregate; the three quartile
+    rankings use the two-pass distributed NTILE
+    (operators/prefix.py:ntile_two_pass — range-bucket rank +
+    broadcast lower-bucket counts + NTILE's exact arithmetic), so the
+    |customers|-sized RFM table never funnels through a
+    SinglePartition window; output is <= 64 rows at any volume."""
     o = table(spark, sf_dir, "orders")
     maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("d_ref"))
     rfm = (
@@ -632,17 +654,24 @@ def customer_rfm_segments(spark, sf_dir):
             .alias("monetary_cents"),
         )
     )
-    scored = rfm.select(
-        "*",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
-        .alias("m_score"),
+    from lakehouse_cdc_spark.operators.prefix import ntile_two_pass
+
+    scored = ntile_two_pass(
+        ntile_two_pass(
+            ntile_two_pass(
+                rfm, 4, "recency_days", "custkey", "r_score", ascending=True
+            ),
+            4,
+            "frequency",
+            "custkey",
+            "f_score",
+            ascending=False,
+        ),
+        4,
+        "monetary_cents",
+        "custkey",
+        "m_score",
+        ascending=False,
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -697,10 +726,19 @@ def customer_abc_pareto(spark, sf_dir):
     comparison (cum - r)*100 < total*80 — no float share ever drives
     a class boundary), and report each class's customer and revenue
     shares — the 80/20 curve purchasing and support tiers are built
-    on.  The ranking window runs over the |customers|-sized revenue
-    aggregate; classification and the 3-row rollup are map-side
-    after it.  Exact integers everywhere; shares rounded once."""
+    on.  The running revenue sum over (r DESC, ck) is the two-pass
+    distributed prefix sum (operators/prefix.py): range-bucket on the
+    NEGATED revenue (so buckets ascend with the descending order) →
+    per-bucket cumsum window → strictly-lower-bucket totals combined
+    by broadcast — the |customers|-sized aggregate never funnels
+    through a SinglePartition window.  Exact integers everywhere;
+    shares rounded once."""
     from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     rev = (
         table(spark, sf_dir, "orders")
@@ -715,13 +753,22 @@ def customer_abc_pareto(spark, sf_dir):
         F.sum("r").cast("bigint").alias("rt"),
         F.count(F.lit(1)).alias("nc"),
     )
-    w = Window.orderBy(F.desc("r"), F.asc("ck"))
-    ranked = rev.select(
+    b = with_range_bucket(rev.withColumn("__negr", -F.col("r")), "__negr", 64)
+    carry = lower_bucket_agg(
+        b.groupBy("__bkt").agg(F.sum("r").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__carry",
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("r"), F.asc("ck"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = b.join(F.broadcast(carry), "__bkt").select(
         "ck",
         "r",
-        F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_r"
-        ),
+        (F.sum("r").over(w) + F.col("__carry")).alias("cum_r"),
     )
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "r",

@@ -456,8 +456,16 @@ def sketch_histogram_quantiles(spark, sf_dir):
     bucket = target - rows-before-bucket — so even the evaluation
     column avoids a global sort and survives 100 TB.  All arithmetic
     is integer (prices fixed-pointed to cents, ranks via ceiling
-    division), so both engines agree bit-for-bit."""
+    division), so both engines agree bit-for-bit.  The cumulative
+    counts over the histogram run as the two-pass distributed prefix
+    sum (operators/prefix.py) — the bucket axis grows with the value
+    domain, so even it never rides a SinglePartition window."""
     from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     v = table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c")
@@ -467,8 +475,21 @@ def sketch_histogram_quantiles(spark, sf_dir):
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = hist.withColumn(
-        "cum_cnt", F.sum("cnt").over(Window.orderBy("b"))
+    histb = with_range_bucket(hist, "b", 16)
+    hist_carry = lower_bucket_agg(
+        histb.groupBy("__bkt").agg(F.sum("cnt").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__carry",
+    )
+    cum = (
+        histb.join(F.broadcast(hist_carry), "__bkt")
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(Window.partitionBy("__bkt").orderBy("b"))
+            + F.col("__carry"),
+        )
+        .drop("__bkt", "__carry")
     )
     n = v.agg(F.count(F.lit(1)).alias("n"))
     qs = spark.createDataFrame(_HQ_QS, "num long, den long")
@@ -647,8 +668,15 @@ def sketch_weighted_quantiles(spark, sf_dir):
     running-weight filter — so the weighted-exact column also avoids
     any global sort.  All integer: weights are unit quantities, prices
     cents, targets ceiling-division rationals; both engines agree
-    bit-for-bit."""
+    bit-for-bit.  The cumulative weights over the histogram run as the
+    two-pass distributed prefix sum (operators/prefix.py) — no
+    SinglePartition window even on the bucket axis."""
     from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     v = table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c"),
@@ -659,7 +687,22 @@ def sketch_weighted_quantiles(spark, sf_dir):
         .groupBy("b")
         .agg(F.sum("wt").alias("w"))
     )
-    cum = hist.withColumn("cum_w", F.sum("w").over(Window.orderBy("b")))
+    histb = with_range_bucket(hist, "b", 16)
+    hist_carry = lower_bucket_agg(
+        histb.groupBy("__bkt").agg(F.sum("w").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__carry",
+    )
+    cum = (
+        histb.join(F.broadcast(hist_carry), "__bkt")
+        .withColumn(
+            "cum_w",
+            F.sum("w").over(Window.partitionBy("__bkt").orderBy("b"))
+            + F.col("__carry"),
+        )
+        .drop("__bkt", "__carry")
+    )
     n = v.agg(F.sum("wt").alias("wt_total"))
     qs = spark.createDataFrame(_HQ_QS, "num long, den long")
     targets = qs.crossJoin(F.broadcast(n)).select(
@@ -763,11 +806,20 @@ def stats_equi_depth_estimate(spark, sf_dir):
     interpolation (full buckets count N/k, partial buckets pro-rata by
     value overlap — integer division throughout) and compared against
     the ACTUAL count.  The emitted q_error is the metric CBO papers
-    grade estimators on.  Boundary selection uses the rank-pick
-    machinery (per-rank, no global state beyond the sort); the
-    estimate itself touches only the k-row boundary table — which is
-    the point: the optimizer answers from stats, never from data."""
+    grade estimators on.  Ranks come from the two-pass distributed
+    rank (operators/prefix.py): value range-bucket → within-bucket
+    row_number + broadcast lower-bucket counts — no SinglePartition
+    window over the |orders|-sized value table; the k-row boundary
+    table finds its neighbor by a j-1 self-join instead of a lag
+    window.  The estimate itself touches only the boundary table —
+    which is the point: the optimizer answers from stats, never from
+    data."""
     from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     v = table(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
@@ -775,7 +827,18 @@ def stats_equi_depth_estimate(spark, sf_dir):
     n_row = v.agg(
         F.count(F.lit(1)).alias("n"), (F.min("c") - 1).alias("minc")
     )
-    ranked = v.withColumn("rn", F.row_number().over(Window.orderBy("c")))
+    vb = with_range_bucket(v, "c", 64)
+    offs = lower_bucket_agg(
+        vb.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt")),
+        "__bkt",
+        "__cnt",
+        "__off",
+    )
+    ranked = vb.join(F.broadcast(offs), "__bkt").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("__bkt").orderBy("c"))
+        + F.col("__off"),
+    )
     js = spark.createDataFrame([(j,) for j in range(1, _ED_K + 1)], "j long")
     bounds = (
         js.crossJoin(F.broadcast(n_row))
@@ -785,9 +848,12 @@ def stats_equi_depth_estimate(spark, sf_dir):
         )
         .select("j", F.col("c").alias("ub"), "n", "minc")
     )
-    spans = bounds.withColumn(
-        "lb", F.coalesce(F.lag("ub").over(Window.orderBy("j")), F.col("minc"))
+    prev = bounds.select(
+        (F.col("j") + 1).alias("__j2"), F.col("ub").alias("__prev_ub")
     )
+    spans = bounds.join(
+        F.broadcast(prev), F.col("j") == F.col("__j2"), "left"
+    ).withColumn("lb", F.coalesce(F.col("__prev_ub"), F.col("minc")))
     est = spans.agg(
         F.sum(
             F.when(

@@ -503,9 +503,17 @@ def orders_concurrency_curve(spark, sf_dir):
     O(N^2) self-join the naive forms cost.  Top-20 peak days under a
     total order.  This is the capacity-planning primitive (concurrent
     sessions, open tickets, active loans) every ops dashboard needs;
-    at scale the cumsum range-partitions on day like any ordered
+    the cumsum over the per-day delta table is the two-pass
+    distributed prefix sum (operators/prefix.py: day range-bucket →
+    per-bucket cumsum + broadcast lower-bucket carry), so even a
+    decades-deep day axis never funnels through a SinglePartition
     window."""
     from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
 
     iv = table(spark, sf_dir, "orders").select(
         F.expr("datediff(to_date(o_orderdate), DATE '1992-01-01')").alias("s"),
@@ -517,10 +525,19 @@ def orders_concurrency_curve(spark, sf_dir):
     deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
         iv.select((F.col("e") + 1).alias("d"), F.lit(-1).alias("delta"))
     )
-    curve = (
-        deltas.groupBy("d")
-        .agg(F.sum("delta").alias("net"))
-        .withColumn("open_orders", F.sum("net").over(Window.orderBy("d")))
+    daily = with_range_bucket(
+        deltas.groupBy("d").agg(F.sum("delta").alias("net")), "d", 64
+    )
+    carry = lower_bucket_agg(
+        daily.groupBy("__bkt").agg(F.sum("net").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__carry",
+    )
+    curve = daily.join(F.broadcast(carry), "__bkt").withColumn(
+        "open_orders",
+        F.sum("net").over(Window.partitionBy("__bkt").orderBy("d"))
+        + F.col("__carry"),
     )
     return (
         curve.select(

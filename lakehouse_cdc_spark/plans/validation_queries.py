@@ -333,23 +333,30 @@ def validation_distribution_drift(spark, sf_dir):
         ),
         (F.lit(2) * F.col("na") * F.col("nb")).alias("tv_den"),
     )
-    from pyspark.sql import Window
-
-    w_all = Window.partitionBy()
-    return scored.select(
-        "bucket",
-        "cnt_a",
-        "cnt_b",
-        "tv_num",
-        F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 8).alias(
-            "tv_share"
-        ),
-        F.sum("tv_num").over(w_all).cast("bigint").alias("tv_num_total"),
-        F.round(
-            F.sum("tv_num").over(w_all).cast("double") / F.max("tv_den").over(w_all),
-            8,
-        ).alias("tv_distance"),
-    ).orderBy("bucket")
+    # the all-rows total rides a tiny aggregate broadcast back onto
+    # the cells instead of an empty-partition window (which plans the
+    # same SinglePartition funnel as an unpartitioned ordered window)
+    totals = scored.agg(
+        F.sum("tv_num").cast("bigint").alias("tv_num_total"),
+        F.max("tv_den").alias("__td"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            "tv_num",
+            F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 8).alias(
+                "tv_share"
+            ),
+            "tv_num_total",
+            F.round(
+                F.col("tv_num_total").cast("double") / F.col("__td"), 8
+            ).alias("tv_distance"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @register(
@@ -453,16 +460,43 @@ def validation_key_gap_islands(spark, sf_dir):
     islands): contiguous RANGES of missing order keys, largest first —
     the audit that distinguishes \"sequence generator skips\" (many
     small gaps, normal) from \"lost ingestion batch\" (one huge gap,
-    an incident).  One lag() over the sorted distinct keys; emitting
+    an incident).  The lag over the sorted distinct keys is the
+    two-pass distributed form (operators/prefix.py): key range-bucket
+    → within-bucket lag; a bucket's FIRST key takes the max key of
+    all strictly-lower buckets as its predecessor (broadcast carry) —
+    no SinglePartition window over the |keys|-sized table.  Emitting
     RANGES instead of per-key rows is what keeps the output readable
     when a million keys are missing.  Exact integer ranges, total
     order on (len desc, start)."""
     from pyspark.sql import Window
 
-    ks = table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k")
-    ).distinct()
-    lagged = ks.withColumn("prev_k", F.lag("k").over(Window.orderBy("k")))
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
+
+    ks = with_range_bucket(
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct(),
+        "k",
+        64,
+    )
+    carry = lower_bucket_agg(
+        ks.groupBy("__bkt").agg(F.max("k").alias("__bmax")),
+        "__bkt",
+        "__bmax",
+        "__carry",
+        combine="max",
+        default=None,
+    )
+    lagged = ks.join(F.broadcast(carry), "__bkt", "left").withColumn(
+        "prev_k",
+        F.coalesce(
+            F.lag("k").over(Window.partitionBy("__bkt").orderBy("k")),
+            F.col("__carry"),
+        ),
+    )
     return (
         lagged.filter(
             F.col("prev_k").isNotNull() & (F.col("k") - F.col("prev_k") > 1)

@@ -92,7 +92,16 @@ class CdcLogBatchReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("part",):
-                self.part_eq = int(f.value)
+                v = int(f.value)
+                if self.part_eq is not None and self.part_eq != v:
+                    # contradictory equalities (part = 1 AND part = 2):
+                    # both filters are CONSUMED here, so Spark never
+                    # re-evaluates them — record the contradiction by
+                    # emptying the offset range so partitions() prunes
+                    # the scan to [] (the correct empty result)
+                    self.hi = self.lo - 1
+                else:
+                    self.part_eq = v
             elif isinstance(f, GreaterThan) and f.attribute == ("offset",):
                 self.lo = max(self.lo, int(f.value) + 1)
             elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("offset",):

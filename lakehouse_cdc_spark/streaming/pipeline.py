@@ -314,11 +314,7 @@ class SnapshotUpsertSink:
             # ISO string (json-safe); process_batch's late-data filter
             # compares it against the timestamp column via Spark's
             # implicit string→timestamp cast
-            if hasattr(watermark, "isoformat"):
-                watermark = watermark.isoformat(sep=" ") if hasattr(
-                    watermark, "time"
-                ) else watermark.isoformat()
-            new_manifest["gc_watermark"] = watermark
+            new_manifest["gc_watermark"] = _iso_watermark(watermark)
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
         # would leave the committed pointer describing the loser's map
@@ -349,6 +345,16 @@ class SnapshotUpsertSink:
         except FileNotFoundError:
             return None
 
+    def _has_any_manifest(self) -> bool:
+        """True iff the target has EVER committed a manifest — the
+        discriminator between a true pre-manifest legacy layout (flat
+        ``v=N`` dirs are committed state) and a manifest-era target
+        (a bare ``v=N`` dir is a crashed writer's uncommitted data)."""
+        return any(
+            n.startswith("_MANIFEST_") and n.endswith(".json")
+            for n in os.listdir(self.target_dir)
+        )
+
     def _bucket_col(self, n_buckets: int) -> Column:
         # pmod handles hash()'s negative values (incl. MIN_INT, where
         # abs() would overflow)
@@ -365,11 +371,9 @@ class SnapshotUpsertSink:
             # targets (no manifest anywhere).  A manifest-era target
             # with a bare v=N dir is an uncommitted/crashed attempt —
             # reading it would return partial, never-committed state.
-            any_manifest = any(
-                n.startswith("_MANIFEST_") and n.endswith(".json")
-                for n in os.listdir(self.target_dir)
-            )
-            if not any_manifest and os.path.isdir(self._snapshot_path(snapshot)):
+            if not self._has_any_manifest() and os.path.isdir(
+                self._snapshot_path(snapshot)
+            ):
                 # pre-manifest flat snapshot (legacy layout)
                 return spark.read.parquet(self._snapshot_path(snapshot))
             raise ValueError(
@@ -398,6 +402,14 @@ class SnapshotUpsertSink:
         manifest = self._read_manifest(snapshot)
         if manifest is None and not os.path.isdir(self._snapshot_path(snapshot)):
             raise ValueError(f"cannot roll back to unknown snapshot {snapshot}")
+        if manifest is None and self._has_any_manifest():
+            # a bare v=N dir on a manifest-era target is a crashed
+            # writer's uncommitted attempt — rolling the pointer onto it
+            # would make current_state serve partial state
+            raise ValueError(
+                f"cannot roll back to snapshot {snapshot}: no manifest "
+                "(uncommitted/crashed writer data, not a committed snapshot)"
+            )
         if manifest is not None:
             for b, at_snap in manifest["buckets"].items():
                 if not os.path.isdir(self._bucket_path(at_snap, int(b))):
@@ -440,7 +452,18 @@ class SnapshotUpsertSink:
         if snap is None:
             return None
         manifest = self._read_manifest(snap)
-        if manifest is None:  # pre-manifest layout: whole-snapshot dir
+        if manifest is None:
+            # same any-manifest guard as state_at: after a rollback_to
+            # onto a crashed writer's uncommitted v=N dir, serving the
+            # flat files would expose partial never-committed state
+            if self._has_any_manifest():
+                raise ValueError(
+                    f"committed snapshot {snap} has no manifest on a "
+                    "manifest-era target (crashed or rolled-back writer); "
+                    "run recover_interrupted_commit() or roll back to a "
+                    "manifest-bearing snapshot"
+                )
+            # pre-manifest layout: whole-snapshot dir
             return spark.read.parquet(self._snapshot_path(snap))
         if not manifest["buckets"]:
             return None
@@ -647,7 +670,13 @@ class SnapshotUpsertSink:
         if not todo:
             return []
         new_snap = committed_snap + 1
-        self._claim(new_snap, committed_batch)  # writer fence
+        # maintenance claims carry batch_id=None (the documented
+        # invariant): a live stream batch always claims with its int
+        # batch id, so a concurrent gc/compact on the same sink object
+        # can never alias (and silently retake) a live batch's claim.
+        # The _commit manifest still records committed_batch so the
+        # replay guard is preserved.
+        self._claim(new_snap, None)  # writer fence
         snap_dir = self._snapshot_path(new_snap)
         for b in sorted(todo):
             df = spark.read.parquet(self._bucket_path(manifest["buckets"][str(b)], b))
@@ -692,6 +721,12 @@ class SnapshotUpsertSink:
         ``now - retention`` exactly like Iceberg's
         ``expire_snapshots(older_than)`` cutoff.
         """
+        # normalize datetime/date watermarks to the ISO string form the
+        # manifest stores BEFORE any comparison: the second GC call
+        # reads `prev` back as a string, and `datetime < str` raises
+        # TypeError.  ISO timestamps compare correctly lexicographically,
+        # so all monotonicity checks run string-vs-string.
+        watermark = _iso_watermark(watermark)
         lineage, committed_batch, committed_snap = self.committed()
         manifest = self._read_manifest(committed_snap)
         if manifest is None or not manifest["buckets"]:
@@ -721,7 +756,13 @@ class SnapshotUpsertSink:
             # a commit would advance the snapshot number for no change
             return 0
         new_snap = committed_snap + 1
-        self._claim(new_snap, committed_batch)  # writer fence
+        # maintenance claims carry batch_id=None (the documented
+        # invariant): a live stream batch always claims with its int
+        # batch id, so a concurrent gc/compact on the same sink object
+        # can never alias (and silently retake) a live batch's claim.
+        # The _commit manifest still records committed_batch so the
+        # replay guard is preserved.
+        self._claim(new_snap, None)  # writer fence
         new_buckets = dict(manifest["buckets"])
         snap_dir = self._snapshot_path(new_snap)
         # the snapshot dir exists even when no bucket is rewritten (a
@@ -758,6 +799,22 @@ class SnapshotUpsertSink:
             new_snap, new_buckets, n_buckets, committed_batch, watermark
         )
         return n_expired
+
+
+def _iso_watermark(watermark):
+    """Canonical manifest form of a GC watermark: datetime/date become
+    ISO strings (``YYYY-MM-DD[ HH:MM:SS[.ffffff]]``), everything else
+    passes through.  ISO-8601 strings order lexicographically the same
+    as the instants they denote, so string-vs-string comparison is the
+    one comparison that is safe both before AND after a manifest
+    round-trip."""
+    if hasattr(watermark, "isoformat"):
+        return (
+            watermark.isoformat(sep=" ")
+            if hasattr(watermark, "time")
+            else watermark.isoformat()
+        )
+    return watermark
 
 
 def manifest_path(target_dir: str, snapshot: int) -> str:

