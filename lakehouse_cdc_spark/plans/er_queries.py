@@ -392,6 +392,7 @@ def gdpr_delete_propagation(spark, sf_dir):
 
 @register(
     "er_golden_record",
+    bench=True,
     oracle=_ER_MATCH_CTES
     + """
     ,
@@ -518,6 +519,7 @@ def _snm_pass_sql(tag: str, order: str) -> str:
 
 @register(
     "er_snm_multipass",
+    bench=True,
     oracle=f"""
     WITH params AS (
       SELECT {_tail_digits_sql('2 * COUNT(*)')} AS k FROM customer
