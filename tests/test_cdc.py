@@ -238,3 +238,142 @@ def test_decode_dlq_accounts_for_every_dropped_message(spark):
     assert good.count() + dlq.count() == len(rows)
     # and the plain decoder keeps exactly the good half
     assert decode_debezium(raw).count() == good.count()
+
+
+# --------------------------------------------------------------------------
+# Executed-equivalence proof for the MERGE emitter (VERDICT r3 item 5).
+# This container's DuckDB (1.0) predates MERGE INTO, so the harness
+# below PARSES the emitted statement and executes its clauses verbatim
+# (first-match-wins in clause order, match state evaluated against the
+# PRE-merge target) as DELETE USING / UPDATE FROM / guarded INSERT —
+# the conditions and actions that run are the emitter's own text, not a
+# re-derivation of what it should have said.
+def _exec_emitted_merge_duckdb(con, sql: str) -> None:
+    import re
+
+    head = re.search(
+        r"MERGE INTO\s+(\S+)\s+AS\s+target\s+USING\s+(\S+)\s+AS\s+source"
+        r"\s+ON\s+(.+?)\s+WHEN",
+        sql,
+        re.S,
+    )
+    assert head, "unparseable MERGE head"
+    target, source, on = head.group(1), head.group(2), head.group(3).strip()
+    clause_re = re.compile(
+        r"WHEN\s+(NOT\s+MATCHED|MATCHED)\s*(.*?)\s*THEN\s+"
+        r"(DELETE|UPDATE\s+SET\s+.*?|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))"
+        r"(?=\s*WHEN\s|\s*$)",
+        re.S,
+    )
+    clauses = clause_re.findall(sql)
+    assert clauses, "unparseable MERGE clauses"
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE __pre AS SELECT * FROM {target}"
+    )
+    # NOT MATCHED is always judged against the PRE-merge target
+    not_matched = (
+        f"NOT EXISTS (SELECT 1 FROM __pre AS target WHERE {on})"
+    )
+    prev: dict[bool, list[str]] = {True: [], False: []}
+    for kind, cond, action in clauses:
+        matched = not kind.upper().startswith("NOT")
+        cond = cond.strip()
+        cond_sql = cond[3:].strip() if cond.upper().startswith("AND") else None
+        # first-match-wins: negate every EARLIER same-match-kind clause
+        conds = ([cond_sql] if cond_sql else []) + [
+            f"NOT ({c})" for c in prev[matched]
+        ]
+        if cond_sql:
+            prev[matched].append(cond_sql)
+        extra = (" AND " + " AND ".join(conds)) if conds else ""
+        act = action.strip()
+        if act.upper() == "DELETE":
+            con.execute(
+                f"DELETE FROM {target} AS target USING {source} AS source "
+                f"WHERE {on}{extra}"
+            )
+        elif act.upper().startswith("UPDATE"):
+            sets = act[len("UPDATE SET"):].strip().replace("target.", "")
+            con.execute(
+                f"UPDATE {target} AS target SET {sets} "
+                f"FROM {source} AS source WHERE {on}{extra}"
+            )
+        else:  # INSERT (cols) VALUES (vals)
+            m = re.match(
+                r"INSERT\s*\((.*?)\)\s*VALUES\s*\((.*?)\)", act, re.S
+            )
+            cols, vals = m.group(1), m.group(2)
+            con.execute(
+                f"INSERT INTO {target} ({cols}) SELECT {vals} "
+                f"FROM {source} AS source WHERE {not_matched}{extra}"
+            )
+
+
+def _duckdb_merge_state(batches, base_rows):
+    """Final DuckDB state after running the EMITTED MERGE for each
+    compacted batch in order."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt(id INT, v VARCHAR)")
+    con.executemany("INSERT INTO tgt VALUES (?, ?)", base_rows)
+    sql = merge_into_sql("tgt", "src", ["id"], ["v"])
+    for batch in batches:
+        con.execute("CREATE OR REPLACE TABLE src(id INT, v VARCHAR, operation VARCHAR)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", batch)
+        _exec_emitted_merge_duckdb(con, sql)
+    return sorted(map(tuple, con.execute("SELECT id, v FROM tgt").fetchall()))
+
+
+def test_merge_emitter_executes_equivalent_to_apply_changes(spark):
+    """The emitted MERGE, EXECUTED against a real SQL engine, must land
+    on exactly apply_changes' final state — covering every arm: update,
+    delete, guarded insert, the NOT-MATCHED-insert-of-deletes reference
+    bug (spark_batch.py:277-279 would insert the ghost row), NULL-op
+    no-ops, delete-then-recreate across batches, and replay
+    idempotence."""
+    from lakehouse_cdc_spark.cdc.apply import compact_changes
+
+    base = [(1, "old1"), (2, "old2"), (3, "old3")]
+    raw_batches = [
+        [
+            (1, "new1-early", "u", ts("2024-01-01T10:00:00"), 1),
+            (1, "new1", "u", ts("2024-01-01T11:00:00"), 2),
+            (2, "whatever", "d", ts("2024-01-01T10:00:00"), 3),
+            (4, "new4", "c", ts("2024-01-01T10:00:00"), 4),
+            (5, "ghost", "d", ts("2024-01-01T10:00:00"), 5),  # ghost delete
+            (3, "null-op", None, ts("2024-01-01T10:00:00"), 6),  # no-op
+        ],
+        [
+            (1, None, "d", ts("2024-01-02T10:00:00"), 1),  # delete...
+            (4, "re4", "u", ts("2024-01-02T10:00:00"), 2),
+        ],
+        [
+            (1, "recreated", "c", ts("2024-01-03T10:00:00"), 1),  # ...recreate
+        ],
+    ]
+    # replay the LAST batch verbatim (the crash-replay shape): MERGE
+    # on compacted batches is idempotent
+    raw_batches.append(raw_batches[2])
+
+    schema = "id int, v string, operation string, t timestamp, seq int"
+    state = spark.createDataFrame(base, "id int, v string")
+    compacted = []
+    for rows in raw_batches:
+        df = spark.createDataFrame(rows, schema)
+        state = apply_changes(state, df, keys=["id"], order_by=["t", "seq"])
+        compacted.append(
+            [
+                (r.id, r.v, r.operation)
+                for r in compact_changes(
+                    df, keys=["id"], order_by=["t", "seq"]
+                ).collect()
+            ]
+        )
+    spark_state = sorted((r.id, r.v) for r in state.collect())
+    duck_state = _duckdb_merge_state(compacted, base)
+    assert spark_state == duck_state
+    # and the arms really fired: ghost row absent, recreate present
+    ids = {i for i, _ in duck_state}
+    assert 5 not in ids
+    assert (1, "recreated") in duck_state
