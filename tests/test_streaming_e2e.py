@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.cdc import classify_operation, decode_debezium
@@ -146,3 +147,97 @@ def test_crash_between_data_and_pointer_recovers(spark, tmp_path):
     sink.process_batch(b1_replay, 1)
     assert sink.committed_version() == 1
     assert sink.current_table(spark).collect()[0].v == "v1"
+
+
+@pytest.mark.slow
+def test_watermark_drop_matrix_matches_lateness_audit(spark, tmp_path):
+    """Close the loop between cdc_lateness_audit and ACTUAL streaming
+    behavior (VERDICT r3 item 7): replay the same events one per
+    micro-batch (arrival order = event_id, exactly the audit's replay
+    premise) under watermarks {1m, 10m, 1h} and assert Spark's
+    numRowsDroppedByWatermark equals the audit row's late_over_*
+    prediction for every delay.
+
+    Semantics being proven: Spark's global watermark before batch i is
+    max(event time of batches < i) − delay, and a dedup operator drops
+    a row iff its event time < watermark — i.e. iff the audit's
+    late_us > delay, strictness included.  (The reference consumer
+    keyed everything on processing time, spark_batch.py:221, so late
+    data silently rewrote state; this engine's event-time watermarking
+    is the fix, quantified here.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.plans import REGISTRY
+    from lakehouse_cdc_spark.plans.registry import table
+    from lakehouse_cdc_spark.streaming.sources import file_cdc_source
+
+    K = 80
+    sub = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .orderBy("event_id")
+        .limit(K)
+        .select("event_id", "ts")
+    )
+    # the audit's own prediction, computed by the REGISTERED query on
+    # exactly the replayed subset
+    subset_dir = str(tmp_path / "subset")
+    os.makedirs(subset_dir)
+    sub.coalesce(1).write.parquet(os.path.join(subset_dir, "events.parquet"))
+    audit = REGISTRY["cdc_lateness_audit"].fn(spark, subset_dir).collect()[0]
+    assert audit.n_events == K
+    predictions = {
+        "1 minutes": audit.late_over_1m,
+        "10 minutes": audit.late_over_10m,
+        "1 hours": audit.late_over_1h,
+    }
+    assert audit.n_late >= audit.late_over_1m >= audit.late_over_1h
+
+    # one parquet file per event, hardlinked in arrival order with
+    # strictly increasing mtimes so the file source replays event_id
+    # order one micro-batch at a time
+    staged = str(tmp_path / "staged")
+    (
+        sub.withColumn("b", F.col("event_id"))
+        .repartition(1)
+        .write.partitionBy("b")
+        .parquet(staged)
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    ids = sorted(r.event_id for r in sub.select("event_id").collect())
+    for i, eid in enumerate(ids):
+        bdir = os.path.join(staged, f"b={eid}")
+        (part,) = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        dst = os.path.join(flat, f"{i:05d}.parquet")
+        os.link(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = sub.schema
+    for delay, expected in predictions.items():
+        q = (
+            file_cdc_source(spark, flat, schema, max_files_per_trigger=1)
+            .withWatermark("ts", delay)
+            .dropDuplicates(["event_id", "ts"])
+            .writeStream.format("memory")
+            .queryName(f"wm_{delay.split()[0]}_{delay.split()[1]}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ckpt_{delay.replace(' ', '_')}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), f"stream did not finish ({delay})"
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        kept = spark.sql(
+            f"SELECT COUNT(*) AS n FROM wm_{delay.split()[0]}_{delay.split()[1]}"
+        ).collect()[0].n
+        assert dropped == expected, (delay, dropped, expected)
+        assert kept + dropped == K, (delay, kept, dropped)
