@@ -846,3 +846,127 @@ def sample_apportion_quotas(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_EPOCH_BUDGET = 2_000_000  # training token budget
+_EPOCH_CAP_MILLI = 4_000  # max 4 epochs per source (milli-epochs)
+
+
+@register(
+    "mix_epoch_schedule",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS all_tokens FROM per_src),
+    first_pass AS (
+      SELECT s.source, s.tokens,
+             LEAST({_EPOCH_CAP_MILLI},
+                   ({_EPOCH_BUDGET} * s.tokens // t.all_tokens) * 1000
+                   // s.tokens) AS epochs_milli_0
+      FROM per_src s, tot t
+    ),
+    spare AS (
+      SELECT {_EPOCH_BUDGET}
+             - CAST(SUM(tokens * epochs_milli_0 // 1000) AS BIGINT)
+               AS spare_tokens,
+             CAST(SUM(CASE WHEN epochs_milli_0 < {_EPOCH_CAP_MILLI}
+                           THEN tokens ELSE 0 END) AS BIGINT)
+               AS uncapped_tokens
+      FROM first_pass
+    ),
+    final AS (
+      SELECT f.source, f.tokens,
+             CASE WHEN f.epochs_milli_0 < {_EPOCH_CAP_MILLI}
+                       AND sp.uncapped_tokens > 0
+                  THEN LEAST({_EPOCH_CAP_MILLI},
+                             f.epochs_milli_0
+                             + sp.spare_tokens * 1000 // sp.uncapped_tokens)
+                  ELSE f.epochs_milli_0 END AS epochs_milli
+      FROM first_pass f, spare sp
+    )
+    SELECT source, tokens, CAST(epochs_milli AS BIGINT) AS epochs_milli,
+           CAST(tokens * epochs_milli // 1000 AS BIGINT) AS planned_tokens,
+           CAST(CASE WHEN epochs_milli >= {_EPOCH_CAP_MILLI}
+                     THEN 1 ELSE 0 END AS INT) AS capped
+    FROM final
+    ORDER BY source
+    """,
+    tags=("llm", "mixing", "epochs", "training-prep", "curation"),
+)
+def mix_epoch_schedule(spark, sf_dir):
+    """Token-budget epoch scheduler — the "how many times do we repeat
+    each source" decision behind every pretraining mix (repeating
+    high-value sources up to a staleness cap, cf. the 4-epoch
+    repeated-data guidance of Muennighoff et al. 2023): proportional
+    token targets per source, converted to milli-epochs and capped at
+    4 epochs, then ONE redistribution round hands the budget freed by
+    capped sources to the uncapped ones (again capped).  Exact integer
+    milli-epoch arithmetic end to end, so the schedule is
+    engine-identical — a float scheduler would drift at the cap
+    boundaries.
+
+    Scale shape: one map-side token count + a |sources|-row aggregate;
+    the schedule math never touches row-level data again.  Composes
+    with sample_apportion_quotas (exact doc budgets) and
+    mix_sources_budget (hash sampling to the planned share)."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    tot = per_src.agg(F.sum("tokens").cast("bigint").alias("all_tokens"))
+    first_pass = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.least(
+            F.lit(_EPOCH_CAP_MILLI),
+            F.expr(
+                f"({_EPOCH_BUDGET} * tokens div all_tokens) * 1000 div tokens"
+            ),
+        ).alias("epochs_milli_0"),
+    )
+    spare = first_pass.agg(
+        (
+            F.lit(_EPOCH_BUDGET)
+            - F.sum(F.expr("tokens * epochs_milli_0 div 1000"))
+        )
+        .cast("bigint")
+        .alias("spare_tokens"),
+        F.sum(
+            F.when(
+                F.col("epochs_milli_0") < _EPOCH_CAP_MILLI, F.col("tokens")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("uncapped_tokens"),
+    )
+    final = first_pass.crossJoin(F.broadcast(spare)).select(
+        "source",
+        "tokens",
+        F.when(
+            (F.col("epochs_milli_0") < _EPOCH_CAP_MILLI)
+            & (F.col("uncapped_tokens") > 0),
+            F.least(
+                F.lit(_EPOCH_CAP_MILLI),
+                F.col("epochs_milli_0")
+                + F.expr("spare_tokens * 1000 div uncapped_tokens"),
+            ),
+        )
+        .otherwise(F.col("epochs_milli_0"))
+        .alias("epochs_milli"),
+    )
+    return final.select(
+        "source",
+        "tokens",
+        F.col("epochs_milli").cast("bigint").alias("epochs_milli"),
+        F.expr("tokens * epochs_milli div 1000")
+        .cast("bigint")
+        .alias("planned_tokens"),
+        F.when(F.col("epochs_milli") >= _EPOCH_CAP_MILLI, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("capped"),
+    ).orderBy("source")

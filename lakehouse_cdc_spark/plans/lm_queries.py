@@ -136,6 +136,225 @@ def text_bigram_lm_score(spark, sf_dir):
     )
 
 
+_LM_SCORED_CTES = f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS cn FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u) AS vsz
+          FROM (SELECT unnest(t) AS u FROM toks)),
+    scored AS (SELECT bg.doc_id,
+                      ((c2.c + 1) * {_PPB}) // (c1.cn + v.vsz) AS p_ppb
+               FROM bg JOIN c2 USING (w1, w2)
+                       JOIN c1 USING (w1)
+                       CROSS JOIN v),
+    per_doc AS (SELECT doc_id,
+                       CAST(SUM(p_ppb) // COUNT(*) AS BIGINT) AS avg_p_ppb
+                FROM scored GROUP BY doc_id)
+"""
+
+
+@register(
+    "text_perplexity_tertiles",
+    oracle=_LM_SCORED_CTES
+    + """
+    , bucketed AS (
+      SELECT d.source, p.avg_p_ppb,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY p.avg_p_ppb DESC, p.doc_id) AS tertile
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT source, tertile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(avg_p_ppb) AS BIGINT) AS min_p_ppb,
+           CAST(MAX(avg_p_ppb) AS BIGINT) AS max_p_ppb
+    FROM bucketed
+    GROUP BY source, tertile
+    ORDER BY source, tertile
+    """,
+    tags=("llm", "text", "quality", "ccnet", "mixing"),
+)
+def text_perplexity_tertiles(spark, sf_dir):
+    """CCNet-style per-source perplexity bucketing: score every
+    document with the corpus-trained bigram LM (same exact-integer
+    pipeline as text_bigram_lm_score), then split EACH source into
+    head/middle/tail tertiles by fluency (NTILE(3) partitioned by
+    source, fully-tied order) — the bucketing CCNet uses to keep the
+    head of every language/domain rather than letting one source's
+    distribution decide for all.  Output is the 3-row-per-source
+    bucket table a mixing stage consumes.
+
+    Scale shape: the LM shuffles are |bigram-vocab|-sized; the tertile
+    window is PARTITIONED by source (never a SinglePartition global
+    window), so each source ranks independently across the cluster.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cn"))
+    v = (
+        tok.select(F.explode("t").alias("u"))
+        .agg(F.count_distinct("u").alias("vsz"))
+    )
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(f"((c + 1) * {_PPB}) div (cn + vsz)").alias("p_ppb"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb")
+        )
+    )
+    bucketed = per_doc.join(d.select("doc_id", "source"), "doc_id").select(
+        "source",
+        "avg_p_ppb",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("avg_p_ppb"), F.asc("doc_id")
+            )
+        )
+        .alias("tertile"),
+    )
+    return (
+        bucketed.groupBy("source", "tertile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_p_ppb").cast("bigint").alias("min_p_ppb"),
+            F.max("avg_p_ppb").cast("bigint").alias("max_p_ppb"),
+        )
+        .orderBy("source", "tertile")
+    )
+
+
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_BKT_SQL = "CAST('0x' || substr(md5(u), 1, 3) AS INTEGER) % " + str(_DSIR_B)
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH ref AS (SELECT MIN(source) AS target_src FROM documents),
+    feats AS (
+      SELECT doc_id, source, {_DSIR_BKT_SQL} AS f
+      FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS u
+            FROM documents)
+    ),
+    tstat AS (
+      SELECT f, COUNT(*) AS tc FROM feats, ref
+      WHERE source = ref.target_src GROUP BY f
+    ),
+    rstat AS (SELECT f, COUNT(*) AS rc FROM feats GROUP BY f),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM feats, ref
+              WHERE source = ref.target_src) AS tt,
+             (SELECT COUNT(*) FROM feats) AS rt
+    ),
+    ratio AS (
+      SELECT r.f,
+             (COALESCE(t.tc, 0) + 1) * {_PPB} // (tot.tt + {_DSIR_B})
+             - (r.rc + 1) * {_PPB} // (tot.rt + {_DSIR_B}) AS delta_ppb
+      FROM rstat r LEFT JOIN tstat t USING (f), tot
+    ),
+    per_doc AS (
+      SELECT fe.doc_id,
+             CAST(SUM(ratio.delta_ppb) AS BIGINT) AS dsir_score
+      FROM feats fe JOIN ratio USING (f)
+      GROUP BY fe.doc_id
+    )
+    SELECT p.doc_id, d.source, p.dsir_score
+    FROM per_doc p JOIN documents d USING (doc_id)
+    ORDER BY p.dsir_score DESC, p.doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "curation", "dsir", "importance-sampling", "mixing"),
+)
+def curation_dsir_weights(spark, sf_dir):
+    """DSIR-shaped importance scoring (Xie et al. 2023: Data Selection
+    via Importance Resampling): hashed unigram features (md5 -> 512
+    buckets, identical hash both engines), a TARGET feature
+    distribution from the reference domain (deterministically the
+    lexicographically first source, standing in for "curated wiki"),
+    a RAW distribution from the whole pool, add-one smoothing over the
+    bucket space, and a per-document score summing the per-feature
+    (p_target - p_raw) mass in parts-per-billion — the fixed-point
+    linearization of the DSIR log-ratio (ordering-equivalent for the
+    resampling cut at small deviations, and bit-identical across
+    engines, which the float log-ratio could never be).  Emits the
+    top-20 most target-like documents.
+
+    Scale shape: the feature stats tables are <= 512 rows (broadcast);
+    the only |corpus|-sized shuffle is the per-doc score aggregation
+    keyed on doc_id.  This is the standard pretraining-data reweighting
+    step ahead of mix_sources_budget."""
+    d = table(spark, sf_dir, "documents")
+    ref = d.agg(F.min("source").alias("target_src"))
+    feats = (
+        d.select("doc_id", "source", F.explode(tokens("text")).alias("u"))
+        .select(
+            "doc_id",
+            "source",
+            (F.conv(F.substring(F.md5("u"), 1, 3), 16, 10).cast("int")
+             % _DSIR_B).alias("f"),
+        )
+    )
+    feats_t = feats.crossJoin(F.broadcast(ref)).filter(
+        F.col("source") == F.col("target_src")
+    )
+    tstat = feats_t.groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
+    rstat = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tot = feats_t.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
+        feats.agg(F.count(F.lit(1)).alias("rt"))
+    )
+    ratio = (
+        rstat.join(tstat, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.expr(
+                f"(COALESCE(tc, 0) + 1) * {_PPB} div (tt + {_DSIR_B})"
+                f" - (rc + 1) * {_PPB} div (rt + {_DSIR_B})"
+            ).alias("delta_ppb"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("delta_ppb").cast("bigint").alias("dsir_score"))
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "dsir_score")
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection + redaction
 # ---------------------------------------------------------------------------

@@ -605,3 +605,112 @@ def emb_matryoshka_truncation(spark, sf_dir):
         )
         .orderBy("r_full")
     )
+
+
+_HN_ANCHORS = 4  # vec_id 1.._HN_ANCHORS serve as anchors
+_HN_K = 3  # hard negatives kept per anchor
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS a_id, e AS ae,
+             list_sum(list_transform(generate_series(1, {_DIM}),
+                      i -> e[i] * e[i])) AS self_dot
+      FROM q WHERE vec_id BETWEEN 1 AND {_HN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.a_id, c.vec_id,
+             list_sum(list_transform(generate_series(1, {_DIM}),
+                      i -> c.e[i] * a.ae[i])) AS dot,
+             a.self_dot
+      FROM anchors a, q c
+      WHERE c.vec_id <> a.a_id
+    ),
+    banded AS (
+      -- exclude the positive band (near-duplicates of the anchor):
+      -- keep dot * 10 < self_dot * 9, i.e. dot < 0.9 x anchor norm^2
+      SELECT a_id, vec_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY dot DESC, vec_id) AS rk
+      FROM scored WHERE dot * 10 < self_dot * 9
+    )
+    SELECT a_id, vec_id AS negative_id, dot AS dot_fp, CAST(rk AS INT) AS rk
+    FROM banded WHERE rk <= {_HN_K}
+    ORDER BY a_id, rk
+    """,
+    tags=("llm", "similarity", "hard-negatives", "contrastive", "training-prep"),
+)
+def emb_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor vector, the top-k most similar vectors BELOW the
+    positive band (dot < 0.9 x the anchor's squared norm — near-dups
+    above the band are positives/duplicates, not negatives).  These
+    band-edge negatives are what make InfoNCE batches informative;
+    random negatives are trivially separable.  Exact integer dot
+    products (floor-scaled coordinates), per-anchor ranking under a
+    total order — bit-identical in the oracle.
+
+    Scale shape: the anchor block is a broadcast (anchors are a tiny
+    curated set or minibatch); scoring is map-side over the corpus;
+    the rank window is PARTITIONED by anchor.  For web-scale anchor
+    sets this composes with the IVF/LSH bucketing used by
+    emb_neardup_bucketed to cut the candidate space first."""
+    from pyspark.sql import Window
+
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("bigint")
+        ).alias("e"),
+    )
+    anchors = (
+        q.filter(F.col("vec_id").between(1, _HN_ANCHORS))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("e").alias("ae"),
+            F.expr(
+                "aggregate(zip_with(e, e, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("self_dot"),
+        )
+    )
+    scored = (
+        q.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(e, ae, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "self_dot",
+        )
+    )
+    banded = scored.filter(F.col("dot") * 10 < F.col("self_dot") * 9).select(
+        "a_id",
+        "vec_id",
+        "dot",
+        F.row_number()
+        .over(Window.partitionBy("a_id").orderBy(F.desc("dot"), F.asc("vec_id")))
+        .alias("rk"),
+    )
+    return (
+        banded.filter(F.col("rk") <= _HN_K)
+        .select(
+            "a_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("dot").alias("dot_fp"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("a_id", "rk")
+    )

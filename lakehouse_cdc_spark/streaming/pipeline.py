@@ -46,7 +46,7 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_cdc_spark.operators.dedup import latest_per_key
+from lakehouse_cdc_spark.operators.dedup import latest_per_key_bucketed
 
 
 def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sleep):
@@ -294,6 +294,7 @@ class SnapshotUpsertSink:
         n_buckets: int,
         batch_id: int,
         watermark=None,
+        schema_json: str | None = None,
     ) -> None:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
@@ -315,6 +316,12 @@ class SnapshotUpsertSink:
             # compares it against the timestamp column via Spark's
             # implicit string→timestamp cast
             new_manifest["gc_watermark"] = _iso_watermark(watermark)
+        if schema_json is not None:
+            # the union schema of the committed state: lets the next
+            # batch read its base buckets with an EXPLICIT schema (no
+            # mergeSchema footer-merge job).  Absent on legacy targets
+            # and after type conflicts — those stay on mergeSchema.
+            new_manifest["schema"] = schema_json
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
         # would leave the committed pointer describing the loser's map
@@ -528,67 +535,95 @@ class SnapshotUpsertSink:
         if watermark is not None:
             batch_df = batch_df.filter(F.col(self._order_key()) >= F.lit(watermark))
 
-        compacted = latest_per_key(batch_df, self.keys, self.order_by)
-        tagged = compacted.withColumn("__bucket", bucket)
+        # no batch pre-compaction: the merge below window-compacts the
+        # union anyway, so compacting the batch first would pay a whole
+        # extra shuffle+sort for rows the final window re-examines
+        tagged = batch_df.withColumn("__bucket", bucket)
         if legacy_base is not None:
-            tagged = latest_per_key(
-                legacy_base.withColumn("__bucket", bucket).unionByName(
-                    tagged, allowMissingColumns=True
-                ),
-                self.keys,
-                self.order_by,
+            tagged = legacy_base.withColumn("__bucket", bucket).unionByName(
+                tagged, allowMissingColumns=True
             )
-        # the batch pipeline feeds TWO actions (touched-bucket probe +
-        # snapshot write); persist so foreachBatch doesn't recompute the
-        # source read + window compaction per action
-        tagged = tagged.persist()
-        try:
-            touched = sorted(
-                r["__bucket"] for r in tagged.select("__bucket").distinct().collect()
+        # touched-bucket probe on the RAW batch, not the compacted
+        # pipeline: compaction keeps (at least) one row per key, so
+        # the raw batch's key-hash bucket set IS the compacted
+        # set — a narrow projection + partial-aggregated distinct
+        # costs a fraction of re-running the window compaction,
+        # which used to be a second action over the whole batch
+        # (and forced a persist).  The legacy-migration batch is
+        # the one exception: it must rewrite EVERY legacy bucket.
+        probe = (
+            legacy_base.withColumn("__bucket", bucket).unionByName(
+                batch_df.withColumn("__bucket", bucket),
+                allowMissingColumns=True,
             )
-            base_paths = [
-                self._bucket_path(manifest["buckets"][str(b)], b)
-                for b in touched
-                if str(b) in manifest["buckets"]
-            ]
-            if base_paths:
-                # allowMissingColumns = schema evolution: a batch may ADD
-                # columns (old state rows read NULL there) or arrive while
-                # historical state has columns the source dropped — both
-                # union into the superset schema, Iceberg-style
-                base = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*base_paths)
-                    .withColumn("__bucket", bucket)
-                )
-                merged = latest_per_key(
-                    base.unionByName(tagged, allowMissingColumns=True),
-                    self.keys,
-                    self.order_by,
+            if legacy_base is not None
+            else batch_df.withColumn("__bucket", bucket)
+        )
+        touched = sorted(
+            r["__bucket"]
+            for r in probe.select("__bucket").distinct().collect()
+        )
+        base_paths = [
+            self._bucket_path(manifest["buckets"][str(b)], b)
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        stored_schema = manifest.get("schema")
+        if base_paths:
+            # allowMissingColumns = schema evolution: a batch may ADD
+            # columns (old state rows read NULL there) or arrive while
+            # historical state has columns the source dropped — both
+            # union into the superset schema, Iceberg-style.  When the
+            # manifest carries the state's union schema, read with it
+            # EXPLICITLY (missing columns null-fill) instead of paying
+            # the mergeSchema footer-merge job every micro-batch.
+            if stored_schema is not None:
+                from pyspark.sql import types as T
+
+                reader = spark.read.schema(
+                    T.StructType.fromJson(json.loads(stored_schema))
                 )
             else:
-                merged = tagged
+                reader = spark.read.option("mergeSchema", "true")
+            base = reader.parquet(*base_paths).withColumn("__bucket", bucket)
+            unioned = base.unionByName(tagged, allowMissingColumns=True)
+        else:
+            unioned = tagged
+        # ONE bucket-aligned shuffle: compaction windows over
+        # (__bucket, keys) on data repartitioned by __bucket, and the
+        # partitionBy write then has each task producing exactly its
+        # own bucket directory (one file per bucket per snapshot)
+        merged = latest_per_key_bucketed(
+            unioned, self.keys, self.order_by, "__bucket", n_buckets
+        )
 
-            new_snap = (committed_snap if committed_snap is not None else -1) + 1
-            self._claim(new_snap, batch_id)  # writer fence, before any data
-            snap_dir = self._snapshot_path(new_snap)
-            # data first (always a fresh directory — never one being read);
-            # static overwrite truncates any orphan files a crashed attempt
-            # left, regardless of the session's partitionOverwriteMode
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("__bucket")
-                .parquet(snap_dir)
-            )
-        finally:
-            tagged.unpersist()
+        new_snap = (committed_snap if committed_snap is not None else -1) + 1
+        self._claim(new_snap, batch_id)  # writer fence, before any data
+        snap_dir = self._snapshot_path(new_snap)
+        # data first (always a fresh directory — never one being read);
+        # static overwrite truncates any orphan files a crashed attempt
+        # left, regardless of the session's partitionOverwriteMode
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("__bucket")
+            .parquet(snap_dir)
+        )
         # … then manifest (rewritten buckets point at new_snap, all
         # others keep their byte-identical files) + pointer
         new_buckets = dict(manifest["buckets"])
         for b in self._written_buckets(snap_dir):
             new_buckets[str(b)] = new_snap
-        self._commit(new_snap, new_buckets, n_buckets, batch_id, watermark)
+        if stored_schema is None and manifest["buckets"]:
+            # legacy target predating schema tracking: untouched buckets
+            # may hold columns no tracked commit ever saw — never start
+            # tracking mid-life, stay on the mergeSchema path
+            schema_json = None
+        else:
+            schema_json = _union_schema_json(stored_schema, merged.schema)
+        self._commit(
+            new_snap, new_buckets, n_buckets, batch_id, watermark, schema_json
+        )
 
     # -- metadata tables (S7: Iceberg .snapshots/.files equivalents) ----
     def snapshots_table(self, spark: SparkSession) -> DataFrame:
@@ -692,6 +727,7 @@ class SnapshotUpsertSink:
             manifest["n_buckets"],
             committed_batch,
             manifest.get("gc_watermark"),
+            manifest.get("schema"),  # compaction never changes the schema
         )
         return sorted(todo)
 
@@ -796,7 +832,12 @@ class SnapshotUpsertSink:
                     # bucket held nothing but expired tombstones
                     new_buckets.pop(str(b), None)
         self._commit(
-            new_snap, new_buckets, n_buckets, committed_batch, watermark
+            new_snap,
+            new_buckets,
+            n_buckets,
+            committed_batch,
+            watermark,
+            manifest.get("schema"),  # GC never changes the schema
         )
         return n_expired
 
@@ -815,6 +856,33 @@ def _iso_watermark(watermark):
             else watermark.isoformat()
         )
     return watermark
+
+
+def _union_schema_json(prev_json: str | None, new_schema) -> str | None:
+    """Union-by-name of the carried state schema and this commit's
+    written schema (minus the __bucket partition column), every field
+    forced nullable — the schema an explicit-schema read needs to
+    reproduce what ``mergeSchema=true`` would compute, without the
+    per-batch footer-merge job.  Returns None on a name→type conflict
+    (the caller then drops schema tracking and the reader falls back
+    to mergeSchema, which surfaces the conflict properly)."""
+    new_fields = {}
+    for f in new_schema.jsonValue()["fields"]:
+        if f["name"] == "__bucket":
+            continue
+        f = dict(f, nullable=True)
+        new_fields[f["name"]] = f
+    if prev_json is None:
+        return json.dumps({"type": "struct", "fields": list(new_fields.values())})
+    out, seen = [], set()
+    for f in json.loads(prev_json)["fields"]:
+        nf = new_fields.get(f["name"])
+        if nf is not None and nf["type"] != f["type"]:
+            return None
+        out.append(nf or f)
+        seen.add(f["name"])
+    out.extend(f for n, f in new_fields.items() if n not in seen)
+    return json.dumps({"type": "struct", "fields": out})
 
 
 def manifest_path(target_dir: str, snapshot: int) -> str:

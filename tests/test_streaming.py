@@ -192,19 +192,25 @@ def test_compact_buckets_preserves_state(spark, tmp_path):
         str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
     )
     schema = "id int, v string, operation string, seq int"
-    # many-partition batch → several part files per bucket dir (AQE's
-    # byte-based coalescing would fold this tiny fixture to one task,
-    # so pin it off for the ingest only — at real scale many tasks per
-    # bucket is the natural state this test simulates)
     big = spark.createDataFrame(
         [(i, f"v{i}", "u", 0) for i in range(64)], schema
-    ).repartition(8)
-    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
-    spark.conf.set(coalesce_conf, "false")
-    try:
-        sink.process_batch(big, 0)
-    finally:
-        spark.conf.set(coalesce_conf, "true")
+    )
+    sink.process_batch(big, 0)
+    # the bucket-aligned write produces ONE file per bucket per
+    # snapshot, so fragmentation must be simulated: rewrite bucket 0's
+    # dir as 4 part files, the layout a pre-alignment writer (or an
+    # external backfill tool) leaves behind
+    snap = sink.committed_snapshot()
+    manifest = sink._read_manifest(snap)
+    b0 = sink._bucket_path(int(manifest["buckets"]["0"]), 0)
+    frag_rows = spark.read.parquet(b0).collect()
+    frag_schema = spark.read.parquet(b0).schema
+    import shutil
+
+    shutil.rmtree(b0)
+    spark.createDataFrame(frag_rows, frag_schema).repartition(4).write.parquet(
+        b0
+    )
     before = {r.id: r.v for r in sink.current_table(spark).collect()}
     files0 = sink.files_table(spark).groupBy("bucket").count().collect()
     assert any(r["count"] > 2 for r in files0)
