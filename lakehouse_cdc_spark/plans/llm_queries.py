@@ -7,6 +7,7 @@ IVF-bucketed ANN, language-ID, quality scoring, fingerprinting.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.llm.dedup import (
@@ -575,6 +576,200 @@ def emb_neardup_bucketed(spark, sf_dir):
     return bucketed_cosine_pairs_blocked(emb, centroids, threshold=0.4, probes=2)
 
 
+@register(
+    "emb_ivf_recall_probe",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm
+          FROM n WHERE vec_id BETWEEN 3 AND 7),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({{dot_eq_eq}} / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6)
+                   DESC, e.vec_id ASC) AS rn
+        FROM n e, q) WHERE rn <= 10),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({{dot_ec}} / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM n e, c) WHERE rn = 1),
+    probe AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({{dot_cq}} / (sqrt(c.cnorm) * sqrt(q.qnorm)), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM c, q) WHERE rn <= 2),
+    cand AS (SELECT p.qid, a.vec_id
+             FROM assign a JOIN probe p ON a.cluster = p.cluster),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT cand.qid, cand.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 round({{dot_eq_eq}} / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6)
+                   DESC, cand.vec_id ASC) AS rn
+        FROM cand JOIN n e ON e.vec_id = cand.vec_id
+                  JOIN q ON q.qid = cand.qid) WHERE rn <= 10),
+    counts AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+               FROM cand GROUP BY qid),
+    hits AS (SELECT e.qid, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit
+             FROM exact e LEFT JOIN ivf i
+               ON e.qid = i.qid AND e.vec_id = i.vec_id
+             GROUP BY e.qid)
+    SELECT h.qid, counts.n_cand, h.n_hit,
+           CAST(h.n_hit * 10 AS BIGINT) AS recall_pct
+    FROM hits h JOIN counts USING (qid)
+    ORDER BY h.qid
+    """.format(
+        dot_eq_eq=_DOT_EQ.format(a="e.embedding", b="q.qemb"),
+        dot_ec=_DOT_EQ.format(a="e.embedding", b="c.cemb"),
+        dot_cq=_DOT_EQ.format(a="c.cemb", b="q.qemb"),
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "evaluation"),
+)
+def emb_ivf_recall_probe(spark, sf_dir):
+    """Recall@10 of the 2-probe IVF path against exact brute force,
+    per query — the evaluation loop every ANN deployment runs before
+    trusting the index: five query vectors (vec_id 3–7), each ranked
+    exactly over the whole corpus AND through the 8-centroid / 2-probe
+    IVF funnel, then scored by overlap.  ``n_cand`` is the candidate
+    count the IVF path actually scanned, so each row reads "recall_pct
+    recall for n_cand/N of the work" — the accuracy-vs-cost trade
+    quantified, same contract as emb_matryoshka_truncation for
+    dimension truncation.  All rankings use the rounded cosine with
+    vec_id tie-breaks, so the probe is deterministic and the oracle
+    replays it bit-for-bit.
+
+    Scale shape: queries and centroids broadcast (5 and 8 rows); the
+    corpus is scored map-side twice (exact ranking + assignment); the
+    per-qid rank windows partition on qid; candidate scoring touches
+    only the probed buckets.  At 100 TB the exact arm runs on a
+    SAMPLED query set (as here — 5 probes), never per production
+    query."""
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("__norm_sq").alias("cnorm"),
+    )
+    qs = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") <= 7)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("__norm_sq").alias("qnorm"),
+    )
+
+    def _cos(vec, norm, qvec, qnorm):
+        return F.round(
+            dot(vec.cast("array<double>"), qvec.cast("array<double>"))
+            / (F.sqrt(norm) * F.sqrt(qnorm)),
+            6,
+        )
+
+    w_q = Window.partitionBy("qid")
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            _cos(
+                F.col("embedding"), F.col("__norm_sq"),
+                F.col("qemb"), F.col("qnorm"),
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("cs"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            _cos(
+                F.col("embedding"), F.col("__norm_sq"),
+                F.col("cemb"), F.col("cnorm"),
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cs"), F.asc("cluster")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            F.col("cid").alias("cluster"),
+            _cos(
+                F.col("cemb"), F.col("cnorm"), F.col("qemb"), F.col("qnorm")
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("cs"), F.asc("cluster"))),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cluster")
+    )
+    cand = assign.join(F.broadcast(probe), "cluster").select("qid", "vec_id")
+    ivf = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            _cos(
+                F.col("embedding"), F.col("__norm_sq"),
+                F.col("qemb"), F.col("qnorm"),
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("cs"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    counts = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    hits = (
+        exact.alias("e")
+        .join(
+            ivf.alias("i"),
+            (F.col("e.qid") == F.col("i.qid"))
+            & (F.col("e.vec_id") == F.col("i.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.qid").alias("qid"))
+        .agg(F.count(F.col("i.vec_id")).cast("bigint").alias("n_hit"))
+    )
+    return (
+        hits.join(counts, "qid")
+        .select(
+            "qid",
+            "n_cand",
+            "n_hit",
+            (F.col("n_hit") * 10).cast("bigint").alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing
 # ---------------------------------------------------------------------------
@@ -717,6 +912,56 @@ def sample_stratified(spark, sf_dir):
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
+    )
+
+
+_WPS_K = 120
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, source, weight, priority FROM (
+      SELECT doc_id, source,
+             CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1) // GREATEST(n_chars, 1) AS priority
+      FROM documents)
+    ORDER BY priority, doc_id LIMIT {_WPS_K}
+    """,
+    tags=("llm", "sampling", "weighted", "priority"),
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted priority sampling (the Duffield–Lund–Thorup scheme
+    behind weighted SAMPLE clauses): each document draws a
+    deterministic pseudo-uniform 60-bit hash and competes with key
+    hash/weight — P(key below any threshold) is LINEAR in the weight,
+    so the k smallest keys form a without-replacement sample where
+    inclusion probability tracks document length (weight = n_chars).
+    Hash-seeded instead of rand(): the same {_WPS_K} docs win on any
+    engine, partitioning, or rerun, and membership is stable under
+    incremental ingest (new docs compete without reshuffling old
+    keys) — the property rand()-based weighted sampling cannot give.
+
+    Scale shape: key computation is map-side; the global top-k
+    compiles to TakeOrderedAndProject (per-partition heaps, no full
+    sort, no SinglePartition window) — same plan class as
+    topk_orders_global."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.greatest(F.col("n_chars"), F.lit(1))
+            .cast("bigint")
+            .alias("weight"),
+            F.expr(
+                "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+                "16, 10) AS BIGINT) + 1) div greatest(n_chars, 1)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_WPS_K)
     )
 
 
@@ -1013,6 +1258,62 @@ def text_chunk_windows(spark, sf_dir):
         F.posexplode(chunk_windows(F.col("text"), size=50, stride=25)).alias(
             "chunk_idx", "chunk"
         ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(F.split(F.col("chunk"), r"\s+")).cast("int").alias("n_chunk_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_chunk_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    sized AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - 50) / 25.0) AS INT) + 1, 1) AS n_chunks
+      FROM toks
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(t[chunk_idx * 25 + 1 : chunk_idx * 25 + 50]) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_idx * 25 + 1 : chunk_idx * 25 + 50], ' '))
+             AS chunk_md5
+    FROM idx
+    """,
+    tags=("llm", "text", "chunking", "udtf", "python"),
+)
+def text_chunk_udtf(spark, sf_dir):
+    """The SAME chunking contract as text_chunk_windows, served
+    through Spark 4's Python **user-defined table function** surface:
+    one text row in, n chunk rows out via SQL ``LATERAL``,
+    Arrow-optimized (plan shows ArrowEvalPythonUDTF — batched
+    transfer, not row-at-a-time).  Identical oracle as
+    text_chunk_windows, so the two implementations are proven
+    interchangeable — the expression path stays the default (JVM-side,
+    codegen), and this is the measured escape hatch a tokenizer-aware
+    or sentence-boundary chunker would extend (swap the eval body,
+    keep the query shape).  Completes the Python API surface next to
+    the custom data source (source_python_cdclog_*) and the Pandas-UDF
+    kernels (multimodal/ANN)."""
+    from lakehouse_cdc_spark.llm.udtf_chunker import register_chunker
+
+    name = register_chunker(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_chunk_docs")
+    chunks = spark.sql(
+        f"SELECT t.doc_id, c.chunk_idx, c.chunk "
+        f"FROM __udtf_chunk_docs t, LATERAL {name}(t.text, 50, 25) c"
     )
     return chunks.select(
         "doc_id",
