@@ -109,6 +109,16 @@ def main() -> None:
             keys=["user_id"],
             order_by=["ts", "event_id"],
         )
+        # record the sink's own per-phase timings per batch (set by
+        # process_batch) — locates fixed per-micro-batch overhead
+        timings: list[dict] = []
+        _orig_process = sink.process_batch
+
+        def _recording(df, bid):
+            _orig_process(df, bid)
+            timings.append(dict(sink.last_batch_timings, batch=bid))
+
+        sink.process_batch = _recording
         t1 = time.time()
         q = cdc_pipeline(stream, sink, os.path.join(work, "ckpt"))
         finished = q.awaitTermination(1800)
@@ -142,6 +152,18 @@ def main() -> None:
                     "micro_batches": n_batches,
                     "ingest_sec": round(ingest_s, 3),
                     "prep_sec": round(prep_s, 3),
+                    "phase_totals_sec": {
+                        k: round(sum(t[k] for t in timings), 3)
+                        for k in ("probe_s", "write_s", "commit_s")
+                    },
+                    "engine_overhead_sec": round(
+                        ingest_s
+                        - sum(
+                            t["probe_s"] + t["write_s"] + t["commit_s"]
+                            for t in timings
+                        ),
+                        3,
+                    ),
                     "verified": True,
                     "sf_dir": sf_dir,
                 }
