@@ -72,7 +72,11 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
             manifest_file = manifest_path(target_dir, v)
             if os.path.exists(manifest_file):
                 with open(manifest_file) as f:
-                    referenced.update(int(s) for s in json.load(f)["buckets"].values())
+                    m = json.load(f)
+                referenced.update(int(s) for s in m["buckets"].values())
+                # merge-on-read: unfolded delta dirs are live state of
+                # the retained snapshot — keep their v= dirs too
+                referenced.update(int(s) for s in m.get("deltas") or [])
         if referenced <= keep:
             break
         keep |= referenced

@@ -46,7 +46,10 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_cdc_spark.operators.dedup import latest_per_key_bucketed
+from lakehouse_cdc_spark.operators.dedup import (
+    latest_per_key,
+    latest_per_key_bucketed,
+)
 
 
 def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sleep):
@@ -106,11 +109,24 @@ class SnapshotUpsertSink:
         op_col: str = "operation",
         lineage: str | None = None,
         n_buckets: int = 16,
+        merge_on_read: bool = False,
+        fold_deltas_every: int | None = 8,
     ):
         self.target_dir = target_dir
         self.keys = keys
         self.order_by = order_by
         self.op_col = op_col
+        #: merge-on-read ingest (Hudi MOR / Iceberg merge-on-read
+        #: parity): process_batch appends the raw change batch as a
+        #: DELTA file set (zero shuffle, no base read — one tiny write
+        #: job per micro-batch) and readers compact base+deltas on the
+        #: fly; every ``fold_deltas_every`` commits the deltas are
+        #: folded into the bucketed base through the copy-on-write
+        #: merge.  Choose MOR for ingest-heavy tables (commit cost ~
+        #: O(batch)), COW (default) for read-heavy ones (reads stay
+        #: pre-compacted).
+        self.merge_on_read = merge_on_read
+        self.fold_deltas_every = fold_deltas_every
         #: identity of the checkpoint driving this sink.  The replay
         #: guard compares batch ids ONLY within the same lineage — a
         #: deleted/recreated checkpoint restarts batch numbering at 0,
@@ -295,6 +311,7 @@ class SnapshotUpsertSink:
         batch_id: int,
         watermark=None,
         schema_json: str | None = None,
+        deltas: list[int] | None = None,
     ) -> None:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
@@ -322,6 +339,11 @@ class SnapshotUpsertSink:
             # mergeSchema footer-merge job).  Absent on legacy targets
             # and after type conflicts — those stay on mergeSchema.
             new_manifest["schema"] = schema_json
+        if deltas:
+            # merge-on-read: snapshot numbers whose v=<s>/__delta dirs
+            # hold raw change batches not yet folded into the buckets;
+            # readers compact base+deltas, fold_deltas clears the list
+            new_manifest["deltas"] = deltas
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
         # would leave the committed pointer describing the loser's map
@@ -387,18 +409,24 @@ class SnapshotUpsertSink:
                 f"snapshot {snapshot} has no retained manifest "
                 f"(expired or never committed)"
             )
-        if not manifest["buckets"]:
+        deltas = manifest.get("deltas") or []
+        if not manifest["buckets"] and not deltas:
             return None
         paths = [
             self._bucket_path(at_snap, int(b))
             for b, at_snap in manifest["buckets"].items()
-        ]
+        ] + [self._delta_path(s) for s in deltas]
         missing = [p for p in paths if not os.path.isdir(p)]
         if missing:
             raise ValueError(
-                f"snapshot {snapshot} references expired bucket dirs: {missing}"
+                f"snapshot {snapshot} references expired data dirs: {missing}"
             )
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._state_reader(spark, manifest.get("schema")).parquet(*paths)
+        if deltas:
+            # merge-on-read: deltas hold raw (uncompacted) change rows —
+            # compact the union so the contract (one row per key) holds
+            df = latest_per_key(df, self.keys, self.order_by)
+        return df
 
     def rollback_to(self, snapshot: int) -> None:
         """Move the commit pointer back to a retained snapshot
@@ -423,6 +451,12 @@ class SnapshotUpsertSink:
                     raise ValueError(
                         f"snapshot {snapshot} is not fully retained "
                         f"(bucket {b} expired)"
+                    )
+            for s in manifest.get("deltas") or []:
+                if not os.path.isdir(self._delta_path(s)):
+                    raise ValueError(
+                        f"snapshot {snapshot} is not fully retained "
+                        f"(delta {s} expired)"
                     )
         cur_lineage, committed_batch, cur_snap = self.committed()
         if cur_snap is None:
@@ -472,16 +506,23 @@ class SnapshotUpsertSink:
                 )
             # pre-manifest layout: whole-snapshot dir
             return spark.read.parquet(self._snapshot_path(snap))
-        if not manifest["buckets"]:
+        deltas = manifest.get("deltas") or []
+        if not manifest["buckets"] and not deltas:
             return None
         paths = [
             self._bucket_path(at_snap, int(b))
             for b, at_snap in manifest["buckets"].items()
-        ]
-        # mergeSchema: buckets evolve independently (a batch adding a
-        # column only rewrites ITS buckets), so the state schema is the
-        # union of all live bucket schemas — footer-only cost
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        ] + [self._delta_path(s) for s in deltas]
+        # manifest-tracked union schema when available; else mergeSchema
+        # (buckets evolve independently — a batch adding a column only
+        # rewrites ITS buckets, so the state schema is the union of all
+        # live bucket schemas, footer-only cost)
+        df = self._state_reader(spark, manifest.get("schema")).parquet(*paths)
+        if deltas:
+            # merge-on-read: compact base+deltas on the fly (the read
+            # cost MOR trades for its O(batch) ingest commits)
+            df = latest_per_key(df, self.keys, self.order_by)
+        return df
 
     def current_table(self, spark: SparkSession) -> DataFrame | None:
         """The user-visible table: tombstones filtered out."""
@@ -492,18 +533,27 @@ class SnapshotUpsertSink:
 
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Merge one micro-batch into state, touching only the key-hash
-        buckets the batch's keys land in:
+        """Merge one micro-batch into state.
 
-        1. compact the batch (last change per key),
-        2. read base state for the TOUCHED buckets only,
-        3. union + window-compact, write those buckets under a fresh
+        Copy-on-write (default): touch only the key-hash buckets the
+        batch's keys land in —
+
+        1. read base state for the TOUCHED buckets only,
+        2. union + window-compact, write those buckets under a fresh
            ``v=<snap>`` dir (never a dir being read — crash-safe),
-        4. commit manifest (untouched buckets keep their old paths)
+        3. commit manifest (untouched buckets keep their old paths)
            then pointer, atomically.
 
         Per-batch cost is O(touched buckets × bucket size); untouched
-        bucket files are untouched bytes on disk."""
+        bucket files are untouched bytes on disk.
+
+        Merge-on-read (``merge_on_read=True``): append the raw batch as
+        a DELTA file set under ``v=<snap>/__delta`` — zero shuffle, no
+        base read, one write job — and let readers compact base+deltas;
+        every ``fold_deltas_every`` commits the pending deltas fold
+        into the buckets via the same copy-on-write merge.  Per-batch
+        cost is O(batch) regardless of state size — the ingest-heavy
+        posture (Hudi MOR parity)."""
         lineage, committed_batch, committed_snap = self.committed()
         if (
             committed_batch is not None
@@ -525,8 +575,6 @@ class SnapshotUpsertSink:
             legacy_base = spark.read.parquet(self._snapshot_path(committed_snap))
         if manifest is None:
             manifest = {"n_buckets": self.n_buckets, "buckets": {}}
-        n_buckets = manifest["n_buckets"]
-        bucket = self._bucket_col(n_buckets)
 
         # late-data floor: once tombstones older than the GC watermark
         # are gone, changes older than it MUST be dropped — otherwise a
@@ -535,6 +583,47 @@ class SnapshotUpsertSink:
         if watermark is not None:
             batch_df = batch_df.filter(F.col(self._order_key()) >= F.lit(watermark))
 
+        if self.merge_on_read and legacy_base is None:
+            n_pending = self._append_delta(
+                spark, batch_df, manifest, committed_snap, batch_id, watermark
+            )
+            if self.fold_deltas_every and n_pending >= self.fold_deltas_every:
+                self.fold_deltas(spark)
+            return
+        if manifest.get("deltas"):
+            # a copy-on-write batch over pending deltas (sink reopened
+            # with merge_on_read=False, or the legacy-migration path):
+            # fold first so the merge below sees a fully-bucketed base
+            self.fold_deltas(spark)
+            lineage, committed_batch, committed_snap = self.committed()
+            manifest = self._read_manifest(committed_snap)
+        self._merge_into_buckets(
+            spark,
+            batch_df,
+            manifest,
+            committed_snap,
+            commit_batch_id=batch_id,
+            claim_batch_id=batch_id,
+            watermark=watermark,
+            legacy_base=legacy_base,
+        )
+
+    def _merge_into_buckets(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        manifest: dict,
+        committed_snap: int | None,
+        commit_batch_id: int,
+        claim_batch_id: int | None,
+        watermark,
+        legacy_base: DataFrame | None = None,
+    ) -> None:
+        """The copy-on-write merge body, shared by process_batch (live
+        batches claim with their batch id) and fold_deltas (maintenance
+        claim, batch_id=None, commit preserves the last batch id)."""
+        n_buckets = manifest["n_buckets"]
+        bucket = self._bucket_col(n_buckets)
         # no batch pre-compaction: the merge below window-compacts the
         # union anyway, so compacting the batch first would pay a whole
         # extra shuffle+sort for rows the final window re-examines
@@ -614,7 +703,7 @@ class SnapshotUpsertSink:
             )
 
             new_snap = (committed_snap if committed_snap is not None else -1) + 1
-            self._claim(new_snap, batch_id)  # writer fence, before any data
+            self._claim(new_snap, claim_batch_id)  # writer fence, before data
             snap_dir = self._snapshot_path(new_snap)
             # data first (always a fresh directory — never one being
             # read); static overwrite truncates any orphan files a
@@ -648,8 +737,16 @@ class SnapshotUpsertSink:
             schema_json = None
         else:
             schema_json = _union_schema_json(stored_schema, merged.schema)
+        # deltas intentionally omitted: a bucket merge consumes any
+        # pending deltas (fold_deltas routes here), so the new manifest
+        # starts with an empty delta list
         self._commit(
-            new_snap, new_buckets, n_buckets, batch_id, watermark, schema_json
+            new_snap,
+            new_buckets,
+            n_buckets,
+            commit_batch_id,
+            watermark,
+            schema_json,
         )
         # per-phase wall clock of the LAST committed batch — the sink's
         # own latency breakdown (T8 observability; tools/stream_bench.py
@@ -660,6 +757,111 @@ class SnapshotUpsertSink:
             "commit_s": round(time.time() - t_write, 4),
             "n_touched": len(touched),
         }
+
+    # -- merge-on-read deltas -------------------------------------------
+    def _delta_path(self, snapshot: int) -> str:
+        return os.path.join(self._snapshot_path(snapshot), "__delta")
+
+    def pending_deltas(self) -> list[int]:
+        """Snapshot numbers of committed-but-unfolded MOR deltas."""
+        manifest = self._read_manifest(self.committed_snapshot())
+        return list((manifest or {}).get("deltas") or [])
+
+    def _state_reader(self, spark: SparkSession, stored_schema: str | None):
+        """Reader for committed state files: the manifest-carried union
+        schema when tracked (missing columns null-fill, no footer-merge
+        job), mergeSchema otherwise (legacy / post-type-conflict)."""
+        if stored_schema is not None:
+            from pyspark.sql import types as T
+
+            return spark.read.schema(
+                T.StructType.fromJson(json.loads(stored_schema))
+            )
+        return spark.read.option("mergeSchema", "true")
+
+    def _append_delta(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        manifest: dict,
+        committed_snap: int | None,
+        batch_id: int,
+        watermark,
+    ) -> int:
+        """The merge-on-read fast path: write the raw change batch to
+        ``v=<snap>/__delta`` — ONE job, zero shuffle, no base read —
+        and commit a manifest whose bucket map is unchanged and whose
+        delta list grows by this snapshot.  Crash/replay safety is the
+        same claim-fence + manifest-then-pointer protocol as the
+        bucketed write (a replayed batch deterministically rewrites the
+        same delta dir).  Returns the number of pending deltas after
+        this commit."""
+        t0 = time.time()
+        new_snap = (committed_snap if committed_snap is not None else -1) + 1
+        self._claim(new_snap, batch_id)  # writer fence, before any data
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .option(
+                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
+                )
+                .parquet(self._delta_path(new_snap))
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        t_write = time.time()
+        stored_schema = manifest.get("schema")
+        if stored_schema is None and manifest["buckets"]:
+            schema_json = None  # legacy target: stay on mergeSchema
+        else:
+            schema_json = _union_schema_json(stored_schema, batch_df.schema)
+        deltas = list(manifest.get("deltas") or []) + [new_snap]
+        self._commit(
+            new_snap,
+            dict(manifest["buckets"]),
+            manifest["n_buckets"],
+            batch_id,
+            watermark,
+            schema_json,
+            deltas,
+        )
+        self.last_batch_timings = {
+            "probe_s": 0.0,
+            "write_s": round(t_write - t0, 4),
+            "commit_s": round(time.time() - t_write, 4),
+            "n_touched": 0,
+        }
+        return len(deltas)
+
+    def fold_deltas(self, spark: SparkSession) -> int:
+        """Fold every pending MOR delta into the bucketed base through
+        the copy-on-write merge (maintenance-style claim, preserved
+        batch id), clearing the manifest's delta list — after this,
+        reads are pre-compacted again and the superseded delta dirs
+        become expire_snapshots fodder.  Returns the number of delta
+        commits folded.  Cost is one COW merge over the UNION of the
+        pending batches — the amortization that makes MOR ingest
+        O(batch) per commit instead of O(touched state)."""
+        lineage, committed_batch, committed_snap = self.committed()
+        manifest = self._read_manifest(committed_snap)
+        deltas = (manifest or {}).get("deltas") or []
+        if not deltas:
+            return 0
+        delta_df = self._state_reader(spark, manifest.get("schema")).parquet(
+            *[self._delta_path(s) for s in deltas]
+        )
+        self._merge_into_buckets(
+            spark,
+            delta_df,
+            manifest,
+            committed_snap,
+            commit_batch_id=committed_batch,
+            claim_batch_id=None,  # maintenance claim, never a live batch
+            watermark=manifest.get("gc_watermark"),
+        )
+        return len(deltas)
 
     # -- metadata tables (S7: Iceberg .snapshots/.files equivalents) ----
     def snapshots_table(self, spark: SparkSession) -> DataFrame:
@@ -710,6 +912,14 @@ class SnapshotUpsertSink:
                 if fn.endswith(".parquet"):
                     p = os.path.join(bdir, fn)
                     rows.append((int(b), snap, p, os.path.getsize(p)))
+        # merge-on-read deltas are live state too: bucket=NULL (a delta
+        # file holds rows of ANY bucket until fold_deltas sorts them)
+        for snap in (manifest or {}).get("deltas") or []:
+            ddir = self._delta_path(snap)
+            for fn in sorted(os.listdir(ddir)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(ddir, fn)
+                    rows.append((None, snap, p, os.path.getsize(p)))
         return spark.createDataFrame(
             rows, "bucket int, snapshot int, path string, size_bytes long"
         )
@@ -728,6 +938,11 @@ class SnapshotUpsertSink:
         The rewrite preserves rows bit-for-bit (coalesce, no merge
         logic) — state equality is asserted by tests, and
         expire_snapshots later reclaims the superseded files."""
+        if self.pending_deltas():
+            # fold MOR deltas first: compaction reasons over the bucket
+            # map alone, and folding is itself the best "compaction" of
+            # delta files
+            self.fold_deltas(spark)
         lineage, committed_batch, committed_snap = self.committed()
         manifest = self._read_manifest(committed_snap)
         if manifest is None or not manifest["buckets"]:
@@ -799,6 +1014,11 @@ class SnapshotUpsertSink:
         # TypeError.  ISO timestamps compare correctly lexicographically,
         # so all monotonicity checks run string-vs-string.
         watermark = _iso_watermark(watermark)
+        if self.pending_deltas():
+            # fold MOR deltas first: GC rewrites buckets, and a
+            # tombstone still sitting in a delta file would survive a
+            # bucket rewrite and resurrect on the compacted read path
+            self.fold_deltas(spark)
         lineage, committed_batch, committed_snap = self.committed()
         manifest = self._read_manifest(committed_snap)
         if manifest is None or not manifest["buckets"]:

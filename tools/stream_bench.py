@@ -128,7 +128,6 @@ def main() -> None:
             raise RuntimeError("stream did not drain in 1800s")
 
         # verify: sink state must equal batch last-write-wins compaction
-        got = sink.current_table(spark).select("user_id", "event_id")
         expected = (
             latest_per_key(
                 table(spark, sf_dir, "events").withColumn("operation", op_col()),
@@ -138,9 +137,42 @@ def main() -> None:
             .filter(F.col("operation") != "d")
             .select("user_id", "event_id")
         )
-        diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
-        if diff:
-            raise RuntimeError(f"sink state diverges from batch by {diff} rows")
+
+        def _verify(s, label):
+            got = s.current_table(spark).select("user_id", "event_id")
+            diff = (
+                got.exceptAll(expected).count()
+                + expected.exceptAll(got).count()
+            )
+            if diff:
+                raise RuntimeError(
+                    f"{label} sink diverges from batch by {diff} rows"
+                )
+
+        _verify(sink, "cow")
+
+        # -- merge-on-read replay: same change log, delta-append commits
+        # (fold every 4 batches — fold cost is INSIDE the measured
+        # window, so the number includes the amortized merge)
+        mor_sink = SnapshotUpsertSink(
+            os.path.join(work, "target_mor"),
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+            merge_on_read=True,
+            fold_deltas_every=4,
+        )
+        t2 = time.time()
+        q2 = cdc_pipeline(
+            file_cdc_source(spark, flat, schema, max_files_per_trigger=1),
+            mor_sink,
+            os.path.join(work, "ckpt_mor"),
+        )
+        if not q2.awaitTermination(1800):
+            q2.stop()
+            raise RuntimeError("MOR stream did not drain in 1800s")
+        mor_sink.fold_deltas(spark)  # leave the table read-optimized
+        mor_s = time.time() - t2
+        _verify(mor_sink, "mor")
 
         print(
             json.dumps(
@@ -164,6 +196,8 @@ def main() -> None:
                         ),
                         3,
                     ),
+                    "mor_rows_per_sec": round(n_rows / mor_s, 1),
+                    "mor_ingest_sec": round(mor_s, 3),
                     "verified": True,
                     "sf_dir": sf_dir,
                 }
