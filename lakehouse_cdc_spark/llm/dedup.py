@@ -108,6 +108,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold_permille: int = 800,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment |A∩B| / |A| ≥ threshold — the
+    asymmetric companion to Jaccard that symmetric scores miss: a
+    short document wholly embedded in a long one has tiny Jaccard (the
+    union is dominated by B) but containment(A→B) ≈ 1.  This is
+    Broder's containment coefficient, the quote/mirror/sub-document
+    detector every crawl-dedup stack runs next to resemblance.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (one shingle
+    explosion, self-equi-join on the DF-capped shingle space, both
+    directions of each co-shingled pair emitted), and the score is
+    exact integer permille — engine-identical, no float thresholds.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
+    sized = sh.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sized.select(
+        F.col(id_col).alias("da"), "shingle", F.col("__n").alias("na")
+    )
+    b = sized.select(F.col(id_col).alias("db"), "shingle")
+    return (
+        a.join(b, on="shingle")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db", "na")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment_permille",
+            F.expr("inter * 1000 div na").cast("bigint"),
+        )
+        .filter(F.col("containment_permille") >= threshold_permille)
+        .select(
+            "da",
+            "db",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("inter").cast("bigint").alias("inter"),
+            "containment_permille",
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 8,

@@ -761,3 +761,241 @@ def er_agreement_patterns(spark, sf_dir):
         )
         .orderBy("name_band", "bal_agree", "nat_agree")
     )
+
+
+# -- unsupervised Fellegi–Sunter: EM parameter estimation -------------------
+
+_EM_INIT = {"m": 900_000, "u": 100_000, "lam": 10_000}  # ppm priors
+
+
+def _em_iter_sql(i: int) -> str:
+    """One EM iteration as CTE text: p{i-1} (m1,u1,m2,u2,m3,u3,lam) ×
+    cells (a1,a2,a3,n) → p{i}.  All arithmetic integer ppm."""
+    prev, s, w, cur = f"p{i-1}", f"s{i}", f"w{i}", f"p{i}"
+
+    def prod(p):
+        return (
+            f"((CASE WHEN a1 = 1 THEN {p}1 ELSE 1000000 - {p}1 END)"
+            f" * (CASE WHEN a2 = 1 THEN {p}2 ELSE 1000000 - {p}2 END)"
+            f" // 1000000)"
+            f" * (CASE WHEN a3 = 1 THEN {p}3 ELSE 1000000 - {p}3 END)"
+            f" // 1000000"
+        )
+
+    m_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN a{j} = 1 THEN n * w ELSE 0 END) * 1000000"
+        f" // GREATEST(SUM(n * w), 1) AS BIGINT) AS m{j}"
+        for j in (1, 2, 3)
+    )
+    u_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN a{j} = 1 THEN n * (1000000 - w) ELSE 0 END)"
+        f" * 1000000 // GREATEST(SUM(n * (1000000 - w)), 1) AS BIGINT)"
+        f" AS u{j}"
+        for j in (1, 2, 3)
+    )
+    return f"""
+    {s} AS (
+      SELECT c.a1, c.a2, c.a3, c.n,
+             {prod('m')} AS mg, {prod('u')} AS ug, lam
+      FROM cells c, {prev}
+    ),
+    {w} AS (
+      SELECT a1, a2, a3, n,
+             (lam * mg) // GREATEST(
+               (lam * mg + (1000000 - lam) * ug) // 1000000, 1) AS w
+      FROM {s}
+    ),
+    {cur} AS (
+      SELECT {m_cols}, {u_cols},
+             CAST(SUM(n * w) // GREATEST(SUM(n), 1) AS BIGINT) AS lam
+      FROM {w}
+    )"""
+
+
+def _em_iter_spark(cells, params):
+    """The Spark mirror of one EM iteration (tiny DFs: ≤16 cells × a
+    broadcast 1-row parameter vector)."""
+
+    def prod(p):
+        return F.expr(
+            f"((CASE WHEN a1 = 1 THEN {p}1 ELSE 1000000 - {p}1 END)"
+            f" * (CASE WHEN a2 = 1 THEN {p}2 ELSE 1000000 - {p}2 END)"
+            f" div 1000000)"
+            f" * (CASE WHEN a3 = 1 THEN {p}3 ELSE 1000000 - {p}3 END)"
+            f" div 1000000"
+        )
+
+    scored = cells.crossJoin(F.broadcast(params)).select(
+        "a1",
+        "a2",
+        "a3",
+        "n",
+        prod("m").alias("mg"),
+        prod("u").alias("ug"),
+        "lam",
+    )
+    weighted = scored.select(
+        "a1",
+        "a2",
+        "a3",
+        "n",
+        F.expr(
+            "(lam * mg) div greatest("
+            "(lam * mg + (1000000 - lam) * ug) div 1000000, 1)"
+        ).alias("w"),
+    )
+    aggs = (
+        [
+            F.expr(
+                f"CAST(sum(CASE WHEN a{j} = 1 THEN n * w ELSE 0 END)"
+                f" * 1000000 div greatest(sum(n * w), 1) AS BIGINT)"
+            ).alias(f"m{j}")
+            for j in (1, 2, 3)
+        ]
+        + [
+            F.expr(
+                f"CAST(sum(CASE WHEN a{j} = 1 THEN n * (1000000 - w)"
+                f" ELSE 0 END) * 1000000"
+                f" div greatest(sum(n * (1000000 - w)), 1) AS BIGINT)"
+            ).alias(f"u{j}")
+            for j in (1, 2, 3)
+        ]
+        + [
+            F.expr(
+                "CAST(sum(n * w) div greatest(sum(n), 1) AS BIGINT)"
+            ).alias("lam")
+        ]
+    )
+    return weighted.agg(*aggs)
+
+
+@register(
+    "er_em_weight_estimation",
+    oracle=f"""
+    WITH params AS (
+      SELECT {_tail_digits_sql('COUNT(*)')} AS k FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS dk, {_DIRTY_SQL} AS dname,
+             CAST(floor(c_acctbal) AS BIGINT) AS dbal,
+             c_nationkey AS dnat,
+             right({_DIRTY_SQL}, (SELECT k FROM params)) AS blk
+      FROM customer
+    ),
+    clean AS (
+      SELECT c_custkey AS ck, c_name AS cname,
+             CAST(floor(c_acctbal) AS BIGINT) AS cbal,
+             c_nationkey AS cnat,
+             right(c_name, (SELECT k FROM params)) AS blk
+      FROM customer
+    ),
+    pairs AS (
+      SELECT LEAST(CAST(levenshtein(d.dname, c.cname) AS INT), 3)
+               AS name_band,
+             CAST(d.dbal = c.cbal AS INT) AS bal_agree,
+             CAST(d.dnat = c.cnat AS INT) AS nat_agree
+      FROM dirty d JOIN clean c USING (blk)
+      WHERE abs(length(d.dname) - length(c.cname)) <= 2
+    ),
+    cells AS (
+      SELECT CAST(name_band = 0 AS INT) AS a1,
+             bal_agree AS a2, nat_agree AS a3,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    p0 AS (
+      SELECT CAST({_EM_INIT['m']} AS BIGINT) AS m1,
+             CAST({_EM_INIT['u']} AS BIGINT) AS u1,
+             CAST({_EM_INIT['m']} AS BIGINT) AS m2,
+             CAST({_EM_INIT['u']} AS BIGINT) AS u2,
+             CAST({_EM_INIT['m']} AS BIGINT) AS m3,
+             CAST({_EM_INIT['u']} AS BIGINT) AS u3,
+             CAST({_EM_INIT['lam']} AS BIGINT) AS lam
+    ),{_em_iter_sql(1)},{_em_iter_sql(2)}
+    SELECT lam AS lambda_ppm,
+           m1 AS m_name_ppm, u1 AS u_name_ppm,
+           m2 AS m_bal_ppm, u2 AS u_bal_ppm,
+           m3 AS m_nat_ppm, u3 AS u_nat_ppm
+    FROM p2
+    """,
+    tags=("er", "fellegi-sunter", "em", "linkage"),
+)
+def er_em_weight_estimation(spark, sf_dir):
+    """UNSUPERVISED Fellegi–Sunter parameter estimation — the EM loop
+    er_agreement_patterns deliberately left out (its m/u came from the
+    fixture's ground-truth labels; production linkage has none): two
+    EM iterations over the agreement-pattern cells under the standard
+    conditional-independence model, starting from the textbook priors
+    (m=0.9, u=0.1, λ=0.01).  E-step: per-pattern posterior match
+    probability w_γ = λm_γ / (λm_γ + (1-λ)u_γ) with naive-Bayes
+    per-field products; M-step: re-estimate each field's m, u and the
+    prevalence λ from the n_γ-weighted posteriors.  EVERY step is
+    integer ppm arithmetic (products rescaled by 10^6 after each
+    multiply), so both engines walk the exact same EM trajectory —
+    no float likelihoods to drift.
+
+    Scale shape: the blocked candidate join is the same O(N·const)
+    pair generator as the rest of the ER family; everything after is
+    a ≤16-row cell table — EM itself costs nothing at any scale.
+    The ppm sums stay in int64 up to ~10^12 candidate pairs; beyond
+    that, rescale the weights to per-mille.  Output: one row of
+    estimated (λ, m_j, u_j) — the weights a production linker would
+    then score er_blocked_fuzzy_match's pairs with."""
+    c = table(spark, sf_dir, "customer")
+    k = _tail_digits(c.count())
+    dirty = c.select(
+        F.col("c_custkey").alias("dk"),
+        _dirty_name().alias("dname"),
+        F.floor("c_acctbal").cast("bigint").alias("dbal"),
+        F.col("c_nationkey").alias("dnat"),
+    ).withColumn("blk", F.expr(f"right(dname, {k})"))
+    clean = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("cname"),
+        F.floor("c_acctbal").cast("bigint").alias("cbal"),
+        F.col("c_nationkey").alias("cnat"),
+        F.expr(f"right(c_name, {k})").alias("blk"),
+    )
+    pairs = (
+        dirty.join(clean, "blk")
+        .filter(F.abs(F.length("dname") - F.length("cname")) <= 2)
+        .select(
+            F.least(
+                F.when(F.levenshtein("dname", "cname", 3) < 0, 3).otherwise(
+                    F.levenshtein("dname", "cname", 3)
+                ),
+                F.lit(3),
+            )
+            .cast("int")
+            .alias("name_band"),
+            (F.col("dbal") == F.col("cbal")).cast("int").alias("bal_agree"),
+            (F.col("dnat") == F.col("cnat")).cast("int").alias("nat_agree"),
+        )
+    )
+    cells = pairs.groupBy(
+        (F.col("name_band") == 0).cast("int").alias("a1"),
+        F.col("bal_agree").alias("a2"),
+        F.col("nat_agree").alias("a3"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    params = spark.range(1).select(
+        *[
+            F.lit(_EM_INIT["m"]).cast("bigint").alias(f"m{j}")
+            for j in (1, 2, 3)
+        ],
+        *[
+            F.lit(_EM_INIT["u"]).cast("bigint").alias(f"u{j}")
+            for j in (1, 2, 3)
+        ],
+        F.lit(_EM_INIT["lam"]).cast("bigint").alias("lam"),
+    )
+    for _ in range(2):
+        params = _em_iter_spark(cells, params)
+    return params.select(
+        F.col("lam").alias("lambda_ppm"),
+        F.col("m1").alias("m_name_ppm"),
+        F.col("u1").alias("u_name_ppm"),
+        F.col("m2").alias("m_bal_ppm"),
+        F.col("u2").alias("u_bal_ppm"),
+        F.col("m3").alias("m_nat_ppm"),
+        F.col("u3").alias("u_nat_ppm"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.llm.dedup import (
     _bit_vote_sql,
+    containment_pairs,
     fingerprint_min_k,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -198,6 +199,53 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(
         table(spark, sf_dir, "documents"),
         threshold=0.5,
+        max_shingle_freq=_JACCARD_MAX_DF,
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SH_CTE},
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh) WHERE df <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db, CAST(sa.n AS BIGINT) AS n_a,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(inter * 1000 // sa.n AS BIGINT) AS containment_permille
+    FROM pairs JOIN sizes sa ON pairs.da = sa.doc_id
+    WHERE inter * 1000 // sa.n >= 800
+    """,
+    tags=("llm", "dedup", "neardup", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directional shingle containment ≥ 80%: |A∩B| / |A| on the same
+    DF-capped 3-gram space as dedup_ngram_jaccard — Broder's
+    containment coefficient, which catches the case resemblance
+    structurally cannot: a short document wholly EMBEDDED in a longer
+    one (quote farms, mirrors with boilerplate, sub-document
+    plagiarism) scores ~1000 permille here while its Jaccard stays far
+    below any dedup threshold because the union is dominated by the
+    host document.  Directional output: (A⊂B) and (B⊂A) are different
+    rows, which is exactly what a keep-the-superset dedup rule needs.
+    Exact integer permille score — no float threshold drift.
+
+    Scale shape: identical to the Jaccard path — one shingle
+    explosion, DF-cap, |postings|-shaped self-equi-join; the score
+    adds zero extra shuffles (sizes ride the shingle rows)."""
+    return containment_pairs(
+        table(spark, sf_dir, "documents"),
+        threshold_permille=800,
         max_shingle_freq=_JACCARD_MAX_DF,
     )
 

@@ -225,6 +225,61 @@ def test_mor_schema_evolution_across_deltas(spark, tmp_path):
     assert rows[1].note is None and rows[2].note == "extra"
 
 
+def test_mor_cdc_pipeline_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The full streaming path (file source → checkpointed foreachBatch
+    → MOR sink with auto-fold) must land on the batch-computed
+    last-write-wins state — the same differential check as the COW
+    pipeline e2e, through the delta commit path."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_cdc_spark.operators.dedup import latest_per_key
+    from lakehouse_cdc_spark.plans.registry import table
+    from lakehouse_cdc_spark.streaming import cdc_pipeline, file_cdc_source
+
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    e = table(spark, sf_dir, "events").withColumn("operation", op).limit(600)
+    src = str(tmp_path / "changes")
+    # 3 files → 3 micro-batches (LWW over a total order_by makes the
+    # final state independent of how changes split across batches)
+    e.repartition(3).write.parquet(src)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for root, _, files in sorted(os.walk(src)):
+        for f_ in sorted(files):
+            if f_.endswith(".parquet"):
+                os.link(os.path.join(root, f_), os.path.join(flat, f"{i}.pq"))
+                i += 1
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "target"),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        merge_on_read=True,
+        fold_deltas_every=2,
+    )
+    q = cdc_pipeline(
+        file_cdc_source(spark, flat, e.schema, max_files_per_trigger=1),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    got = {
+        (r.user_id, r.event_id)
+        for r in sink.current_table(spark).select("user_id", "event_id").collect()
+    }
+    expected = {
+        (r.user_id, r.event_id)
+        for r in latest_per_key(e, ["user_id"], ["ts", "event_id"])
+        .filter(F.col("operation") != "d")
+        .collect()
+    }
+    assert got == expected
+
+
 def test_mor_recover_interrupted_delta_write(spark, tmp_path):
     """A claim with a half-written delta dir but no manifest rolls
     BACK (data never committed); with a manifest it rolls FORWARD."""
