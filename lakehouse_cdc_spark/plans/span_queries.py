@@ -158,6 +158,7 @@ _ES_H_SPARK = (
 
 @register(
     "dedup_exact_substring_spans",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -225,9 +226,14 @@ def dedup_exact_substring_spans(spark, sf_dir):
         F.explode(F.sequence(F.lit(1), F.size("t") - (_ES_K - 1))).alias("p"),
     )
     grams = pos.select("doc_id", "p", F.expr(_ES_H_SPARK).alias("h"))
-    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # ONE |grams| shuffle: the corpus-wide occurrence count rides a
+    # window over h (same pattern as the winnowing df-cap) — a
+    # groupBy+join-back would shuffle the gram table twice
     dup = (
-        grams.join(freq.filter(F.col("c") >= 2), "h")
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__c") >= 2)
         .select("doc_id", "p")
     )
     w_prev = (
@@ -344,8 +350,13 @@ def dedup_substring_residual(spark, sf_dir):
         F.explode(F.sequence(F.lit(1), F.size("t") - (_ES_K - 1))).alias("p"),
     )
     grams = pos.select("doc_id", "p", F.expr(_ES_H_SPARK).alias("h"))
-    freq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    dup = grams.join(freq.filter(F.col("c") >= 2), "h").select("doc_id", "p")
+    dup = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__c") >= 2)
+        .select("doc_id", "p")
+    )
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")
