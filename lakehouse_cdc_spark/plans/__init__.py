@@ -39,10 +39,11 @@ from lakehouse_cdc_spark.plans import semantics_queries  # noqa: E402,F401
 # least one oracle-backed representative of EVERY query family (tpch,
 # joins incl. asof/range/lateral/skew, aggregates incl. the
 # tolerance-flagged approx sketches, windows, set ops, scalars incl.
-# VARIANT, cdc, streaming windows, llm dedup, ANN, multimodal decode,
-# text analysis, tokenizer, validation, sketches, ER, graph, spatial,
-# time series, and the custom Python data source).  Everything else
-# keeps its registration order.
+# VARIANT, cdc, streaming windows, llm dedup incl. exact-substring
+# spans, ANN incl. the IVF recall probe, multimodal decode, text
+# analysis, tokenizer, the Python UDTF chunker, validation, sketches,
+# ER, graph, spatial, time series, and the custom Python data
+# source).  Everything else keeps its registration order.
 _SHOWCASE_HEAD = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -53,7 +54,7 @@ _SHOWCASE_HEAD = [
     "join_asof_prior_view",
     "join_range_bucketed",
     "join_lateral_topn",
-    "agg_counts_distinct",
+    "text_chunk_udtf",
     "agg_rollup_orders",
     "agg_approx_distinct",
     "agg_approx_percentile_dual",
@@ -62,7 +63,7 @@ _SHOWCASE_HEAD = [
     "agg_bitmap_exact_distinct",
     "checksum_stats_lineitem",
     "window_rank_orders_per_customer",
-    "window_running_total",
+    "dedup_exact_substring_spans",
     "window_ntile_quartiles",
     "window_session_islands",
     "topk_orders_global",
@@ -78,7 +79,7 @@ _SHOWCASE_HEAD = [
     "window_tumbling_daily",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "emb_cosine_topk",
+    "emb_ivf_recall_probe",
     "emb_semantic_dedup",
     "emb_matryoshka_truncation",
     "llm_sequence_packing",

@@ -280,6 +280,31 @@ def test_mor_cdc_pipeline_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_mor_crash_mid_fold_rolls_back_and_retries(spark, tmp_path):
+    """A fold that dies after writing bucket data but before its
+    manifest: recover_interrupted_commit rolls the orphan snapshot
+    back, the deltas stay live (reads unaffected), and a retried fold
+    completes cleanly."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"],
+        n_buckets=2, merge_on_read=True, fold_deltas_every=None,
+    )
+    sink.process_batch(_mk(spark, [(1, "a", "u", 0), (2, "b", "u", 0)]), 0)
+    sink.process_batch(_mk(spark, [(1, "a2", "u", 1)]), 1)
+    # simulate the crashed fold: maintenance claim + partial bucket
+    # data under the next snapshot, no manifest
+    crash_snap = sink.committed_snapshot() + 1
+    with open(sink._claim_path(crash_snap), "w") as f:
+        f.write(":")  # maintenance claim (lineage-less, batch_id=None)
+    os.makedirs(os.path.join(sink._snapshot_path(crash_snap), "__bucket=0"))
+    assert sink.recover_interrupted_commit() == "rolled_back"
+    assert sink.pending_deltas() == [0, 1]  # deltas untouched
+    assert _state(spark, sink) == {1: "a2", 2: "b"}
+    assert sink.fold_deltas(spark) == 2  # retry completes
+    assert sink.pending_deltas() == []
+    assert _state(spark, sink) == {1: "a2", 2: "b"}
+
+
 def test_mor_recover_interrupted_delta_write(spark, tmp_path):
     """A claim with a half-written delta dir but no manifest rolls
     BACK (data never committed); with a manifest it rolls FORWARD."""
