@@ -163,6 +163,82 @@ def containment_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 similarity join via PREFIX FILTERING — the
+    SSJoin/PPJoin principle (Chaudhuri et al. ICDE 2006, Xiao et al.
+    WWW 2008): order every document's shingles by ascending global
+    document frequency (rarest first, shingle tie-break) and keep only
+    the first |A| − ceil(t·|A|) + 1 as its *prefix*; any pair with
+    Jaccard ≥ t MUST share at least one prefix token under that common
+    ordering, so joining on prefix tokens alone loses no true pair.
+    Candidates are then verified with the exact intersection count.
+
+    Unlike MinHash-LSH (probabilistic recall) or a DF cap (changed
+    semantics), the output here is IDENTICAL to the naive all-shingle
+    join — which is exactly what the DuckDB oracle computes, making
+    the equivalence a proof, not a claim.  The pruning is what makes
+    the exact join scale: prefixes are the RAREST tokens, so the
+    candidate join is bounded by rare-token postings, never by
+    boilerplate."""
+    t_num, t_den = 1, 2  # threshold 0.5 as an exact rational
+    sh = shingle_table(docs, id_col, text_col, n)
+    sized = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    # prefix length |A| - ceil(t*|A|) + 1, exact integer
+    ranked = sized.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"(n * {t_num} + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    pa = prefix.select(F.col(id_col).alias("da"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("db"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    full_a = sized.select(
+        F.col(id_col).alias("da"), "shingle", F.col("n").alias("na")
+    )
+    full_b = sized.select(
+        F.col(id_col).alias("db"), "shingle", F.col("n").alias("nb")
+    )
+    inter = (
+        cand.join(full_a, "da")
+        .join(full_b, ["db", "shingle"])
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(
+            F.col("inter") * t_den >= (F.col("na") + F.col("nb") - F.col("inter")) * t_num
+        )
+        .select("da", "db", "jaccard")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 8,

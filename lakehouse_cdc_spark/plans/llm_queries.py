@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from lakehouse_cdc_spark.llm.dedup import (
     _bit_vote_sql,
     containment_pairs,
+    prefix_filter_jaccard_pairs,
     fingerprint_min_k,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -201,6 +202,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
         threshold=0.5,
         max_shingle_freq=_JACCARD_MAX_DF,
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.da = sa.doc_id
+    JOIN sizes sb ON pairs.db = sb.doc_id
+    WHERE inter * 2 >= (sa.n + sb.n - inter)
+    """,
+    tags=("llm", "dedup", "neardup", "ssjoin", "prefix-filter"),
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.5 similarity join through PREFIX FILTERING
+    (SSJoin, Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008): each
+    document joins only on its |A| − ceil(t·|A|) + 1 globally-RAREST
+    shingles — any true pair must share one of them — then candidates
+    verify with exact intersection counts and an exact rational
+    threshold test (inter·2 ≥ union, no float compare).  The ORACLE is
+    the naive all-shingle join with no pruning at all, so the hash
+    match PROVES the pruned join returns the identical answer — the
+    property LSH (probabilistic recall) and DF-capping (changed
+    semantics) give up.  This is the third, exactness-preserving
+    member of the similarity-join family.
+
+    Scale shape: prefixes are rare tokens by construction, so the
+    candidate join is bounded by rare-token posting lists — the
+    boilerplate shingles that blow up a naive join never enter the
+    prefix.  The verify stage touches only surviving candidates."""
+    return prefix_filter_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -601,3 +601,38 @@ def test_parse_bmp_v4_header_palette_offset():
     # identity palette: pixel value == palette index
     want = np.frombuffer(pixels, np.uint8).reshape(h, stride)[:, :w]
     assert (img[:, :, 0] == want).all()
+
+
+def test_prefix_filter_join_equals_naive_jaccard(spark):
+    """Prefix filtering must return the IDENTICAL pair set as the
+    naive all-shingle join (exactness is the operator's contract) —
+    exercised on a corpus crafted to stress the pruning: near-dup
+    pairs, a boilerplate shingle shared by everything, docs whose only
+    common shingles are globally frequent, and sub-threshold pairs."""
+    from lakehouse_cdc_spark.llm.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the common tail alpha beta gamma delta"),
+            (2, "the common tail alpha beta gamma DELTA"),  # near-dup of 1
+            (3, "the common tail zeta eta theta iota"),
+            (4, "the common tail zeta eta theta iota"),  # exact dup of 3
+            (5, "unrelated words entirely different text here"),
+            (6, "the common tail only shares boilerplate prefix"),
+            (7, "x y z w v u t s r q"),
+            (8, "x y z w v u t s r Q"),  # near-dup of 7
+        ],
+        "doc_id long, text string",
+    )
+    naive = {
+        (r.da, r.db, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pruned = {
+        (r.da, r.db, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert pruned == naive and naive  # identical, and non-trivial
