@@ -24,6 +24,15 @@ Capabilities:
   same log in bounded micro-batches with offset-range tracking, so
   the CDC pipeline's streaming form consumes the identical envelope
   stream the batch form scans.
+- **Batch + streaming WRITE** (``DataSourceArrowWriter`` /
+  ``DataSourceStreamArrowWriter``) — ``df.write.format("cdclog")
+  .save(path)`` lands a manifested parquet change-log directory under
+  a real two-phase commit (executor tmp files → driver rename +
+  atomic manifest), with append/overwrite modes, abort cleanup,
+  committed-only reads (``read_committed_log``), and per-micro-batch
+  exactly-once manifests on the streaming side (a replayed batchId
+  commit is a detected no-op).  Arrow batches stream straight into
+  ``pyarrow.parquet`` writers — no row-at-a-time Python.
 
 Envelope row (offset o, P partitions, K key space):
 
@@ -40,12 +49,18 @@ Envelope row (offset o, P partitions, K key space):
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import json
+import os
+import uuid
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -53,6 +68,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "offset BIGINT, part INT, value STRING"
@@ -160,6 +176,172 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+# -- write path: Arrow-batched two-phase-commit parquet sink ---------------
+#
+# ``df.write.format("cdclog").save(path)`` lands the DataFrame as a
+# manifested parquet change-log directory:
+#
+#   <path>/part-00000.parquet ...   -- one file per non-empty task
+#   <path>/_COMMIT.json             -- {"files": [...], "rows": N}
+#
+# The protocol is the classic two-phase commit every serious sink
+# implements (and the same shape as streaming/pipeline.py's snapshot
+# sink): executors write to _tmp-<uuid> names and return a commit
+# message; ONLY the driver's commit() renames them into place and
+# publishes the manifest atomically (tmp + fsync + os.replace).  A
+# crash at any earlier point leaves stray _tmp files that readers —
+# which trust the manifest alone — never see; abort() removes them
+# eagerly.  The streaming variant commits one manifest PER micro-batch
+# and treats a re-committed batchId as an already-done replay
+# (exactly-once on top of Spark's checkpointed batch numbering).
+
+
+@dataclasses.dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_name: str | None
+    rows: int
+
+
+def _manifest_files(path: str, manifest: str = "_COMMIT.json") -> list[str]:
+    try:
+        with open(os.path.join(path, manifest)) as f:
+            return list(json.load(f)["files"])
+    except FileNotFoundError:
+        return []
+
+
+def _write_manifest(path: str, manifest: str, files: list[str], rows: int):
+    tmp = os.path.join(path, manifest + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": files, "rows": rows}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, manifest))
+
+
+class _ArrowTaskWriter:
+    """Executor-side half shared by the batch and stream writers:
+    stream incoming Arrow batches straight into one tmp parquet file —
+    no row-at-a-time Python, no buffering of the whole partition."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name, writer, rows = f"_tmp-{uuid.uuid4().hex}.parquet", None, 0
+        full = os.path.join(self.path, tmp_name)
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _FileCommit(None, 0)  # empty partition: no file
+        return _FileCommit(tmp_name, rows)
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_name:
+                try:
+                    os.unlink(os.path.join(self.path, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+
+class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("cdclog write requires a path")
+        _ArrowTaskWriter.__init__(self, path)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        done = [m for m in messages if m is not None and m.tmp_name]
+        existing = [] if self.overwrite else _manifest_files(self.path)
+        final, base = list(existing), len(existing)
+        for i, m in enumerate(sorted(done, key=lambda m: m.tmp_name)):
+            name = f"part-{base + i:05d}.parquet"
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, name),
+            )
+            final.append(name)
+        if self.overwrite:
+            # drop files the old manifest referenced but the new one
+            # won't — the manifest swap below is what un-publishes them
+            for old in set(_manifest_files(self.path)) - set(final):
+                try:
+                    os.unlink(os.path.join(self.path, old))
+                except FileNotFoundError:
+                    pass
+        _write_manifest(
+            self.path, "_COMMIT.json", final,
+            sum(m.rows for m in messages if m is not None),
+        )
+
+    def abort(self, messages) -> None:
+        self._cleanup(messages)
+
+
+class CdcLogStreamWriter(_ArrowTaskWriter, DataSourceStreamArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("cdclog write requires a path")
+        _ArrowTaskWriter.__init__(self, path)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = f"_COMMIT-{batchId}.json"
+        if os.path.exists(os.path.join(self.path, manifest)):
+            # replayed micro-batch (restart after a crash between the
+            # sink commit and the checkpoint commit): the batch is
+            # already published — drop the duplicate tmp files
+            self._cleanup(messages)
+            return
+        done = [m for m in messages if m is not None and m.tmp_name]
+        final = []
+        for i, m in enumerate(sorted(done, key=lambda m: m.tmp_name)):
+            name = f"batch-{batchId:06d}-{i:05d}.parquet"
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, name),
+            )
+            final.append(name)
+        _write_manifest(
+            self.path, manifest, final,
+            sum(m.rows for m in messages if m is not None),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
+def read_committed_log(spark, path: str):
+    """Committed-only read of a cdclog sink directory: trust the
+    manifests, never the directory listing — stray ``_tmp`` files from
+    crashed writers are invisible by construction.  Returns None for a
+    never-committed path."""
+    if not os.path.isdir(path):
+        return None  # nothing ever written
+    files = []
+    for name in sorted(os.listdir(path)):
+        if name == "_COMMIT.json" or (
+            name.startswith("_COMMIT-") and name.endswith(".json")
+        ):
+            files.extend(_manifest_files(path, name))
+    if not files:
+        return None
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
 class CdcLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -173,6 +355,12 @@ class CdcLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> CdcLogStreamReader:
         return CdcLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> CdcLogBatchWriter:
+        return CdcLogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> CdcLogStreamWriter:
+        return CdcLogStreamWriter(self.options, overwrite)
 
 
 def register_cdclog(spark) -> None:
