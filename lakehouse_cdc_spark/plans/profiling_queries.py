@@ -565,3 +565,126 @@ def profile_join_key_skew(spark, sf_dir):
         F.expr("max_key_rows * 1000000 div n_rows").alias("top_key_ppm"),
         F.expr("max_key_rows * n_keys * 1000 div n_rows").alias("skew_x1000"),
     ).orderBy("key_col")
+
+
+@register(
+    "stats_winsorized_means",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             {sql_fixed_point('l_extendedprice')} AS fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY {sql_fixed_point('l_extendedprice')},
+                        l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = (n + 19) // 20 THEN fp END) AS lo,
+             MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN fp END) AS hi
+      FROM ranked
+      WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20
+      GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           b.lo AS p05_fp, b.hi AS p95_fp,
+           CAST(SUM(LEAST(GREATEST(r.fp, b.lo), b.hi)) // COUNT(*)
+                AS BIGINT) AS winsor_mean_fp,
+           CAST(SUM(CASE WHEN r.fp BETWEEN b.lo AND b.hi THEN r.fp END)
+                // SUM(CASE WHEN r.fp BETWEEN b.lo AND b.hi
+                            THEN 1 ELSE 0 END) AS BIGINT)
+             AS trimmed_mean_fp,
+           CAST(SUM(CASE WHEN r.fp < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_lo,
+           CAST(SUM(CASE WHEN r.fp > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_hi
+    FROM ranked r JOIN bounds b USING (l_returnflag)
+    GROUP BY r.l_returnflag, b.lo, b.hi
+    ORDER BY r.l_returnflag
+    """,
+    tags=("stats", "robust", "winsorize", "profiling"),
+)
+def stats_winsorized_means(spark, sf_dir):
+    """Winsorized and trimmed means per return flag — the robust-stats
+    treatment every metrics pipeline applies before averaging
+    long-tailed money columns (a handful of whale orders otherwise own
+    the mean): exact p05/p95 thresholds by RANK PICK (the
+    percentile_disc trick of agg_exact_percentiles — ceil(p·n)-th
+    value under a total order, no interpolation), then one aggregation
+    that clamps to the band (winsorize), averages only the band (trim),
+    and counts what was clamped on each side.  Everything is integer
+    fixed-point: thresholds, sums, and `div` means are bit-identical
+    cross-engine — the float version of this query would drift in the
+    last digit and flake the gate.
+
+    Scale shape: Catalyst prunes the rank window OUT of the clamp
+    branch (its rn/n columns are only consumed by the threshold
+    branch), so the executed plan is: one group-partitioned window
+    pass to pick the thresholds (collapsing to a |groups|-sized
+    broadcast), and one plain scan + broadcast join + map-side-combined
+    aggregation for the clamped stats — the big table is never
+    shuffled twice, and the second pass carries no sort at all."""
+    fp = F.expr(
+        "CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)"
+    )
+    ranked = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        fp.alias("fp"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag")
+    ranked = ranked.select(
+        "l_returnflag",
+        "fp",
+        F.row_number()
+        .over(w.orderBy("fp", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    c05 = F.expr("(n + 19) div 20")
+    c95 = F.expr("(19 * n + 19) div 20")
+    bounds = (
+        ranked.filter((F.col("rn") == c05) | (F.col("rn") == c95))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("rn") == c05, F.col("fp"))).alias("lo"),
+            F.min(F.when(F.col("rn") == c95, F.col("fp"))).alias("hi"),
+        )
+    )
+    r = ranked.join(F.broadcast(bounds), "l_returnflag")
+    return (
+        r.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(least(greatest(fp, lo), hi)) div count(1) "
+                "AS BIGINT)"
+            ).alias("winsor_mean_fp"),
+            F.expr(
+                "CAST(sum(CASE WHEN fp BETWEEN lo AND hi THEN fp END) div "
+                "sum(CASE WHEN fp BETWEEN lo AND hi THEN 1 ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("trimmed_mean_fp"),
+            F.expr(
+                "CAST(sum(CASE WHEN fp < lo THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clamped_lo"),
+            F.expr(
+                "CAST(sum(CASE WHEN fp > hi THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_clamped_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("lo").alias("p05_fp"),
+            F.col("hi").alias("p95_fp"),
+            "winsor_mean_fp",
+            "trimmed_mean_fp",
+            "n_clamped_lo",
+            "n_clamped_hi",
+        )
+        .orderBy("l_returnflag")
+    )
