@@ -140,3 +140,77 @@ def sql_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "script_bisect_revenue_threshold",
+    oracle=f"""
+    WITH cents AS (SELECT {_CENTS} AS c FROM orders),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cents),
+    by_val AS (SELECT c, CAST(SUM(c) AS BIGINT) AS s FROM cents GROUP BY c),
+    cum AS (SELECT c, CAST(SUM(s) OVER (ORDER BY c DESC) AS BIGINT) AS cum
+            FROM by_val)
+    SELECT CAST(MAX(c) AS BIGINT) AS threshold_cents,
+           CAST((SELECT cum FROM cum c2
+                 WHERE c2.c = MAX(cum.c)) AS BIGINT) AS covered_cents,
+           CAST((SELECT total FROM tot) AS BIGINT) AS total_cents
+    FROM cum
+    WHERE cum >= (SELECT (total + 1) // 2 FROM tot)
+    """,
+    tags=("sql", "scripting", "spark4", "control-flow"),
+)
+def script_bisect_revenue_threshold(spark, sf_dir):
+    """Spark 4 **SQL scripting** (BEGIN/DECLARE/WHILE/IF — the
+    procedural control-flow surface) exercised on a real convergence
+    loop: bisect the maximal integer cent threshold T such that orders
+    priced >= T still cover at least half of all revenue (the
+    "where do the whales start" cut).  The loop keeps the classic
+    bisection invariant S(lo) >= half > S(hi) and runs one aggregate
+    per iteration (~log2(max_price) scans).
+
+    The ORACLE computes the same T in ONE windowed pass (descending
+    cumulative revenue over distinct price points) — so the hash match
+    proves the scripted iteration converges to exactly the
+    direct-computation answer, and the docstring can be honest about
+    scale: the one-pass form is what you run on 100 TB; the scripted
+    form is the control-flow surface demonstration (state in scalar
+    variables, loop bounds data-independent and logarithmic)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__script_orders"
+    )
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT;
+          DECLARE half BIGINT;
+          DECLARE mid BIGINT;
+          DECLARE s BIGINT;
+          SET hi = (SELECT MAX({_CENTS}) + 1 FROM __script_orders);
+          SET half = (SELECT (SUM({_CENTS}) + 1) div 2
+                      FROM __script_orders);
+          WHILE hi - lo > 1 DO
+            SET mid = (lo + hi) div 2;
+            SET s = (SELECT COALESCE(SUM({_CENTS}), 0)
+                     FROM __script_orders WHERE {_CENTS} >= mid);
+            IF s >= half THEN
+              SET lo = mid;
+            ELSE
+              SET hi = mid;
+            END IF;
+          END WHILE;
+          SELECT lo AS threshold_cents,
+                 (SELECT CAST(SUM({_CENTS}) AS BIGINT)
+                  FROM __script_orders
+                  WHERE {_CENTS} >= lo) AS covered_cents,
+                 (SELECT CAST(SUM({_CENTS}) AS BIGINT)
+                  FROM __script_orders) AS total_cents;
+        END
+        """)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
