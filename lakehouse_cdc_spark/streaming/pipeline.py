@@ -38,9 +38,11 @@ byte-identical across commits.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -50,6 +52,39 @@ from lakehouse_cdc_spark.operators.dedup import (
     latest_per_key,
     latest_per_key_bucketed,
 )
+
+# Re-entrant, refcounted AQE suppression.  The session conf is GLOBAL,
+# and two streaming queries' foreachBatch bodies run on separate
+# threads of the same session — a naive save/set/restore races: writer
+# B can read writer A's "false" as the value to restore and wedge AQE
+# off for the whole session.  Depth-0 entry records the true original;
+# only the LAST exit restores it.
+_AQE_LOCK = threading.Lock()
+_AQE_DEPTH: dict[int, int] = {}  # id(session) -> nesting depth
+_AQE_ORIG: dict[int, str] = {}  # id(session) -> value before depth 0
+
+
+@contextlib.contextmanager
+def _aqe_disabled(spark: SparkSession):
+    """Disable AQE for the sink's fixed-shape jobs (explicitly
+    partitioned plans — per-stage re-optimization only adds driver
+    latency), safely under concurrent writers on one session."""
+    key = id(spark)
+    with _AQE_LOCK:
+        if _AQE_DEPTH.get(key, 0) == 0:
+            _AQE_ORIG[key] = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_DEPTH[key] = _AQE_DEPTH.get(key, 0) + 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            _AQE_DEPTH[key] -= 1
+            if _AQE_DEPTH[key] == 0:
+                spark.conf.set(
+                    "spark.sql.adaptive.enabled", _AQE_ORIG.pop(key)
+                )
+                del _AQE_DEPTH[key]
 
 
 def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sleep):
@@ -656,9 +691,7 @@ class SnapshotUpsertSink:
         # repartition, and key-hash buckets are uniform by
         # construction, so there is no skew for it to split.  Measured
         # ~0.13 s/micro-batch on local[32].
-        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with _aqe_disabled(spark):
             touched = sorted(
                 r["__bucket"]
                 for r in probe.select("__bucket").distinct().collect()
@@ -722,8 +755,6 @@ class SnapshotUpsertSink:
                 .partitionBy("__bucket")
                 .parquet(snap_dir)
             )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         t_write = time.time()
         # … then manifest (rewritten buckets point at new_snap, all
         # others keep their byte-identical files) + pointer
@@ -799,9 +830,7 @@ class SnapshotUpsertSink:
         t0 = time.time()
         new_snap = (committed_snap if committed_snap is not None else -1) + 1
         self._claim(new_snap, batch_id)  # writer fence, before any data
-        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        with _aqe_disabled(spark):
             (
                 batch_df.write.mode("overwrite")
                 .option(
@@ -809,8 +838,6 @@ class SnapshotUpsertSink:
                 )
                 .parquet(self._delta_path(new_snap))
             )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         t_write = time.time()
         stored_schema = manifest.get("schema")
         if stored_schema is None and manifest["buckets"]:

@@ -323,3 +323,24 @@ def test_mor_recover_interrupted_delta_write(spark, tmp_path):
     # next batch proceeds normally on the recovered target
     sink.process_batch(_mk(spark, [(2, "b", "u", 1)]), 1)
     assert _state(spark, sink) == {1: "a", 2: "b"}
+
+
+def test_aqe_guard_is_refcounted_across_concurrent_writers(spark):
+    """Two interleaved writers on one session must not wedge the AQE
+    conf: the naive save/set/restore pattern would restore writer A's
+    'false' as the session value; the refcounted guard restores the
+    TRUE original only when the last writer exits."""
+    from lakehouse_cdc_spark.streaming.pipeline import _aqe_disabled
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    assert orig == "true"
+    a = _aqe_disabled(spark)
+    b = _aqe_disabled(spark)
+    a.__enter__()
+    assert spark.conf.get(key) == "false"
+    b.__enter__()  # concurrent writer enters while A holds it off
+    a.__exit__(None, None, None)
+    assert spark.conf.get(key) == "false"  # B still inside
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key) == "true"  # true original restored
