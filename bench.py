@@ -60,10 +60,22 @@ def main():
             capture_output=True,
             text=True,
         )
+        emitted = False
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
                 sys.stdout.flush()
+                emitted = True
+        if proc.returncode != 0 or not emitted:
+            # never let the isolated phase vanish silently: surface the
+            # child's failure so a missing r2 line reads as "failed",
+            # not "not run" (the full-set phase still proceeds)
+            sys.stderr.write(
+                f"bench: isolated r2 phase failed "
+                f"(rc={proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-15:])
+                + "\n"
+            )
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -40,6 +40,7 @@ def with_range_bucket(
     order_col: str | Column,
     n_buckets: int,
     bucket_col: str = "__bkt",
+    null_bucket: int = 0,
 ) -> DataFrame:
     """Attach a deterministic value-range bucket that is monotone
     non-decreasing in ``order_col``: rows that compare lower on the
@@ -53,6 +54,12 @@ def with_range_bucket(
     (distinct values can collapse into the same bucket near 2^53 but
     can never invert), and equal values always share a bucket, so
     tie-break columns stay inside one partition's window.
+
+    ``null_bucket`` is where NULL order values land (min/max bounds
+    ignore them): bucket 0 reproduces ASC NULLS FIRST, bucket
+    ``n_buckets - 1`` reproduces the NULLS LAST of a descending global
+    window — the caller pairs it with the matching within-bucket null
+    ordering.
     """
     c = F.col(order_col) if isinstance(order_col, str) else order_col
     bounds = df.agg(
@@ -62,7 +69,8 @@ def with_range_bucket(
     span = F.col("__rb_hi") - F.col("__rb_lo")
     raw = F.floor((c.cast("double") - F.col("__rb_lo")) / span * n_buckets)
     bkt = (
-        F.when(span <= 0, F.lit(0))
+        F.when(c.isNull(), F.lit(null_bucket))
+        .when(span <= 0, F.lit(0))
         .otherwise(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)))
         .cast("int")
     )
@@ -91,20 +99,29 @@ def ntile_two_pass(
     only, so assignments are bit-identical to NTILE in any engine.
 
     ``order_col`` must be numeric (descending order buckets on the
-    negated value).  Internal columns are dropped; the input schema
-    plus ``out_col`` comes back."""
+    negated value).  NULL order values follow the global window's
+    semantics exactly: first under ascending (ASC NULLS FIRST), last
+    under descending (DESC NULLS LAST).  Internal columns are dropped;
+    the input schema plus ``out_col`` comes back."""
     key = F.col(order_col) if ascending else -F.col(order_col)
-    b = with_range_bucket(df.withColumn("__nt_key", key), "__nt_key", n_buckets)
-    offsets = lower_bucket_agg(
-        b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt")),
-        "__bkt",
-        "__cnt",
-        "__off",
+    b = with_range_bucket(
+        df.withColumn("__nt_key", key),
+        "__nt_key",
+        n_buckets,
+        null_bucket=0 if ascending else n_buckets - 1,
     )
-    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = lower_bucket_agg(counts, "__bkt", "__cnt", "__off")
+    # total from the tiny per-bucket table — never a third scan of df
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+    null_key = (
+        F.col("__nt_key").asc_nulls_first()
+        if ascending
+        else F.col("__nt_key").asc_nulls_last()
+    )
     pos = (
         F.row_number().over(
-            Window.partitionBy("__bkt").orderBy("__nt_key", tiebreak_col)
+            Window.partitionBy("__bkt").orderBy(null_key, tiebreak_col)
         )
         + F.col("__off")
     )
@@ -141,17 +158,29 @@ def row_number_two_pass(
     (negated, if descending) numeric order column, row_number within
     each bucket, plus the broadcast count of strictly-lower buckets.
     ``out_col`` is BIGINT (positions exceed int32 long before a global
-    window would have finished).  Input schema + ``out_col`` returned;
-    internals dropped."""
+    window would have finished).  NULL order values follow the global
+    window's semantics exactly: first under ascending (ASC NULLS
+    FIRST), last under descending (DESC NULLS LAST).  Input schema +
+    ``out_col`` returned; internals dropped."""
     key = F.col(order_col) if ascending else -F.col(order_col)
-    b = with_range_bucket(df.withColumn("__rn_key", key), "__rn_key", n_buckets)
+    b = with_range_bucket(
+        df.withColumn("__rn_key", key),
+        "__rn_key",
+        n_buckets,
+        null_bucket=0 if ascending else n_buckets - 1,
+    )
     offsets = lower_bucket_agg(
         b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt")),
         "__bkt",
         "__cnt",
         "__off",
     )
-    order = [F.col("__rn_key")] + [F.col(c) for c in tiebreak_cols]
+    null_key = (
+        F.col("__rn_key").asc_nulls_first()
+        if ascending
+        else F.col("__rn_key").asc_nulls_last()
+    )
+    order = [null_key] + [F.col(c) for c in tiebreak_cols]
     rn = (
         F.row_number().over(Window.partitionBy("__bkt").orderBy(*order))
         + F.col("__off")

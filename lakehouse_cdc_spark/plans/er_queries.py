@@ -965,8 +965,12 @@ def er_em_weight_estimation(spark, sf_dir):
     Scale shape: the blocked candidate join is the same O(N·const)
     pair generator as the rest of the ER family; everything after is
     a ≤16-row cell table — EM itself costs nothing at any scale.
-    The ppm sums stay in int64 up to ~10^12 candidate pairs; beyond
-    that, rescale the weights to per-mille.  Output: one row of
+    int64 bound: the M-step numerator is Σ(n·w)·10^6 with w ≤ 10^6,
+    so it overflows past ~9×10^6 candidate pairs (Spark would wrap
+    SILENTLY in non-ANSI mode while DuckDB errors) — beyond that,
+    rescale the posterior w to per-mille before the weighted sums,
+    which buys 10^3× headroom at 0.1% weight resolution.  Output: one
+    row of
     estimated (λ, m_j, u_j) — the weights a production linker would
     then score er_blocked_fuzzy_match's pairs with."""
     c = table(spark, sf_dir, "customer")

@@ -155,11 +155,11 @@ _ES_H_SPARK = (
     "AS BIGINT)"
 ).format(k=_ES_K)
 
-
-@register(
-    "dedup_exact_substring_spans",
-    bench=True,
-    oracle=f"""
+#: shared oracle CTE chain — tokens → gram hashes → corpus-repeated
+#: positions → running-max island merge → one row per maximal span.
+#: Both substring queries compose on `spans`; the island logic lives
+#: in exactly one place per engine.
+_ES_SPAN_CTES = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -184,39 +184,23 @@ _ES_H_SPARK = (
       SELECT doc_id, p,
              SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
       FROM islands
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(p) AS BIGINT) AS span_start,
+             CAST(MAX(p) + {_ES_K - 1} AS BIGINT) AS span_end,
+             CAST(MAX(p) + {_ES_K - 1} - MIN(p) + 1 AS BIGINT) AS dup_tokens
+      FROM numbered
+      GROUP BY doc_id, island
     )
-    SELECT doc_id,
-           CAST(MIN(p) AS BIGINT) AS span_start,
-           CAST(MAX(p) + {_ES_K - 1} AS BIGINT) AS span_end,
-           CAST(MAX(p) + {_ES_K - 1} - MIN(p) + 1 AS BIGINT) AS dup_tokens
-    FROM numbered
-    GROUP BY doc_id, island
-    HAVING MAX(p) + {_ES_K - 1} - MIN(p) + 1 >= {_ES_MIN_SPAN}
-    ORDER BY doc_id, span_start
-    """,
-    tags=("llm", "dedup", "span", "exact-substring", "curation"),
-)
-def dedup_exact_substring_spans(spark, sf_dir):
-    """EXACT-substring duplicate spans — the ExactSubstr dedup of Lee
-    et al. 2022 ("Deduplicating Training Data Makes Language Models
-    Better"), which removes any substring repeated verbatim anywhere in
-    the corpus, re-expressed relationally (their suffix array is a
-    single-machine structure; the gram-frequency join below is its
-    shuffle-native equivalent): a token position is *duplicated* iff
-    its {_ES_K}-gram occurs >= 2 times corpus-wide (within- OR
-    cross-document — both are training repeats), and overlapping
-    duplicated positions merge into MAXIMAL spans via the classic
-    running-max island scan.  Emits every merged span of >=
-    {_ES_MIN_SPAN} tokens — the byte ranges a curation pass cuts out,
-    in contrast to dedup_winnowing_spans which only *pairs up*
-    documents sharing fingerprints.
+"""
 
-    Scale shape: gram hashing is map-side; the frequency count and the
-    postings join are |grams|-shaped shuffles keyed on the 60-bit hash
-    (never |docs|^2); the island merge windows over doc_id — documents
-    arrive pre-grouped from the join, and no global window exists.
-    Hashes are md5 prefixes, so even collisions replay identically in
-    the oracle."""
+
+def _exact_substring_spans(spark, sf_dir):
+    """Shared Spark half of the ExactSubstr pipeline: returns
+    ``(toks, spans)`` where ``spans`` has one row per maximal
+    corpus-repeated span — (doc_id, span_start, span_end, dup_tokens),
+    unfiltered.  Mirrors ``_ES_SPAN_CTES`` exactly."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -260,11 +244,11 @@ def dedup_exact_substring_spans(spark, sf_dir):
         .orderBy("p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    numbered = islands.select(
-        "doc_id", "p", F.sum("new_island").over(w_run).alias("island")
-    )
-    return (
-        numbered.groupBy("doc_id", "island")
+    spans = (
+        islands.select(
+            "doc_id", "p", F.sum("new_island").over(w_run).alias("island")
+        )
+        .groupBy("doc_id", "island")
         .agg(
             F.min("p").cast("bigint").alias("span_start"),
             (F.max("p") + (_ES_K - 1)).cast("bigint").alias("span_end"),
@@ -272,45 +256,55 @@ def dedup_exact_substring_spans(spark, sf_dir):
             .cast("bigint")
             .alias("dup_tokens"),
         )
-        .filter(F.col("dup_tokens") >= _ES_MIN_SPAN)
         .select("doc_id", "span_start", "span_end", "dup_tokens")
+    )
+    return toks, spans
+
+
+@register(
+    "dedup_exact_substring_spans",
+    bench=True,
+    oracle=_ES_SPAN_CTES
+    + f"""
+    SELECT doc_id, span_start, span_end, dup_tokens
+    FROM spans
+    WHERE dup_tokens >= {_ES_MIN_SPAN}
+    ORDER BY doc_id, span_start
+    """,
+    tags=("llm", "dedup", "span", "exact-substring", "curation"),
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    """EXACT-substring duplicate spans — the ExactSubstr dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), which removes any substring repeated verbatim anywhere in
+    the corpus, re-expressed relationally (their suffix array is a
+    single-machine structure; the gram-frequency join below is its
+    shuffle-native equivalent): a token position is *duplicated* iff
+    its {_ES_K}-gram occurs >= 2 times corpus-wide (within- OR
+    cross-document — both are training repeats), and overlapping
+    duplicated positions merge into MAXIMAL spans via the classic
+    running-max island scan.  Emits every merged span of >=
+    {_ES_MIN_SPAN} tokens — the byte ranges a curation pass cuts out,
+    in contrast to dedup_winnowing_spans which only *pairs up*
+    documents sharing fingerprints.
+
+    Scale shape: gram hashing is map-side; the frequency count and the
+    postings join are |grams|-shaped shuffles keyed on the 60-bit hash
+    (never |docs|^2); the island merge windows over doc_id — documents
+    arrive pre-grouped from the join, and no global window exists.
+    Hashes are md5 prefixes, so even collisions replay identically in
+    the oracle."""
+    _toks, spans = _exact_substring_spans(spark, sf_dir)
+    return (
+        spans.filter(F.col("dup_tokens") >= _ES_MIN_SPAN)
         .orderBy("doc_id", "span_start")
     )
 
 
 @register(
     "dedup_substring_residual",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    pos AS (
-      SELECT doc_id, t, unnest(generate_series(1, len(t) - {_ES_K - 1})) AS p
-      FROM toks WHERE len(t) >= {_ES_K}
-    ),
-    grams AS (SELECT doc_id, p, {_ES_H_DUCK} AS h FROM pos),
-    freq AS (SELECT h, COUNT(*) AS c FROM grams GROUP BY h),
-    dup AS (SELECT g.doc_id, g.p FROM grams g JOIN freq f ON g.h = f.h
-            WHERE f.c >= 2),
-    islands AS (
-      SELECT doc_id, p,
-             CASE WHEN p > COALESCE(MAX(p + {_ES_K - 1}) OVER (
-                    PARTITION BY doc_id ORDER BY p
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  -1) + 1
-                  THEN 1 ELSE 0 END AS new_island
-      FROM dup
-    ),
-    numbered AS (
-      SELECT doc_id, p,
-             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
-      FROM islands
-    ),
-    spans AS (
-      SELECT doc_id,
-             MAX(p) + {_ES_K - 1} - MIN(p) + 1 AS dup_tokens
-      FROM numbered GROUP BY doc_id, island
-    ),
+    oracle=_ES_SPAN_CTES
+    + """,
     per_doc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens
@@ -338,58 +332,11 @@ def dedup_substring_residual(spark, sf_dir):
     (dup_tokens*1000 div total), so the distribution is
     engine-identical.
 
-    Same |grams|-shaped shuffles as dedup_exact_substring_spans; the
-    per-doc rollup and the left join back to the corpus are doc_id
-    keyed."""
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    )
-    pos = toks.filter(F.size("t") >= _ES_K).select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.size("t") - (_ES_K - 1))).alias("p"),
-    )
-    grams = pos.select("doc_id", "p", F.expr(_ES_H_SPARK).alias("h"))
-    dup = (
-        grams.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
-        .filter(F.col("__c") >= 2)
-        .select("doc_id", "p")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = dup.select(
-        "doc_id",
-        "p",
-        F.when(
-            F.col("p")
-            > F.coalesce(
-                F.max(F.col("p") + (_ES_K - 1)).over(w_prev), F.lit(-1)
-            )
-            + 1,
-            1,
-        )
-        .otherwise(0)
-        .alias("new_island"),
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    spans = (
-        islands.select(
-            "doc_id", "p", F.sum("new_island").over(w_run).alias("island")
-        )
-        .groupBy("doc_id", "island")
-        .agg(
-            (F.max("p") + (_ES_K - 1) - F.min("p") + 1).alias("dup_tokens")
-        )
-    )
+    Same |grams|-shaped shuffles as dedup_exact_substring_spans (the
+    whole span pipeline is the shared ``_exact_substring_spans``
+    helper); the per-doc rollup and the left join back to the corpus
+    are doc_id keyed."""
+    toks, spans = _exact_substring_spans(spark, sf_dir)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),

@@ -181,17 +181,20 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
 # ``df.write.format("cdclog").save(path)`` lands the DataFrame as a
 # manifested parquet change-log directory:
 #
-#   <path>/part-00000.parquet ...   -- one file per non-empty task
+#   <path>/part-g<gen>-<i>.parquet  -- one file per non-empty task,
+#                                      fresh generation per commit
 #   <path>/_COMMIT.json             -- {"files": [...], "rows": N}
 #
 # The protocol is the classic two-phase commit every serious sink
 # implements (and the same shape as streaming/pipeline.py's snapshot
 # sink): executors write to _tmp-<uuid> names and return a commit
-# message; ONLY the driver's commit() renames them into place and
-# publishes the manifest atomically (tmp + fsync + os.replace).  A
-# crash at any earlier point leaves stray _tmp files that readers —
-# which trust the manifest alone — never see; abort() removes them
-# eagerly.  The streaming variant commits one manifest PER micro-batch
+# message; ONLY the driver's commit() renames them — under a FRESH
+# generation prefix, never over a published name — and then publishes
+# the manifest atomically (tmp + fsync + os.replace); superseded files
+# are unlinked only after the swap.  A crash at any earlier point
+# leaves stray _tmp files or unreferenced new-generation files that
+# readers — which trust the manifest alone — never see; abort()
+# removes tmp debris eagerly.  The streaming variant commits one manifest PER micro-batch
 # and treats a re-committed batchId as an already-done replay
 # (exactly-once on top of Spark's checkpointed batch numbering).
 
@@ -202,12 +205,30 @@ class _FileCommit(WriterCommitMessage):
     rows: int
 
 
-def _manifest_files(path: str, manifest: str = "_COMMIT.json") -> list[str]:
+def _read_manifest_json(path: str, manifest: str = "_COMMIT.json") -> dict:
     try:
         with open(os.path.join(path, manifest)) as f:
-            return list(json.load(f)["files"])
+            return json.load(f)
     except FileNotFoundError:
-        return []
+        return {"files": [], "rows": 0}
+
+
+def _manifest_files(path: str, manifest: str = "_COMMIT.json") -> list[str]:
+    return list(_read_manifest_json(path, manifest)["files"])
+
+
+def _next_generation(files: list[str]) -> int:
+    """Generation counter from manifested names (``part-g<gen>-<i>``):
+    every commit writes files under a FRESH generation, so a published
+    file is never renamed over or unlinked before the manifest swap
+    un-publishes it — the property that makes the two-phase commit
+    actually atomic under overwrite."""
+    gens = [
+        int(f.split("-")[1][1:])
+        for f in files
+        if f.startswith("part-g") and f.split("-")[1][1:].isdigit()
+    ]
+    return (max(gens) + 1) if gens else 0
 
 
 def _write_manifest(path: str, manifest: str, files: list[str], rows: int):
@@ -265,27 +286,34 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         done = [m for m in messages if m is not None and m.tmp_name]
-        existing = [] if self.overwrite else _manifest_files(self.path)
-        final, base = list(existing), len(existing)
+        prev = _read_manifest_json(self.path)
+        gen = _next_generation(prev["files"])
+        # rename tmp files to FRESH generation names — never over a
+        # name any manifest has ever published, so a crash (or a
+        # concurrent committed-only read) at ANY point before the
+        # manifest swap still sees the previous commit fully intact
+        new = []
         for i, m in enumerate(sorted(done, key=lambda m: m.tmp_name)):
-            name = f"part-{base + i:05d}.parquet"
+            name = f"part-g{gen:04d}-{i:05d}.parquet"
             os.replace(
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, name),
             )
-            final.append(name)
+            new.append(name)
+        new_rows = sum(m.rows for m in messages if m is not None)
         if self.overwrite:
-            # drop files the old manifest referenced but the new one
-            # won't — the manifest swap below is what un-publishes them
-            for old in set(_manifest_files(self.path)) - set(final):
-                try:
-                    os.unlink(os.path.join(self.path, old))
-                except FileNotFoundError:
-                    pass
-        _write_manifest(
-            self.path, "_COMMIT.json", final,
-            sum(m.rows for m in messages if m is not None),
-        )
+            final, rows = new, new_rows
+        else:
+            final, rows = prev["files"] + new, prev["rows"] + new_rows
+        _write_manifest(self.path, "_COMMIT.json", final, rows)
+        # only AFTER the swap: superseded files are now unreferenced —
+        # a crash before this loop leaves invisible orphans, never a
+        # published manifest pointing at missing or mutated files
+        for old in set(prev["files"]) - set(final):
+            try:
+                os.unlink(os.path.join(self.path, old))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages) -> None:
         self._cleanup(messages)

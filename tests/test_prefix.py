@@ -127,3 +127,39 @@ def test_prefix_results_invariant_to_shuffle_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert few == many
+
+
+def test_two_pass_null_ordering_matches_global_window(spark):
+    """NULL order values must follow the replaced global window's
+    semantics exactly: ASC → nulls first, DESC → nulls last.  Compared
+    directly against Window.orderBy(F.asc/F.desc) on a corpus with
+    nulls at both extremes and in the middle of the value range."""
+    from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        ntile_two_pass,
+        row_number_two_pass,
+    )
+
+    rows = [(i, v) for i, v in enumerate(
+        [None, 5, 1, None, 9, 3, 7, None, 2, 8, 4, 6]
+    )]
+    df = spark.createDataFrame(rows, "id int, v int")
+    for ascending in (True, False):
+        order = F.asc("v") if ascending else F.desc("v")
+        expected = {
+            (r.id, r.rn, r.nt)
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(order, "id"))
+            )
+            .withColumn("nt", F.ntile(5).over(Window.orderBy(order, "id")))
+            .collect()
+        }
+        two_pass = row_number_two_pass(
+            df, "v", ["id"], "rn", ascending=ascending, n_buckets=4
+        )
+        two_pass = ntile_two_pass(
+            two_pass, 5, "v", "id", "nt", ascending=ascending, n_buckets=4
+        )
+        got = {(r.id, r.rn, r.nt) for r in two_pass.collect()}
+        assert got == expected, f"ascending={ascending}"

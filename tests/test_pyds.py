@@ -379,3 +379,44 @@ def test_stream_writer_end_to_end_and_replay_idempotent(spark, tmp_path):
     w.commit([_FileCommit("_tmp-replay.parquet", 7)], batchId=0)
     assert not os.path.exists(stray)
     assert read_committed_log(spark, d).count() == 300
+
+
+def test_writer_overwrite_never_mutates_published_files(spark, tmp_path):
+    """Atomicity of the overwrite commit: a crash at ANY point before
+    the manifest swap must leave the previous commit fully readable.
+    Simulated by replaying the pre-swap half of commit() (new-gen
+    renames only): the old manifest still references only intact
+    files, and the committed read returns exactly the old rows."""
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        CdcLogBatchWriter,
+        _FileCommit,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    _env_df(spark, 0, 50).write.format("cdclog").mode("overwrite").save(d)
+    before = {r.offset for r in read_committed_log(spark, d).collect()}
+    assert before == set(range(50))
+
+    # crash-before-swap: write a task file and rename it to its
+    # new-generation name WITHOUT publishing a manifest
+    w = CdcLogBatchWriter({"path": d}, overwrite=True)
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.record_batch({"offset": pa.array([999])})]))
+    os.replace(
+        os.path.join(d, msg.tmp_name),
+        os.path.join(d, "part-g0099-00000.parquet"),
+    )
+    after = {r.offset for r in read_committed_log(spark, d).collect()}
+    assert after == before  # old commit untouched, new data invisible
+
+    # a subsequent real overwrite still lands cleanly
+    _env_df(spark, 100, 110).write.format("cdclog").mode("overwrite").save(d)
+    assert {r.offset for r in read_committed_log(spark, d).collect()} == set(
+        range(100, 110)
+    )
