@@ -1141,14 +1141,36 @@ def _iso_watermark(watermark):
     return watermark
 
 
+_INT_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widen_type(a, b):
+    """Safe numeric widening for a name collision between commits:
+    integer-chain (byte→short→int→long) and float→double — exactly the
+    upcasts Spark's explicit-schema parquet reader performs on narrower
+    files (verified: int32 files read as LongType, float as Double).
+    Returns the wider type name, or None if the pair isn't widenable."""
+    if a == b:
+        return a
+    if a in _INT_WIDTH and b in _INT_WIDTH:
+        return a if _INT_WIDTH[a] >= _INT_WIDTH[b] else b
+    if {a, b} == {"float", "double"}:
+        return "double"
+    return None
+
+
 def _union_schema_json(prev_json: str | None, new_schema) -> str | None:
     """Union-by-name of the carried state schema and this commit's
     written schema (minus the __bucket partition column), every field
     forced nullable — the schema an explicit-schema read needs to
     reproduce what ``mergeSchema=true`` would compute, without the
-    per-batch footer-merge job.  Returns None on a name→type conflict
-    (the caller then drops schema tracking and the reader falls back
-    to mergeSchema, which surfaces the conflict properly)."""
+    per-batch footer-merge job.  A name→type collision WIDENS when the
+    pair is safely widenable (int chain, float→double): the explicit
+    reader upcasts the older narrow files, so tracking survives the
+    most common schema evolution (int column outgrows int32).
+    Non-widenable collisions return None — the caller drops tracking
+    and the mergeSchema fallback surfaces the conflict loudly at the
+    next read rather than silently corrupting values."""
     new_fields = {}
     for f in new_schema.jsonValue()["fields"]:
         if f["name"] == "__bucket":
@@ -1161,7 +1183,14 @@ def _union_schema_json(prev_json: str | None, new_schema) -> str | None:
     for f in json.loads(prev_json)["fields"]:
         nf = new_fields.get(f["name"])
         if nf is not None and nf["type"] != f["type"]:
-            return None
+            if not (
+                isinstance(nf["type"], str) and isinstance(f["type"], str)
+            ):
+                return None  # nested/complex collision: no widening
+            wide = _widen_type(f["type"], nf["type"])
+            if wide is None:
+                return None
+            nf = dict(nf, type=wide)
         out.append(nf or f)
         seen.add(f["name"])
     out.extend(f for n, f in new_fields.items() if n not in seen)

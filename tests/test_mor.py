@@ -344,3 +344,73 @@ def test_aqe_guard_is_refcounted_across_concurrent_writers(spark):
     assert spark.conf.get(key) == "false"  # B still inside
     b.__exit__(None, None, None)
     assert spark.conf.get(key) == "true"  # true original restored
+
+
+def test_schema_widening_keeps_tracking_and_reads_narrow_files(
+    spark, tmp_path
+):
+    """A column whose type WIDENS across batches (int → long): the
+    manifest-tracked schema widens with it (the explicit reader
+    upcasts the untouched narrow bucket files), so schema tracking —
+    and correct reads — survive the most common evolution.  Truly
+    incompatible collisions still drop tracking."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from lakehouse_cdc_spark.streaming.pipeline import _union_schema_json
+
+    # pure-function contract: int→long widens, int→string does not
+    s1 = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    js = _union_schema_json(None, s1)
+    widened = _union_schema_json(
+        js, T.StructType([T.StructField("id", T.LongType())])
+    )
+    assert widened is not None
+    assert {
+        f["name"]: f["type"] for f in _json.loads(widened)["fields"]
+    } == {"id": "long", "v": "string"}
+    assert (
+        _union_schema_json(js, T.StructType([T.StructField("v", T.LongType())]))
+        is None
+    )
+
+    # sink level: batch 0 writes v as int into bucket files; batch 1
+    # widens v to long for a DIFFERENT key (other bucket untouched)
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["k"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, 1, "u", 0)], "k int, v int, operation string, seq int"
+        ),
+        0,
+    )
+    assert "schema" in sink._read_manifest(0)
+    big = 2**40
+    sink.process_batch(
+        spark.createDataFrame(
+            [(2, big, "u", 1)], "k int, v long, operation string, seq int"
+        ),
+        1,
+    )
+    m = sink._read_manifest(sink.committed_snapshot())
+    assert "schema" in m  # tracking SURVIVED via widening
+    types = {
+        f["name"]: f["type"] for f in _json.loads(m["schema"])["fields"]
+    }
+    assert types["v"] == "long"
+    state = {r.k: r.v for r in sink.current_table(spark).collect()}
+    assert state == {1: 1, 2: big}
+    # the narrow int bucket file is still readable through the wide
+    # tracked schema on the NEXT merge too
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, 7, "u", 2)], "k int, v long, operation string, seq int"
+        ),
+        2,
+    )
+    state = {r.k: r.v for r in sink.current_table(spark).collect()}
+    assert state == {1: 7, 2: big}
