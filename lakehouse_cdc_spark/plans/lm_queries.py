@@ -255,9 +255,10 @@ _DSIR_B = 512  # hashed feature buckets
 _DSIR_BKT_SQL = "CAST('0x' || substr(md5(u), 1, 3) AS INTEGER) % " + str(_DSIR_B)
 
 
-@register(
-    "curation_dsir_weights",
-    oracle=f"""
+#: shared oracle CTE chain ending at ``scored`` = (doc_id, source,
+#: dsir_score) — the DSIR scoring pipeline both the weights query and
+#: the resampling query compose on (one place per engine).
+_DSIR_CTES = f"""
     WITH ref AS (SELECT MIN(source) AS target_src FROM documents),
     feats AS (
       SELECT doc_id, source, {_DSIR_BKT_SQL} AS f
@@ -286,32 +287,17 @@ _DSIR_BKT_SQL = "CAST('0x' || substr(md5(u), 1, 3) AS INTEGER) % " + str(_DSIR_B
              CAST(SUM(ratio.delta_ppb) AS BIGINT) AS dsir_score
       FROM feats fe JOIN ratio USING (f)
       GROUP BY fe.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id, d.source, p.dsir_score
+      FROM per_doc p JOIN documents d USING (doc_id)
     )
-    SELECT p.doc_id, d.source, p.dsir_score
-    FROM per_doc p JOIN documents d USING (doc_id)
-    ORDER BY p.dsir_score DESC, p.doc_id
-    LIMIT 20
-    """,
-    tags=("llm", "curation", "dsir", "importance-sampling", "mixing"),
-)
-def curation_dsir_weights(spark, sf_dir):
-    """DSIR-shaped importance scoring (Xie et al. 2023: Data Selection
-    via Importance Resampling): hashed unigram features (md5 -> 512
-    buckets, identical hash both engines), a TARGET feature
-    distribution from the reference domain (deterministically the
-    lexicographically first source, standing in for "curated wiki"),
-    a RAW distribution from the whole pool, add-one smoothing over the
-    bucket space, and a per-document score summing the per-feature
-    (p_target - p_raw) mass in parts-per-billion — the fixed-point
-    linearization of the DSIR log-ratio (ordering-equivalent for the
-    resampling cut at small deviations, and bit-identical across
-    engines, which the float log-ratio could never be).  Emits the
-    top-20 most target-like documents.
+"""
 
-    Scale shape: the feature stats tables are <= 512 rows (broadcast);
-    the only |corpus|-sized shuffle is the per-doc score aggregation
-    keyed on doc_id.  This is the standard pretraining-data reweighting
-    step ahead of mix_sources_budget."""
+
+def _dsir_per_doc_scores(spark, sf_dir):
+    """Shared Spark half of the DSIR pipeline: per-document importance
+    scores — (doc_id, source, dsir_score).  Mirrors ``_DSIR_CTES``."""
     d = table(spark, sf_dir, "documents")
     ref = d.agg(F.min("source").alias("target_src"))
     feats = (
@@ -347,11 +333,102 @@ def curation_dsir_weights(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("delta_ppb").cast("bigint").alias("dsir_score"))
     )
+    return per_doc.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "dsir_score"
+    )
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, source, dsir_score
+    FROM scored
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "curation", "dsir", "importance-sampling", "mixing"),
+)
+def curation_dsir_weights(spark, sf_dir):
+    """DSIR-shaped importance scoring (Xie et al. 2023: Data Selection
+    via Importance Resampling): hashed unigram features (md5 -> 512
+    buckets, identical hash both engines), a TARGET feature
+    distribution from the reference domain (deterministically the
+    lexicographically first source, standing in for "curated wiki"),
+    a RAW distribution from the whole pool, add-one smoothing over the
+    bucket space, and a per-document score summing the per-feature
+    (p_target - p_raw) mass in parts-per-billion — the fixed-point
+    linearization of the DSIR log-ratio (ordering-equivalent for the
+    resampling cut at small deviations, and bit-identical across
+    engines, which the float log-ratio could never be).  Emits the
+    top-20 most target-like documents.
+
+    Scale shape: the feature stats tables are <= 512 rows (broadcast);
+    the only |corpus|-sized shuffle is the per-doc score aggregation
+    keyed on doc_id.  This is the standard pretraining-data reweighting
+    step ahead of mix_sources_budget."""
     return (
-        per_doc.join(d.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "dsir_score")
+        _dsir_per_doc_scores(spark, sf_dir)
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+_DSIR_SAMPLE_K = 64
+
+
+@register(
+    "sample_dsir_resample",
+    oracle=_DSIR_CTES
+    + f"""
+    , lo AS (SELECT MIN(dsir_score) AS min_s FROM scored),
+    weighted AS (
+      SELECT s.doc_id, s.source, s.dsir_score,
+             s.dsir_score - lo.min_s + 1 AS w
+      FROM scored s, lo
+    )
+    SELECT doc_id, source, dsir_score,
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) + 1) // w AS priority
+    FROM weighted
+    ORDER BY priority, doc_id LIMIT {_DSIR_SAMPLE_K}
+    """,
+    tags=("llm", "curation", "dsir", "importance-sampling", "sampling"),
+)
+def sample_dsir_resample(spark, sf_dir):
+    """The RESAMPLING half of DSIR (Xie et al. 2023) — the step
+    curation_dsir_weights scores for: draw a without-replacement
+    sample whose inclusion probability is proportional to each
+    document's target-likeness.  Scores shift to strictly-positive
+    weights (score − min + 1, min broadcast from a 1-row aggregate)
+    and feed the SAME deterministic priority-sampling machinery as
+    sample_weighted_priority (hash-seeded key = h/w; P(selection)
+    linear in w): the {_DSIR_SAMPLE_K} smallest priorities win.
+    End-to-end this is score → importance-resample, the complete DSIR
+    pipeline, reproducible bit-for-bit on any engine or rerun — the
+    Gumbel-top-k that the paper uses needs float randomness this
+    stack deliberately avoids.
+
+    Scale shape: the scoring pipeline's shuffles are unchanged
+    (<=512-row broadcasts + one doc_id-keyed aggregation); the
+    resample adds a map-side priority and a TakeOrderedAndProject —
+    no new shuffle of the corpus."""
+    scored = _dsir_per_doc_scores(spark, sf_dir)
+    lo = scored.agg(F.min("dsir_score").alias("min_s"))
+    return (
+        scored.crossJoin(F.broadcast(lo))
+        .select(
+            "doc_id",
+            "source",
+            "dsir_score",
+            F.expr(
+                "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) + 1)"
+                " div (dsir_score - min_s + 1)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_DSIR_SAMPLE_K)
     )
 
 
