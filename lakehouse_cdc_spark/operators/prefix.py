@@ -45,39 +45,54 @@ def with_range_bucket(
     """Attach a deterministic value-range bucket that is monotone
     non-decreasing in ``order_col``: rows that compare lower on the
     sort key never land in a higher bucket, so per-bucket order +
-    bucket order = total order.  Bounds come from a tiny min/max
-    aggregate broadcast back onto the rows (one extra reduction over
-    the same scan — at 100 TB the bounds would come from table stats /
-    zone maps for free).
+    bucket order = total order.
 
-    The bucket index is computed in double space; the cast is monotone
-    (distinct values can collapse into the same bucket near 2^53 but
-    can never invert), and equal values always share a bucket, so
+    Boundaries are SAMPLED QUANTILES, not min/max interpolation: a
+    ``percentile_approx`` aggregate over the order column yields the
+    n_buckets-1 boundary values as a one-row array broadcast back
+    onto the rows (plan stays fully lazy — no driver action), and a
+    row's bucket is the count of boundaries strictly below its key.
+    Linear min/max interpolation — the round-4 shape — degenerates on
+    skewed order columns: 99% of rows in a narrow value range all land
+    in one bucket and the "two-pass" window re-degenerates toward a
+    single task.  Quantile boundaries equalize ROW counts per bucket
+    whatever the value distribution.
+
+    Correctness does NOT depend on where the boundaries fall (any
+    monotone bucketing yields identical final results), so the
+    quantile sketch's approximation is harmless; what IS load-bearing
+    is that equal keys always share a bucket — guaranteed here because
+    assignment is a pure comparison against the boundary values — so
     tie-break columns stay inside one partition's window.
 
-    ``null_bucket`` is where NULL order values land (min/max bounds
-    ignore them): bucket 0 reproduces ASC NULLS FIRST, bucket
+    ``null_bucket`` is where NULL order values land (the sketch
+    ignores them): bucket 0 reproduces ASC NULLS FIRST, bucket
     ``n_buckets - 1`` reproduces the NULLS LAST of a descending global
     window — the caller pairs it with the matching within-bucket null
     ordering.
     """
     c = F.col(order_col) if isinstance(order_col, str) else order_col
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     bounds = df.agg(
-        F.min(c).cast("double").alias("__rb_lo"),
-        F.max(c).cast("double").alias("__rb_hi"),
+        F.percentile_approx(c.cast("double"), probs, F.lit(10_000)).alias(
+            "__rb_bounds"
+        )
     )
-    span = F.col("__rb_hi") - F.col("__rb_lo")
-    raw = F.floor((c.cast("double") - F.col("__rb_lo")) / span * n_buckets)
+    rank = F.aggregate(
+        F.col("__rb_bounds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(c.cast("double") > b, 1).otherwise(0),
+    )
     bkt = (
         F.when(c.isNull(), F.lit(null_bucket))
-        .when(span <= 0, F.lit(0))
-        .otherwise(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)))
+        # empty input / all-NULL key: percentile_approx returns NULL
+        .otherwise(F.coalesce(rank, F.lit(0)))
         .cast("int")
     )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(bucket_col, bkt)
-        .drop("__rb_lo", "__rb_hi")
+        .drop("__rb_bounds")
     )
 
 

@@ -115,7 +115,7 @@ _B = 0.75
       JOIN dfreq USING (tok)
       JOIN dl USING (doc_id), stats
     )
-    SELECT doc_id, SUM(contrib_fp) AS score_fp,
+    SELECT doc_id, CAST(SUM(contrib_fp) AS BIGINT) AS score_fp,
            COUNT(*) AS hit_terms
     FROM contrib GROUP BY doc_id
     ORDER BY score_fp DESC, doc_id ASC
@@ -314,12 +314,62 @@ def graph_pagerank_purchases(spark, sf_dir):
     )
 
 
+def _pagerank_converged_oracle() -> str:
+    """The tol-stopped loop REPLAYED in SQL: a DuckDB recursive CTE
+    whose working table carries (iter, node, pr, dmax) — each step
+    recomputes the rank vector from the previous round and stamps the
+    round's max |delta| on every row via an empty-frame window; the
+    WHERE dmax > tol gate then produces zero rows once converged, so
+    the recursion halts at EXACTLY the round the Spark probe stops at.
+    The hash match therefore proves ranks, the data-dependent round
+    count, AND the early-exit logic agree across engines.  (The
+    integer recurrence never reaches an exact fixed point — it enters
+    a delta=28 limit cycle on this graph — so a fixed-K unroll could
+    not stand in for the convergence test.)"""
+    tol = _PR_SCALE // 100
+    return f"""
+    WITH RECURSIVE {_PR_GRAPH_SQL},
+    ew AS (
+      SELECT e.src, e.dst, d.outdeg
+      FROM edges e JOIN deg d ON d.node = e.src
+    ),
+    rec(iter, node, pr, dmax) AS (
+      SELECT 0, node, CAST({_PR_SCALE} AS BIGINT), CAST({_PR_SCALE} AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT nxt.iter, nxt.node, nxt.pr,
+             MAX(abs(nxt.pr - nxt.oldpr)) OVER () AS dmax
+      FROM (
+        SELECT c.iter + 1 AS iter, c.node,
+               CAST({_PR_BASE} + COALESCE(ct.s, 0) AS BIGINT) AS pr,
+               c.pr AS oldpr
+        FROM rec c
+        LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.pr * 85) // (100 * e.outdeg)) AS s
+          FROM rec r JOIN ew e ON e.src = r.node
+          WHERE r.dmax > {tol}
+          GROUP BY e.dst
+        ) ct ON ct.node = c.node
+        WHERE c.dmax > {tol}
+      ) nxt
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(pr AS BIGINT) AS pr_scaled,
+           CAST(iter AS INT) AS n_iters,
+           CAST(dmax AS BIGINT) AS final_delta
+    FROM rec
+    WHERE iter = (SELECT MAX(iter) FROM rec)
+    ORDER BY pr_scaled DESC, node
+    LIMIT 20
+    """
+
+
 @register(
     "graph_pagerank_converged",
-    # no oracle ON PURPOSE: the round count is data-dependent (probe-
-    # driven loop) — the driver records the weaker rows-only check,
-    # like the other genuinely non-SQL-expressible iterative ops.
-    tags=("graph", "iterative", "convergence", "rows-only"),
+    oracle=_pagerank_converged_oracle(),
+    tags=("graph", "iterative", "convergence"),
 )
 def graph_pagerank_converged(spark, sf_dir):
     """PageRank run to CONVERGENCE over the purchase graph: same
@@ -329,7 +379,10 @@ def graph_pagerank_converged(spark, sf_dir):
     localCheckpoint (operators/graph.py:pagerank_converged).  Because
     the arithmetic is bit-deterministic, the round count itself is a
     function of the graph — emitted as n_iters alongside the top-20
-    so any two engines/runs must agree on it."""
+    so any two engines/runs must agree on it.  Oracle-backed since
+    round 5: the DuckDB side replays the identical tol-gated loop as
+    a recursive CTE (see _pagerank_converged_oracle), closing the
+    registry's last rows-only entry."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (

@@ -1172,16 +1172,21 @@ def text_tfidf_top_terms(spark, sf_dir):
     cand AS (
 {_BAND_UNION}
     )
-    SELECT da, db, edit_dist, sim FROM (
+    -- similarity as EXACT integer ppm and an exact rational filter:
+    -- round(1 - d/L, 6) ties at the 6th decimal (tie probe found one
+    -- at sf0.01) and could even flip the >= 0.6 gate across engines
+    SELECT da, db, edit_dist, sim_ppm FROM (
       SELECT cand.da, cand.db,
              levenshtein(a.text, b.text) AS edit_dist,
-             round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                   / CAST(greatest(length(a.text), length(b.text), 1) AS DOUBLE),
-                   6) AS sim
+             CAST((greatest(length(a.text), length(b.text), 1)
+                   - levenshtein(a.text, b.text)) * 1000000
+                  // greatest(length(a.text), length(b.text), 1)
+                  AS BIGINT) AS sim_ppm,
+             greatest(length(a.text), length(b.text), 1) AS len_l
       FROM cand
       JOIN documents a ON a.doc_id = cand.da
       JOIN documents b ON b.doc_id = cand.db
-    ) WHERE sim >= 0.6
+    ) WHERE (len_l - edit_dist) * 5 >= len_l * 3
     """,
     tags=("llm", "dedup", "lsh", "verify"),
 )
@@ -1200,17 +1205,24 @@ def dedup_lsh_verified(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
     dist = F.levenshtein(F.col("ta"), F.col("tb"))
-    sim = F.round(
-        1.0
-        - dist.cast("double")
-        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)).cast("double"),
-        6,
-    )
+    len_l = F.greatest(F.length("ta"), F.length("tb"), F.lit(1)).cast("bigint")
     return (
         cand.join(a, "da")
         .join(b, "db")
-        .select("da", "db", dist.alias("edit_dist"), sim.alias("sim"))
-        .filter(F.col("sim") >= 0.6)
+        .select(
+            "da",
+            "db",
+            dist.cast("bigint").alias("edit_dist"),
+            len_l.alias("len_l"),
+        )
+        # exact rational gate: (L - d)/L >= 3/5, no float compare
+        .filter((F.col("len_l") - F.col("edit_dist")) * 5 >= F.col("len_l") * 3)
+        .select(
+            "da",
+            "db",
+            "edit_dist",
+            F.expr("(len_l - edit_dist) * 1000000 div len_l").alias("sim_ppm"),
+        )
     )
 
 
@@ -1846,8 +1858,8 @@ _PACK_CAP = 512  # tokens per packed training example
     ),
     packed AS (
       SELECT doc_id, ntok,
-             (SUM(ntok) OVER (ORDER BY doc_id) - ntok) // {_PACK_CAP}
-               AS example_id
+             CAST((SUM(ntok) OVER (ORDER BY doc_id) - ntok) // {_PACK_CAP}
+               AS BIGINT) AS example_id
       FROM toks
     ),
     examples AS (
@@ -1858,8 +1870,12 @@ _PACK_CAP = 512  # tokens per packed training example
              CAST(MAX(doc_id) AS BIGINT) AS last_doc
       FROM packed GROUP BY example_id
     )
+    -- fill as an EXACT integer permille (tokens*1000 div cap): a
+    -- rounded double here ties at the 6th decimal whenever
+    -- tokens mod 8 == 4 (cap is a power of two), and DuckDB versions
+    -- disagree on half-ties — keep doubles off the oracle surface
     SELECT example_id, n_docs, tokens, first_doc, last_doc,
-           round(CAST(tokens AS DOUBLE) / {_PACK_CAP}, 6) AS fill_ratio
+           CAST(tokens * 1000 // {_PACK_CAP} AS BIGINT) AS fill_permille
     FROM examples
     ORDER BY example_id
     LIMIT 50
@@ -1879,10 +1895,10 @@ def llm_sequence_packing(spark, sf_dir):
     unpartitioned global window, so no SinglePartition straggler at
     any scale (at 100 TB the doc-stats table this runs over is two
     ints per doc and would be materialized once).  Documents longer
-    than the capacity overflow their example (fill_ratio > 1) — the
-    signal that they need chunking (text_chunk_windows) first.  Exact
-    integer token counts; example boundaries identical in both
-    engines."""
+    than the capacity overflow their example (fill_permille > 1000) —
+    the signal that they need chunking (text_chunk_windows) first.
+    Exact integer token counts and an integer permille fill metric;
+    example boundaries identical in both engines."""
     from pyspark.sql import Window
 
     from lakehouse_cdc_spark.llm.text import tokens
@@ -1926,9 +1942,7 @@ def llm_sequence_packing(spark, sf_dir):
             "tokens",
             "first_doc",
             "last_doc",
-            F.round(F.col("tokens").cast("double") / _PACK_CAP, 6).alias(
-                "fill_ratio"
-            ),
+            F.expr(f"tokens * 1000 div {_PACK_CAP}").alias("fill_permille"),
         )
         .orderBy("example_id")
         .limit(50)

@@ -311,7 +311,7 @@ _CP_TARGET = 4 * 1024 * 1024  # compaction group target, bytes
                AS group_id
       FROM small
     )
-    SELECT group_id,
+    SELECT CAST(group_id AS BIGINT) AS group_id,
            CAST(COUNT(*) AS BIGINT) AS n_files,
            CAST(SUM(bytes) AS BIGINT) AS group_bytes,
            CAST(MIN(file_id) AS BIGINT) AS first_file,

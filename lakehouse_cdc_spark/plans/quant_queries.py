@@ -58,7 +58,7 @@ def _d_quant(tbl: str) -> str:
                6) AS cos_exact
       FROM quant e, qv
     )
-    SELECT vec_id, dot_q,
+    SELECT vec_id, CAST(dot_q AS BIGINT) AS dot_q,
            round(CAST(dot_q AS DOUBLE)
                  / (sqrt(CAST(nq_self AS DOUBLE)) * sqrt(CAST(nq_query AS DOUBLE))),
                  6) AS cos_q,
@@ -497,10 +497,10 @@ _MRL_DIM = 16  # truncated prefix dimensionality
     qv AS (SELECT e AS qe FROM q WHERE vec_id = 0),
     scored AS (
       SELECT q.vec_id,
-             list_sum(list_transform(generate_series(1, {_DIM}),
-                      i -> q.e[i] * qv.qe[i])) AS dot_full,
-             list_sum(list_transform(generate_series(1, {_MRL_DIM}),
-                      i -> q.e[i] * qv.qe[i])) AS dot_trunc
+             CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                      i -> q.e[i] * qv.qe[i])) AS BIGINT) AS dot_full,
+             CAST(list_sum(list_transform(generate_series(1, {_MRL_DIM}),
+                      i -> q.e[i] * qv.qe[i])) AS BIGINT) AS dot_trunc
       FROM q, qv WHERE q.vec_id <> 0
     ),
     rk AS (
@@ -643,7 +643,8 @@ _HN_K = 3  # hard negatives kept per anchor
                                 ORDER BY dot DESC, vec_id) AS rk
       FROM scored WHERE dot * 10 < self_dot * 9
     )
-    SELECT a_id, vec_id AS negative_id, dot AS dot_fp, CAST(rk AS INT) AS rk
+    SELECT a_id, vec_id AS negative_id, CAST(dot AS BIGINT) AS dot_fp,
+           CAST(rk AS INT) AS rk
     FROM banded WHERE rk <= {_HN_K}
     ORDER BY a_id, rk
     """,

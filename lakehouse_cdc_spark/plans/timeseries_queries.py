@@ -349,7 +349,7 @@ def ts_downsample_ohlc(spark, sf_dir):
       FROM cusum
     )
     SELECT event_type, change_day,
-           abs(cum) AS cusum_peak,
+           CAST(abs(cum) AS BIGINT) AS cusum_peak,
            CAST(CASE WHEN cum > 0 THEN 1 WHEN cum < 0 THEN -1 ELSE 0 END
                 AS INT) AS direction
     FROM peak WHERE rn = 1

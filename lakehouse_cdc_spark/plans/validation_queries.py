@@ -289,11 +289,16 @@ _DRIFT_W = 2_000_000  # $20k buckets in price cents
              2 * ns.na * ns.nb AS tv_den
       FROM cells c, ns
     )
-    SELECT bucket, cnt_a, cnt_b, tv_num,
-           round(CAST(tv_num AS DOUBLE) / tv_den, 8) AS tv_share,
+    -- shares as EXACT integer ppm (num*1e6 div den): rounded doubles
+    -- tie-break differently across DuckDB versions, and the raw
+    -- ratio column would be HUGEINT/float drift — integers only
+    SELECT bucket, cnt_a, cnt_b,
+           CAST(tv_num AS BIGINT) AS tv_num,
+           CAST(tv_den AS BIGINT) AS tv_den,
+           CAST(tv_num * 1000000 // tv_den AS BIGINT) AS tv_share_ppm,
            CAST(SUM(tv_num) OVER () AS BIGINT) AS tv_num_total,
-           round(CAST(SUM(tv_num) OVER () AS DOUBLE)
-                 / MAX(tv_den) OVER (), 8) AS tv_distance
+           CAST(SUM(tv_num) OVER () * 1000000 // MAX(tv_den) OVER ()
+                AS BIGINT) AS tv_distance_ppm
     FROM scored
     ORDER BY bucket
     """,
@@ -306,7 +311,9 @@ def validation_distribution_drift(spark, sf_dir):
     integer rationals — the per-bucket numerator |cnt_a*nb - cnt_b*na|
     over denominator 2*na*nb — so the drift score is bit-identical
     across engines (no float accumulation order to disagree on; the
-    rounded double is derived from the exact integers at the end).
+    shares surface as exact integer ppm, never as rounded doubles —
+    round(double, n) half-ties drift across DuckDB versions and
+    HUGEINT ratio columns decay to float64 on Arrow fetch).
     This is the data-quality gate a training pipeline runs between
     ingest snapshots before accepting a refresh.  One map-side-combined
     aggregation into ~60 (bucket x period) cells: constant state,
@@ -347,13 +354,12 @@ def validation_distribution_drift(spark, sf_dir):
             "cnt_a",
             "cnt_b",
             "tv_num",
-            F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 8).alias(
-                "tv_share"
-            ),
+            "tv_den",
+            F.expr("tv_num * 1000000 div tv_den").alias("tv_share_ppm"),
             "tv_num_total",
-            F.round(
-                F.col("tv_num_total").cast("double") / F.col("__td"), 8
-            ).alias("tv_distance"),
+            F.expr("tv_num_total * 1000000 div __td").alias(
+                "tv_distance_ppm"
+            ),
         )
         .orderBy("bucket")
     )

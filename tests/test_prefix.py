@@ -89,6 +89,44 @@ def test_ntile_two_pass_matches_ntile(spark, n_rows, tiles):
     assert got == want
 
 
+def test_range_bucket_balances_skewed_order_column(spark):
+    """The round-4 helper interpolated buckets linearly between
+    min/max, so a heavily skewed order column (99% of rows in a narrow
+    value range, 1% outliers far above) crammed ~99% of rows into
+    bucket 0 and the two-pass window re-degenerated toward a single
+    task.  Quantile boundaries must spread the mass: no bucket may
+    exceed 2x the mean bucket size."""
+    n, n_buckets = 1000, 16
+    rows = [((i * 2654435761) % 97, i) for i in range(n - 10)]
+    rows += [(10**9 + i, n + i) for i in range(10)]  # 1% far outliers
+    df = spark.createDataFrame(rows, "v long, k long")
+    sizes = [
+        r.c
+        for r in with_range_bucket(df, "v", n_buckets)
+        .groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(sizes) <= 2 * (n / n_buckets), sizes
+    # and the mass actually spread: most buckets are populated
+    assert len(sizes) >= n_buckets // 2, sizes
+
+
+def test_range_bucket_keeps_ties_in_one_bucket(spark):
+    """Equal order keys MUST share a bucket (tie-break columns only
+    order correctly within one window partition) — the invariant that
+    makes the quantile sketch's approximation harmless."""
+    rows = [(i % 5, i) for i in range(200)]  # 5 values x 40 rows
+    df = spark.createDataFrame(rows, "v long, k long")
+    per_value = (
+        with_range_bucket(df, "v", 8)
+        .groupBy("v")
+        .agg(F.countDistinct("__bkt").alias("nb"))
+        .collect()
+    )
+    assert all(r.nb == 1 for r in per_value)
+
+
 def test_lower_bucket_agg_sum_and_max(spark):
     per = spark.createDataFrame(
         [(0, 10), (2, 5), (5, 7)], "b int, x long"
