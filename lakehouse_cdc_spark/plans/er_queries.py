@@ -810,14 +810,26 @@ def _em_iter_sql(i: int) -> str:
             f" // 1000000"
         )
 
+    # M-step sums accumulate n·w (w ≤ 10^6) and then rescale by 10^6:
+    # in int64 that overflows past ~9×10^6 candidate pairs, so the
+    # accumulation runs in HUGEINT (Spark mirror: DECIMAL(38,0)) —
+    # headroom to ~10^25 pairs; quotients are ≤ 10^6 so the final
+    # BIGINT cast is always safe.  w itself is clamped to [0, 10^6]:
+    # the denominator's // 1000000 rescale can otherwise let the
+    # quotient overshoot 10^6 when ug ≈ 0, making n·(10^6 − w)
+    # negative — and DuckDB's // floors while Spark's div truncates
+    # toward zero on negatives, so the engines would diverge by one.
     m_cols = ", ".join(
-        f"CAST(SUM(CASE WHEN a{j} = 1 THEN n * w ELSE 0 END) * 1000000"
-        f" // GREATEST(SUM(n * w), 1) AS BIGINT) AS m{j}"
+        f"CAST(SUM(CASE WHEN a{j} = 1 THEN CAST(n AS HUGEINT) * w"
+        f" ELSE 0 END) * 1000000"
+        f" // GREATEST(SUM(CAST(n AS HUGEINT) * w), 1) AS BIGINT) AS m{j}"
         for j in (1, 2, 3)
     )
     u_cols = ", ".join(
-        f"CAST(SUM(CASE WHEN a{j} = 1 THEN n * (1000000 - w) ELSE 0 END)"
-        f" * 1000000 // GREATEST(SUM(n * (1000000 - w)), 1) AS BIGINT)"
+        f"CAST(SUM(CASE WHEN a{j} = 1 THEN CAST(n AS HUGEINT)"
+        f" * (1000000 - w) ELSE 0 END)"
+        f" * 1000000 // GREATEST(SUM(CAST(n AS HUGEINT)"
+        f" * (1000000 - w)), 1) AS BIGINT)"
         f" AS u{j}"
         for j in (1, 2, 3)
     )
@@ -829,13 +841,14 @@ def _em_iter_sql(i: int) -> str:
     ),
     {w} AS (
       SELECT a1, a2, a3, n,
-             (lam * mg) // GREATEST(
-               (lam * mg + (1000000 - lam) * ug) // 1000000, 1) AS w
+             LEAST(1000000, (lam * mg) // GREATEST(
+               (lam * mg + (1000000 - lam) * ug) // 1000000, 1)) AS w
       FROM {s}
     ),
     {cur} AS (
       SELECT {m_cols}, {u_cols},
-             CAST(SUM(n * w) // GREATEST(SUM(n), 1) AS BIGINT) AS lam
+             CAST(SUM(CAST(n AS HUGEINT) * w)
+                  // GREATEST(SUM(n), 1) AS BIGINT) AS lam
       FROM {w}
     )"""
 
@@ -867,30 +880,34 @@ def _em_iter_spark(cells, params):
         "a2",
         "a3",
         "n",
+        # clamped to [0, 10^6] — see _em_iter_sql for why
         F.expr(
-            "(lam * mg) div greatest("
-            "(lam * mg + (1000000 - lam) * ug) div 1000000, 1)"
+            "least(1000000, (lam * mg) div greatest("
+            "(lam * mg + (1000000 - lam) * ug) div 1000000, 1))"
         ).alias("w"),
     )
+    # DECIMAL(38,0) accumulation mirrors the oracle's HUGEINT — the
+    # int64 cliff at ~9e6 candidate pairs is gone (headroom ~10^25)
+    nw = "CAST(n AS DECIMAL(38,0))"
     aggs = (
         [
             F.expr(
-                f"CAST(sum(CASE WHEN a{j} = 1 THEN n * w ELSE 0 END)"
-                f" * 1000000 div greatest(sum(n * w), 1) AS BIGINT)"
+                f"CAST(sum(CASE WHEN a{j} = 1 THEN {nw} * w ELSE 0 END)"
+                f" * 1000000 div greatest(sum({nw} * w), 1) AS BIGINT)"
             ).alias(f"m{j}")
             for j in (1, 2, 3)
         ]
         + [
             F.expr(
-                f"CAST(sum(CASE WHEN a{j} = 1 THEN n * (1000000 - w)"
+                f"CAST(sum(CASE WHEN a{j} = 1 THEN {nw} * (1000000 - w)"
                 f" ELSE 0 END) * 1000000"
-                f" div greatest(sum(n * (1000000 - w)), 1) AS BIGINT)"
+                f" div greatest(sum({nw} * (1000000 - w)), 1) AS BIGINT)"
             ).alias(f"u{j}")
             for j in (1, 2, 3)
         ]
         + [
             F.expr(
-                "CAST(sum(n * w) div greatest(sum(n), 1) AS BIGINT)"
+                f"CAST(sum({nw} * w) div greatest(sum(n), 1) AS BIGINT)"
             ).alias("lam")
         ]
     )
@@ -965,14 +982,13 @@ def er_em_weight_estimation(spark, sf_dir):
     Scale shape: the blocked candidate join is the same O(N·const)
     pair generator as the rest of the ER family; everything after is
     a ≤16-row cell table — EM itself costs nothing at any scale.
-    int64 bound: the M-step numerator is Σ(n·w)·10^6 with w ≤ 10^6,
-    so it overflows past ~9×10^6 candidate pairs (Spark would wrap
-    SILENTLY in non-ANSI mode while DuckDB errors) — beyond that,
-    rescale the posterior w to per-mille before the weighted sums,
-    which buys 10^3× headroom at 0.1% weight resolution.  Output: one
-    row of
-    estimated (λ, m_j, u_j) — the weights a production linker would
-    then score er_blocked_fuzzy_match's pairs with."""
+    The M-step accumulates Σ(n·w)·10^6 in 128-bit (DECIMAL(38,0) on
+    Spark, HUGEINT in the oracle), so the old ~9×10^6-pair int64
+    cliff is gone — headroom now ~10^25 pairs at full ppm weight
+    resolution (tests/test_er_em.py pins an adversarial 10^13-pair
+    cell table against an exact big-int reference).  Output: one row
+    of estimated (λ, m_j, u_j) — the weights a production linker
+    would then score er_blocked_fuzzy_match's pairs with."""
     c = table(spark, sf_dir, "customer")
     k = _tail_digits(_customer_count(spark, sf_dir))
     dirty = c.select(

@@ -199,6 +199,12 @@ class CdcLogStreamReader(SimpleDataSourceStreamReader):
 # (exactly-once on top of Spark's checkpointed batch numbering).
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced a batch commit to the same cdclog path; the
+    loser fails HERE, having published nothing (sources/cdclog.py's
+    analogue of streaming.pipeline.ConcurrentCommitError)."""
+
+
 @dataclasses.dataclass
 class _FileCommit(WriterCommitMessage):
     tmp_name: str | None
@@ -288,6 +294,37 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
         done = [m for m in messages if m is not None and m.tmp_name]
         prev = _read_manifest_json(self.path)
         gen = _next_generation(prev["files"])
+        # writer fence (mirrors SnapshotUpsertSink._claim): exclusively
+        # create a per-generation claim BEFORE any rename.  Without it,
+        # two concurrent batch writes both read the previous manifest,
+        # compute the SAME generation, rename onto identical
+        # part-g<gen>-<i> names (os.replace silently overwrites) and
+        # the last manifest swap wins — the loser's rows would vanish
+        # without error.
+        claim = os.path.join(self.path, f"_gen-{gen:04d}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            self._cleanup(messages)
+            raise ConcurrentWriteError(
+                f"generation {gen} already claimed at {claim} — another "
+                "writer is committing to this path (or crashed mid-commit; "
+                "remove the stale .claim file to recover)"
+            ) from None
+        # re-verify under the claim: a fast concurrent writer may have
+        # claimed this generation, committed AND released between our
+        # manifest read and our claim — its commit moved the manifest,
+        # so the generation we computed is stale
+        now = _read_manifest_json(self.path)
+        if _next_generation(now["files"]) != gen:
+            os.unlink(claim)
+            self._cleanup(messages)
+            raise ConcurrentWriteError(
+                f"base manifest advanced while planning generation {gen} "
+                "— retry the write against the new state"
+            )
+        prev = now
         # rename tmp files to FRESH generation names — never over a
         # name any manifest has ever published, so a crash (or a
         # concurrent committed-only read) at ANY point before the
@@ -314,6 +351,13 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
                 os.unlink(os.path.join(self.path, old))
             except FileNotFoundError:
                 pass
+        # release the claim: the manifest has moved, so any later
+        # writer recomputes a HIGHER generation from it — the recycled
+        # claim name can never gate the same generation twice
+        try:
+            os.unlink(claim)
+        except FileNotFoundError:
+            pass
 
     def abort(self, messages) -> None:
         self._cleanup(messages)

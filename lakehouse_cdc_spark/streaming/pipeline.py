@@ -44,6 +44,7 @@ import os
 import shutil
 import threading
 import time
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,10 +59,13 @@ from lakehouse_cdc_spark.operators.dedup import (
 # threads of the same session — a naive save/set/restore races: writer
 # B can read writer A's "false" as the value to restore and wedge AQE
 # off for the whole session.  Depth-0 entry records the true original;
-# only the LAST exit restores it.
+# only the LAST exit restores it.  State is keyed by a WEAK reference
+# to the session itself, never id(): a new session can reuse a
+# garbage-collected session's id and would inherit its stale state.
 _AQE_LOCK = threading.Lock()
-_AQE_DEPTH: dict[int, int] = {}  # id(session) -> nesting depth
-_AQE_ORIG: dict[int, str] = {}  # id(session) -> value before depth 0
+_AQE_STATE: "weakref.WeakKeyDictionary[SparkSession, list]" = (
+    weakref.WeakKeyDictionary()
+)  # session -> [depth, original conf value]
 
 
 @contextlib.contextmanager
@@ -69,22 +73,34 @@ def _aqe_disabled(spark: SparkSession):
     """Disable AQE for the sink's fixed-shape jobs (explicitly
     partitioned plans — per-stage re-optimization only adds driver
     latency), safely under concurrent writers on one session."""
-    key = id(spark)
     with _AQE_LOCK:
-        if _AQE_DEPTH.get(key, 0) == 0:
-            _AQE_ORIG[key] = spark.conf.get("spark.sql.adaptive.enabled")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        _AQE_DEPTH[key] = _AQE_DEPTH.get(key, 0) + 1
+        st = _AQE_STATE.get(spark)
+        if st is None:
+            st = _AQE_STATE[spark] = [
+                0,
+                spark.conf.get("spark.sql.adaptive.enabled"),
+            ]
+        # bump the depth BEFORE mutating the conf so a failing set
+        # can roll back cleanly instead of leaking a stale orig entry
+        st[0] += 1
+        if st[0] == 1:
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+            except Exception:
+                st[0] -= 1
+                if st[0] == 0:
+                    _AQE_STATE.pop(spark, None)
+                raise
     try:
         yield
     finally:
         with _AQE_LOCK:
-            _AQE_DEPTH[key] -= 1
-            if _AQE_DEPTH[key] == 0:
-                spark.conf.set(
-                    "spark.sql.adaptive.enabled", _AQE_ORIG.pop(key)
-                )
-                del _AQE_DEPTH[key]
+            st = _AQE_STATE.get(spark)
+            if st is not None:
+                st[0] -= 1
+                if st[0] == 0:
+                    _AQE_STATE.pop(spark, None)
+                    spark.conf.set("spark.sql.adaptive.enabled", st[1])
 
 
 def with_retry(fn, attempts: int = 3, base_backoff_s: float = 2.0, sleep=time.sleep):
@@ -692,9 +708,13 @@ class SnapshotUpsertSink:
         # construction, so there is no skew for it to split.  Measured
         # ~0.13 s/micro-batch on local[32].
         with _aqe_disabled(spark):
+            # single-reduce set aggregate, NOT distinct().collect():
+            # distinct's final stage launches shuffle.partitions tasks
+            # to return ≤ n_buckets rows — collect_set partial-aggs
+            # ≤ n_buckets values per input partition into ONE reduce
+            # task (measured ~2x less probe latency per micro-batch)
             touched = sorted(
-                r["__bucket"]
-                for r in probe.select("__bucket").distinct().collect()
+                probe.agg(F.collect_set("__bucket")).collect()[0][0]
             )
             t_probe = time.time()
             base_paths = [
@@ -1058,18 +1078,15 @@ class SnapshotUpsertSink:
         bucket = self._bucket_col(n_buckets)
 
         state = self.current_state(spark)
-        # two actions (count + touched probe) over one state scan
         expirable = state.filter(
             (F.col(self.op_col) == "d") & (F.col(ord_col) < F.lit(watermark))
-        ).persist()
-        try:
-            n_expired = expirable.count()
-            touched = sorted(
-                r["__bucket"]
-                for r in expirable.select(bucket.alias("__bucket")).distinct().collect()
-            )
-        finally:
-            expirable.unpersist()
+        )
+        # count + touched-bucket set in ONE single-reduce aggregate
+        # over one state scan (no persist needed for a single action)
+        n_expired, touched_set = expirable.agg(
+            F.count(F.lit(1)), F.collect_set(bucket)
+        ).collect()[0]
+        touched = sorted(touched_set)
         if not touched and prev is not None and not (prev < watermark):
             # nothing to expire and the floor is already at this level —
             # a commit would advance the snapshot number for no change

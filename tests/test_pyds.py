@@ -324,6 +324,46 @@ def test_writer_abort_removes_tmp_files(tmp_path):
     assert not any(f.startswith("_tmp-") for f in os.listdir(d))
 
 
+def test_writer_generation_claim_fences_concurrent_commit(spark, tmp_path):
+    """Two writers that both planned the same generation must not both
+    publish: the claim file gates the rename phase, so the loser fails
+    having published NOTHING (previously os.replace silently overwrote
+    the winner's part files and its rows vanished)."""
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        ConcurrentWriteError,
+        CdcLogBatchWriter,
+        _FileCommit,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    _env_df(spark, 0, 20).write.format("cdclog").mode("overwrite").save(d)
+
+    # a rival holds the next generation's claim (mid-commit)
+    open(os.path.join(d, "_gen-0001.claim"), "w").close()
+    open(os.path.join(d, "_tmp-loser.parquet"), "wb").close()
+    w = CdcLogBatchWriter({"path": d}, overwrite=False)
+    try:
+        w.commit([_FileCommit("_tmp-loser.parquet", 1)])
+        raise AssertionError("commit must fail while the claim is held")
+    except ConcurrentWriteError:
+        pass
+    # loser's debris was cleaned up, winner's state untouched
+    assert not any(f.startswith("_tmp-") for f in os.listdir(d))
+    assert read_committed_log(spark, d).count() == 20
+
+    # claim released (rival crashed / finished): writes proceed again
+    os.unlink(os.path.join(d, "_gen-0001.claim"))
+    _env_df(spark, 20, 30).write.format("cdclog").mode("append").save(d)
+    assert read_committed_log(spark, d).count() == 30
+    # the successful commit released its own claim
+    assert not any(f.endswith(".claim") for f in os.listdir(d))
+
+
 def test_stream_writer_end_to_end_and_replay_idempotent(spark, tmp_path):
     """source → writeStream.format('cdclog'): per-batch manifests land
     the full stream exactly once, and a re-committed batchId (crash

@@ -103,6 +103,37 @@ def main() -> None:
         schema = (
             table(spark, sf_dir, "events").withColumn("operation", op_col()).schema
         )
+
+        # warm the streaming machinery BEFORE timing (the batch bench
+        # warms identically): the first streaming query in a session
+        # pays ~2-3 s of one-time codegen/classloading that would
+        # otherwise be billed to the COW phase and NOT to the MOR
+        # phase that happens to run second — measured 14.5k -> 23.5k
+        # rows/s on the identical pipeline, warm vs cold
+        warm_dir = os.path.join(work, "warm")
+        os.makedirs(warm_dir)
+        os.link(
+            os.path.join(flat, "0000.parquet"),
+            os.path.join(warm_dir, "0000.parquet"),
+        )
+        for mode in (False, True):
+            wsink = SnapshotUpsertSink(
+                os.path.join(work, f"warm_target_{mode}"),
+                keys=["user_id"],
+                order_by=["ts", "event_id"],
+                merge_on_read=mode,
+            )
+            wq = cdc_pipeline(
+                file_cdc_source(spark, warm_dir, schema, max_files_per_trigger=1),
+                wsink,
+                os.path.join(work, f"warm_ckpt_{mode}"),
+            )
+            if not wq.awaitTermination(600):
+                wq.stop()
+                raise RuntimeError("warm-up stream did not drain in 600s")
+            if mode:
+                wsink.fold_deltas(spark)  # warm the fold path too
+
         stream = file_cdc_source(spark, flat, schema, max_files_per_trigger=1)
         sink = SnapshotUpsertSink(
             os.path.join(work, "target"),
