@@ -209,6 +209,56 @@ class ConcurrentWriteError(RuntimeError):
 class _FileCommit(WriterCommitMessage):
     tmp_name: str | None
     rows: int
+    # per-column zone map for THIS file: {col: [min, max, null_count]}
+    # (JSON-safe values; None when the column type is un-stat-able)
+    stats: dict | None = None
+
+
+_STATABLE = ("int", "uint", "float", "double", "string", "large_string",
+             "date", "timestamp", "bool")
+
+
+def _stat_value(v):
+    """JSON-safe form of an Arrow scalar for the manifest zone map.
+    Dates/timestamps become ISO strings — ISO-8601 orders
+    lexicographically the same as the instants it denotes, so the
+    pruner's plain comparison stays correct (same invariant the sink's
+    _iso_watermark relies on)."""
+    v = v.as_py() if hasattr(v, "as_py") else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _merge_col_stats(acc: dict, batch) -> None:
+    """Fold one Arrow batch's per-column min/max/null_count into acc."""
+    import pyarrow.compute as pc
+
+    for i, field in enumerate(batch.schema):
+        t = str(field.type)
+        if not t.startswith(_STATABLE):
+            continue
+        col = batch.column(i)
+        nulls = col.null_count
+        cur = acc.get(field.name)
+        if len(col) == nulls:  # all-NULL batch: only nulls move
+            if cur is not None:
+                cur[2] += nulls
+            else:
+                acc[field.name] = [None, None, nulls]
+            continue
+        mm = pc.min_max(col)
+        lo, hi = _stat_value(mm["min"]), _stat_value(mm["max"])
+        if cur is None or cur[0] is None:
+            acc[field.name] = [
+                lo,
+                hi,
+                nulls + (cur[2] if cur else 0),
+            ]
+        else:
+            cur[0] = min(cur[0], lo)
+            cur[1] = max(cur[1], hi)
+            cur[2] += nulls
 
 
 def _read_manifest_json(path: str, manifest: str = "_COMMIT.json") -> dict:
@@ -237,10 +287,20 @@ def _next_generation(files: list[str]) -> int:
     return (max(gens) + 1) if gens else 0
 
 
-def _write_manifest(path: str, manifest: str, files: list[str], rows: int):
+def _write_manifest(
+    path: str,
+    manifest: str,
+    files: list[str],
+    rows: int,
+    stats: dict | None = None,
+):
     tmp = os.path.join(path, manifest + ".tmp")
+    doc = {"files": files, "rows": rows}
+    if stats:
+        # zone maps ride the manifest: {file: {col: [min, max, nulls]}}
+        doc["stats"] = stats
     with open(tmp, "w") as f:
-        json.dump({"files": files, "rows": rows}, f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, manifest))
@@ -260,18 +320,22 @@ class _ArrowTaskWriter:
         os.makedirs(self.path, exist_ok=True)
         tmp_name, writer, rows = f"_tmp-{uuid.uuid4().hex}.parquet", None, 0
         full = os.path.join(self.path, tmp_name)
+        stats: dict = {}
         try:
             for batch in iterator:
                 if writer is None:
                     writer = pq.ParquetWriter(full, batch.schema)
                 writer.write_batch(batch)
                 rows += batch.num_rows
+                # zone map folded batch-by-batch while the data is
+                # already in cache — no second pass over the file
+                _merge_col_stats(stats, batch)
         finally:
             if writer is not None:
                 writer.close()
         if writer is None:
             return _FileCommit(None, 0)  # empty partition: no file
-        return _FileCommit(tmp_name, rows)
+        return _FileCommit(tmp_name, rows, stats or None)
 
     def _cleanup(self, messages) -> None:
         for m in messages:
@@ -330,6 +394,7 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
         # concurrent committed-only read) at ANY point before the
         # manifest swap still sees the previous commit fully intact
         new = []
+        new_stats: dict = {}
         for i, m in enumerate(sorted(done, key=lambda m: m.tmp_name)):
             name = f"part-g{gen:04d}-{i:05d}.parquet"
             os.replace(
@@ -337,12 +402,20 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
                 os.path.join(self.path, name),
             )
             new.append(name)
+            if getattr(m, "stats", None):
+                new_stats[name] = m.stats
         new_rows = sum(m.rows for m in messages if m is not None)
         if self.overwrite:
-            final, rows = new, new_rows
+            final, rows, stats = new, new_rows, new_stats
         else:
-            final, rows = prev["files"] + new, prev["rows"] + new_rows
-        _write_manifest(self.path, "_COMMIT.json", final, rows)
+            final = prev["files"] + new
+            rows = prev["rows"] + new_rows
+            stats = dict(prev.get("stats") or {})
+            stats.update(new_stats)
+        # zone maps only for files still referenced (overwrite drops
+        # superseded entries with their files)
+        stats = {f: s for f, s in stats.items() if f in set(final)}
+        _write_manifest(self.path, "_COMMIT.json", final, rows, stats)
         # only AFTER the swap: superseded files are now unreferenced —
         # a crash before this loop leaves invisible orphans, never a
         # published manifest pointing at missing or mutated files
@@ -380,6 +453,7 @@ class CdcLogStreamWriter(_ArrowTaskWriter, DataSourceStreamArrowWriter):
             return
         done = [m for m in messages if m is not None and m.tmp_name]
         final = []
+        stats: dict = {}
         for i, m in enumerate(sorted(done, key=lambda m: m.tmp_name)):
             name = f"batch-{batchId:06d}-{i:05d}.parquet"
             os.replace(
@@ -387,30 +461,95 @@ class CdcLogStreamWriter(_ArrowTaskWriter, DataSourceStreamArrowWriter):
                 os.path.join(self.path, name),
             )
             final.append(name)
+            if getattr(m, "stats", None):
+                stats[name] = m.stats
         _write_manifest(
             self.path, manifest, final,
             sum(m.rows for m in messages if m is not None),
+            stats,
         )
 
     def abort(self, messages, batchId: int) -> None:
         self._cleanup(messages)
 
 
-def read_committed_log(spark, path: str):
-    """Committed-only read of a cdclog sink directory: trust the
-    manifests, never the directory listing — stray ``_tmp`` files from
-    crashed writers are invisible by construction.  Returns None for a
-    never-committed path."""
-    if not os.path.isdir(path):
-        return None  # nothing ever written
-    files = []
+def _zone_overlaps(stat, lo, hi) -> bool:
+    """Can a file whose column spans [stat_min, stat_max] contain a
+    row satisfying lo <= col <= hi?  Missing/NULL-only stats ⇒ must
+    read (never skip on absent information).  NULL rows never satisfy
+    a range predicate, so null_count is irrelevant to range pruning."""
+    if stat is None:
+        return True
+    smin, smax = stat[0], stat[1]
+    if smin is None or smax is None:  # all-NULL file or unknown
+        return True
+    if lo is not None and smax < lo:
+        return False
+    if hi is not None and smin > hi:
+        return False
+    return True
+
+
+def prune_manifest_files(path: str, prune) -> tuple[list[str], int]:
+    """Zone-map file skipping over every manifest in a cdclog dir:
+    returns ``(kept_files, total_files)``.  ``prune`` is a list of
+    ``(col, lo, hi)`` closed-interval predicates (None = unbounded
+    side); a file is skipped only when its manifest zone map PROVES no
+    row can satisfy every interval.  Files without stats (pre-zone-map
+    manifests, un-stat-able column types) are always kept — pruning is
+    an optimization, never a filter: the caller still applies the real
+    predicate to the returned scan."""
+    kept, total = [], 0
     for name in sorted(os.listdir(path)):
         if name == "_COMMIT.json" or (
             name.startswith("_COMMIT-") and name.endswith(".json")
         ):
-            files.extend(_manifest_files(path, name))
-    if not files:
+            doc = _read_manifest_json(path, name)
+            stats = doc.get("stats") or {}
+            for f in doc["files"]:
+                total += 1
+                fstats = stats.get(f) or {}
+                if all(
+                    _zone_overlaps(fstats.get(col), lo, hi)
+                    for col, lo, hi in prune
+                ):
+                    kept.append(f)
+    return kept, total
+
+
+def read_committed_log(spark, path: str, prune=None):
+    """Committed-only read of a cdclog sink directory: trust the
+    manifests, never the directory listing — stray ``_tmp`` files from
+    crashed writers are invisible by construction.  Returns None for a
+    never-committed path.
+
+    ``prune``: optional list of ``(col, lo, hi)`` closed intervals.
+    Files whose manifest ZONE MAP proves no row can match are skipped
+    before Spark ever opens them — manifest-level data skipping, the
+    move that matters at 100 TB where a time- or key-range query
+    should touch O(matching files), not O(table).  The caller still
+    applies the real filter; pruning only shrinks the scan (date /
+    timestamp zone values are ISO strings — pass ISO strings as
+    bounds, which compare lexicographically in instant order)."""
+    if not os.path.isdir(path):
+        return None  # nothing ever written
+    all_files = []
+    for name in sorted(os.listdir(path)):
+        if name == "_COMMIT.json" or (
+            name.startswith("_COMMIT-") and name.endswith(".json")
+        ):
+            all_files.extend(_manifest_files(path, name))
+    if not all_files:
         return None
+    files = all_files
+    if prune:
+        files, _ = prune_manifest_files(path, prune)
+        if not files:
+            # everything skipped: an EMPTY frame with the log's schema
+            # (one footer read), not None — the table exists
+            return spark.read.parquet(
+                os.path.join(path, all_files[0])
+            ).limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 

@@ -38,6 +38,7 @@ byte-identical across commits.
 
 from __future__ import annotations
 
+import base64
 import contextlib
 import json
 import os
@@ -162,6 +163,9 @@ class SnapshotUpsertSink:
         n_buckets: int = 16,
         merge_on_read: bool = False,
         fold_deltas_every: int | None = 8,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 3,
     ):
         self.target_dir = target_dir
         self.keys = keys
@@ -188,6 +192,20 @@ class SnapshotUpsertSink:
         #: wins — key→bucket mapping is fixed at first commit; size it
         #: so one bucket ≈ executor-memory-sized at the target scale)
         self.n_buckets = n_buckets
+        #: per-bucket bloom filters over NON-key columns (key point
+        #: lookups already hash straight to their bucket): when set,
+        #: every bucket rewrite computes a ``bloom_bits``-bit filter
+        #: per column via ``observe()`` aggregates RIDING the write job
+        #: (no extra pass) and stores it base64 in the manifest;
+        #: ``lookup(spark, col, value)`` then reads only the buckets
+        #: whose filter may contain the value.  Values are hashed via
+        #: CAST(col AS STRING) so int32/int64 schema widening never
+        #: shifts the hash.  Sizing: manifest grows by
+        #: bits/8 x n_buckets x |cols| bytes (1 KiB x 16 x |cols| at
+        #: the defaults).
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -363,6 +381,7 @@ class SnapshotUpsertSink:
         watermark=None,
         schema_json: str | None = None,
         deltas: list[int] | None = None,
+        blooms: dict | None = None,
     ) -> None:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
@@ -395,6 +414,11 @@ class SnapshotUpsertSink:
             # hold raw change batches not yet folded into the buckets;
             # readers compact base+deltas, fold_deltas clears the list
             new_manifest["deltas"] = deltas
+        if blooms:
+            # per-bucket per-column bloom filters over the committed
+            # base ({"bits", "hashes", "cols": {col: {bucket: b64}}});
+            # probe_buckets/lookup prune point reads with them
+            new_manifest["blooms"] = blooms
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
         # would leave the committed pointer describing the loser's map
@@ -582,6 +606,74 @@ class SnapshotUpsertSink:
             return None
         return state.filter(F.col(self.op_col) != "d")
 
+    # -- bloom-pruned point lookups ---------------------------------------
+    def probe_buckets(self, spark: SparkSession, col: str, value) -> list[int]:
+        """Bucket ids that MAY hold ``col = value`` per the manifest's
+        bloom filters: buckets whose filter misses any of the k hash
+        bits are proven clear; buckets WITHOUT a filter (bloom tracking
+        off, pre-bloom commits, stale-after-rewrite drops) are always
+        candidates — pruning is an optimization, never a filter.
+        Hash positions are computed BY SPARK over the same
+        CAST(.. AS STRING) canonical form the writer hashed (a one-row
+        job), so driver-side Python never re-implements xxhash64."""
+        manifest = self._read_manifest(self.committed_snapshot()) or {}
+        all_buckets = sorted(int(b) for b in manifest.get("buckets", {}))
+        doc = manifest.get("blooms") or {}
+        col_map = (doc.get("cols") or {}).get(col)
+        if not col_map:
+            return all_buckets
+        bits, hashes = doc["bits"], doc["hashes"]
+        probe = spark.range(1).select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast("string"), F.lit(s)),
+                    F.lit(bits),
+                ).alias(f"p{s}")
+                for s in range(hashes)
+            ]
+        ).collect()[0]
+        positions = [int(probe[s]) for s in range(hashes)]
+        out = []
+        for b in all_buckets:
+            enc = col_map.get(str(b))
+            if enc is None:
+                out.append(b)  # no filter: must read
+                continue
+            buf = base64.b64decode(enc)
+            if all(buf[p >> 3] & (1 << (p & 7)) for p in positions):
+                out.append(b)
+        return out
+
+    def lookup(self, spark: SparkSession, col: str, value) -> DataFrame | None:
+        """Point lookup ``col = value`` reading ONLY the bloom-candidate
+        buckets: at 100 TB this is the difference between touching k
+        files and scanning the table for a needle query on a non-key
+        column.  Equality is evaluated on the same CAST(.. AS STRING)
+        canonical form the filters hash (so pruning can never
+        contradict the filter).  Pending MOR deltas carry no filters —
+        and an un-bloomed delta row may hide the value in a
+        bloom-cleared bucket — so with deltas outstanding the lookup
+        falls back to the full merge-on-read scan (fold_deltas() first
+        to restore pruned lookups), mirroring the read-optimized vs
+        real-time query split of Hudi/Iceberg."""
+        snap = self.committed_snapshot()
+        manifest = self._read_manifest(snap)
+        if manifest is None or not manifest.get("buckets"):
+            return None
+        match = F.col(col).cast("string") == F.lit(value).cast("string")
+        if manifest.get("deltas"):
+            return self.current_table(spark).filter(match)
+        cand = self.probe_buckets(spark, col, value)
+        paths = [
+            self._bucket_path(manifest["buckets"][str(b)], b)
+            for b in cand
+            if str(b) in manifest["buckets"]
+        ]
+        if not paths:  # every bucket bloom-cleared: provably no match
+            return self.current_table(spark).filter(F.lit(False))
+        df = self._state_reader(spark, manifest.get("schema")).parquet(*paths)
+        return df.filter(F.col(self.op_col) != "d").filter(match)
+
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch into state.
@@ -754,6 +846,33 @@ class SnapshotUpsertSink:
             merged = latest_per_key_bucketed(
                 unioned, self.keys, self.order_by, "__bucket", n_buckets
             )
+            # bloom positions ride the WRITE job as observe() metrics —
+            # no extra pass: each position is bucket * bits + hash so a
+            # single global collect_set carries every bucket's filter
+            bloom_obs, bloom_cols_present = None, []
+            if self.bloom_cols:
+                from pyspark.sql import Observation
+
+                bloom_cols_present = [
+                    c for c in self.bloom_cols if c in merged.columns
+                ]
+                if bloom_cols_present:
+                    bloom_obs = Observation()
+                    aggs = [
+                        F.collect_set(
+                            F.col("__bucket").cast("bigint")
+                            * self.bloom_bits
+                            + F.pmod(
+                                F.xxhash64(
+                                    F.col(c).cast("string"), F.lit(s)
+                                ),
+                                F.lit(self.bloom_bits),
+                            )
+                        ).alias(f"{c}::{s}")
+                        for c in bloom_cols_present
+                        for s in range(self.bloom_hashes)
+                    ]
+                    merged = merged.observe(bloom_obs, *aggs)
 
             new_snap = (committed_snap if committed_snap is not None else -1) + 1
             self._claim(new_snap, claim_batch_id)  # writer fence, before data
@@ -779,8 +898,47 @@ class SnapshotUpsertSink:
         # … then manifest (rewritten buckets point at new_snap, all
         # others keep their byte-identical files) + pointer
         new_buckets = dict(manifest["buckets"])
-        for b in self._written_buckets(snap_dir):
+        rewritten = self._written_buckets(snap_dir)
+        for b in rewritten:
             new_buckets[str(b)] = new_snap
+        # bloom bookkeeping: a rewritten bucket's old filter is STALE
+        # (rows were added) — drop it, then install the fresh one when
+        # the observation computed it.  Untouched buckets keep theirs.
+        prev_bloom = manifest.get("blooms") or {}
+        if prev_bloom and (
+            prev_bloom.get("bits") != self.bloom_bits
+            or prev_bloom.get("hashes") != self.bloom_hashes
+        ):
+            prev_bloom = {}  # parameter change: carried filters unusable
+        blooms = {
+            col: dict(m) for col, m in (prev_bloom.get("cols") or {}).items()
+        }
+        for col in list(blooms):
+            for b in rewritten:
+                blooms[col].pop(str(b), None)
+        if bloom_obs is not None:
+            got = bloom_obs.get  # blocks until the write job finished
+            for c in bloom_cols_present:
+                fresh: dict[int, bytearray] = {}
+                for s in range(self.bloom_hashes):
+                    for pos in got[f"{c}::{s}"] or []:
+                        bkt, bit = divmod(int(pos), self.bloom_bits)
+                        buf = fresh.setdefault(
+                            bkt, bytearray(self.bloom_bits // 8)
+                        )
+                        buf[bit >> 3] |= 1 << (bit & 7)
+                col_map = blooms.setdefault(c, {})
+                for bkt, buf in fresh.items():
+                    col_map[str(bkt)] = base64.b64encode(bytes(buf)).decode()
+        bloom_doc = (
+            {
+                "bits": self.bloom_bits,
+                "hashes": self.bloom_hashes,
+                "cols": {c: m for c, m in blooms.items() if m},
+            }
+            if any(m for m in blooms.values())
+            else None
+        )
         if stored_schema is None and manifest["buckets"]:
             # legacy target predating schema tracking: untouched buckets
             # may hold columns no tracked commit ever saw — never start
@@ -798,6 +956,7 @@ class SnapshotUpsertSink:
             commit_batch_id,
             watermark,
             schema_json,
+            blooms=bloom_doc,
         )
         # per-phase wall clock of the LAST committed batch — the sink's
         # own latency breakdown (T8 observability; tools/stream_bench.py
@@ -873,6 +1032,10 @@ class SnapshotUpsertSink:
             watermark,
             schema_json,
             deltas,
+            # the bucketed BASE is untouched by a delta append, so its
+            # bloom filters stay exactly valid (lookup() must — and
+            # does — scan the un-bloomed deltas regardless)
+            blooms=manifest.get("blooms"),
         )
         self.last_batch_timings = {
             "probe_s": 0.0,
@@ -1026,6 +1189,8 @@ class SnapshotUpsertSink:
             committed_batch,
             manifest.get("gc_watermark"),
             manifest.get("schema"),  # compaction never changes the schema
+            # same rows, fewer files: the carried blooms stay exact
+            blooms=manifest.get("blooms"),
         )
         return sorted(todo)
 
@@ -1138,6 +1303,10 @@ class SnapshotUpsertSink:
             committed_batch,
             watermark,
             manifest.get("schema"),  # GC never changes the schema
+            # GC only REMOVES rows: a bloom filter over a superset of
+            # the remaining rows can only over-approximate — carried
+            # filters stay correct (false positives, never negatives)
+            blooms=manifest.get("blooms"),
         )
         return n_expired
 

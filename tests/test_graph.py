@@ -209,7 +209,13 @@ def test_distribution_drift_tv_is_a_metric(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows
-    tv = rows[0].tv_distance
-    assert all(r.tv_distance == tv for r in rows)  # constant across rows
-    assert 0.0 <= tv <= 1.0
-    assert abs(sum(r.tv_share for r in rows) - tv) < 1e-6
+    tv = rows[0].tv_distance_ppm
+    # constant across rows, and a genuine TV distance (ppm of [0, 1])
+    assert all(r.tv_distance_ppm == tv for r in rows)
+    assert 0 <= tv <= 1_000_000
+    # the exact rationals must actually assemble the total: shares sum
+    # to the distance up to the per-row ppm floor (one ulp per bucket)
+    assert 0 <= tv - sum(r.tv_share_ppm for r in rows) <= len(rows)
+    num = sum(r.tv_num for r in rows)
+    assert rows[0].tv_num_total == num
+    assert tv == num * 1_000_000 // rows[0].tv_den

@@ -324,6 +324,82 @@ def test_writer_abort_removes_tmp_files(tmp_path):
     assert not any(f.startswith("_tmp-") for f in os.listdir(d))
 
 
+def test_zone_map_stats_land_in_manifest(spark, tmp_path):
+    """Every committed file carries per-column [min, max, null_count]
+    in the manifest — computed batch-by-batch during the Arrow write,
+    no second pass over the data."""
+    import json
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import register_cdclog
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    _env_df(spark, 100, 200).coalesce(1).write.format("cdclog").mode(
+        "overwrite"
+    ).save(d)
+    with open(os.path.join(d, "_COMMIT.json")) as f:
+        doc = json.load(f)
+    assert doc["files"] and "stats" in doc
+    (fstats,) = [doc["stats"][f] for f in doc["files"]]
+    assert fstats["offset"] == [100, 199, 0]
+    assert fstats["part"] == [0, 3, 0]
+    # string column: lexicographic min/max
+    assert fstats["value"] == ["100", "199", 0]
+
+
+def test_zone_map_pruning_skips_files_and_loses_nothing(spark, tmp_path):
+    """Range pruning must read strictly fewer files on a range query
+    while returning EXACTLY the rows a full scan + filter returns —
+    skipping is an optimization, never a filter."""
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        prune_manifest_files,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    # three appends with DISJOINT offset ranges = three zone-mapped
+    # generations (coalesce(1): one file each)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        _env_df(spark, lo, hi).coalesce(1).write.format("cdclog").mode(
+            "append" if lo else "overwrite"
+        ).save(d)
+
+    kept, total = prune_manifest_files(d, [("offset", 120, 180)])
+    assert total == 3 and len(kept) == 1  # only the middle generation
+
+    pruned = read_committed_log(
+        spark, d, prune=[("offset", 120, 180)]
+    ).filter("offset BETWEEN 120 AND 180")
+    full = read_committed_log(spark, d).filter(
+        "offset BETWEEN 120 AND 180"
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    assert pruned.count() == 61
+
+    # fully-pruned range: empty frame, correct schema, table not None
+    nothing = read_committed_log(spark, d, prune=[("offset", 900, 950)])
+    assert nothing.count() == 0
+    assert nothing.columns == full.columns
+
+    # a file with no stats is NEVER skipped (pre-zone-map manifests)
+    import json
+
+    mpath = os.path.join(d, "_COMMIT.json")
+    with open(mpath) as f:
+        doc = json.load(f)
+    doc.pop("stats")
+    with open(mpath, "w") as f:
+        json.dump(doc, f)
+    kept, total = prune_manifest_files(d, [("offset", 120, 180)])
+    assert len(kept) == total == 3
+
+
 def test_writer_generation_claim_fences_concurrent_commit(spark, tmp_path):
     """Two writers that both planned the same generation must not both
     publish: the claim file gates the rename phase, so the loser fails
