@@ -1226,6 +1226,165 @@ def dedup_lsh_verified(spark, sf_dir):
     )
 
 
+_BLOOM_Q_BITS = 65536  # benchmark-bloom width (2^16 bits)
+_BLOOM_Q_K = 3  # hash functions (md5 hex slices)
+
+
+def _bloom_pos_sql(h: str, s: int) -> str:
+    """Bit position s of hash column ``h``: an 8-hex-digit slice of
+    the md5, mod the filter width — both engines parse hex the same
+    way (the cdclog oracle's proven '0x'||substr idiom)."""
+    return (
+        f"CAST('0x' || substr({h}, {1 + 8 * s}, 8) AS BIGINT)"
+        f" % {_BLOOM_Q_BITS}"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(lower(array_to_string(
+               string_split_regex(trim(text), '\\s+')[1:8], ' '))) AS h
+      FROM documents
+    ),
+    bench AS (SELECT doc_id, h FROM d WHERE doc_id % 20 = 0),
+    corpus AS (
+      SELECT doc_id, h,
+             {_bloom_pos_sql('h', 0)} AS p0,
+             {_bloom_pos_sql('h', 1)} AS p1,
+             {_bloom_pos_sql('h', 2)} AS p2
+      FROM d WHERE doc_id % 20 <> 0
+    ),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT {_bloom_pos_sql('h', 0)} AS bit FROM bench
+        UNION ALL SELECT {_bloom_pos_sql('h', 1)} FROM bench
+        UNION ALL SELECT {_bloom_pos_sql('h', 2)} FROM bench
+      )
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CAST(p0 IN (SELECT bit FROM bits)
+              AND p1 IN (SELECT bit FROM bits)
+              AND p2 IN (SELECT bit FROM bits) AS INT) AS is_cand,
+             CAST(h IN (SELECT h FROM bench) AS INT) AS is_exact
+      FROM corpus
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM bench)
+             AS n_bench_distinct,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(is_cand) - SUM(is_exact) AS BIGINT) AS n_false_pos,
+           CAST((SUM(is_cand) - SUM(is_exact)) * 1000000
+                // GREATEST(COUNT(*) - SUM(is_exact), 1) AS BIGINT)
+             AS fp_ppm,
+           bit_xor(CASE WHEN is_exact = 1 THEN doc_id ELSE 0 END)
+             AS exact_ids_xor
+    FROM flagged
+    """,
+    tags=("llm", "dedup", "bloom", "decontamination", "O-scale"),
+)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Cross-dataset decontamination by BLOOM PREFILTER — the shape a
+    100 TB crawl uses to drop benchmark/eval-set leakage without ever
+    joining corpus×benchmark: the held-out set (doc_id % 20 = 0 here)
+    folds its opening-8-token fingerprints into one fixed-width bloom
+    (2^16 bits, k=3 md5-slice hashes — a CONSTANT-size broadcast no
+    matter how large the benchmark grows), every corpus document
+    probes the broadcast bitset map-side, and only the bloom's
+    candidates pay the exact-hash verification join.  The output
+    audits the filter itself: candidate/exact counts, the
+    false-positive count and ppm rate (bloom guarantees zero false
+    NEGATIVES — n_exact ≤ n_candidates by construction, which the
+    hash match proves on both engines), and an XOR digest pinning the
+    exact contaminated id set.  Mirrors the manifest bloom filters
+    the snapshot sink maintains per bucket (streaming/pipeline.py),
+    but as a pure declarative plan: three broadcast semi-probes + one
+    aggregation, no shuffle wider than |bits|."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.lower(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+        ).alias("h"),
+    )
+
+    def pos(s):
+        return (
+            F.conv(F.substring("h", 1 + 8 * s, 8), 16, 10).cast("bigint")
+            % _BLOOM_Q_BITS
+        )
+
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        "h",
+        *[pos(s).alias(f"p{s}") for s in range(_BLOOM_Q_K)],
+    )
+    bits = (
+        bench.select(
+            F.explode(F.array(*[pos(s) for s in range(_BLOOM_Q_K)])).alias(
+                "bit"
+            )
+        )
+        .distinct()
+    )
+    bench_hashes = bench.select("h").distinct()
+    n_bench = bench_hashes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_distinct")
+    )
+    flagged = corpus
+    for s in range(_BLOOM_Q_K):
+        flagged = flagged.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"__b{s}"))),
+            F.col(f"p{s}") == F.col(f"__b{s}"),
+            "left",
+        )
+    flagged = flagged.join(
+        F.broadcast(bench_hashes.select(F.col("h").alias("__bh"))),
+        F.col("h") == F.col("__bh"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("__b0").isNotNull()
+            & F.col("__b1").isNotNull()
+            & F.col("__b2").isNotNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cand"),
+        F.when(F.col("__bh").isNotNull(), 1).otherwise(0).alias("is_exact"),
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum("is_exact").cast("bigint").alias("n_exact"),
+            F.expr(
+                "bit_xor(CASE WHEN is_exact = 1 THEN doc_id ELSE 0 END)"
+            ).alias("exact_ids_xor"),
+        )
+        .crossJoin(F.broadcast(n_bench))
+        .select(
+            "n_corpus",
+            "n_bench_distinct",
+            "n_candidates",
+            "n_exact",
+            (F.col("n_candidates") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                "(n_candidates - n_exact) * 1000000"
+                " div greatest(n_corpus - n_exact, 1)"
+            ).alias("fp_ppm"),
+            "exact_ids_xor",
+        )
+    )
+
+
 def _kmeans_iter_sql(n_cte: str, cin: str, tag: str) -> str:
     """One Lloyd iteration in DuckDB CTEs: assign vectors to ``cin``
     centroids, then exact fixed-point per-dimension means → ``m{tag}``
