@@ -65,7 +65,8 @@ _SHOWCASE_HEAD = [
     "agg_stats_functions",
     # windows (batch + event-time)
     "window_value_functions",
-    "window_range_30d_peak",
+    # bloom decontamination (new this round: broadcast-bloom prefilter)
+    "dedup_bloom_prefilter",
     # set ops
     "set_ops_all_variants",
     # scalars / generators

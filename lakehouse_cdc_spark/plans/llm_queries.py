@@ -1376,9 +1376,13 @@ def dedup_bloom_prefilter(spark, sf_dir):
             (F.col("n_candidates") - F.col("n_exact"))
             .cast("bigint")
             .alias("n_false_pos"),
+            # DECIMAL(38,0) multiply: candidate counts * 1e6 pass
+            # int64 around 1e13 corpus rows (the oracle side is
+            # HUGEINT-exact already)
             F.expr(
-                "(n_candidates - n_exact) * 1000000"
-                " div greatest(n_corpus - n_exact, 1)"
+                "CAST(CAST(n_candidates - n_exact AS DECIMAL(38,0))"
+                " * 1000000 div greatest(n_corpus - n_exact, 1)"
+                " AS BIGINT)"
             ).alias("fp_ppm"),
             "exact_ids_xor",
         )

@@ -355,11 +355,19 @@ def validation_distribution_drift(spark, sf_dir):
             "cnt_b",
             "tv_num",
             "tv_den",
-            F.expr("tv_num * 1000000 div tv_den").alias("tv_share_ppm"),
+            # ppm multiplies in DECIMAL(38,0): tv_num grows as na*nb,
+            # so tv_num * 1e6 passes int64 around sf ~13 — Spark
+            # (non-ANSI) would wrap silently while the oracle's
+            # HUGEINT operands stay exact (the er_queries class)
+            F.expr(
+                "CAST(CAST(tv_num AS DECIMAL(38,0)) * 1000000"
+                " div tv_den AS BIGINT)"
+            ).alias("tv_share_ppm"),
             "tv_num_total",
-            F.expr("tv_num_total * 1000000 div __td").alias(
-                "tv_distance_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(tv_num_total AS DECIMAL(38,0)) * 1000000"
+                " div __td AS BIGINT)"
+            ).alias("tv_distance_ppm"),
         )
         .orderBy("bucket")
     )

@@ -218,15 +218,45 @@ _STATABLE = ("int", "uint", "float", "double", "string", "large_string",
              "date", "timestamp", "bool")
 
 
-def _stat_value(v):
+_STAT_STR_MAX = 64  # string zone values are bounded, Parquet-style
+
+
+def _trunc_lower(s: str) -> str:
+    """Safe LOWER bound for a long string: any prefix of the min is
+    <= the min, so truncation alone preserves `smax < lo => skip`."""
+    return s if len(s) <= _STAT_STR_MAX else s[:_STAT_STR_MAX]
+
+
+def _trunc_upper(s: str):
+    """Safe UPPER bound for a long string: truncate then INCREMENT the
+    last code point (Parquet's upper-bound adjustment) so the result
+    still dominates every string sharing the prefix.  Carries over
+    max-code-point tails; returns None (= unknown, never skip) in the
+    degenerate all-U+10FFFF case."""
+    if len(s) <= _STAT_STR_MAX:
+        return s
+    t = list(s[:_STAT_STR_MAX])
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            return "".join(t[:i]) + chr(cp + 1)
+    return None
+
+
+def _stat_value(v, upper: bool = False):
     """JSON-safe form of an Arrow scalar for the manifest zone map.
     Dates/timestamps become ISO strings — ISO-8601 orders
     lexicographically the same as the instants it denotes, so the
     pruner's plain comparison stays correct (same invariant the sink's
-    _iso_watermark relies on)."""
+    _iso_watermark relies on).  Long strings are bounded to
+    ``_STAT_STR_MAX`` code points (manifests must stay O(files), not
+    O(files x value size)): lower bounds truncate, upper bounds
+    truncate-and-increment so pruning stays conservative."""
     v = v.as_py() if hasattr(v, "as_py") else v
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, str):
+        return _trunc_upper(v) if upper else _trunc_lower(v)
     return v
 
 
@@ -248,7 +278,8 @@ def _merge_col_stats(acc: dict, batch) -> None:
                 acc[field.name] = [None, None, nulls]
             continue
         mm = pc.min_max(col)
-        lo, hi = _stat_value(mm["min"]), _stat_value(mm["max"])
+        lo = _stat_value(mm["min"])
+        hi = _stat_value(mm["max"], upper=True)
         if cur is None or cur[0] is None:
             acc[field.name] = [
                 lo,
@@ -257,7 +288,9 @@ def _merge_col_stats(acc: dict, batch) -> None:
             ]
         else:
             cur[0] = min(cur[0], lo)
-            cur[1] = max(cur[1], hi)
+            # None = unknown upper bound (degenerate truncation):
+            # poisons the fold — the file can never be max-pruned
+            cur[1] = None if (hi is None or cur[1] is None) else max(cur[1], hi)
             cur[2] += nulls
 
 
@@ -476,18 +509,33 @@ class CdcLogStreamWriter(_ArrowTaskWriter, DataSourceStreamArrowWriter):
 def _zone_overlaps(stat, lo, hi) -> bool:
     """Can a file whose column spans [stat_min, stat_max] contain a
     row satisfying lo <= col <= hi?  Missing/NULL-only stats ⇒ must
-    read (never skip on absent information).  NULL rows never satisfy
-    a range predicate, so null_count is irrelevant to range pruning."""
+    read (never skip on absent information); each bound prunes
+    independently (a degenerate truncated upper bound — stored None —
+    only disables max-side pruning).  NULL rows never satisfy a range
+    predicate, so null_count is irrelevant to range pruning."""
     if stat is None:
         return True
     smin, smax = stat[0], stat[1]
-    if smin is None or smax is None:  # all-NULL file or unknown
-        return True
-    if lo is not None and smax < lo:
+    if lo is not None and smax is not None and smax < lo:
         return False
-    if hi is not None and smin > hi:
+    if hi is not None and smin is not None and smin > hi:
         return False
     return True
+
+
+def _committed_file_stats(path: str) -> list[tuple[str, dict]]:
+    """ONE pass over every manifest in a cdclog dir: the committed
+    ``(file, zone_stats)`` pairs in manifest order.  Single read so
+    callers never pair file lists and stats from different commits."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name == "_COMMIT.json" or (
+            name.startswith("_COMMIT-") and name.endswith(".json")
+        ):
+            doc = _read_manifest_json(path, name)
+            stats = doc.get("stats") or {}
+            out.extend((f, stats.get(f) or {}) for f in doc["files"])
+    return out
 
 
 def prune_manifest_files(path: str, prune) -> tuple[list[str], int]:
@@ -499,22 +547,13 @@ def prune_manifest_files(path: str, prune) -> tuple[list[str], int]:
     manifests, un-stat-able column types) are always kept — pruning is
     an optimization, never a filter: the caller still applies the real
     predicate to the returned scan."""
-    kept, total = [], 0
-    for name in sorted(os.listdir(path)):
-        if name == "_COMMIT.json" or (
-            name.startswith("_COMMIT-") and name.endswith(".json")
-        ):
-            doc = _read_manifest_json(path, name)
-            stats = doc.get("stats") or {}
-            for f in doc["files"]:
-                total += 1
-                fstats = stats.get(f) or {}
-                if all(
-                    _zone_overlaps(fstats.get(col), lo, hi)
-                    for col, lo, hi in prune
-                ):
-                    kept.append(f)
-    return kept, total
+    pairs = _committed_file_stats(path)
+    kept = [
+        f
+        for f, fstats in pairs
+        if all(_zone_overlaps(fstats.get(col), lo, hi) for col, lo, hi in prune)
+    ]
+    return kept, len(pairs)
 
 
 def read_committed_log(spark, path: str, prune=None):
@@ -530,25 +569,32 @@ def read_committed_log(spark, path: str, prune=None):
     should touch O(matching files), not O(table).  The caller still
     applies the real filter; pruning only shrinks the scan (date /
     timestamp zone values are ISO strings — pass ISO strings as
-    bounds, which compare lexicographically in instant order)."""
+    bounds, which compare lexicographically in instant order).
+    Manifests are parsed exactly ONCE per call — file list, stats, and
+    the fully-pruned schema fallback all come from the same commit."""
     if not os.path.isdir(path):
         return None  # nothing ever written
-    all_files = []
-    for name in sorted(os.listdir(path)):
-        if name == "_COMMIT.json" or (
-            name.startswith("_COMMIT-") and name.endswith(".json")
-        ):
-            all_files.extend(_manifest_files(path, name))
-    if not all_files:
+    pairs = _committed_file_stats(path)
+    if not pairs:
         return None
-    files = all_files
+    files = [f for f, _ in pairs]
     if prune:
-        files, _ = prune_manifest_files(path, prune)
+        files = [
+            f
+            for f, fstats in pairs
+            if all(
+                _zone_overlaps(fstats.get(col), lo, hi)
+                for col, lo, hi in prune
+            )
+        ]
         if not files:
             # everything skipped: an EMPTY frame with the log's schema
-            # (one footer read), not None — the table exists
+            # (one footer read), not None — the table exists; the
+            # schema file comes from the SAME manifest pass, so a
+            # concurrent overwrite can't have unlinked it out from
+            # under a stale earlier listing
             return spark.read.parquet(
-                os.path.join(path, all_files[0])
+                os.path.join(path, pairs[0][0])
             ).limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 

@@ -607,7 +607,9 @@ class SnapshotUpsertSink:
         return state.filter(F.col(self.op_col) != "d")
 
     # -- bloom-pruned point lookups ---------------------------------------
-    def probe_buckets(self, spark: SparkSession, col: str, value) -> list[int]:
+    def probe_buckets(
+        self, spark: SparkSession, col: str, value, manifest: dict | None = None
+    ) -> list[int]:
         """Bucket ids that MAY hold ``col = value`` per the manifest's
         bloom filters: buckets whose filter misses any of the k hash
         bits are proven clear; buckets WITHOUT a filter (bloom tracking
@@ -615,8 +617,16 @@ class SnapshotUpsertSink:
         candidates — pruning is an optimization, never a filter.
         Hash positions are computed BY SPARK over the same
         CAST(.. AS STRING) canonical form the writer hashed (a one-row
-        job), so driver-side Python never re-implements xxhash64."""
-        manifest = self._read_manifest(self.committed_snapshot()) or {}
+        job), so driver-side Python never re-implements xxhash64.
+
+        ``manifest``: pass the snapshot manifest the caller is reading
+        so filters and file paths come from ONE commit — lookup() does;
+        re-reading the pointer here could pair a newer rewrite's fresh
+        filter with the older snapshot's files and silently
+        false-negative the lookup (writer commits are atomic, reader
+        consistency comes from reading the manifest exactly once)."""
+        if manifest is None:
+            manifest = self._read_manifest(self.committed_snapshot()) or {}
         all_buckets = sorted(int(b) for b in manifest.get("buckets", {}))
         doc = manifest.get("blooms") or {}
         col_map = (doc.get("cols") or {}).get(col)
@@ -663,7 +673,7 @@ class SnapshotUpsertSink:
         match = F.col(col).cast("string") == F.lit(value).cast("string")
         if manifest.get("deltas"):
             return self.current_table(spark).filter(match)
-        cand = self.probe_buckets(spark, col, value)
+        cand = self.probe_buckets(spark, col, value, manifest=manifest)
         paths = [
             self._bucket_path(manifest["buckets"][str(b)], b)
             for b in cand

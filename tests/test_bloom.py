@@ -96,6 +96,20 @@ def test_bloom_off_sink_drops_stale_filters_on_rewrite(spark, tmp_path):
     assert got == {99}
 
 
+def test_probe_buckets_honors_the_callers_manifest(spark, bloom_sink):
+    """Reader consistency: lookup() reads ONE manifest and must probe
+    with THAT manifest's filters — re-reading the pointer could pair a
+    newer rewrite's filter with the older snapshot's files and
+    silently false-negative the lookup."""
+    m0 = bloom_sink._read_manifest(bloom_sink.committed_snapshot())
+    cand0 = bloom_sink.probe_buckets(spark, "city", "city_3", manifest=m0)
+    # a later commit rewrites key 3's bucket to a different city
+    bloom_sink.process_batch(_batch(spark, [(3, "elsewhere", "u", 1)]), 1)
+    # probing with the OLD manifest still yields the OLD candidates
+    again = bloom_sink.probe_buckets(spark, "city", "city_3", manifest=m0)
+    assert again == cand0
+
+
 def test_gc_carries_filters_and_lookup_stays_exact(spark, tmp_path):
     sink = SnapshotUpsertSink(
         str(tmp_path / "t"),

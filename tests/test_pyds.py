@@ -348,6 +348,41 @@ def test_zone_map_stats_land_in_manifest(spark, tmp_path):
     assert fstats["value"] == ["100", "199", 0]
 
 
+def test_zone_map_string_stats_are_bounded_and_safe(spark, tmp_path):
+    """Long string columns must not bloat the manifest (Parquet-style
+    truncation): lower bounds truncate, upper bounds truncate+increment
+    so pruning stays conservative — a range INSIDE the long values'
+    span must still read the file."""
+    import json
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        _STAT_STR_MAX,
+        prune_manifest_files,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    long_lo = "m" + "a" * 200
+    long_hi = "m" + "z" * 200
+    spark.createDataFrame(
+        [(1, long_lo), (2, long_hi)], "offset long, value string"
+    ).coalesce(1).write.format("cdclog").mode("overwrite").save(d)
+    with open(os.path.join(d, "_COMMIT.json")) as f:
+        doc = json.load(f)
+    (fstats,) = doc["stats"].values()
+    lo, hi, _ = fstats["value"]
+    assert len(lo) <= _STAT_STR_MAX and len(hi) <= _STAT_STR_MAX
+    assert lo <= long_lo and hi >= long_hi  # bounds still dominate
+    # a probe between the real values must keep the file
+    kept, total = prune_manifest_files(d, [("value", "mmm", "mmm")])
+    assert kept and total == 1
+    # probes provably outside still prune
+    assert prune_manifest_files(d, [("value", "zzz", None)])[0] == []
+    assert prune_manifest_files(d, [("value", None, "a")])[0] == []
+
+
 def test_zone_map_pruning_skips_files_and_loses_nothing(spark, tmp_path):
     """Range pruning must read strictly fewer files on a range query
     while returning EXACTLY the rows a full scan + filter returns —

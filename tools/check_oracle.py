@@ -45,10 +45,10 @@ except Exception:  # noqa: BLE001
 def canon(v):
     """Canonicalize a cell for cross-engine comparison.
 
-    Deliberately does NOT collapse int-valued floats to ints: "7.0"
-    vs "7" is exactly the HUGEINT->float64 drift the strict mode must
-    surface.  Dates and midnight timestamps DO collapse (pandas reads
-    parquet DATE as datetime64[ns]; every engine agrees on the day).
+    Deliberately does NOT collapse int-valued floats to ints ("7.0"
+    vs "7" is exactly the HUGEINT drift the strict mode must surface)
+    NOR midnight timestamps to dates (Arrow keeps date32 as a date,
+    so DATE-vs-midnight-TIMESTAMP is real cross-engine type drift).
     """
     if v is None:
         return "␀"
@@ -79,10 +79,12 @@ def canon(v):
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, _dt.datetime):
-        v = v.replace(tzinfo=None)
-        if v.time() == _dt.time(0, 0):
-            return v.date().isoformat()
-        return v.isoformat()
+        # NO midnight-to-date collapse: Arrow keeps date32 as
+        # datetime.date, so a DATE-vs-midnight-TIMESTAMP drift between
+        # engines is REAL type drift the driver's hash would flag —
+        # collapsing here would mask exactly the class of divergence
+        # this strict gate exists to surface
+        return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, bool):
