@@ -1,0 +1,103 @@
+"""Change data feed on the snapshot sink (round 5) — Delta CDF /
+Iceberg changelog parity: ``changes_between(spark, a, b)`` replays
+every change committed in ``(a, b]`` with the op column as the change
+type, reading O(changed data), never O(table)."""
+
+import pyspark.sql.functions as F
+
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, v string, operation string, seq int"
+    )
+
+
+def _feed(sink, spark, a, b):
+    df = sink.changes_between(spark, a, b)
+    return sorted(
+        ((r.id, r.v, r.operation, r.seq, r._change_snapshot)
+         for r in df.collect()),
+        key=lambda t: (t[0], t[4]),
+    )
+
+
+def test_cow_feed_emits_exactly_the_committed_changes(spark, tmp_path):
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    sink.process_batch(_batch(spark, [(i, f"v{i}", "c", 0) for i in range(8)]), 0)
+    sink.process_batch(_batch(spark, [(3, "v3b", "u", 1), (9, "v9", "c", 1)]), 1)
+    sink.process_batch(_batch(spark, [(3, None, "d", 2)]), 2)
+
+    # snapshot 0: everything is an insert
+    assert _feed(sink, spark, -1, 0) == [
+        (i, f"v{i}", "c", 0, 0) for i in range(8)
+    ]
+    # snapshot 1: only the two changed rows — NOT the co-located
+    # untouched rows of the rewritten buckets
+    assert _feed(sink, spark, 0, 1) == [(3, "v3b", "u", 1, 1), (9, "v9", "c", 1, 1)]
+    # snapshot 2: the delete marker
+    assert _feed(sink, spark, 1, 2) == [(3, None, "d", 2, 2)]
+    # a range unions with the snapshot stamped per row
+    assert _feed(sink, spark, 0, 2) == [
+        (3, "v3b", "u", 1, 1),
+        (3, None, "d", 2, 2),
+        (9, "v9", "c", 1, 1),
+    ]
+
+
+def test_mor_feed_reads_deltas_and_skips_the_fold(spark, tmp_path):
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=4,
+        merge_on_read=True,
+        fold_deltas_every=None,
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0), (2, "b", "c", 0)]), 0)
+    sink.process_batch(_batch(spark, [(1, "a2", "u", 1)]), 1)
+    sink.fold_deltas(spark)  # snapshot 2: fold — must emit NOTHING new
+    snap = sink.committed_snapshot()
+    assert snap == 2
+    assert _feed(sink, spark, -1, snap) == [
+        (1, "a", "c", 0, 0),
+        (1, "a2", "u", 1, 1),
+        (2, "b", "c", 0, 0),
+    ]
+    # the fold snapshot alone is empty (rows already emitted as deltas)
+    df = sink.changes_between(spark, 1, 2)
+    assert df is None or df.count() == 0
+
+
+def test_compaction_and_gc_emit_no_phantom_changes(spark, tmp_path):
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=4
+    )
+    sink.process_batch(_batch(spark, [(i, f"v{i}", "c", 0) for i in range(8)]), 0)
+    rows = [(i, f"w{i}", "u", 1) for i in range(8)]
+    rows += [(100, None, "d", 1)]
+    sink.process_batch(_batch(spark, rows), 1)
+    base = sink.committed_snapshot()
+    sink.compact_buckets(spark)  # may no-op: COW buckets are 1 file
+    sink.gc_tombstones(spark, watermark=5)
+    last = sink.committed_snapshot()
+    assert last > base  # the GC rewrite committed a new snapshot
+    df = sink.changes_between(spark, base, last)
+    assert df is None or df.count() == 0, df.collect()
+    # and the expired tombstone really left the state
+    assert sink.current_state(spark).filter("id = 100").count() == 0
+
+
+def test_feed_range_requires_retained_manifests(spark, tmp_path):
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)
+    try:
+        sink.changes_between(spark, 0, 5)
+        raise AssertionError("must refuse a range with missing manifests")
+    except ValueError:
+        pass
