@@ -538,6 +538,18 @@ def _committed_file_stats(path: str) -> list[tuple[str, dict]]:
     return out
 
 
+def _prune_pairs(pairs, prune) -> list[str]:
+    """The ONE pruning rule (shared by prune_manifest_files and
+    read_committed_log so the public counter and the actual read path
+    can never diverge): keep a file unless its zone map PROVES no row
+    satisfies every interval."""
+    return [
+        f
+        for f, fstats in pairs
+        if all(_zone_overlaps(fstats.get(col), lo, hi) for col, lo, hi in prune)
+    ]
+
+
 def prune_manifest_files(path: str, prune) -> tuple[list[str], int]:
     """Zone-map file skipping over every manifest in a cdclog dir:
     returns ``(kept_files, total_files)``.  ``prune`` is a list of
@@ -548,12 +560,7 @@ def prune_manifest_files(path: str, prune) -> tuple[list[str], int]:
     an optimization, never a filter: the caller still applies the real
     predicate to the returned scan."""
     pairs = _committed_file_stats(path)
-    kept = [
-        f
-        for f, fstats in pairs
-        if all(_zone_overlaps(fstats.get(col), lo, hi) for col, lo, hi in prune)
-    ]
-    return kept, len(pairs)
+    return _prune_pairs(pairs, prune), len(pairs)
 
 
 def read_committed_log(spark, path: str, prune=None):
@@ -579,14 +586,7 @@ def read_committed_log(spark, path: str, prune=None):
         return None
     files = [f for f, _ in pairs]
     if prune:
-        files = [
-            f
-            for f, fstats in pairs
-            if all(
-                _zone_overlaps(fstats.get(col), lo, hi)
-                for col, lo, hi in prune
-            )
-        ]
+        files = _prune_pairs(pairs, prune)
         if not files:
             # everything skipped: an EMPTY frame with the log's schema
             # (one footer read), not None — the table exists; the

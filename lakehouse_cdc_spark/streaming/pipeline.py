@@ -538,6 +538,17 @@ class SnapshotUpsertSink:
           were emitted as 'd' changes when they happened ⇒ nothing new.
         """
         out = None
+        # the RANGE BASE manifest must be retained too (from_snap < 0
+        # means "since empty" by contract): an expired base would make
+        # prev_buckets empty and the first diff silently degrade to
+        # "everything is new" — a corrupted feed, not a refused one
+        prev = self._read_manifest(from_snap) if from_snap >= 0 else None
+        if from_snap >= 0 and prev is None:
+            raise ValueError(
+                f"snapshot {from_snap} (the range base) has no retained "
+                "manifest — the change feed for this range is no longer "
+                "replayable"
+            )
         for s in range(from_snap + 1, to_snap + 1):
             manifest = self._read_manifest(s)
             if manifest is None:
@@ -545,10 +556,13 @@ class SnapshotUpsertSink:
                     f"snapshot {s} has no retained manifest — the "
                     "change feed for this range is no longer replayable"
                 )
-            prev = self._read_manifest(s - 1) if s > 0 else None
+            # carry the previous iteration's manifest instead of
+            # re-reading s-1 from disk each round (halves manifest IO
+            # on long replay ranges)
+            prev_m, prev = prev, manifest
             reader = self._state_reader(spark, manifest.get("schema"))
             deltas = manifest.get("deltas") or []
-            prev_deltas = (prev or {}).get("deltas") or []
+            prev_deltas = (prev_m or {}).get("deltas") or []
             if deltas and deltas[-1] == s:
                 # MOR delta commit: the raw change batch, verbatim
                 batch = reader.parquet(self._delta_path(s))
@@ -566,7 +580,7 @@ class SnapshotUpsertSink:
                 new_state = reader.parquet(
                     *[self._bucket_path(s, b) for b in rewritten]
                 )
-                prev_buckets = (prev or {}).get("buckets") or {}
+                prev_buckets = (prev_m or {}).get("buckets") or {}
                 old_paths = [
                     self._bucket_path(prev_buckets[str(b)], b)
                     for b in rewritten
@@ -577,7 +591,7 @@ class SnapshotUpsertSink:
                 else:
                     old = (
                         self._state_reader(
-                            spark, (prev or {}).get("schema")
+                            spark, (prev_m or {}).get("schema")
                         )
                         .parquet(*old_paths)
                         .select(
@@ -586,9 +600,14 @@ class SnapshotUpsertSink:
                             self._order_struct().alias("__old_ord"),
                         )
                     )
+                    # eqNullSafe: the sink treats NULL keys as one
+                    # valid key (bucket hash + window partition both
+                    # group NULLs) — a plain == would never match a
+                    # NULL-keyed row's old version and re-emit it as a
+                    # phantom change on every rewrite of its bucket
                     cond = None
                     for i, k in enumerate(self.keys):
-                        c = new_state[k] == F.col(f"__ok_{i}")
+                        c = new_state[k].eqNullSafe(F.col(f"__ok_{i}"))
                         cond = c if cond is None else (cond & c)
                     batch = (
                         new_state.join(old, cond, "left")

@@ -19,7 +19,7 @@ def _feed(sink, spark, a, b):
     return sorted(
         ((r.id, r.v, r.operation, r.seq, r._change_snapshot)
          for r in df.collect()),
-        key=lambda t: (t[0], t[4]),
+        key=lambda t: (t[0] is None, t[0] or 0, t[4]),
     )
 
 
@@ -101,3 +101,38 @@ def test_feed_range_requires_retained_manifests(spark, tmp_path):
         raise AssertionError("must refuse a range with missing manifests")
     except ValueError:
         pass
+
+
+def test_feed_refuses_expired_range_base(spark, tmp_path):
+    """An EXPIRED base manifest must raise, not silently degrade the
+    first diff into 'everything is new' (which would re-emit every
+    co-located row of the rewritten buckets as phantom changes)."""
+    import os
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0), (2, "b", "c", 0)]), 0)
+    sink.process_batch(_batch(spark, [(1, "a2", "u", 1)]), 1)
+    os.unlink(sink._manifest_path(0))  # simulate expire_snapshots
+    try:
+        sink.changes_between(spark, 0, 1)
+        raise AssertionError("must refuse an expired range base")
+    except ValueError as e:
+        assert "range base" in str(e)
+
+
+def test_null_keyed_rows_do_not_phantom_on_rewrite(spark, tmp_path):
+    """The sink groups NULL keys as one valid key (bucket hash and
+    window partition both do); the COW diff must too — a NULL-keyed
+    row whose bucket is rewritten by an unrelated change must NOT be
+    re-emitted."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    sink.process_batch(
+        _batch(spark, [(None, "ghost", "c", 0), (1, "a", "c", 0)]), 0
+    )
+    sink.process_batch(_batch(spark, [(2, "b", "c", 1)]), 1)  # same bucket
+    changes = _feed(sink, spark, 0, 1)
+    assert changes == [(2, "b", "c", 1, 1)]  # ghost not re-emitted
