@@ -91,6 +91,52 @@ def test_compaction_and_gc_emit_no_phantom_changes(spark, tmp_path):
     assert sink.current_state(spark).filter("id = 100").count() == 0
 
 
+def test_feed_replays_a_streamed_ingest(spark, tmp_path):
+    """The feed over a LIVE streamed ingest (file source → cdc_pipeline
+    → COW sink) must replay exactly the per-batch effective changes —
+    the contract an incremental downstream consumer relies on."""
+    import os
+
+    from lakehouse_cdc_spark.streaming import cdc_pipeline
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "a", "c", 0), (2, "b", "c", 0)],
+        [(1, "a2", "u", 1), (3, "c3", "c", 1)],
+        [(2, None, "d", 2)],
+    ]
+    for i, rows in enumerate(batches):
+        _batch(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        for f in os.listdir(str(tmp_path / f"stage{i}")):
+            if f.endswith(".parquet"):
+                os.link(
+                    str(tmp_path / f"stage{i}" / f),
+                    os.path.join(src, f"{i:03d}.parquet"),
+                )
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    stream = (
+        spark.readStream.schema("id int, v string, operation string, seq int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = cdc_pipeline(stream, sink, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    last = sink.committed_snapshot()
+    feed = _feed(sink, spark, -1, last)
+    want = sorted(
+        ((id_, v, op, seq, snap)
+         for snap, rows in enumerate(batches)
+         for id_, v, op, seq in rows),
+        key=lambda t: (t[0] is None, t[0] or 0, t[4]),
+    )
+    assert feed == want
+
+
 def test_feed_range_requires_retained_manifests(spark, tmp_path):
     sink = SnapshotUpsertSink(
         str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
