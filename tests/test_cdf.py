@@ -91,6 +91,24 @@ def test_compaction_and_gc_emit_no_phantom_changes(spark, tmp_path):
     assert sink.current_state(spark).filter("id = 100").count() == 0
 
 
+def test_feed_survives_schema_evolution(spark, tmp_path):
+    """A batch that ADDS a column mid-stream must flow through the
+    feed: earlier changes read NULL for the new column (union schema,
+    Iceberg-style), later changes carry it."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)
+    wide = spark.createDataFrame(
+        [(2, "b", "c", 1, "EU")],
+        "id int, v string, operation string, seq int, region string",
+    )
+    sink.process_batch(wide, 1)
+    df = sink.changes_between(spark, -1, sink.committed_snapshot())
+    rows = {r.id: (r.v, r.region, r._change_snapshot) for r in df.collect()}
+    assert rows == {1: ("a", None, 0), 2: ("b", "EU", 1)}
+
+
 def test_feed_replays_a_streamed_ingest(spark, tmp_path):
     """The feed over a LIVE streamed ingest (file source → cdc_pipeline
     → COW sink) must replay exactly the per-batch effective changes —
