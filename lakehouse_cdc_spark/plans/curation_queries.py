@@ -970,3 +970,141 @@ def mix_epoch_schedule(spark, sf_dir):
         .cast("int")
         .alias("capped"),
     ).orderBy("source")
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n,
+             CAST(len(array_to_string(w, '')) AS BIGINT) AS sum_len,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+               AS hash_cnt,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3
+               AS BIGINT) AS ell_cnt,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS alpha_cnt,
+             CAST(list_contains(list_transform(w, x -> lower(x)), 'the')
+                  AS INT)
+             + CAST(list_contains(list_transform(w, x -> lower(x)), 'a')
+                  AS INT)
+             + CAST(list_contains(list_transform(w, x -> lower(x)), 'of')
+                  AS INT)
+             + CAST(list_contains(list_transform(w, x -> lower(x)), 'and')
+                  AS INT)
+             + CAST(list_contains(list_transform(w, x -> lower(x)), 'to')
+                  AS INT) AS stop_hits
+      FROM t
+    ),
+    f AS (
+      SELECT source,
+             CAST(n < 50 OR n > 100000 AS INT) AS r_wc,
+             CAST(sum_len < 3 * n OR sum_len > 10 * n AS INT) AS r_mwl,
+             CAST(hash_cnt * 10 > n AS INT) AS r_sym,
+             CAST(ell_cnt * 10 > n AS INT) AS r_ell,
+             CAST(alpha_cnt * 10 < n * 8 AS INT) AS r_alpha,
+             CAST(stop_hits < 2 AS INT) AS r_stop
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_wc) AS BIGINT) AS flag_word_count,
+           CAST(SUM(r_mwl) AS BIGINT) AS flag_mean_word_len,
+           CAST(SUM(r_sym) AS BIGINT) AS flag_symbol_ratio,
+           CAST(SUM(r_ell) AS BIGINT) AS flag_ellipsis_ratio,
+           CAST(SUM(r_alpha) AS BIGINT) AS flag_alpha_words,
+           CAST(SUM(r_stop) AS BIGINT) AS flag_stopwords,
+           CAST(SUM(CASE WHEN r_wc + r_mwl + r_sym + r_ell
+                              + r_alpha + r_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "curation", "quality", "gopher", "O-scale"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style RULE-BASED quality filtering (Rae et al. 2021
+    §A1.1; the C4/Gopher heuristics every large-corpus pipeline runs
+    before model-based scoring): per-document boolean rules — word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    and ellipsis-to-word ratios ≤ 0.1, ≥ 80% of words containing an
+    alphabetic character, ≥ 2 required English stopwords — reported as
+    per-source flag counts plus the surviving-document count.  EVERY
+    rule is an exact integer rational (counts cleared of denominators:
+    ``hash_cnt·10 > n`` instead of a float ratio), so the report is
+    bit-identical across engines.  Pure map-side columnar work (token
+    arrays + HOF filters, no UDF) into a |sources|-row aggregate —
+    scan-bound and mergeable at any corpus size."""
+    low = F.transform(tokens(F.col("text")), lambda x: F.lower(x))
+    stop_hits = None
+    for wd in ("the", "a", "of", "and", "to"):
+        h = F.array_contains(low, wd).cast("int")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    w = tokens(F.col("text"))
+    m = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(w).cast("bigint").alias("n"),
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        )
+        .cast("bigint")
+        .alias("hash_cnt"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) div 3"
+            " AS BIGINT)"
+        ).alias("ell_cnt"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("alpha_cnt"),
+        stop_hits.alias("stop_hits"),
+    )
+    f = m.select(
+        "source",
+        ((F.col("n") < 50) | (F.col("n") > 100000)).cast("int").alias("r_wc"),
+        (
+            (F.col("sum_len") < 3 * F.col("n"))
+            | (F.col("sum_len") > 10 * F.col("n"))
+        )
+        .cast("int")
+        .alias("r_mwl"),
+        (F.col("hash_cnt") * 10 > F.col("n")).cast("int").alias("r_sym"),
+        (F.col("ell_cnt") * 10 > F.col("n")).cast("int").alias("r_ell"),
+        (F.col("alpha_cnt") * 10 < F.col("n") * 8)
+        .cast("int")
+        .alias("r_alpha"),
+        (F.col("stop_hits") < 2).cast("int").alias("r_stop"),
+    )
+    total_flags = (
+        F.col("r_wc")
+        + F.col("r_mwl")
+        + F.col("r_sym")
+        + F.col("r_ell")
+        + F.col("r_alpha")
+        + F.col("r_stop")
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("r_wc").cast("bigint").alias("flag_word_count"),
+            F.sum("r_mwl").cast("bigint").alias("flag_mean_word_len"),
+            F.sum("r_sym").cast("bigint").alias("flag_symbol_ratio"),
+            F.sum("r_ell").cast("bigint").alias("flag_ellipsis_ratio"),
+            F.sum("r_alpha").cast("bigint").alias("flag_alpha_words"),
+            F.sum("r_stop").cast("bigint").alias("flag_stopwords"),
+            F.sum(F.when(total_flags == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
