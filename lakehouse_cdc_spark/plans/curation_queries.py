@@ -1108,3 +1108,119 @@ def text_gopher_rules(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_LGB_BATCH = 32  # examples per training batch
+
+
+@register(
+    "llm_length_grouped_batching",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ntok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS rkey
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ntok,
+             ROW_NUMBER() OVER (ORDER BY ntok, doc_id) AS rn,
+             ROW_NUMBER() OVER (ORDER BY rkey, doc_id) AS rr
+      FROM toks
+    ),
+    gb AS (
+      SELECT (rn - 1) // {_LGB_BATCH} AS b, COUNT(*) AS c,
+             MAX(ntok) AS m, SUM(ntok) AS s
+      FROM g GROUP BY 1
+    ),
+    rb AS (
+      SELECT (rr - 1) // {_LGB_BATCH} AS b, COUNT(*) AS c,
+             MAX(ntok) AS m, SUM(ntok) AS s
+      FROM g GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM gb) AS n_batches,
+           (SELECT CAST(SUM(c * m - s) AS BIGINT) FROM gb)
+             AS grouped_pad_tokens,
+           (SELECT CAST(SUM(c * m - s) AS BIGINT) FROM rb)
+             AS random_pad_tokens,
+           CAST((SELECT SUM(c * m - s) FROM rb)
+                - (SELECT SUM(c * m - s) FROM gb) AS BIGINT)
+             AS saved_tokens,
+           CAST(((SELECT SUM(c * m - s) FROM rb)
+                 - (SELECT SUM(c * m - s) FROM gb)) * 1000000
+                // GREATEST((SELECT SUM(c * m - s) FROM rb), 1)
+                AS BIGINT) AS saving_ppm
+    """,
+    tags=("llm", "batching", "training-prep", "A4-scale"),
+)
+def llm_length_grouped_batching(spark, sf_dir):
+    """LENGTH-GROUPED batch construction (dynamic batching / the
+    HuggingFace ``group_by_length`` primitive): documents are ranked
+    by token count and cut into fixed-size batches, so each padded
+    batch wastes ``batch_size x max(len) - sum(len)`` tokens on
+    near-uniform lengths instead of random draws.  The query
+    quantifies the choice — padding waste under length-grouped vs
+    HASH-RANDOM batching of the same corpus, and the integer ppm
+    saving — the number a trainer uses to justify the sampler.
+
+    Both rankings are the two-pass distributed rank
+    (operators/prefix.py:row_number_two_pass — range-bucket +
+    per-bucket window + broadcast carry), so there is NO
+    SinglePartition global window at any corpus size; the random
+    ranking orders by a 48-bit md5-prefix integer so both engines
+    tie-break identically.  Everything downstream of the two ranks is
+    a pair of |batches|-row aggregates.  Exact integers end to end."""
+    from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
+    from lakehouse_cdc_spark.llm.text import tokens as _toks
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("bigint").alias("ntok"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("rkey"),
+    )
+    g = row_number_two_pass(toks, "ntok", ["doc_id"], "rn")
+    g = row_number_two_pass(g, "rkey", ["doc_id"], "rr")
+
+    def waste(rank_col):
+        per_batch = (
+            g.groupBy(
+                F.expr(f"({rank_col} - 1) div {_LGB_BATCH}").alias("b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.max("ntok").alias("m"),
+                F.sum("ntok").alias("s"),
+            )
+        )
+        return per_batch.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum(F.col("c") * F.col("m") - F.col("s"))
+            .cast("bigint")
+            .alias("pad"),
+        )
+
+    gb = waste("rn").select(
+        "n_batches", F.col("pad").alias("grouped_pad_tokens")
+    )
+    rb = waste("rr").select(F.col("pad").alias("random_pad_tokens"))
+    return (
+        gb.crossJoin(F.broadcast(rb))
+        .select(
+            "n_batches",
+            "grouped_pad_tokens",
+            "random_pad_tokens",
+            (F.col("random_pad_tokens") - F.col("grouped_pad_tokens"))
+            .cast("bigint")
+            .alias("saved_tokens"),
+            F.expr(
+                "CAST(CAST(random_pad_tokens - grouped_pad_tokens"
+                " AS DECIMAL(38,0)) * 1000000"
+                " div greatest(random_pad_tokens, 1) AS BIGINT)"
+            ).alias("saving_ppm"),
+        )
+    )
