@@ -72,8 +72,6 @@ def main():
             err = "isolated phase timed out after 1800s"
         for line in out.splitlines():
             if line.startswith("{"):
-                print(line)
-                sys.stdout.flush()
                 try:
                     isolated = json.loads(line)
                 except ValueError:
@@ -81,7 +79,12 @@ def main():
         if rc != 0 or isolated is None:
             # never let the isolated phase vanish silently: surface the
             # child's failure so a missing r2 line reads as "failed",
-            # not "not run" (the full-set phase still proceeds)
+            # not "not run" (the full-set phase still proceeds).  A
+            # non-zero rc with a parsed line means the child died AFTER
+            # printing — its numbers may be partial, so tag them rather
+            # than merging indistinguishably from a clean run.
+            if isolated is not None:
+                isolated["failed"] = True
             sys.stderr.write(
                 f"bench: isolated r2 phase failed "
                 f"(rc={rc}); stderr tail:\n"
@@ -122,15 +125,56 @@ def main():
         "metric": metric,
         "value": total,
         "unit": "sec",
+        # 2-decimal per-query values on the PRINTED line: the driver
+        # captures only the last ~2000 chars of stdout, and round 5's
+        # merged line (full precision + the isolated per-query dict)
+        # outgrew that — the artifact recorded `parsed: null`.  Full
+        # 4-decimal detail goes to BENCH_DETAIL.json instead.
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": sf,
+    }
+    detail = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if isolated is not None:
-        # one merged line: the driver's parsed artifact carries the
-        # isolated phase alongside the headline numbers
-        out["r2_set_isolated_session_time"] = isolated.get("value")
-        out["r2_set_isolated_queries"] = isolated.get("queries")
-    print(json.dumps(out))
+        # the driver-parsed line carries the isolated TOTAL (and a
+        # failed tag if the child died); per-query isolated numbers
+        # live only in the detail artifact
+        out["r2_iso"] = isolated.get("value")
+        detail["r2_set_isolated_session_time"] = isolated.get("value")
+        detail["r2_set_isolated_queries"] = isolated.get("queries")
+        if isolated.get("failed"):
+            out["r2_iso_failed"] = True
+            detail["r2_set_isolated_failed"] = True
+    if subset is not None:
+        # child phase: stdout goes to the PARENT, not the driver — print
+        # full precision and skip the tail-budget compaction
+        print(json.dumps(detail))
+        return
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail artifact is best-effort; the line must print
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # hard budget: the driver's tail capture is ~2000 chars — drop
+        # the slowest-last per-query entries until the line fits (the
+        # detail artifact keeps everything)
+        q = sorted(timings.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and q:
+            q.pop()
+            out["queries"] = {n: round(v, 2) for n, v in q}
+            out["queries_truncated"] = True
+            line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

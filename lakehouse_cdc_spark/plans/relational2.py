@@ -765,12 +765,13 @@ def join_skewed_salted(spark, sf_dir):
       FROM orders WHERE o_orderkey < 500
     )
     SELECT o_orderkey,
-           list_filter(digits, d -> d % 2 = 0) AS evens,
+           COALESCE(array_to_string(list_filter(digits, d -> d % 2 = 0), ','),
+                    '') AS evens,
            len(list_filter(digits, d -> d > 5)) > 0 AS any_big,
            len(list_filter(digits, d -> d < 9)) = len(digits) AS all_small,
            list_reduce(list_prepend(CAST(0 AS BIGINT), digits),
                        (a, d) -> a * 10 + d) AS refolded,
-           list_sort(digits) AS sorted_digits
+           array_to_string(list_sort(digits), ',') AS sorted_digits
     FROM arr
     ORDER BY o_orderkey
     """,
@@ -785,7 +786,13 @@ def scalar_higher_order_functions(spark, sf_dir):
     ArrayForAll primitives while the oracle states them as
     filter-count identities — same semantics, different engine idiom.
     All JVM-side codegen'd expressions: at 100 TB this family is free
-    compared to any UDF doing the same per-row work."""
+    compared to any UDF doing the same per-row work.
+
+    The two array-valued results (`evens`, `sorted_digits`) are
+    serialized to comma-joined strings on BOTH surfaces: the driver's
+    canonicalizer (pandas sort_values + hash) cannot handle list
+    cells, so no oracle-backed query may output Array/Map/Struct
+    columns (enforced registry-wide by tests/test_plans.py)."""
     arr = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 500)
@@ -797,13 +804,18 @@ def scalar_higher_order_functions(spark, sf_dir):
             ).alias("digits"),
         )
     )
+    def joined(arr_col):
+        return F.array_join(
+            F.transform(arr_col, lambda d: d.cast("string")), ","
+        )
+
     return arr.select(
         "o_orderkey",
-        F.filter("digits", lambda d: d % 2 == 0).alias("evens"),
+        joined(F.filter("digits", lambda d: d % 2 == 0)).alias("evens"),
         F.exists("digits", lambda d: d > 5).alias("any_big"),
         F.forall("digits", lambda d: d < 9).alias("all_small"),
         F.aggregate(
             "digits", F.lit(0).cast("bigint"), lambda a, d: a * 10 + d
         ).alias("refolded"),
-        F.array_sort("digits").alias("sorted_digits"),
+        joined(F.array_sort("digits")).alias("sorted_digits"),
     ).orderBy("o_orderkey")

@@ -261,7 +261,21 @@ def _stat_value(v, upper: bool = False):
 
 
 def _merge_col_stats(acc: dict, batch) -> None:
-    """Fold one Arrow batch's per-column min/max/null_count into acc."""
+    """Fold one Arrow batch's per-column min/max/null_count into acc.
+
+    Upper-bound poison (stored max = None = "never max-prune") is
+    STICKY and has three sources: a degenerate string truncation, a
+    float batch containing any NaN (Spark SQL orders NaN ABOVE every
+    number, so a real predicate ``col >= k`` matches NaN rows that
+    ``pc.min_max`` — which skips NaN — would hide from the zone map;
+    pruning must stay an optimization, never a filter), and an all-NaN
+    batch (whose ``pc.min_max`` is ``[inf, -inf]`` garbage: it
+    contributes no finite bounds at all).  NaN-poisoned entries carry
+    a 4th ``"nan"`` marker in the manifest so a later batch cannot
+    mistake ``[None, None, n]`` for the all-NULL no-information shape
+    and resurrect a finite max.  The NaN min is still safe: NaN is the
+    LARGEST float, so the min over the non-NaN values lower-bounds the
+    column."""
     import pyarrow.compute as pc
 
     for i, field in enumerate(batch.schema):
@@ -270,28 +284,43 @@ def _merge_col_stats(acc: dict, batch) -> None:
             continue
         col = batch.column(i)
         nulls = col.null_count
-        cur = acc.get(field.name)
-        if len(col) == nulls:  # all-NULL batch: only nulls move
-            if cur is not None:
-                cur[2] += nulls
+        n_valid = len(col) - nulls
+        lo = hi = None
+        has_nan = False
+        if n_valid:
+            if t.startswith(("halffloat", "float", "double")):
+                n_nan = pc.sum(pc.is_nan(col)).as_py() or 0
+                has_nan = n_nan > 0
+                if n_nan < n_valid:
+                    mm = pc.min_max(col)
+                    lo = _stat_value(mm["min"])
+                    if not has_nan:
+                        hi = _stat_value(mm["max"], upper=True)
+                # all-NaN: no finite bounds; has_nan carries the info
             else:
-                acc[field.name] = [None, None, nulls]
+                mm = pc.min_max(col)
+                lo = _stat_value(mm["min"])
+                hi = _stat_value(mm["max"], upper=True)
+        cur = acc.get(field.name)
+        if cur is None:
+            cur = acc[field.name] = [lo, hi, nulls]
+            if has_nan:
+                cur.append("nan")
             continue
-        mm = pc.min_max(col)
-        lo = _stat_value(mm["min"])
-        hi = _stat_value(mm["max"], upper=True)
-        if cur is None or cur[0] is None:
-            acc[field.name] = [
-                lo,
-                hi,
-                nulls + (cur[2] if cur else 0),
-            ]
-        else:
-            cur[0] = min(cur[0], lo)
-            # None = unknown upper bound (degenerate truncation):
-            # poisons the fold — the file can never be max-pruned
-            cur[1] = None if (hi is None or cur[1] is None) else max(cur[1], hi)
-            cur[2] += nulls
+        cur[2] += nulls
+        if lo is not None:
+            cur[0] = lo if cur[0] is None else min(cur[0], lo)
+        # Upper-bound merge.  cur is poisoned when it carries the
+        # "nan" marker or a bounds-bearing batch left max=None
+        # (degenerate truncation — cur[0] set, cur[1] not).
+        cur_poisoned = len(cur) > 3 or (cur[1] is None and cur[0] is not None)
+        batch_poisons = has_nan or (n_valid > 0 and hi is None)
+        if cur_poisoned or batch_poisons:
+            cur[1] = None
+        elif hi is not None:
+            cur[1] = hi if cur[1] is None else max(cur[1], hi)
+        if has_nan and len(cur) == 3:
+            cur.append("nan")
 
 
 def _read_manifest_json(path: str, manifest: str = "_COMMIT.json") -> dict:
@@ -357,7 +386,24 @@ class _ArrowTaskWriter:
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = pq.ParquetWriter(full, batch.schema)
+                    # Parquet stats are DISABLED for float/double
+                    # columns: pyarrow writes NaN-skipped min/max
+                    # (max([1,5,NaN]) stored as 5.0), and Spark — which
+                    # orders NaN ABOVE every number — prunes row groups
+                    # on those stats, silently dropping NaN rows under
+                    # a pushed-down `m >= k` (the PARQUET-1222 class).
+                    # Float range pruning still happens, NaN-safely,
+                    # via the manifest zone maps below.
+                    non_float = [
+                        f.name
+                        for f in batch.schema
+                        if not str(f.type).startswith(
+                            ("halffloat", "float", "double")
+                        )
+                    ]
+                    writer = pq.ParquetWriter(
+                        full, batch.schema, write_statistics=non_float
+                    )
                 writer.write_batch(batch)
                 rows += batch.num_rows
                 # zone map folded batch-by-batch while the data is

@@ -221,6 +221,35 @@ def test_all_plans_have_no_cartesian_row_udfs_or_global_windows(spark):
     assert not offenders, offenders
 
 
+def test_no_oracle_backed_query_outputs_complex_types(spark):
+    """The driver canonicalizes query output with pandas
+    (sort_values + value-hash), which throws `unhashable type: list`
+    on Array/Map/Struct cells BEFORE any comparison — round 5's only
+    red row (scalar_higher_order_functions) was exactly this.  Fence
+    the whole class: every oracle-backed registry query must emit
+    only scalar columns; arrays must be serialized (array_join) on
+    both surfaces.  Schema-only — no execution needed."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None:
+            continue
+        schema = spec.fn(spark, sf).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, (
+        "oracle-backed queries with complex-typed output (the driver's "
+        f"pandas canonicalizer cannot hash these): {offenders}"
+    )
+
+
 def test_spatial_grid_join_equals_naive_cross_join(spark):
     """The 3x3 grid candidate set must yield EXACTLY the pairs the
     O(N*M) cross join finds — the superset property plus the exact

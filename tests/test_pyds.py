@@ -435,6 +435,84 @@ def test_zone_map_pruning_skips_files_and_loses_nothing(spark, tmp_path):
     assert len(kept) == total == 3
 
 
+def test_zone_map_nan_poisons_upper_bound(spark, tmp_path):
+    """Spark SQL orders NaN ABOVE every number, but pyarrow's min_max
+    skips NaN — so a file holding [1.0, 5.0, NaN] must NOT store
+    max=5.0 (a real predicate ``m >= 100`` matches the NaN row; max-
+    pruning on 5.0 would silently drop it).  Any NaN poisons the upper
+    bound (stored None = never max-prune); the min over non-NaN values
+    is still a valid lower bound, so min-side pruning survives."""
+    import json
+    import math
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        prune_manifest_files,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, float("nan"))], "offset long, m double"
+    ).coalesce(1).write.format("cdclog").mode("overwrite").save(d)
+    with open(os.path.join(d, "_COMMIT.json")) as f:
+        doc = json.load(f)
+    (fstats,) = doc["stats"].values()
+    assert fstats["m"][0] == 1.0  # non-NaN min is a safe lower bound
+    assert fstats["m"][1] is None  # NaN: unbounded above, never max-prune
+    # the predicate that bit: m >= 100 must KEEP the file (NaN row)
+    kept, total = prune_manifest_files(d, [("m", 100.0, None)])
+    assert kept and total == 1
+    got = read_committed_log(spark, d, prune=[("m", 100.0, None)]).filter(
+        "m >= 100"
+    )
+    assert got.count() == 1 and math.isnan(got.collect()[0]["m"])
+    # min-side pruning still works: m <= 0.5 provably matches nothing
+    assert prune_manifest_files(d, [("m", None, 0.5)])[0] == []
+
+
+def test_zone_map_all_nan_batch_never_prunes(spark, tmp_path):
+    """An all-NaN file used to store pyarrow's [inf, -inf] garbage and
+    prune against ANY bound.  It must store no finite bounds at all
+    (like the all-NULL case) and survive every range probe — and the
+    NaN marker must survive a later batch with real values so the max
+    stays poisoned across the fold."""
+    import json
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        _merge_col_stats,
+        prune_manifest_files,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    nan = float("nan")
+    spark.createDataFrame(
+        [(1, nan), (2, nan)], "offset long, m double"
+    ).coalesce(1).write.format("cdclog").mode("overwrite").save(d)
+    with open(os.path.join(d, "_COMMIT.json")) as f:
+        doc = json.load(f)
+    (fstats,) = doc["stats"].values()
+    assert fstats["m"][0] is None and fstats["m"][1] is None
+    for probe in ([("m", 100.0, None)], [("m", None, -100.0)]):
+        kept, total = prune_manifest_files(d, probe)
+        assert kept and total == 1, probe
+
+    # fold order: all-NaN batch FIRST, real values second — the "nan"
+    # marker must keep the upper bound poisoned (a bare [None,None,n]
+    # would be mistaken for all-NULL and resurrect a finite max)
+    import pyarrow as pa
+
+    acc = {}
+    _merge_col_stats(acc, pa.record_batch({"m": pa.array([nan, nan])}))
+    _merge_col_stats(acc, pa.record_batch({"m": pa.array([1.0, 5.0])}))
+    assert acc["m"][0] == 1.0 and acc["m"][1] is None
+
+
 def test_writer_generation_claim_fences_concurrent_commit(spark, tmp_path):
     """Two writers that both planned the same generation must not both
     publish: the claim file gates the rename phase, so the loser fails

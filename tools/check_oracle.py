@@ -123,6 +123,24 @@ def main():
             sdf = spec.fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            # Round-6 fence (the dtype axis of the round-5 driver err):
+            # the driver canonicalizes via pandas sort_values + hash,
+            # which throws `unhashable type` on list/dict cells — so an
+            # oracle-backed query may not output Array/Map/Struct
+            # columns at all.  Fail here exactly like the driver would.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if spec.oracle is not None and complex_cols:
+                print(
+                    f"FAIL  {name}: complex-typed output columns "
+                    f"{complex_cols} — the driver's pandas canonicalizer "
+                    "cannot hash list/dict cells; serialize to strings"
+                )
+                n_fail += 1
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
