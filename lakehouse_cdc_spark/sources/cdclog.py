@@ -53,6 +53,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import time
 import uuid
 from collections.abc import Iterator
 
@@ -203,6 +204,96 @@ class ConcurrentWriteError(RuntimeError):
     """Two writers raced a batch commit to the same cdclog path; the
     loser fails HERE, having published nothing (sources/cdclog.py's
     analogue of streaming.pipeline.ConcurrentCommitError)."""
+
+
+#: age after which an unreleased claim from a DEAD process may be
+#: reclaimed by a later writer.  Generous on purpose: a live commit
+#: holds its claim for seconds, and reclaiming requires BOTH the age
+#: bound and a liveness check to fail.
+_CLAIM_STALE_SECS = 900.0
+
+
+def _claim_is_stale(claim: str, max_age: float = _CLAIM_STALE_SECS) -> bool:
+    """Is this claim an abandoned fence from a crashed writer?  True
+    only when it is older than ``max_age`` AND its recorded pid is not
+    alive (the pid check is meaningful because cdclog is a local-FS
+    data source — writers share the host).  A live pid, a young claim,
+    or a claim owned by an unsignalable user is NEVER stale."""
+    try:
+        st = os.stat(claim)
+    except FileNotFoundError:
+        return True  # already released/recovered — retrying is safe
+    if time.time() - st.st_mtime < max_age:
+        return False
+    try:
+        with open(claim) as f:
+            pid = int(json.load(f)["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        # unreadable/empty (a pre-stamp-era claim, or a writer that
+        # crashed between create and write) — age alone decides
+        return True
+    try:
+        os.kill(pid, 0)
+        return False  # holder is alive, no matter how old
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, owned by another user
+
+
+def _acquire_claim(claim: str) -> None:
+    """Exclusively create the per-generation claim, stamped with
+    pid + timestamp so a crashed writer's fence is distinguishable
+    from a live racer's.  A stale claim (old + dead holder) is
+    sidelined ATOMICALLY via rename — exactly one of N concurrent
+    reclaimers wins the rename, so recovery itself cannot race — and
+    the create is retried once."""
+    for attempt in (0, 1):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"pid": os.getpid(), "ts": time.time()}
+                    ).encode(),
+                )
+            finally:
+                os.close(fd)
+            return
+        except FileExistsError:
+            if attempt == 0 and _claim_is_stale(claim):
+                sidelined = f"{claim}.stale-{uuid.uuid4().hex}"
+                try:
+                    os.rename(claim, sidelined)
+                    os.unlink(sidelined)
+                except FileNotFoundError:
+                    pass  # another racer recovered it first — retry
+                continue
+            raise ConcurrentWriteError(
+                f"already claimed at {claim} — another writer is "
+                "committing to this path (a claim from a crashed "
+                f"writer auto-expires after {_CLAIM_STALE_SECS:.0f}s "
+                "once its pid is gone; clear_stale_claims() forces it)"
+            ) from None
+
+
+def clear_stale_claims(path: str, max_age: float = 0.0) -> list[str]:
+    """Manual recovery helper: remove claims in ``path`` whose holder
+    pid is dead and whose age exceeds ``max_age`` (0 = any age, still
+    never a LIVE holder).  Returns the removed claim names."""
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if not (name.startswith("_gen-") and name.endswith(".claim")):
+            continue
+        full = os.path.join(path, name)
+        if _claim_is_stale(full, max_age=max_age):
+            try:
+                os.unlink(full)
+                removed.append(name)
+            except FileNotFoundError:
+                pass
+    return removed
 
 
 @dataclasses.dataclass
@@ -446,15 +537,10 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
         # without error.
         claim = os.path.join(self.path, f"_gen-{gen:04d}.claim")
         try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
+            _acquire_claim(claim)
+        except ConcurrentWriteError:
             self._cleanup(messages)
-            raise ConcurrentWriteError(
-                f"generation {gen} already claimed at {claim} — another "
-                "writer is committing to this path (or crashed mid-commit; "
-                "remove the stale .claim file to recover)"
-            ) from None
+            raise
         # re-verify under the claim: a fast concurrent writer may have
         # claimed this generation, committed AND released between our
         # manifest read and our claim — its commit moved the manifest,

@@ -511,6 +511,14 @@ class SnapshotUpsertSink:
             ]
         )
 
+    #: COW diff legs per changes_between plan: each COW commit needs
+    #: its own rewritten-vs-previous join, so plan size is linear in
+    #: the number of COW commits replayed.  Beyond this budget the
+    #: Catalyst plan (and the per-leg scheduling overhead) dominates —
+    #: callers chunk instead, which is lossless because the feed is
+    #: additive over ranges: changes(a,c) == changes(a,b) ∪ changes(b,c).
+    MAX_COW_DIFFS = 64
+
     def changes_between(
         self, spark: SparkSession, from_snap: int, to_snap: int
     ) -> DataFrame | None:
@@ -536,8 +544,41 @@ class SnapshotUpsertSink:
           the diff is naturally empty;
         - tombstone GC — only REMOVES expired delete markers, which
           were emitted as 'd' changes when they happened ⇒ nothing new.
+
+        PLAN-SIZE model (a months-long replay must not build a
+        thousand-leg union): consecutive MOR delta commits sharing a
+        schema are read as ONE multi-path parquet scan — their
+        ``_change_snapshot`` is recovered from the file path
+        (``…/v=<s>/__delta/…``) instead of a per-commit literal — so
+        the union has one leg per delta RUN, not per delta commit (a
+        steady-state MOR ingest replay is a single leg).  COW commits
+        irreducibly need one diff join each; more than
+        ``MAX_COW_DIFFS`` of them in one range raises with chunking
+        guidance rather than silently building a degenerate plan.
+        Manifest reads stay one per snapshot (each is read once and
+        carried).
         """
-        out = None
+        legs: list[DataFrame] = []
+        delta_run: list[tuple[int, str | None]] = []  # (snap, schema_json)
+        n_cow = 0
+
+        def _flush_delta_run():
+            # one scan per run of consecutive delta commits: stamp the
+            # snapshot from the file path, not a per-leg literal
+            if not delta_run:
+                return
+            reader = self._state_reader(spark, delta_run[0][1])
+            legs.append(
+                reader.parquet(
+                    *[self._delta_path(s) for s, _ in delta_run]
+                ).withColumn(
+                    "_change_snapshot",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"/v=(\d+)/__delta/", 1
+                    ).cast("int"),
+                )
+            )
+            delta_run.clear()
         # the RANGE BASE manifest must be retained too (from_snap < 0
         # means "since empty" by contract): an expired base would make
         # prev_buckets empty and the first diff silently degrade to
@@ -560,12 +601,16 @@ class SnapshotUpsertSink:
             # re-reading s-1 from disk each round (halves manifest IO
             # on long replay ranges)
             prev_m, prev = prev, manifest
-            reader = self._state_reader(spark, manifest.get("schema"))
             deltas = manifest.get("deltas") or []
             prev_deltas = (prev_m or {}).get("deltas") or []
             if deltas and deltas[-1] == s:
-                # MOR delta commit: the raw change batch, verbatim
-                batch = reader.parquet(self._delta_path(s))
+                # MOR delta commit: extend the current run (schema
+                # changes break the run — one scan needs one schema)
+                schema = manifest.get("schema")
+                if delta_run and delta_run[0][1] != schema:
+                    _flush_delta_run()
+                delta_run.append((s, schema))
+                continue
             elif prev_deltas and not deltas:
                 # fold commit: rows already emitted by delta commits
                 continue
@@ -577,6 +622,18 @@ class SnapshotUpsertSink:
                 ]
                 if not rewritten:
                     continue  # watermark-only / empty commit
+                _flush_delta_run()  # keep legs in commit order
+                n_cow += 1
+                if n_cow > self.MAX_COW_DIFFS:
+                    raise ValueError(
+                        f"changes_between({from_snap}, {to_snap}) needs "
+                        f"more than MAX_COW_DIFFS={self.MAX_COW_DIFFS} "
+                        "copy-on-write diff joins in one plan — replay "
+                        "the range in chunks instead (the feed is "
+                        "additive: changes(a,c) == changes(a,b) ∪ "
+                        "changes(b,c))"
+                    )
+                reader = self._state_reader(spark, manifest.get("schema"))
                 new_state = reader.parquet(
                     *[self._bucket_path(s, b) for b in rewritten]
                 )
@@ -620,9 +677,12 @@ class SnapshotUpsertSink:
                             *[f"__ok_{i}" for i in range(len(self.keys))],
                         )
                     )
-            batch = batch.withColumn("_change_snapshot", F.lit(s))
-            out = batch if out is None else out.unionByName(
-                batch, allowMissingColumns=True
+            legs.append(batch.withColumn("_change_snapshot", F.lit(s)))
+        _flush_delta_run()
+        out = None
+        for leg in legs:
+            out = leg if out is None else out.unionByName(
+                leg, allowMissingColumns=True
             )
         return out
 

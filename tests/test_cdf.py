@@ -200,3 +200,65 @@ def test_null_keyed_rows_do_not_phantom_on_rewrite(spark, tmp_path):
     sink.process_batch(_batch(spark, [(2, "b", "c", 1)]), 1)  # same bucket
     changes = _feed(sink, spark, 0, 1)
     assert changes == [(2, "b", "c", 1, 1)]  # ghost not re-emitted
+
+
+def test_long_mor_replay_builds_a_bounded_plan(spark, tmp_path):
+    """A 50+-delta-commit replay must NOT build one union leg (and one
+    manifest-schema'd scan) per commit: consecutive MOR delta commits
+    sharing a schema collapse into ONE multi-path parquet scan whose
+    `_change_snapshot` comes from the file path — so the plan has one
+    leg per delta RUN.  Manifest reads stay one per snapshot (each
+    carried, never re-read)."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        merge_on_read=True,
+        fold_deltas_every=None,
+    )
+    n = 52
+    for i in range(n):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+
+    reads = 0
+    orig = sink._read_manifest
+
+    def counting(snapshot):
+        nonlocal reads
+        reads += 1
+        return orig(snapshot)
+
+    sink._read_manifest = counting
+    df = sink.changes_between(spark, -1, n - 1)
+    assert reads <= n + 1  # one per snapshot in range (+base), never more
+
+    # plan shape: a single parquet scan, zero Union nodes
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    # and the feed is still exact, snapshot stamps included
+    got = _feed(sink, spark, -1, n - 1)
+    assert got == [(i, f"v{i}", "c", i, i) for i in range(n)]
+
+
+def test_cow_diff_budget_refuses_degenerate_plans(spark, tmp_path):
+    """More COW diff joins than MAX_COW_DIFFS in one range must raise
+    with chunking guidance (the feed is additive over ranges), never
+    silently build a thousand-leg plan.  Chunked replay of the same
+    range must equal what one oversized call would have returned."""
+    import pytest
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.MAX_COW_DIFFS = 4  # instance override: keep the test fast
+    n = 7
+    for i in range(n):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+    with pytest.raises(ValueError, match="chunks"):
+        sink.changes_between(spark, -1, n - 1)
+    # chunked consumption covers the same range losslessly
+    got = _feed(sink, spark, -1, 3) + _feed(sink, spark, 3, n - 1)
+    assert sorted(got) == sorted(
+        [(i, f"v{i}", "c", i, i) for i in range(n)]
+    )

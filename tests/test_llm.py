@@ -340,6 +340,28 @@ def test_bucketed_neardup_probe_guard(spark):
         bucketed_cosine_pairs_blocked(emb, empty)
 
 
+def test_centroid_broadcast_budget_is_enforced(spark, monkeypatch):
+    """The 'tiny by contract' K ≈ √N centroid sizing is enforced, not
+    assumed: a centroid table over the element budget must be refused
+    at driver time with coarsening guidance — never silently shipped
+    to every executor (at N=1e12 the un-guarded closure would carry
+    ~4 GB per task)."""
+    import pytest as _pytest
+
+    from lakehouse_cdc_spark.llm import similarity
+
+    monkeypatch.setattr(similarity, "_CENTROID_ELEM_BUDGET", 8)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cid bigint, cemb array<double>",
+    )  # 3 x 3 = 9 elements > 8
+    with _pytest.raises(ValueError, match="Coarsen K"):
+        similarity.bucketed_cosine_pairs_blocked(emb, cen)
+
+
 def test_winnowing_guarantee_shared_span_yields_common_fingerprint(spark):
     """Schleimer et al.'s guarantee: documents sharing a token run of
     length >= w + k - 1 must select at least one identical fingerprint

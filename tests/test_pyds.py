@@ -553,6 +553,58 @@ def test_writer_generation_claim_fences_concurrent_commit(spark, tmp_path):
     assert not any(f.endswith(".claim") for f in os.listdir(d))
 
 
+def test_stale_claim_from_dead_writer_is_reclaimed(spark, tmp_path):
+    """A writer that crashed between creating its claim and releasing
+    it must not wedge the path forever: a claim that is BOTH old and
+    held by a dead pid is auto-reclaimed by the next commit; a fresh
+    claim and a live holder's claim still block (the liveness check is
+    valid because cdclog is a local-FS source).  clear_stale_claims()
+    is the manual override."""
+    import json
+    import os
+
+    from lakehouse_cdc_spark.sources.cdclog import (
+        ConcurrentWriteError,
+        clear_stale_claims,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    _env_df(spark, 0, 20).write.format("cdclog").mode("overwrite").save(d)
+
+    claim = os.path.join(d, "_gen-0001.claim")
+
+    def plant(pid, age_secs):
+        with open(claim, "w") as f:
+            json.dump({"pid": pid, "ts": 0}, f)
+        old = os.stat(claim).st_mtime - age_secs
+        os.utime(claim, (old, old))
+
+    # dead pid + old claim: the next write reclaims and succeeds
+    plant(2**22 + 12345, 3600)  # pid far above any live one here
+    _env_df(spark, 20, 30).write.format("cdclog").mode("append").save(d)
+    assert read_committed_log(spark, d).count() == 30
+    assert not any(f.endswith(".claim") for f in os.listdir(d))
+
+    # LIVE pid: blocks even when ancient (never steal a live fence)
+    claim = os.path.join(d, "_gen-0002.claim")
+    plant(os.getpid(), 3600)
+    try:
+        _env_df(spark, 30, 40).write.format("cdclog").mode("append").save(d)
+        raise AssertionError("live holder's claim must block")
+    except Exception as e:  # Spark wraps ConcurrentWriteError
+        assert "claimed" in str(e)
+    # manual helper refuses the live claim too...
+    assert clear_stale_claims(d, max_age=0) == []
+    # ...but removes it once the holder is dead
+    plant(2**22 + 54321, 0)
+    assert clear_stale_claims(d, max_age=0) == ["_gen-0002.claim"]
+    _env_df(spark, 30, 40).write.format("cdclog").mode("append").save(d)
+    assert read_committed_log(spark, d).count() == 40
+
+
 def test_stream_writer_end_to_end_and_replay_idempotent(spark, tmp_path):
     """source → writeStream.format('cdclog'): per-batch manifests land
     the full stream exactly once, and a re-committed batchId (crash
