@@ -32,6 +32,7 @@ from lakehouse_cdc_spark.plans import spatial_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import lm_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import source_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import semantics_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import cdf_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness snapshot samples the FIRST
@@ -93,15 +94,16 @@ _SHOWCASE_HEAD = [
     "agg_mode_median",
     "agg_collect_sorted",
     "agg_grouping_id_rollup",
-    # tpch (never-sampled half)
+    # tpch (never-sampled half; q14/q16/q21 rotate in next round)
     "q4_priority_exists",
     "q7_nation_flows",
     "q9_product_profit",
     "q13_custdist",
-    "q14_promo_share",
-    "q16_supplier_variety",
-    "q21_kept_waiting",
     "q22_idle_rich_customers",
+    # round-6-NEW operators, first driver confirmation
+    "cdf_incremental_view_maintenance",
+    "timetravel_snapshot_diff",
+    "text_rerank_two_stage",
     # dedup
     "dedup_canonical_exact",
     "dedup_keep_best",

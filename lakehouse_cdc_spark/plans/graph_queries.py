@@ -132,6 +132,16 @@ def text_bm25_search(spark, sf_dir):
     quantized to fixed point and summed as BIGINTs — float-sum order
     never touches the ranking, so the result is identical on any
     partitioning and in the oracle."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    ).limit(15)
+
+
+def _bm25_scored(spark, sf_dir):
+    """Stage-1 retrieval scorer shared by ``text_bm25_search`` and
+    ``text_rerank_two_stage``: every matching document with its
+    fixed-point BM25 score and hit-term count (unordered, unlimited —
+    callers rank/limit)."""
     d = table(spark, sf_dir, "documents")
     dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
     stats = dl.agg(
@@ -165,14 +175,130 @@ def text_bm25_search(spark, sf_dir):
             .alias("contrib_fp"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.sum("contrib_fp").alias("score_fp"),
-            F.count(F.lit(1)).alias("hit_terms"),
-        )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("contrib_fp").alias("score_fp"),
+        F.count(F.lit(1)).alias("hit_terms"),
+    )
+
+
+_RERANK_CANDIDATES = 50
+_RERANK_TOPK = 10
+
+# the stage-1 candidate CTE both engines share: BM25 top-50
+_BM25_CAND_SQL = f"""
+    dl AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs
+              FROM dl),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+           WHERE tok IN {_BM25_TERMS!r}
+           GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * ({_K1} + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + {_K1} * (1.0 - {_B}
+                                + {_B} * (CAST(dl AS DOUBLE) / avgdl))))
+               * 10000.0 + 0.5) AS BIGINT) AS contrib_fp
+      FROM tf
+      JOIN dfreq USING (tok)
+      JOIN dl USING (doc_id), stats
+    ),
+    candidates AS (
+      SELECT doc_id, CAST(SUM(contrib_fp) AS BIGINT) AS score_fp
+      FROM contrib GROUP BY doc_id
+      ORDER BY score_fp DESC, doc_id ASC
+      LIMIT {_RERANK_CANDIDATES}
+    )
+"""
+
+
+@register(
+    "text_rerank_two_stage",
+    oracle=f"""
+    WITH {_BM25_CAND_SQL},
+    rescored AS (
+      SELECT c.doc_id, c.score_fp,
+             list_position(string_split_regex(trim(d.text), '\\s+'),
+                           '{_BM25_TERMS[0]}') AS p0,
+             list_position(string_split_regex(trim(d.text), '\\s+'),
+                           '{_BM25_TERMS[1]}') AS p1,
+             list_position(string_split_regex(trim(d.text), '\\s+'),
+                           '{_BM25_TERMS[2]}') AS p2
+      FROM candidates c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, score_fp,
+           CAST(10000000 * ((p0 > 0)::BIGINT + (p1 > 0)::BIGINT
+                            + (p2 > 0)::BIGINT)
+                + CASE WHEN p0 > 0 THEN 1000000 // p0 ELSE 0 END
+                + CASE WHEN p1 > 0 THEN 1000000 // p1 ELSE 0 END
+                + CASE WHEN p2 > 0 THEN 1000000 // p2 ELSE 0 END
+             AS BIGINT) AS rescore_fp
+    FROM rescored
+    ORDER BY rescore_fp DESC, score_fp DESC, doc_id ASC
+    LIMIT {_RERANK_TOPK}
+    """,
+    tags=("llm", "text", "retrieval", "rerank", "two-stage"),
+)
+def text_rerank_two_stage(spark, sf_dir):
+    """Two-stage retrieval (the cross-encoder serving pattern): a
+    cheap index-shaped BM25 pass nominates the top-50 candidates, and
+    an expensive EXACT scorer — here term coverage + first-occurrence
+    proximity over the full token stream, in real systems a model
+    forward pass — re-ranks only those 50.  The cost split is the
+    whole point at 100 TB: stage 1 touches only query-term postings
+    (the inverted-index shuffle), stage 2 re-reads full text for
+    |candidates| documents, never the corpus — the candidate set is
+    broadcast into the documents scan, so the rescoring join is
+    shuffle-free.  All scores are exact integers (fixed-point BM25;
+    10^7-weighted coverage plus 10^6 div position), so the ranking is
+    partition- and engine-independent."""
+    candidates = (
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("score_fp"), F.asc("doc_id"))
-        .limit(15)
+        .limit(_RERANK_CANDIDATES)
+        .select("doc_id", "score_fp")
+    )
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    rescored = F.broadcast(candidates).join(d, "doc_id")
+    pos = [
+        F.array_position(toks, t).alias(f"p{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    rescored = rescored.select("doc_id", "score_fp", *pos)
+    coverage = sum(
+        F.when(F.col(f"p{i}") > 0, 1).otherwise(0).cast("bigint")
+        for i in range(len(_BM25_TERMS))
+    )
+    proximity = sum(
+        F.when(
+            F.col(f"p{i}") > 0, F.expr(f"1000000 div p{i}")
+        ).otherwise(0).cast("bigint")
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        rescored.select(
+            "doc_id",
+            "score_fp",
+            (F.lit(10000000).cast("bigint") * coverage + proximity)
+            .cast("bigint")
+            .alias("rescore_fp"),
+        )
+        .orderBy(F.desc("rescore_fp"), F.desc("score_fp"), F.asc("doc_id"))
+        .limit(_RERANK_TOPK)
     )
 
 
