@@ -1224,3 +1224,100 @@ def llm_length_grouped_batching(spark, sf_dir):
             ).alias("saving_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic training shuffle (round 6)
+# ---------------------------------------------------------------------------
+
+#: 2^31-1 (Mersenne prime) — every mix below is (a*x + b) mod _SHUF_P
+#: with x pre-reduced mod _SHUF_P, so a*x <= ~1.1e9 * 2.1e9 < 2^63:
+#: overflow-free in int64 at ANY doc_id, including 1e12-row corpora.
+_SHUF_P = 2_147_483_647
+_SHUF_SHARDS = 8
+
+
+@register(
+    "sample_global_shuffle",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id,
+             ((69069 * ((1103515245 * (doc_id % {_SHUF_P}) + 12345)
+                        % {_SHUF_P}) + 362437) % {_SHUF_P}) AS h2,
+             ((1103515245 * (doc_id % {_SHUF_P}) + 12345) % {_SHUF_P})
+               % {_SHUF_SHARDS} AS shard
+      FROM documents
+    ),
+    heads AS (
+      SELECT shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY h2, doc_id) AS rn
+      FROM mixed
+    )
+    SELECT m.shard,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(m.doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(MIN(m.h2) AS BIGINT) AS min_key,
+           CAST(MAX(m.h2) AS BIGINT) AS max_key,
+           (SELECT string_agg(h.doc_id, ',' ORDER BY h.rn)
+            FROM heads h WHERE h.shard = m.shard AND h.rn <= 5)
+             AS first_docs
+    FROM mixed m
+    GROUP BY m.shard ORDER BY m.shard
+    """,
+    tags=("llm", "sampling", "shuffle", "training-order"),
+)
+def sample_global_shuffle(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE for training-data ordering — the
+    op every epoch of LLM training needs over a 100 TB corpus, where
+    'shuffle the dataset' cannot mean a materialized random sort.
+    Each document gets a seeded affine-modular mix (two LCG rounds mod
+    2^31-1, overflow-free int64 at any corpus size): the FIRST round
+    assigns the shard (which output file the example lands in), the
+    SECOND gives the within-shard sort key — so the training order is
+    a pure function of (doc_id, seed): map-side, shuffle-free to
+    assign, and reproducible across reruns/engines (no
+    rand()/hash-seed dependence).  A dataloader reads shards in any
+    order, each sorted by the key; re-seeding re-permutes without
+    rewriting data.  The declared result is the per-shard audit a
+    pipeline validates: row count (balance), doc_id checksum
+    (partition correctness), key range, and the first five examples
+    each shard would train on (WindowGroupLimit keeps the per-shard
+    sort bounded to k=5 survivors per task)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    h1 = (F.lit(1103515245) * (F.col("doc_id") % _SHUF_P) + 12345) % _SHUF_P
+    mixed = d.select(
+        "doc_id",
+        ((F.lit(69069) * h1 + 362437) % _SHUF_P).alias("h2"),
+        (h1 % _SHUF_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h2", "doc_id")
+    heads = (
+        mixed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("shard")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            ).alias("first_docs")
+        )
+    )
+    stats = mixed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.min("h2").cast("bigint").alias("min_key"),
+        F.max("h2").cast("bigint").alias("max_key"),
+    )
+    return (
+        stats.join(heads, "shard")
+        .select(
+            "shard", "cnt", "sum_doc_id", "min_key", "max_key", "first_docs"
+        )
+        .orderBy("shard")
+    )

@@ -638,11 +638,25 @@ class SnapshotUpsertSink:
                     *[self._bucket_path(s, b) for b in rewritten]
                 )
                 prev_buckets = (prev_m or {}).get("buckets") or {}
-                old_paths = [
-                    self._bucket_path(prev_buckets[str(b)], b)
-                    for b in rewritten
-                    if str(b) in prev_buckets
-                ]
+                if prev_m is not None and prev_m.get(
+                    "n_buckets"
+                ) != manifest.get("n_buckets"):
+                    # partition evolution (rebucket): bucket ids changed
+                    # meaning, so the same-id pairing below would treat
+                    # relocated rows as new — diff against the ENTIRE
+                    # previous state.  Rows are identical across a
+                    # rebucket, so the feed stays empty; the one-commit
+                    # O(table) diff cost mirrors the rebucket itself.
+                    old_paths = [
+                        self._bucket_path(at, int(b))
+                        for b, at in prev_buckets.items()
+                    ]
+                else:
+                    old_paths = [
+                        self._bucket_path(prev_buckets[str(b)], b)
+                        for b in rewritten
+                        if str(b) in prev_buckets
+                    ]
                 if not old_paths:
                     batch = new_state  # first commit: everything is new
                 else:
@@ -1386,6 +1400,78 @@ class SnapshotUpsertSink:
             blooms=manifest.get("blooms"),
         )
         return sorted(todo)
+
+    def rebucket(self, spark: SparkSession, n_buckets_new: int) -> int:
+        """PARTITION EVOLUTION (Iceberg bucket-spec evolution parity):
+        rewrite the whole state into a new bucket count under one
+        manifest-fenced snapshot commit.  Needed when a table outgrows
+        its original sizing — one bucket must stay executor-memory-
+        sized, so a table bootstrapped at 16 buckets needs thousands at
+        100 TB.  The key→bucket map is pinned by the manifest, so this
+        is the ONLY way it changes; O(table) by necessity, but one
+        bucket-aligned shuffle + write, no merge logic.  Crash-safe
+        like every writer: data lands under the new snapshot dir
+        first, the manifest+pointer swap publishes it atomically.
+
+        Invariants preserved across the boundary:
+        - CDF continuity: rows are identical and no order-by advances,
+          so ``changes_between`` spanning the rebucket emits NOTHING
+          (the compaction invariant; the diff reads ALL previous
+          buckets for this commit since bucket ids changed meaning).
+        - Time travel: older snapshots read their own manifests, each
+          carrying its own n_buckets.
+        - Per-bucket bloom filters are DROPPED (keyed by the old map —
+          reusing them would prune wrong buckets); later merges rebuild
+          them bucket-by-bucket.  Lookups meanwhile degrade to
+          key-hash pruning, never to wrong answers.
+
+        Returns the new snapshot number (or the current one when the
+        count is already ``n_buckets_new`` — no empty commit)."""
+        if n_buckets_new < 1:
+            raise ValueError(f"n_buckets_new must be >= 1, got {n_buckets_new}")
+        if self.pending_deltas():
+            # fold first: delta files are bucket-agnostic, but the fold
+            # machinery reasons over ONE manifest bucket map at a time
+            self.fold_deltas(spark)
+        lineage, committed_batch, committed_snap = self.committed()
+        manifest = self._read_manifest(committed_snap)
+        if manifest is None or not manifest["buckets"]:
+            raise ValueError("nothing to rebucket: empty or legacy target")
+        if manifest["n_buckets"] == n_buckets_new:
+            return committed_snap
+        new_snap = committed_snap + 1
+        self._claim(new_snap, None)  # maintenance claim (batch_id=None)
+        snap_dir = self._snapshot_path(new_snap)
+        os.makedirs(snap_dir, exist_ok=True)
+        bucket = self._bucket_col(n_buckets_new)
+        # tombstones ride along (current_state, not current_table):
+        # their late-straggler protection must survive the rewrite
+        state = self.current_state(spark).withColumn("__bucket", bucket)
+        with _aqe_disabled(spark):
+            (
+                state.repartition(n_buckets_new, F.col("__bucket"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .option(
+                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
+                )
+                .partitionBy("__bucket")
+                .parquet(snap_dir)
+            )
+        new_buckets = {
+            str(b): new_snap for b in self._written_buckets(snap_dir)
+        }
+        self._commit(
+            new_snap,
+            new_buckets,
+            n_buckets_new,
+            committed_batch,
+            manifest.get("gc_watermark"),
+            manifest.get("schema"),  # rebucketing never changes the schema
+            # blooms intentionally absent: keyed by the old bucket map
+        )
+        self.n_buckets = n_buckets_new
+        return new_snap
 
     # -- tombstone retention --------------------------------------------
     def _order_key(self) -> str:

@@ -262,3 +262,85 @@ def test_cow_diff_budget_refuses_degenerate_plans(spark, tmp_path):
     assert sorted(got) == sorted(
         [(i, f"v{i}", "c", i, i) for i in range(n)]
     )
+
+
+def test_feed_driven_aggregate_tracks_recompute_through_maintenance(
+    spark, tmp_path
+):
+    """A maintained per-group aggregate consuming ONLY the feed must
+    equal a full recompute after EVERY commit — including across a
+    compaction and a rebucket (whose feeds are empty) interleaved with
+    real changes.  This is the incremental-view-maintenance consumer
+    the cdf_incremental_view_maintenance oracle checks end-state for,
+    here verified step-by-step through maintenance commits."""
+    from lakehouse_cdc_spark.cdc.incremental import (
+        apply_agg_adjustments,
+        delta_agg_adjustments,
+    )
+
+    def g(spark, rows):
+        return spark.createDataFrame(
+            rows, "id int, grp string, val long, operation string, seq int"
+        )
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(
+        g(spark, [(i, "ab"[i % 2], 10 * i, "c", 0) for i in range(10)]), 0
+    )
+
+    def recompute():
+        return sorted(
+            (r.grp, r.cnt, r.s)
+            for r in sink.current_table(spark)
+            .groupBy("grp")
+            .agg(F.count("*").alias("cnt"), F.sum("val").alias("s"))
+            .collect()
+        )
+
+    agg = (
+        sink.current_table(spark)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("val").cast("bigint").alias("s"),
+        )
+    )
+    last = sink.committed_snapshot()
+
+    def advance():
+        nonlocal agg, last
+        snap = sink.committed_snapshot()
+        for s in range(last + 1, snap + 1):
+            feed = sink.changes_between(spark, s - 1, s)
+            if feed is None or not feed.take(1):
+                continue
+            prev_vis = sink.state_at(spark, s - 1).filter(
+                F.col("operation") != "d"
+            )
+            adj = delta_agg_adjustments(
+                prev_vis, feed, keys=["id"], group_col="grp",
+                measure=F.col("val"),
+            )
+            agg = apply_agg_adjustments(agg, adj, "grp", "cnt", "s")
+        last = snap
+        return sorted((r.grp, r.cnt, r.s) for r in agg.collect())
+
+    # update + insert
+    sink.process_batch(
+        g(spark, [(3, "a", 999, "u", 1), (77, "b", 5, "c", 1)]), 1
+    )
+    assert advance() == recompute()
+    # maintenance: rebucket (empty feed) then a delete
+    sink.rebucket(spark, 8)
+    sink.process_batch(g(spark, [(4, "a", 0, "d", 2)]), 2)
+    assert advance() == recompute()
+    # a group draining to zero drops out of the maintained view
+    sink.process_batch(
+        g(spark, [(i, "b", 0, "d", 3) for i in range(10) if i % 2 == 1]
+          + [(77, "b", 0, "d", 3)]), 3
+    )
+    got = advance()
+    assert got == recompute()
+    assert all(grp != "b" for grp, _, _ in got)
