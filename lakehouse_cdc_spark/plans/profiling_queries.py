@@ -688,3 +688,100 @@ def stats_winsorized_means(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rebucket planner (round 6) — the planning half of partition evolution
+# ---------------------------------------------------------------------------
+
+_RB_P = 2_147_483_647  # 2^31-1; same overflow-free mixing as the shuffle
+_RB_CURRENT = 4  # the bucket count being outgrown
+_RB_TARGET_ROWS = 8_192  # max rows one bucket should hold at this tier
+
+
+@register(
+    "maintenance_rebucket_planner",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT ((1103515245 * (o_orderkey % {_RB_P}) + 12345) % {_RB_P})
+               % {_RB_CURRENT} AS bucket
+      FROM orders
+    ),
+    per_bucket AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rows_in_bucket
+      FROM assigned GROUP BY bucket
+    ),
+    stats AS (
+      SELECT CAST(SUM(rows_in_bucket) AS BIGINT) AS total_rows,
+             CAST(MAX(rows_in_bucket) AS BIGINT) AS max_bucket_rows,
+             CAST(MIN(rows_in_bucket) AS BIGINT) AS min_bucket_rows
+      FROM per_bucket
+    )
+    SELECT CAST({_RB_CURRENT} AS BIGINT) AS n_current,
+           total_rows, max_bucket_rows,
+           max_bucket_rows * 1000000 * {_RB_CURRENT} // total_rows
+             AS skew_ppm,
+           CAST({_RB_TARGET_ROWS} AS BIGINT) AS target_rows,
+           CAST(
+             CASE WHEN (total_rows + {_RB_TARGET_ROWS} - 1)
+                       // {_RB_TARGET_ROWS} <= 1 THEN 1
+                  ELSE 1 << length(bin(
+                    (total_rows + {_RB_TARGET_ROWS} - 1)
+                    // {_RB_TARGET_ROWS} - 1))
+             END AS BIGINT) AS n_recommended,
+           CAST(max_bucket_rows > {_RB_TARGET_ROWS} AS BOOLEAN)
+             AS rebucket_needed
+    FROM stats
+    """,
+    tags=("maintenance", "rebucket", "partition-evolution", "M-scale"),
+)
+def maintenance_rebucket_planner(spark, sf_dir):
+    """The PLANNING half of partition evolution (the execute half is
+    ``SnapshotUpsertSink.rebucket``): from per-bucket row counts under
+    the CURRENT key-hash map, decide whether any bucket exceeds the
+    per-bucket row budget and recommend the next power-of-two count
+    that brings the EXPECTED bucket back under it.  Powers of two keep
+    the recommendation stable under growth (each doubling halves every
+    bucket) and make successive rebuckets split buckets evenly.  The
+    plan is one |buckets|-row aggregate over a key-only projection —
+    no data pages read, so a table service can evaluate every table's
+    bucket health on a schedule, exactly like the compaction planner.
+    skew_ppm (max/avg as exact integer ppm) is the 'is the key hashed
+    badly' alarm that says rebucketing alone will NOT fix a hot key.
+    The hash is the same overflow-free affine-modular mix as
+    sample_global_shuffle, and EVERY output is exact-integer: the
+    power-of-two rounding is ``1 << bit_length(ceil_div - 1)`` via
+    ``length(bin(…))`` — no log2/pow doubles whose last-ulp behavior
+    could differ between engines at exact powers of two."""
+    k = F.col("o_orderkey")
+    bucket = (
+        (F.lit(1103515245) * (k % _RB_P) + 12345) % _RB_P
+    ) % _RB_CURRENT
+    per_bucket = (
+        table(spark, sf_dir, "orders")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_in_bucket"))
+    )
+    stats = per_bucket.agg(
+        F.sum("rows_in_bucket").cast("bigint").alias("total_rows"),
+        F.max("rows_in_bucket").cast("bigint").alias("max_bucket_rows"),
+        F.min("rows_in_bucket").cast("bigint").alias("min_bucket_rows"),
+    )
+    return stats.select(
+        F.lit(_RB_CURRENT).cast("bigint").alias("n_current"),
+        "total_rows",
+        "max_bucket_rows",
+        F.expr(
+            f"max_bucket_rows * 1000000 * {_RB_CURRENT} div total_rows"
+        ).alias("skew_ppm"),
+        F.lit(_RB_TARGET_ROWS).cast("bigint").alias("target_rows"),
+        F.expr(
+            f"CAST(CASE WHEN (total_rows + {_RB_TARGET_ROWS} - 1) "
+            f"div {_RB_TARGET_ROWS} <= 1 THEN 1 "
+            f"ELSE shiftleft(1L, length(bin("
+            f"(total_rows + {_RB_TARGET_ROWS} - 1) "
+            f"div {_RB_TARGET_ROWS} - 1))) END AS BIGINT)"
+        ).alias("n_recommended"),
+        (F.col("max_bucket_rows") > _RB_TARGET_ROWS).alias("rebucket_needed"),
+    )

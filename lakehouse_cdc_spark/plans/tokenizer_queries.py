@@ -511,3 +511,86 @@ def text_word_burstiness(spark, sf_dir):
         .orderBy(F.desc("total"), F.asc("word"))
         .limit(20)
     )
+
+
+def _bpe_roundtrip_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    words0 AS (
+      SELECT w, regexp_replace(w, '(.)', '{_M1}\\1{_M2}', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE w <> '' GROUP BY w
+    ),
+    {rounds},
+    audit AS (
+      SELECT w, s,
+             replace(replace(s, '{_M1}', ''), '{_M2}', '') AS decoded,
+             CAST(len(string_split(s, '{_M2}')) - 1 AS BIGINT) AS n_syms,
+             CAST((SELECT MAX(length(substr(p, 2)))
+                   FROM unnest(string_split(s, '{_M2}')) AS u(p)
+                   WHERE p <> '') AS BIGINT) AS max_sym
+      FROM words{_BPE_ROUNDS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
+           CAST(SUM(CASE WHEN decoded = w THEN 1 ELSE 0 END) AS BIGINT)
+             AS decoded_ok,
+           CAST(COUNT(*) = SUM(CASE WHEN decoded = w THEN 1 ELSE 0 END)
+                AS BOOLEAN) AS lossless,
+           CAST(SUM(n_syms) AS BIGINT) AS symbols_total,
+           CAST(MAX(max_sym) AS BIGINT) AS max_symbol_chars,
+           CAST(SUM(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fully_merged_words
+    FROM audit
+    """
+
+
+@register(
+    "text_bpe_roundtrip",
+    oracle=_bpe_roundtrip_oracle(),
+    tags=("llm", "text", "tokenizer", "roundtrip", "detokenize"),
+)
+def text_bpe_roundtrip(spark, sf_dir):
+    """The DETOKENIZE half + the losslessness audit every tokenizer
+    ships with: decode each fitted vocabulary entry (strip the symbol
+    markers, i.e. concatenate its symbols in order) and verify
+    decode(encode(w)) == w for EVERY word — merges must never lose or
+    reorder characters.  Also reports the vocabulary economics a
+    tokenizer card records: total symbols, the longest learned symbol,
+    and how many words collapsed to a single symbol after 3 merge
+    rounds.  One |vocab|-row aggregate over the broadcast-sized fitted
+    table — the corpus is not re-read at all (fit once, audit the
+    artifact), so the audit is free at any corpus scale.  The oracle
+    replays the identical fit and audit in SQL."""
+    _, vocab = _bpe_fit(spark, sf_dir)
+    audit = vocab.select(
+        "w",
+        F.regexp_replace(
+            F.regexp_replace("s", _M1, ""), _M2, ""
+        ).alias("decoded"),
+        (F.size(F.split("s", _M2)) - 1).cast("bigint").alias("n_syms"),
+        F.aggregate(
+            F.filter(F.split("s", _M2), lambda p: p != ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: F.greatest(
+                acc, (F.length(p) - 1).cast("bigint")
+            ),
+        ).alias("max_sym"),
+    )
+    return audit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_words"),
+        F.sum(F.when(F.col("decoded") == F.col("w"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("decoded_ok"),
+        (
+            F.count(F.lit(1))
+            == F.sum(F.when(F.col("decoded") == F.col("w"), 1).otherwise(0))
+        ).alias("lossless"),
+        F.sum("n_syms").cast("bigint").alias("symbols_total"),
+        F.max("max_sym").cast("bigint").alias("max_symbol_chars"),
+        F.sum(F.when(F.col("n_syms") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("fully_merged_words"),
+    )
