@@ -241,3 +241,136 @@ def timetravel_snapshot_diff(spark, sf_dir):
         .filter(F.col("change").isNotNull())
         .orderBy("k", "change")
     )
+
+
+_IDX_CACHE: dict[str, object] = {}
+
+
+def _text_demo_sinks(spark, sf_dir):
+    """Base text sink (3 documents-derived change batches) + the
+    inverted-index sink maintained from its feed, cached per sf_dir.
+
+    Batch algebra: b0 inserts docs with ``doc_id % 3 = 0``; b1 appends
+    ' updated extra' to docs with ``doc_id % 6 = 0`` (postings change:
+    two tokens gain tf) and inserts docs ``% 3 = 1 AND % 5 = 0``; b2
+    deletes docs ``% 9 = 0``."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.indexing import token_index_changes
+
+    cached = _IDX_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    b0 = d.filter(did % 3 == 0).select(
+        did.alias("doc"),
+        F.col("text"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    b1 = (
+        d.filter(did % 6 == 0)
+        .select(
+            did.alias("doc"),
+            F.concat(F.col("text"), F.lit(" updated extra")).alias("text"),
+            F.lit("u").alias("operation"),
+            F.lit(1).cast("bigint").alias("seq"),
+        )
+        .unionByName(
+            d.filter((did % 3 == 1) & (did % 5 == 0)).select(
+                did.alias("doc"),
+                F.col("text"),
+                F.lit("c").alias("operation"),
+                F.lit(1).cast("bigint").alias("seq"),
+            )
+        )
+    )
+    b2 = d.filter(did % 9 == 0).select(
+        did.alias("doc"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("d").alias("operation"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    base = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_textbase_"),
+        keys=["doc"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    idx = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_index_"),
+        keys=["token", "doc"],
+        order_by=["seq"],
+        n_buckets=8,
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        base.process_batch(b, i)
+        feed = base.changes_between(spark, i - 1, i)
+        prev = (
+            base.state_at(spark, i - 1).filter(F.col("operation") != "d")
+            if i > 0
+            else feed.limit(0)
+        )
+        idx.process_batch(
+            token_index_changes(feed, prev, ["doc"], snapshot=i), i
+        )
+    _IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+@register(
+    "cdf_incremental_index",
+    oracle="""
+    WITH final_docs AS (
+      SELECT doc_id AS doc,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' updated extra'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+    ),
+    postings AS (
+      SELECT token, doc, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM final_docs
+      ) WHERE token <> ''
+      GROUP BY token, doc
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM postings
+    GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("cdc", "cdf", "index-maintenance", "S12", "retrieval"),
+)
+def cdf_incremental_index(spark, sf_dir):
+    """INVERTED-INDEX MAINTENANCE over the change feed: a token →
+    document postings index (its own bucketed upsert sink, keyed by
+    (token, doc)) is kept in sync with a text table consuming ONLY
+    ``changes_between`` batches — per snapshot the index work is
+    O(|changed docs| × tokens/doc): old postings come from a key
+    semi-join into the previous snapshot, the batch is the (token,
+    doc) diff, and unchanged postings are never re-emitted
+    (streaming/indexing.py).  The declared result is the term
+    dictionary head (top-20 tokens by document frequency) read from
+    the MAINTAINED index; the oracle rebuilds postings from the final
+    document state directly — a hash match proves incremental index ≡
+    full rebuild across inserts, text updates, and deletes.  The
+    reference revalidates by rescan (validation.py); this is the CDC →
+    search-index pipeline done lakehouse-native."""
+    idx = _text_demo_sinks(spark, sf_dir)
+    t = idx.current_table(spark)
+    return (
+        t.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )

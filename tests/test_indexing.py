@@ -1,0 +1,142 @@
+"""Incremental inverted-index maintenance over the change feed
+(round 6): the postings index maintained from ``changes_between``
+alone must equal a full rebuild after every commit, and each index
+batch must be minimal (unchanged postings never re-emitted)."""
+
+import pyspark.sql.functions as F
+
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+from lakehouse_cdc_spark.streaming.indexing import (
+    rebuild_token_index,
+    token_index_changes,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc int, text string, operation string, seq int"
+    )
+
+
+def _index_state(index_sink, spark):
+    t = index_sink.current_table(spark)
+    return sorted((r.token, r.doc, r.tf) for r in t.collect()) if t is not None else []
+
+
+def _rebuilt(base_sink, spark):
+    vis = base_sink.current_table(spark)
+    return sorted(
+        (r.token, r.doc, r.tf)
+        for r in rebuild_token_index(vis, ["doc"]).collect()
+    )
+
+
+def test_maintained_index_equals_rebuild_through_all_change_kinds(
+    spark, tmp_path
+):
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=2
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["token", "doc"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+
+    def advance(from_snap, to_snap):
+        for s in range(from_snap + 1, to_snap + 1):
+            feed = base.changes_between(spark, s - 1, s)
+            if feed is None or not feed.take(1):
+                continue
+            prev = base.state_at(spark, s - 1).filter(
+                F.col("operation") != "d"
+            ) if s > 0 else feed.limit(0)
+            changes = token_index_changes(feed, prev, ["doc"], snapshot=s)
+            idx.process_batch(changes, s)
+
+    # snapshot 0: inserts
+    base.process_batch(
+        _batch(
+            spark,
+            [
+                (1, "spark merges rows", "c", 0),
+                (2, "spark spark vectors", "c", 0),
+                (3, "quiet document", "c", 0),
+            ],
+        ),
+        0,
+    )
+    advance(-1, 0)
+    assert _index_state(idx, spark) == _rebuilt(base, spark)
+
+    # snapshot 1: update doc 2 (loses 'vectors', tf of 'spark' drops),
+    # insert doc 4
+    base.process_batch(
+        _batch(
+            spark,
+            [(2, "spark rows", "u", 1), (4, "merges merges", "c", 1)],
+        ),
+        1,
+    )
+    advance(0, 1)
+    assert _index_state(idx, spark) == _rebuilt(base, spark)
+
+    # snapshot 2: delete doc 1 — all of its postings must tombstone
+    base.process_batch(_batch(spark, [(1, None, "d", 2)]), 2)
+    advance(1, 2)
+    got = _index_state(idx, spark)
+    assert got == _rebuilt(base, spark)
+    assert all(doc != 1 for _, doc, _ in got)
+
+    # untouched doc 3's postings were NEVER re-emitted: its index rows
+    # still carry their snapshot-0 seq
+    seqs = {
+        (r.token, r.doc): r.seq
+        for r in idx.current_table(spark).collect()
+    }
+    assert seqs[("quiet", 3)] == 0 and seqs[("document", 3)] == 0
+
+
+def test_index_batches_are_minimal(spark, tmp_path):
+    """An update that keeps a token's tf unchanged must not re-emit
+    that posting — only the actual postings diff flows to the index."""
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=1
+    )
+    base.process_batch(
+        _batch(spark, [(1, "alpha beta beta", "c", 0)]), 0
+    )
+    base.process_batch(
+        _batch(spark, [(1, "alpha beta gamma", "u", 1)]), 1
+    )
+    feed = base.changes_between(spark, 0, 1)
+    prev = base.state_at(spark, 0).filter(F.col("operation") != "d")
+    changes = token_index_changes(feed, prev, ["doc"], snapshot=1).collect()
+    got = sorted((r.token, r.tf, r.operation) for r in changes)
+    # alpha unchanged (tf 1→1): absent.  beta 2→1: upsert.  gamma new:
+    # upsert.  nothing deleted.
+    assert got == [("beta", 1, "u"), ("gamma", 1, "u")]
+
+
+def test_index_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same snapshot's index batch (crash between index
+    commit and consumer checkpoint) must leave the index unchanged —
+    seq = snapshot makes the upsert last-write-wins idempotent."""
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=1
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["token", "doc"],
+        order_by=["seq"],
+        n_buckets=2,
+    )
+    base.process_batch(_batch(spark, [(1, "one two", "c", 0)]), 0)
+    feed = base.changes_between(spark, -1, 0)
+    prev = feed.limit(0)
+    changes = token_index_changes(feed, prev, ["doc"], snapshot=0)
+    idx.process_batch(changes, 0)
+    before = _index_state(idx, spark)
+    idx.process_batch(changes, 1)  # replay under a NEW batch id
+    assert _index_state(idx, spark) == before
