@@ -94,16 +94,16 @@ _SHOWCASE_HEAD = [
     "agg_mode_median",
     "agg_collect_sorted",
     "agg_grouping_id_rollup",
-    # tpch (never-sampled half; q14/q16/q21 rotate in next round)
-    "q4_priority_exists",
+    # tpch (q4/q9/q13/q14/q16/q21/q22 rotate in next round)
     "q7_nation_flows",
-    "q9_product_profit",
-    "q13_custdist",
-    "q22_idle_rich_customers",
     # round-6-NEW operators, first driver confirmation
     "cdf_incremental_view_maintenance",
+    "cdf_incremental_index",
     "timetravel_snapshot_diff",
     "text_rerank_two_stage",
+    "sample_global_shuffle",
+    "maintenance_rebucket_planner",
+    "text_bpe_roundtrip",
     # dedup
     "dedup_canonical_exact",
     "dedup_keep_best",
