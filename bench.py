@@ -50,10 +50,10 @@ def main():
     if subset is None and os.environ.get("SPARK_GRAFT_BENCH_NO_AB") != "1":
         # phase A: replay the r2 set in its own JVM (same warm +
         # best-of-2 protocol, nothing else run in the session), then
-        # fall through to the full set.  The isolated result is MERGED
-        # into the final headline JSON line (the one the driver parses)
-        # so the artifact records both; the standalone line still rides
-        # along above it for human eyes.
+        # fall through to the full set.  Only the isolated TOTAL rides
+        # the final driver-parsed line (which must stay under the
+        # ~2000-char stdout-tail capture); the per-query isolated
+        # numbers land in BENCH_DETAIL.json.
         import subprocess
 
         env = dict(os.environ, SPARK_GRAFT_BENCH_SUBSET="r2")

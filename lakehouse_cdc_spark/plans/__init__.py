@@ -45,9 +45,9 @@ from lakehouse_cdc_spark.plans import cdf_queries  # noqa: E402,F401
 # RETAINED until the driver confirms its array-flattening fix (round
 # 5's only red row); the other 49 are all first-time samples chosen to
 # stress the output-dtype axes that have bitten (dates, timestamps,
-# NULL-heavy columns, booleans, doubles) plus the round-5-new
-# operators (gopher rules, length-grouped batching).  Cumulative
-# driver coverage after this round: >=181/254.
+# NULL-heavy columns, booleans, doubles) plus every round-6-new
+# operator and the round-5-new ones (gopher rules, length-grouped
+# batching).  Cumulative driver coverage after this round: 181/261.
 _SHOWCASE_HEAD = [
     # retained until driver-green (round-5 err: array canonicalization)
     "scalar_higher_order_functions",

@@ -244,10 +244,19 @@ def _claim_is_stale(claim: str, max_age: float = _CLAIM_STALE_SECS) -> bool:
 def _acquire_claim(claim: str) -> None:
     """Exclusively create the per-generation claim, stamped with
     pid + timestamp so a crashed writer's fence is distinguishable
-    from a live racer's.  A stale claim (old + dead holder) is
-    sidelined ATOMICALLY via rename — exactly one of N concurrent
-    reclaimers wins the rename, so recovery itself cannot race — and
-    the create is retried once."""
+    from a live racer's.
+
+    Stale-claim recovery is sideline-THEN-judge: the claim is first
+    renamed to a unique name (atomic — exactly one of N concurrent
+    reclaimers wins), and staleness is decided on the file we now
+    exclusively hold.  Judging the path first and renaming after
+    would be a TOCTOU: between the check and the rename another
+    writer could release the stale claim and acquire a FRESH one,
+    and the blind rename would sideline the live fence — two writers
+    holding the same generation, the exact lost-update the claim
+    exists to prevent.  A sidelined claim judged LIVE is restored via
+    ``os.link`` (which, unlike rename, refuses to clobber a claim a
+    third writer created meanwhile)."""
     for attempt in (0, 1):
         try:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -262,14 +271,32 @@ def _acquire_claim(claim: str) -> None:
                 os.close(fd)
             return
         except FileExistsError:
+            # cheap gate first so live claims are never touched in the
+            # common contended case; the authoritative judgement runs
+            # on the sidelined file below
             if attempt == 0 and _claim_is_stale(claim):
                 sidelined = f"{claim}.stale-{uuid.uuid4().hex}"
                 try:
                     os.rename(claim, sidelined)
-                    os.unlink(sidelined)
                 except FileNotFoundError:
-                    pass  # another racer recovered it first — retry
-                continue
+                    continue  # another racer recovered/released — retry
+                if _claim_is_stale(sidelined):
+                    os.unlink(sidelined)
+                    continue  # reclaimed: retry the exclusive create
+                # we sidelined a LIVE claim (released + re-acquired in
+                # the gate window): restore it without clobbering
+                try:
+                    os.link(sidelined, claim)
+                    os.unlink(sidelined)
+                except FileExistsError:
+                    # a third writer claimed during the restore window;
+                    # leave the displaced live claim for forensics and
+                    # fail loudly — never silently double-fence
+                    raise ConcurrentWriteError(
+                        f"claim race at {claim}: a live claim was "
+                        f"displaced to {sidelined} while a new writer "
+                        "claimed — resolve manually (both files kept)"
+                    ) from None
             raise ConcurrentWriteError(
                 f"already claimed at {claim} — another writer is "
                 "committing to this path (a claim from a crashed "
@@ -399,12 +426,15 @@ def _merge_col_stats(acc: dict, batch) -> None:
                 cur.append("nan")
             continue
         cur[2] += nulls
+        # Upper-bound poison state must be read BEFORE the lower bound
+        # is updated: `cur[0] is not None` distinguishes a degenerate-
+        # truncation poison ([lo, None]) from the all-NULL
+        # no-information shape ([None, None]) — assigning cur[0] first
+        # would misclassify all-NULL-then-values as poisoned and
+        # silently disable max-side pruning for the file forever.
+        cur_poisoned = len(cur) > 3 or (cur[1] is None and cur[0] is not None)
         if lo is not None:
             cur[0] = lo if cur[0] is None else min(cur[0], lo)
-        # Upper-bound merge.  cur is poisoned when it carries the
-        # "nan" marker or a bounds-bearing batch left max=None
-        # (degenerate truncation — cur[0] set, cur[1] not).
-        cur_poisoned = len(cur) > 3 or (cur[1] is None and cur[0] is not None)
         batch_poisons = has_nan or (n_valid > 0 and hi is None)
         if cur_poisoned or batch_poisons:
             cur[1] = None

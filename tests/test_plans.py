@@ -228,7 +228,9 @@ def test_no_oracle_backed_query_outputs_complex_types(spark):
     red row (scalar_higher_order_functions) was exactly this.  Fence
     the whole class: every oracle-backed registry query must emit
     only scalar columns; arrays must be serialized (array_join) on
-    both surfaces.  Schema-only — no execution needed."""
+    both surfaces.  Only the plan's schema is inspected (no collect),
+    but building a plan is not free for every query — the cdf_* demo
+    sinks run their batch commits on first touch (then cache)."""
     from lakehouse_cdc_spark.plans import REGISTRY
 
     sf = "/root/testdata/sf0.001"

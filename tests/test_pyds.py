@@ -512,6 +512,20 @@ def test_zone_map_all_nan_batch_never_prunes(spark, tmp_path):
     _merge_col_stats(acc, pa.record_batch({"m": pa.array([1.0, 5.0])}))
     assert acc["m"][0] == 1.0 and acc["m"][1] is None
 
+    # all-NULL first batch is NO-INFORMATION, not poison: a later
+    # batch with real values must restore BOTH bounds (the round-6
+    # review caught cur[0] being assigned before the poison check,
+    # which silently disabled max-pruning after any all-NULL batch)
+    for arr in (pa.array([None, None], type=pa.float64()),
+                pa.array([None, None], type=pa.int64())):
+        acc = {}
+        _merge_col_stats(acc, pa.record_batch({"m": arr}))
+        _merge_col_stats(
+            acc,
+            pa.record_batch({"m": pa.array([1, 5], type=arr.type)}),
+        )
+        assert acc["m"][:2] == [1, 5] and acc["m"][2] == 2, acc
+
 
 def test_writer_generation_claim_fences_concurrent_commit(spark, tmp_path):
     """Two writers that both planned the same generation must not both
