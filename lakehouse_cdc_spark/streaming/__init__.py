@@ -15,6 +15,11 @@ from lakehouse_cdc_spark.streaming.sources import (
     kafka_source_options,
     rate_source,
 )
+from lakehouse_cdc_spark.streaming.feed import FeedCursor
+from lakehouse_cdc_spark.streaming.indexing import (
+    rebuild_token_index,
+    token_index_changes,
+)
 from lakehouse_cdc_spark.streaming.pipeline import (
     SnapshotUpsertSink,
     cdc_pipeline,
@@ -29,6 +34,9 @@ from lakehouse_cdc_spark.streaming.windows import (
 )
 
 __all__ = [
+    "FeedCursor",
+    "rebuild_token_index",
+    "token_index_changes",
     "file_cdc_source",
     "kafka_cdc_source",
     "kafka_source_options",
