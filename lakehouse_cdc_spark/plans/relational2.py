@@ -819,3 +819,73 @@ def scalar_higher_order_functions(spark, sf_dir):
         ).alias("refolded"),
         joined(F.array_sort("digits")).alias("sorted_digits"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_prios,
+           CAST(SUM(cnt) AS BIGINT) AS total_orders,
+           COALESCE(string_agg(
+             CASE WHEN cnt >= 2
+                  THEN prio || ':' || CAST(cnt * 10 AS VARCHAR) END,
+             ',' ORDER BY prio), '') AS busy_prios
+    FROM per
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("scalar", "map", "higher-order", "F13"),
+)
+def scalar_map_functions(spark, sf_dir):
+    """The MAP side of the higher-order scalar surface (F13): build a
+    per-customer ``map<priority, order_count>`` with
+    ``map_from_entries``, then drive the map-lambda family —
+    ``transform_values`` (scale the counts), ``map_filter`` (keep busy
+    priorities), ``map_entries``/``map_values`` extraction, and a fold
+    over the values — all JVM-side codegen'd expressions, zero UDFs.
+    The oracle states the same results relationally (DuckDB has no map
+    lambdas), and every output is scalar per the driver-canonicalizer
+    fence: the filtered map is serialized as a sorted ``k:v`` join
+    (sorted AFTER extraction — Spark map entry order is
+    engine-internal and must never reach the output)."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderpriority", "cnt"))
+            )
+        ).alias("m")
+    )
+    scaled = F.transform_values(
+        F.col("m"), lambda _, v: v * F.lit(10).cast("bigint")
+    )
+    busy = F.map_filter(scaled, lambda _, v: v >= 20)
+    return m.select(
+        "o_custkey",
+        F.size("m").cast("bigint").alias("n_prios"),
+        F.aggregate(
+            F.map_values("m"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("total_orders"),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries(busy),
+                    lambda e: F.concat(
+                        e["key"], F.lit(":"), e["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
+        ).alias("busy_prios"),
+    ).orderBy("o_custkey")
