@@ -273,30 +273,51 @@ def _acquire_claim(claim: str) -> None:
         except FileExistsError:
             # cheap gate first so live claims are never touched in the
             # common contended case; the authoritative judgement runs
-            # on the sidelined file below
-            if attempt == 0 and _claim_is_stale(claim):
-                sidelined = f"{claim}.stale-{uuid.uuid4().hex}"
+            # on the sidelined file below.  The gate PINS the inode it
+            # judged: if the rename grabs a DIFFERENT file (the stale
+            # holder released and a fresh writer claimed inside the
+            # gate window), that file is restored immediately — we
+            # never judge, and never delete, a claim the gate did not
+            # examine, and the wrongly-sidelined window stays a few
+            # syscalls wide.
+            if attempt == 0:
                 try:
-                    os.rename(claim, sidelined)
+                    gate_ino = os.stat(claim).st_ino
                 except FileNotFoundError:
-                    continue  # another racer recovered/released — retry
-                if _claim_is_stale(sidelined):
-                    os.unlink(sidelined)
-                    continue  # reclaimed: retry the exclusive create
-                # we sidelined a LIVE claim (released + re-acquired in
-                # the gate window): restore it without clobbering
-                try:
-                    os.link(sidelined, claim)
-                    os.unlink(sidelined)
-                except FileExistsError:
-                    # a third writer claimed during the restore window;
-                    # leave the displaced live claim for forensics and
-                    # fail loudly — never silently double-fence
-                    raise ConcurrentWriteError(
-                        f"claim race at {claim}: a live claim was "
-                        f"displaced to {sidelined} while a new writer "
-                        "claimed — resolve manually (both files kept)"
-                    ) from None
+                    continue  # released already — retry the create
+                if not _claim_is_stale(claim):
+                    pass  # live/fresh: fall through to the raise below
+                else:
+                    sidelined = f"{claim}.stale-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(claim, sidelined)
+                    except FileNotFoundError:
+                        continue  # another racer recovered/released
+                    try:
+                        grabbed_ino = os.stat(sidelined).st_ino
+                    except FileNotFoundError:
+                        continue  # racer consumed the sidelined file
+                    if grabbed_ino == gate_ino and _claim_is_stale(
+                        sidelined
+                    ):
+                        os.unlink(sidelined)
+                        continue  # reclaimed: retry the create
+                    # wrong file (fresh claim raced in) or the holder
+                    # turned out live: restore WITHOUT clobbering
+                    try:
+                        os.link(sidelined, claim)
+                        os.unlink(sidelined)
+                    except FileExistsError:
+                        # a third writer claimed during the restore
+                        # window; keep the displaced claim for
+                        # forensics and fail loudly — never silently
+                        # double-fence
+                        raise ConcurrentWriteError(
+                            f"claim race at {claim}: a live claim was "
+                            f"displaced to {sidelined} while a new "
+                            "writer claimed — resolve manually (both "
+                            "files kept)"
+                        ) from None
             raise ConcurrentWriteError(
                 f"already claimed at {claim} — another writer is "
                 "committing to this path (a claim from a crashed "
@@ -571,13 +592,27 @@ class CdcLogBatchWriter(_ArrowTaskWriter, DataSourceArrowWriter):
         except ConcurrentWriteError:
             self._cleanup(messages)
             raise
+        # Everything under the claim runs in try/except: an IO error
+        # mid-commit from a LIVE long-running driver would otherwise
+        # leave the claim held with an alive pid — unreclaimable by
+        # design (live holders are never preempted), wedging the path
+        # until the process exits.  Failure releases the fence.
+        try:
+            self._commit_under_claim(messages, done, gen, claim)
+        except BaseException:
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass  # a raced reclaimer may hold it sidelined
+            raise
+
+    def _commit_under_claim(self, messages, done, gen: int, claim: str):
         # re-verify under the claim: a fast concurrent writer may have
         # claimed this generation, committed AND released between our
         # manifest read and our claim — its commit moved the manifest,
         # so the generation we computed is stale
         now = _read_manifest_json(self.path)
         if _next_generation(now["files"]) != gen:
-            os.unlink(claim)
             self._cleanup(messages)
             raise ConcurrentWriteError(
                 f"base manifest advanced while planning generation {gen} "

@@ -68,21 +68,41 @@ class FeedCursor:
         is capped at ``acked + max_snapshots`` (default: the sink's
         ``MAX_COW_DIFFS``) so a far-behind consumer catches up in
         bounded-plan chunks; loop until ``df`` is None to drain."""
-        start = self.acked()
-        committed = self.sink.committed_snapshot()
-        if committed is None or committed <= start:
-            return None, start, lambda: None
-        cap = max_snapshots or self.sink.MAX_COW_DIFFS
-        to_snap = min(committed, start + cap)
-        df = self.sink.changes_between(spark, start, to_snap)
+        if max_snapshots is not None and max_snapshots <= 0:
+            raise ValueError(
+                f"max_snapshots must be positive, got {max_snapshots}"
+            )
+        cap = (
+            max_snapshots
+            if max_snapshots is not None
+            else self.sink.MAX_COW_DIFFS
+        )
+        while True:
+            start = self.acked()
+            committed = self.sink.committed_snapshot()
+            if committed is None or committed <= start:
+                return None, start, lambda: None
+            to_snap = min(committed, start + cap)
+            df = self.sink.changes_between(spark, start, to_snap)
+            if df is None:
+                # the chunk holds only feed-silent commits (folds,
+                # watermark-only, compaction): nothing to deliver, so
+                # advancing the cursor NOW is trivially exactly-once —
+                # and necessary: returning None here would be
+                # indistinguishable from "caught up" and a consumer
+                # following the drain-until-None protocol would stall
+                # on this range forever while real changes pile up
+                # beyond it
+                self._write(to_snap)
+                continue
 
-        def ack():
-            cur = self.acked()
-            if to_snap < cur:
-                raise ValueError(
-                    f"cursor would move backwards: acked={cur}, "
-                    f"ack({to_snap}) — stale batch acknowledged twice?"
-                )
-            self._write(to_snap)
+            def ack(to_snap=to_snap):
+                cur = self.acked()
+                if to_snap < cur:
+                    raise ValueError(
+                        f"cursor would move backwards: acked={cur}, "
+                        f"ack({to_snap}) — stale batch acknowledged twice?"
+                    )
+                self._write(to_snap)
 
-        return df, to_snap, ack
+            return df, to_snap, ack

@@ -72,3 +72,46 @@ def test_cursor_drains_backlog_in_bounded_chunks(spark, tmp_path):
         rounds += 1
     assert rounds == 3  # 7 snapshots in chunks of 3: 3 + 3 + 1
     assert sorted(seen) == [(i, i) for i in range(7)]
+
+
+def test_cursor_skips_feed_silent_commits_without_stalling(spark, tmp_path):
+    """A chunk containing only feed-silent commits (MOR folds,
+    rebuckets) returns no DataFrame but must AUTO-ADVANCE the cursor —
+    the round-6 review caught the drain-until-None protocol stalling
+    forever on such a range while real changes piled up beyond it."""
+    import pytest
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        merge_on_read=True,
+        fold_deltas_every=None,
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)   # snap 0
+    sink.fold_deltas(spark)                                     # snap 1 (silent)
+    sink.rebucket(spark, 4)                                     # snap 2 (silent)
+    sink.process_batch(_batch(spark, [(2, "b", "c", 3)]), 1)   # snap 3
+
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"))
+    # chunk size 1: first call must deliver snap 0's row
+    df, snap, ack = cur.next_batch(spark, max_snapshots=1)
+    assert snap == 0 and [(r.id, r.v) for r in df.collect()] == [(1, "a")]
+    ack()
+    # next call: snap 1 (fold) is feed-SILENT — changes_between
+    # returns no DataFrame at all, and the cursor must auto-advance
+    # past it rather than stall on None.  Snap 2 (rebucket) is an
+    # EMPTY-but-present feed (its COW legs filter to zero rows): the
+    # consumer receives it normally, collects nothing, and acks.
+    df, snap, ack = cur.next_batch(spark, max_snapshots=1)
+    assert snap == 2 and df.count() == 0
+    ack()
+    df, snap, ack = cur.next_batch(spark, max_snapshots=1)
+    assert snap == 3 and [(r.id, r.v) for r in df.collect()] == [(2, "b")]
+    ack()
+    df, _, _ = cur.next_batch(spark)
+    assert df is None  # genuinely caught up
+    # invalid chunk size refuses instead of silently defaulting
+    with pytest.raises(ValueError, match="positive"):
+        cur.next_batch(spark, max_snapshots=0)

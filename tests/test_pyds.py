@@ -715,3 +715,44 @@ def test_writer_overwrite_never_mutates_published_files(spark, tmp_path):
     assert {r.offset for r in read_committed_log(spark, d).collect()} == set(
         range(100, 110)
     )
+
+
+def test_commit_failure_releases_the_claim(spark, tmp_path, monkeypatch):
+    """An IO error mid-commit from a LIVE long-running driver must
+    release the generation claim — a live holder's claim is never
+    reclaimable by design, so leaking it would wedge the path until
+    the process exits (round-6 review finding)."""
+    import os as _os
+
+    from lakehouse_cdc_spark.sources import cdclog as mod
+    from lakehouse_cdc_spark.sources.cdclog import (
+        CdcLogBatchWriter,
+        _FileCommit,
+        read_committed_log,
+        register_cdclog,
+    )
+
+    register_cdclog(spark)
+    d = str(tmp_path / "log")
+    _env_df(spark, 0, 20).write.format("cdclog").mode("overwrite").save(d)
+    open(_os.path.join(d, "_tmp-x.parquet"), "wb").close()
+
+    real_replace = _os.replace
+
+    def exploding(src, dst):
+        if "part-g" in dst:
+            raise OSError("disk full")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(mod.os, "replace", exploding)
+    w = CdcLogBatchWriter({"path": d}, overwrite=False)
+    try:
+        w.commit([_FileCommit("_tmp-x.parquet", 1)])
+        raise AssertionError("commit must fail")
+    except OSError:
+        pass
+    monkeypatch.undo()
+    # the fence was released, so the NEXT commit proceeds immediately
+    assert not any(f.endswith(".claim") for f in _os.listdir(d))
+    _env_df(spark, 20, 30).write.format("cdclog").mode("append").save(d)
+    assert read_committed_log(spark, d).count() == 30
