@@ -1473,6 +1473,90 @@ class SnapshotUpsertSink:
         self.n_buckets = n_buckets_new
         return new_snap
 
+    def clone_to(self, target_dir: str) -> "SnapshotUpsertSink":
+        """SHALLOW CLONE (Delta ``CREATE TABLE … SHALLOW CLONE`` /
+        Iceberg snapshot-ref parity): a new, independently-evolvable
+        sink over the CURRENT committed snapshot, sharing data files
+        with the source via hardlinks — zero data copied, O(files)
+        metadata work.  The share is safe by the engine's own
+        immutability invariant: a published file is never mutated or
+        renamed-over (rewrites land under fresh snapshot dirs), so
+        writes to either table can only ADD files the other never
+        references.  Unlinks (expire/GC) on one side just drop a link;
+        the inode lives while any table references it.
+
+        The clone starts life with exactly one retained snapshot —
+        ``changes_between`` ranges reaching before the clone point
+        refuse with the usual expired-manifest error (the clone has no
+        pre-clone history, same semantics as an expired source).
+        Falls back to copies on filesystems without hardlink support.
+
+        The use case at 100 TB: a dev/test clone of a production table
+        in seconds, or a frozen serving snapshot that keeps working
+        while the source churns."""
+        lineage, committed_batch, committed_snap = self.committed()
+        manifest = self._read_manifest(committed_snap)
+        if manifest is None:
+            raise ValueError(
+                "clone_to needs a committed, manifest-bearing source "
+                f"(snapshot {committed_snap!r} has no manifest)"
+            )
+        if os.path.exists(os.path.join(target_dir, "_VERSION")):
+            raise ValueError(f"clone target {target_dir} already exists")
+        os.makedirs(target_dir, exist_ok=True)
+
+        def _link_tree(src_dir: str, dst_dir: str) -> None:
+            os.makedirs(dst_dir, exist_ok=True)
+            for name in os.listdir(src_dir):
+                s, t = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+                if os.path.isdir(s):
+                    _link_tree(s, t)
+                    continue
+                try:
+                    os.link(s, t)
+                except OSError:  # cross-device / no-hardlink FS
+                    import shutil
+
+                    shutil.copy2(s, t)
+
+        deltas = manifest.get("deltas") or []
+        for b, at_snap in manifest["buckets"].items():
+            _link_tree(
+                self._bucket_path(at_snap, int(b)),
+                os.path.join(
+                    target_dir, f"v={at_snap}", f"__bucket={int(b)}"
+                ),
+            )
+        for s in deltas:
+            _link_tree(
+                self._delta_path(s),
+                os.path.join(target_dir, f"v={s}", "__delta"),
+            )
+        clone = SnapshotUpsertSink(
+            target_dir,
+            keys=self.keys,
+            order_by=self.order_by,
+            op_col=self.op_col,
+            lineage=self.lineage,
+            n_buckets=manifest["n_buckets"],
+            merge_on_read=self.merge_on_read,
+            fold_deltas_every=self.fold_deltas_every,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
+            bloom_hashes=self.bloom_hashes,
+        )
+        # one manifest (the committed snapshot, verbatim — bucket map,
+        # schema, watermark, blooms, deltas all carry over), then the
+        # pointer: the clone is immediately readable and writable
+        mtmp = clone._manifest_path(committed_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, clone._manifest_path(committed_snap))
+        clone._publish_pointer(lineage, committed_batch, committed_snap)
+        return clone
+
     # -- tombstone retention --------------------------------------------
     def _order_key(self) -> str:
         """First order_by column as a plain name — the axis GC
