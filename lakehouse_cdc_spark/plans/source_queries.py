@@ -111,3 +111,49 @@ def source_python_cdclog_pushdown(spark, sf_dir):
             F.sum("id").cast("bigint").alias("sum_id"),
         )
     )
+
+
+@register(
+    "source_metadata_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS sum_row_index,
+           CAST(COUNT(*) AS BIGINT) AS distinct_row_index,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    """,
+    tags=("source", "metadata", "provenance", "S7"),
+)
+def source_metadata_provenance(spark, sf_dir):
+    """Sample-level PROVENANCE through Spark's hidden ``_metadata``
+    struct — the per-row (file, offset) identity a training pipeline
+    records so any example can be traced back to its source file (and
+    the same machinery ``changes_between`` uses to stamp snapshots
+    from file paths).  The audit groups by ``_metadata.file_name`` and
+    proves ``_metadata.row_index`` is a true 0-based per-file row
+    number by its closed forms: the index sum must equal n(n-1)/2 and
+    the distinct count must equal n — properties the oracle states
+    arithmetically (DuckDB's view has no metadata columns, which is
+    the point: the identities make them verifiable anyway).  Metadata
+    columns are constant-folded at scan time — no widening of the
+    read schema, free at any scale."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_in_file"),
+            F.sum("row_index").cast("bigint").alias("sum_row_index"),
+            F.countDistinct("row_index").cast("bigint").alias(
+                "distinct_row_index"
+            ),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
