@@ -139,7 +139,9 @@ def source_metadata_provenance(spark, sf_dir):
     the point: the identities make them verifiable anyway).  Metadata
     columns are constant-folded at scan time — no widening of the
     read schema, free at any scale."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from lakehouse_cdc_spark.plans.registry import table as _table
+
+    d = _table(spark, sf_dir, "documents")
     return (
         d.select(
             F.col("_metadata.file_name").alias("file_name"),

@@ -80,6 +80,21 @@ class FeedCursor:
         while True:
             start = self.acked()
             committed = self.sink.committed_snapshot()
+            if committed is not None and committed < start:
+                # the sink was ROLLED BACK below the cursor: feed
+                # history has diverged from what was acknowledged, and
+                # silently waiting for the snapshot counter to catch up
+                # would skip every change recommitted under
+                # already-acked numbers.  Exactly-once cannot be
+                # auto-repaired here — the operator must decide whether
+                # to reset the cursor (redeliver) or discard consumer
+                # state.  Detection is only possible while committed <
+                # acked, hence the loud stop.
+                raise ValueError(
+                    f"sink rolled back below the cursor (committed="
+                    f"{committed} < acked={start}): feed history "
+                    "diverged — reset the cursor file explicitly"
+                )
             if committed is None or committed <= start:
                 return None, start, lambda: None
             to_snap = min(committed, start + cap)
@@ -92,8 +107,11 @@ class FeedCursor:
                 # indistinguishable from "caught up" and a consumer
                 # following the drain-until-None protocol would stall
                 # on this range forever while real changes pile up
-                # beyond it
-                self._write(to_snap)
+                # beyond it.  Same move-backwards guard as ack(): a
+                # zombie consumer that lost a race to its replacement
+                # must not rewind the cursor and mass-redeliver.
+                if to_snap > self.acked():
+                    self._write(to_snap)
                 continue
 
             def ack(to_snap=to_snap):

@@ -1501,8 +1501,17 @@ class SnapshotUpsertSink:
                 "clone_to needs a committed, manifest-bearing source "
                 f"(snapshot {committed_snap!r} has no manifest)"
             )
-        if os.path.exists(os.path.join(target_dir, "_VERSION")):
-            raise ValueError(f"clone target {target_dir} already exists")
+        if os.path.isdir(target_dir) and os.listdir(target_dir):
+            # refuse ANY non-empty target, not just a published one: a
+            # clone that crashed mid-link leaves files but no _VERSION,
+            # and retrying over them would hit its own hardlinks
+            # (FileExistsError → copy fallback → SameFileError) — an
+            # unretryable mess; an unrelated directory must never be
+            # silently merged into either
+            raise ValueError(
+                f"clone target {target_dir} already exists and is "
+                "non-empty — remove it to (re)clone"
+            )
         os.makedirs(target_dir, exist_ok=True)
 
         def _link_tree(src_dir: str, dst_dir: str) -> None:

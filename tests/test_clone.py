@@ -103,3 +103,27 @@ def test_clone_preserves_mor_deltas_and_refuses_overwrite(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         src.clone_to(str(tmp_path / "dev"))
+
+
+def test_clone_refuses_nonempty_target_including_crashed_attempts(
+    spark, tmp_path
+):
+    """A clone that crashed mid-link leaves files but no _VERSION; a
+    retry over them would collide with its own hardlinks — any
+    non-empty target refuses with a clean error instead (round-6
+    review finding)."""
+    import pytest
+
+    src = SnapshotUpsertSink(
+        str(tmp_path / "src"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    src.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)
+    half = tmp_path / "half"
+    (half / "v=0").mkdir(parents=True)
+    (half / "v=0" / "leftover.parquet").write_bytes(b"crashed attempt")
+    with pytest.raises(ValueError, match="non-empty"):
+        src.clone_to(str(half))
+    # an empty pre-created directory is fine
+    (tmp_path / "empty").mkdir()
+    clone = src.clone_to(str(tmp_path / "empty"))
+    assert _vis(clone, spark) == [(1, "a", 0)]

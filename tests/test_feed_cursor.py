@@ -115,3 +115,60 @@ def test_cursor_skips_feed_silent_commits_without_stalling(spark, tmp_path):
     # invalid chunk size refuses instead of silently defaulting
     with pytest.raises(ValueError, match="positive"):
         cur.next_batch(spark, max_snapshots=0)
+
+
+def test_zombie_consumer_cannot_rewind_cursor(spark, tmp_path, monkeypatch):
+    """The feed-silent auto-advance must honor the same move-backwards
+    guard as ack(): a zombie consumer whose replacement already acked
+    ahead must not rewind the cursor and mass-redeliver (round-6
+    review finding)."""
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=1,
+        merge_on_read=True,
+        fold_deltas_every=None,
+    )
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)  # snap 0
+    sink.fold_deltas(spark)                                    # snap 1 silent
+    sink.process_batch(_batch(spark, [(2, "b", "c", 2)]), 1)  # snap 2
+
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"))
+    df, snap, ack = cur.next_batch(spark, max_snapshots=1)
+    df.collect()
+    ack()  # acked = 0
+
+    # the zombie enters next_batch with start=0; mid-flight its
+    # replacement drains everything and acks to 2
+    orig = sink.changes_between
+
+    def racing(spark_, a, b):
+        if (a, b) == (0, 1):
+            cur._write(2)  # replacement consumer finished
+        return orig(spark_, a, b)
+
+    monkeypatch.setattr(sink, "changes_between", racing)
+    df, _, _ = cur.next_batch(spark, max_snapshots=1)
+    assert df is None  # caught up per the REPLACEMENT's progress
+    assert cur.acked() == 2  # the silent (0,1] advance did NOT rewind
+
+
+def test_cursor_detects_sink_rollback(spark, tmp_path):
+    """A sink rolled back below the cursor diverges the feed history:
+    the cursor must stop loudly instead of silently skipping changes
+    recommitted under already-acked snapshot numbers."""
+    import pytest
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    for i in range(3):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"))
+    df, _, ack = cur.next_batch(spark)
+    df.collect()
+    ack()  # acked = 2
+    sink.rollback_to(0)
+    with pytest.raises(ValueError, match="rolled back"):
+        cur.next_batch(spark)
