@@ -46,10 +46,11 @@ from lakehouse_cdc_spark.plans import cdf_queries  # noqa: E402,F401
 # 5's only red row); the other 49 are all first-time samples chosen to
 # stress the output-dtype axes that have bitten (dates, timestamps,
 # NULL-heavy columns, booleans, doubles) plus the round-6-new
-# operators (scalar_map_functions and source_metadata_provenance
-# landed after this rotation and wait for round 7) and the
+# operators (scalar_map_functions, source_metadata_provenance, and
+# scalar_collation_group landed after this rotation and wait for
+# round 7) and the
 # round-5-new ones (gopher rules, length-grouped batching).
-# Cumulative driver coverage after this round: 181/263.
+# Cumulative driver coverage after this round: 181/264.
 _SHOWCASE_HEAD = [
     # retained until driver-green (round-5 err: array canonicalization)
     "scalar_higher_order_functions",

@@ -889,3 +889,69 @@ def scalar_map_functions(spark, sf_dir):
             ",",
         ).alias("busy_prios"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "scalar_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS prio_mixed,
+             o_totalprice
+      FROM orders
+    )
+    SELECT lower(prio_mixed) AS prio_lc,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT prio_mixed) AS BIGINT) AS case_variants,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM mixed
+    GROUP BY lower(prio_mixed)
+    ORDER BY prio_lc
+    """,
+    tags=("scalar", "collation", "spark4", "F-family"),
+)
+def scalar_collation_group(spark, sf_dir):
+    """Spark 4 COLLATIONS: group case-mangled priorities under the
+    ``UTF8_LCASE`` collation — the engine-level answer to
+    case-insensitive analytics that lower()-wrapping scatters through
+    every predicate.  The collated column groups 'HIGH' with 'high'
+    NATIVELY (hash and comparison are collation-aware inside codegen,
+    so the optimization surface — partial aggregation, pushdown — is
+    untouched), while ``case_variants`` counts the raw spellings per
+    group to prove the merge really happened.  The oracle states the
+    same semantics with explicit lower() (DuckDB has no collation
+    expression); the display key is lower-cased on both sides so the
+    output is engine-neutral."""
+    o = table(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("prio_mixed"),
+        "o_totalprice",
+    )
+    return (
+        mixed.groupBy(
+            F.collate(F.col("prio_mixed"), "UTF8_LCASE").alias("prio_coll")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.countDistinct(
+                F.collate(F.col("prio_mixed"), "UTF8_BINARY")
+            ).cast("bigint").alias("case_variants"),
+            F.sum(fixed_point(F.col("o_totalprice"), 2))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            F.lower(F.col("prio_coll"))
+            .cast("string")
+            .alias("prio_lc"),
+            "cnt",
+            "case_variants",
+            "sum_cents",
+        )
+        .orderBy("prio_lc")
+    )
