@@ -955,3 +955,71 @@ def scalar_collation_group(spark, sf_dir):
         )
         .orderBy("prio_lc")
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN o_orderkey // (o_orderkey % 3) END AS safe_div,
+             CASE WHEN CAST(o_orderkey AS HUGEINT) * 9000000000000000
+                       <= 9223372036854775807
+                  THEN o_orderkey * 9000000000000000 END AS safe_mul
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS div_by_zero_nulls,
+           CAST(SUM(CASE WHEN safe_mul IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS overflow_nulls,
+           CAST(SUM(safe_div) AS BIGINT) AS sum_safe_div,
+           CAST(MAX(safe_mul) AS BIGINT) AS max_safe_mul
+    FROM t
+    """,
+    tags=("scalar", "ansi", "try-functions", "F-family"),
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    """ANSI-mode SAFETY functions: ``try_divide`` and ``try_multiply``
+    return NULL instead of failing the job on division-by-zero and
+    int64 overflow — the contract that lets a 100 TB pipeline survive
+    one poisoned row without try/except UDFs or job restarts.  The
+    overflow boundary is real data-dependent behavior: multiplying by
+    9e15 overflows int64 exactly when the key exceeds 1024, so every
+    SF exercises both arms.  The oracle (DuckDB would raise on the
+    same overflow) states the boundary arithmetically via HUGEINT;
+    matching NULL counts and surviving aggregates prove Spark nulls
+    EXACTLY the rows the int64 range excludes — no more, no fewer.
+    ``try_divide`` on integers is floating in Spark, so the Spark side
+    uses the same integer ``div`` guarded by NULLIF for engine-neutral
+    integer semantics, keeping try_multiply as the genuine try_* under
+    test plus try_divide in a double-checked shadow column."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t = o.select(
+        # integer division with a NULL-on-zero divisor: the try_divide
+        # CONTRACT (Spark's try_divide itself returns double, so the
+        # exact-integer surface states it as div over NULLIF — and a
+        # shadow equality against try_divide is asserted in the filter
+        # below, keeping the real function under test)
+        F.expr("o_orderkey div nullif(o_orderkey % 3, 0)").alias("safe_div"),
+        F.expr("try_multiply(o_orderkey, 9000000000000000)").alias(
+            "safe_mul"
+        ),
+        F.expr(
+            "(try_divide(o_orderkey, o_orderkey % 3) IS NULL)"
+            " = (o_orderkey % 3 = 0)"
+        ).alias("__try_div_contract"),
+    )
+    return t.filter(F.col("__try_div_contract")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("safe_div").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("div_by_zero_nulls"),
+        F.sum(F.when(F.col("safe_mul").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("overflow_nulls"),
+        F.sum("safe_div").cast("bigint").alias("sum_safe_div"),
+        F.max("safe_mul").cast("bigint").alias("max_safe_mul"),
+    )
