@@ -885,3 +885,114 @@ def stats_equi_depth_estimate(spark, sf_dir):
             ).alias("q_error"),
         )
     )
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    p AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'P')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_f,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_p,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM f JOIN p USING (o_custkey)) AS n_intersect,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT o_custkey FROM f UNION
+                  SELECT o_custkey FROM p)) AS n_union,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+            WHERE o_custkey NOT IN (SELECT o_custkey FROM p))
+             AS n_f_only
+    """,
+    tags=("sketch", "theta", "set-ops", "A3-scale"),
+)
+def sketch_theta_set_ops(spark, sf_dir):
+    """Theta sketches (Apache DataSketches, Spark 4): the sketch
+    family that supports full SET ALGEBRA — intersection and
+    difference estimates, which HLL structurally cannot do (it only
+    unions).  The audience-overlap question every analytics stack
+    asks ('customers with both an F and a P order') is answered from
+    two per-segment sketches WITHOUT a distinct-join: sketches build
+    map-side in one pass each, ship as bytes, and intersect/diff/union
+    in O(k).  lgNomEntries=16 keeps the sketches in exact mode through
+    sf0.1's 15k customers (a theta sketch is exact until it exceeds
+    its nominal 2^lgK entries; at true 100 TB cardinalities the same
+    query emits accuracy-bound flags like the approx_distinct family —
+    the oracle states exact relational set algebra either way)."""
+    o = table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'F' "
+            "THEN o_custkey END, 16)"
+        ).alias("sk_f"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'P' "
+            "THEN o_custkey END, 16)"
+        ).alias("sk_p"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(sk_f)").cast("bigint").alias("n_f"),
+        F.expr("theta_sketch_estimate(sk_p)").cast("bigint").alias("n_p"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_f, sk_p))")
+        .cast("bigint")
+        .alias("n_intersect"),
+        # theta_union takes its OWN nominal-entries budget (default
+        # lgK=12 = 4096): the union of two exact 15k-entry sketches
+        # would DOWNSAMPLE and go approximate — size it like the inputs
+        F.expr("theta_sketch_estimate(theta_union(sk_f, sk_p, 16))")
+        .cast("bigint")
+        .alias("n_union"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_f, sk_p))")
+        .cast("bigint")
+        .alias("n_f_only"),
+    )
+
+
+@register(
+    "sketch_approx_top_k",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_orderstatus
+    ),
+    ranked AS (
+      SELECT item, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS rnk
+      FROM counts
+    )
+    SELECT string_agg(item || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY rnk) AS top2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM counts) AS n_items
+    FROM ranked WHERE rnk <= 2
+    """,
+    tags=("sketch", "heavy-hitters", "approx-top-k", "A3-scale"),
+)
+def sketch_approx_top_k(spark, sf_dir):
+    """``approx_top_k`` (Spark 4.1's built-in heavy-hitters sketch —
+    the engine-native successor to the hand-rolled Count-Min in
+    sketch_countmin_heavy_hitters): single pass, mergeable partials,
+    bounded memory.  Below maxItemsTracked the sketch is EXACT, so the
+    top-2 order statuses hash-match the oracle's exact ranked counts
+    (the status counts are pairwise distinct at every SF, making the
+    ranking unambiguous; the array<struct> result is serialized to
+    'item:count' per the driver-canonicalizer fence).  At true 100 TB
+    item cardinality the same plan degrades gracefully to approximate
+    counts with the same shape."""
+    o = table(spark, sf_dir, "orders")
+    top = o.agg(
+        F.expr("approx_top_k(o_orderstatus, 2)").alias("tk"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_items"),
+    )
+    return top.select(
+        F.array_join(
+            F.transform(
+                F.col("tk"),
+                lambda e: F.concat(
+                    e["item"], F.lit(":"), e["count"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("top2"),
+        "n_items",
+    )

@@ -27,6 +27,8 @@ it, and parity is checked hash-for-hash.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lakehouse_cdc_spark.plans.registry import register, table
 
 
@@ -214,3 +216,55 @@ def script_bisect_revenue_threshold(spark, sf_dir):
         """)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "scalar_xml_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '%URGENT%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS urgent_rows,
+           CAST(COUNT(*) AS BIGINT) AS roundtrip_ok
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("scalar", "xml", "F-family", "spark4"),
+)
+def scalar_xml_roundtrip(spark, sf_dir):
+    """XML scalar surface (``to_xml`` / ``from_xml``): serialize each
+    order row to an XML fragment and parse it back with an explicit
+    schema — the document-interchange path (feeds, legacy B2B
+    payloads) an ingestion pipeline normalizes BEFORE the lakehouse
+    sees columns.  The declared result aggregates the PARSED fields,
+    and ``roundtrip_ok`` counts rows whose parsed struct equals the
+    original values — the oracle states COUNT(*) for it, so a hash
+    match proves the round trip is lossless on every row.  Both
+    functions are JVM-side expressions (StaxXmlParser under codegen);
+    no UDFs, no Python."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    xml = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "to_xml(struct(o_orderkey AS k, o_orderpriority AS p))"
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("from_xml(doc, 'k BIGINT, p STRING')").alias("r"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("r.k").cast("bigint").alias("sum_keys"),
+        F.sum(
+            F.when(F.col("r.p").like("%URGENT%"), 1).otherwise(0)
+        ).cast("bigint").alias("urgent_rows"),
+        F.sum(
+            F.when(
+                (F.col("r.k") == F.col("o_orderkey"))
+                & (F.col("r.p") == F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("roundtrip_ok"),
+    )
