@@ -50,7 +50,7 @@ from lakehouse_cdc_spark.plans import cdf_queries  # noqa: E402,F401
 # scalar_collation_group landed after this rotation and wait for
 # round 7) and the
 # round-5-new ones (gopher rules, length-grouped batching).
-# Cumulative driver coverage after this round: 181/268.
+# Cumulative driver coverage after this round: 181/269.
 _SHOWCASE_HEAD = [
     # retained until driver-green (round-5 err: array canonicalization)
     "scalar_higher_order_functions",

@@ -996,3 +996,60 @@ def sketch_approx_top_k(spark, sf_dir):
         ).alias("top2"),
         "n_items",
     )
+
+
+@register(
+    "sketch_topk_mergeable_rollup",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_orderstatus
+    ),
+    ranked AS (
+      SELECT item, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) AS rnk
+      FROM counts
+    )
+    SELECT (SELECT string_agg(item || ':' || CAST(cnt AS VARCHAR), ','
+                              ORDER BY rnk)
+            FROM ranked WHERE rnk <= 2) AS top2_alltime,
+           (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+            FROM orders) AS n_year_partials
+    """,
+    tags=("sketch", "heavy-hitters", "mergeable", "A3-scale"),
+)
+def sketch_topk_mergeable_rollup(spark, sf_dir):
+    """The MERGEABLE form of the heavy-hitters sketch — the shape that
+    actually matters at 100 TB: ``approx_top_k_accumulate`` builds one
+    bounded-memory partial PER YEAR PARTITION (in production these
+    land in a stats table as bytes, computed incrementally as data
+    arrives), and any rollup — here all-time — is
+    ``approx_top_k_combine`` over the partials + one ``_estimate``,
+    WITHOUT re-touching the fact table.  Same contract as the HLL
+    mergeable rollup (agg_hll_mergeable_rollup), now for frequency
+    estimation.  Below maxItemsTracked the partials are exact, so the
+    combined top-2 hash-matches the oracle's exact ranked recount;
+    ties cannot occur (status counts are pairwise distinct at every
+    SF)."""
+    o = table(spark, sf_dir, "orders")
+    per_year = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.expr("approx_top_k_accumulate(o_orderstatus)").alias("st")
+    )
+    rolled = per_year.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st), 2)").alias(
+            "tk"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_year_partials"),
+    )
+    return rolled.select(
+        F.array_join(
+            F.transform(
+                F.col("tk"),
+                lambda e: F.concat(
+                    e["item"], F.lit(":"), e["count"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("top2_alltime"),
+        "n_year_partials",
+    )
