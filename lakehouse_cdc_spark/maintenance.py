@@ -91,6 +91,77 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     return expired
 
 
+def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
+    """DRY-RUN of :func:`expire_snapshots` — the operational dual of
+    ``changes_between``'s expired-base refusal: BEFORE running an
+    expiry, report exactly which snapshots it would remove and which
+    time-travel / change-feed capabilities die with them.  Nothing is
+    deleted.
+
+    Returns one dict per snapshot directory, ascending:
+
+    - ``snapshot``;
+    - ``would_expire`` — True iff this run would remove it.  NOT
+      simply "older than the last N": the keep set is closed over
+      manifest references, so a snapshot whose bucket files the
+      committed state (or any retained snapshot) still reads survives
+      any retain_last — bucketed layouts share files across snapshots,
+      Iceberg-manifest style;
+    - ``is_committed`` — the live pointer (never expires);
+    - ``referenced_by_retained`` — kept because a retained manifest
+      still references its bucket/delta dirs;
+    - ``state_readable_after`` — ``state_at(s)`` still serveable after
+      the expiry (requires s's own manifest + every referenced dir);
+    - ``cdf_base_usable_after`` — ``changes_between(s, ·)`` still
+      accepts s as the range base after the expiry (requires s's
+      manifest retained; an expired base is REFUSED, never silently
+      degraded to "everything is new").
+
+    A feed consumer's safety contract is one query away: expiry is
+    safe iff no cursor/stream offset lies below the oldest surviving
+    ``cdf_base_usable_after`` snapshot."""
+    import json
+
+    from lakehouse_cdc_spark.streaming.pipeline import (
+        manifest_path,
+        parse_version_pointer,
+    )
+
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(target_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    committed_snap = parse_version_pointer(target_dir)[2]
+    base_keep = set(versions[-retain_last:])
+    if committed_snap is not None:
+        base_keep.add(committed_snap)
+    keep = set(base_keep)
+    while True:  # same reference closure as expire_snapshots
+        referenced = set()
+        for v in keep:
+            mf = manifest_path(target_dir, v)
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    m = json.load(f)
+                referenced.update(int(s) for s in m["buckets"].values())
+                referenced.update(int(s) for s in m.get("deltas") or [])
+        if referenced <= keep:
+            break
+        keep |= referenced
+    return [
+        {
+            "snapshot": v,
+            "would_expire": v not in keep,
+            "is_committed": v == committed_snap,
+            "referenced_by_retained": v in keep and v not in base_keep,
+            "state_readable_after": v in keep,
+            "cdf_base_usable_after": v in keep,
+        }
+        for v in versions
+    ]
+
+
 def remove_orphan_files(target_dir: str) -> list[str]:
     """Orphan-file removal (M3) with crash recovery: ``*.compacting``
     and ``*.tmp`` debris is always deleted, but a ``<table>.old``

@@ -374,3 +374,153 @@ def cdf_incremental_index(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), F.asc("token"))
         .limit(20)
     )
+
+
+_ANN_CACHE: dict[str, object] = {}
+
+#: DuckDB cosine fragments against the 64-dim embeddings (mirror of
+#: llm/similarity.py's fold — same shape emb_ivf_assign's oracle uses)
+_ANN_NSQ = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))"
+)
+_ANN_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _ann_demo_sinks(spark, sf_dir):
+    """Base vector sink (3 embeddings-derived change batches) + the
+    IVF assignment index maintained from its feed, cached per sf_dir.
+
+    Batch algebra (same modulus scheme as the other demo sinks): b0
+    inserts vectors with ``vec_id % 3 = 0``; b1 NEGATES the embedding
+    of vectors with ``vec_id % 6 = 0`` (cosine flips sign, so most
+    re-assign to a different centroid — a real re-embedding event) and
+    inserts vectors ``% 3 = 1 AND % 5 = 0``; b2 deletes ``% 9 = 0``.
+    Centroids are the 8 vectors ``vec_id < 8`` from the base parquet,
+    FROZEN across batches (centroids retrain offline; assignment
+    streams)."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.indexing import ann_index_changes
+
+    cached = _ANN_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
+    e = table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    b0 = e.filter(vid % 3 == 0).select(
+        vid.alias("vec_id"),
+        F.col("embedding"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    b1 = (
+        e.filter(vid % 6 == 0)
+        .select(
+            vid.alias("vec_id"),
+            neg.alias("embedding"),
+            F.lit("u").alias("operation"),
+            F.lit(1).cast("bigint").alias("seq"),
+        )
+        .unionByName(
+            e.filter((vid % 3 == 1) & (vid % 5 == 0)).select(
+                vid.alias("vec_id"),
+                F.col("embedding"),
+                F.lit("c").alias("operation"),
+                F.lit(1).cast("bigint").alias("seq"),
+            )
+        )
+    )
+    b2 = e.filter(vid % 9 == 0).select(
+        vid.alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("d").alias("operation"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    centroids = e.filter(vid < 8).select(
+        vid.alias("cid"), F.col("embedding").alias("cemb")
+    )
+    base = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_annbase_"),
+        keys=["vec_id"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    idx = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_annidx_"),
+        keys=["vec_id"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        base.process_batch(b, i)
+        feed = base.changes_between(spark, i - 1, i)
+        idx.process_batch(ann_index_changes(feed, centroids, snapshot=i), i)
+    _ANN_CACHE[sf_dir] = idx
+    return idx
+
+
+@register(
+    "cdf_incremental_ann_index",
+    oracle=f"""
+    WITH final_vecs AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 6 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 9 <> 0
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 3 = 1 AND vec_id % 5 = 0
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS cemb,
+                 {_ANN_NSQ.format(v='embedding')} AS cnorm
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round({_ANN_DOT.format(a='e.embedding', b='c.cemb')}
+                   / (sqrt({_ANN_NSQ.format(v='e.embedding')})
+                      * sqrt(c.cnorm)), 6) AS cs
+      FROM final_vecs e, c
+    ),
+    ranked AS (SELECT vec_id, cid, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, cid ASC) AS rn
+               FROM scored)
+    SELECT cid AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM ranked WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+    bench=True,
+    tags=("cdc", "cdf", "index-maintenance", "ann", "ivf", "S12"),
+)
+def cdf_incremental_ann_index(spark, sf_dir):
+    """ANN-INDEX MAINTENANCE over the change feed: an IVF assignment
+    table (vector id → nearest of 8 frozen centroids) lives in its own
+    bucketed upsert sink and is kept in sync with an embedding-bearing
+    base table consuming ONLY ``changes_between`` batches — per
+    snapshot the work is O(|changed vectors| × K) broadcast-centroid
+    scores, zero base rescans (streaming/indexing.py:ann_index_changes;
+    what a production embedding store does on every ingest).  Inserts
+    and re-embeddings (here: sign-flipped vectors, which jump Voronoi
+    cells) upsert their new bucket; deletes tombstone it.  The
+    declared result is the bucket census (count + exact id-sum per
+    cluster) read from the MAINTAINED index; the oracle re-derives the
+    final vector state from the declared batch algebra and re-assigns
+    from scratch — a hash match proves incremental index ≡ full
+    rebuild across inserts, re-embeddings, and deletes."""
+    idx = _ann_demo_sinks(spark, sf_dir)
+    t = idx.current_table(spark)
+    return (
+        t.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        .orderBy("cluster")
+    )

@@ -318,6 +318,16 @@ def _acquire_claim(claim: str) -> None:
                             "writer claimed — resolve manually (both "
                             "files kept)"
                         ) from None
+                    except OSError:
+                        # filesystem without hardlink support: restore
+                        # via rename (tiny clobber window, but the
+                        # alternative leaves the generation unfenced —
+                        # a third writer could claim while the
+                        # displaced live writer still holds it)
+                        try:
+                            os.rename(sidelined, claim)
+                        except FileNotFoundError:
+                            pass  # racer consumed it; fall through
             raise ConcurrentWriteError(
                 f"already claimed at {claim} — another writer is "
                 "committing to this path (a claim from a crashed "
@@ -353,8 +363,8 @@ class _FileCommit(WriterCommitMessage):
     stats: dict | None = None
 
 
-_STATABLE = ("int", "uint", "float", "double", "string", "large_string",
-             "date", "timestamp", "bool")
+_STATABLE = ("int", "uint", "halffloat", "float", "double", "string",
+             "large_string", "date", "timestamp", "bool")
 
 
 _STAT_STR_MAX = 64  # string zone values are bounded, Parquet-style

@@ -30,6 +30,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 
 class FeedCursor:
@@ -124,3 +125,138 @@ class FeedCursor:
                 self._write(to_snap)
 
             return df, to_snap, ack
+
+
+# ---------------------------------------------------------------------------
+# The feed as a Spark STREAMING SOURCE
+# ---------------------------------------------------------------------------
+#
+# ``FeedCursor`` is a manual loop; ``snapshotfeed`` lets the same
+# contract be written as ``readStream`` + ``foreachBatch``.  The
+# design is CONTROL-PLANE on purpose: the source's micro-batch rows
+# are committed snapshot RANGES (from_snap, to_snap) — O(1) rows per
+# batch — and the data-plane read happens inside foreachBatch via
+# ``sink.changes_between``, a fully distributed plan.  Materializing
+# feed ROWS through a SimpleDataSourceStreamReader would funnel every
+# changed byte through the driver (and would have to re-implement the
+# COW bucket diff outside Spark) — unbounded at 100 TB, so not an
+# option.  Exactly-once composes the same way as FeedCursor: Spark's
+# checkpoint tracks the last delivered snapshot offset, a replayed
+# range re-reads the identical committed feed (manifests are
+# immutable), and the consumer's idempotent downstream sink absorbs
+# the replay.
+#
+# Offset JSON: {"snapshot": N} — last snapshot DELIVERED (same axis
+# as FeedCursor's acked file).  Options:
+#   path          sink target_dir (required)
+#   startSnapshot first offset, default -1 (deliver from the beginning)
+#   maxSnapshots  chunk cap per micro-batch, default 64
+#                 (= SnapshotUpsertSink.MAX_COW_DIFFS: a far-behind
+#                 consumer catches up in bounded-plan chunks)
+
+FEED_RANGE_SCHEMA = "from_snap bigint, to_snap bigint"
+
+
+class FeedRangeStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshotfeed: option 'path' is required")
+        self.start = int(options.get("startSnapshot", -1))
+        self.cap = int(options.get("maxSnapshots", 64))
+        if self.cap <= 0:
+            raise ValueError("snapshotfeed: maxSnapshots > 0 required")
+
+    def _committed(self) -> int | None:
+        from lakehouse_cdc_spark.streaming.pipeline import (
+            parse_version_pointer,
+        )
+
+        return parse_version_pointer(self.path)[2]
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start}
+
+    def read(self, start: dict):
+        lo = int(start["snapshot"])
+        committed = self._committed()
+        if committed is not None and committed < lo:
+            # same loud stop as FeedCursor: a rollback below the
+            # delivered offset means feed history diverged — silently
+            # waiting would skip changes recommitted under
+            # already-delivered snapshot numbers
+            raise ValueError(
+                f"sink rolled back below the stream offset (committed="
+                f"{committed} < delivered={lo}): feed history diverged "
+                "— restart the stream from a fresh checkpoint"
+            )
+        if committed is None or committed <= lo:
+            return iter([]), {"snapshot": lo}
+        hi = min(committed, lo + self.cap)
+        return iter([(lo, hi)]), {"snapshot": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # committed manifests are immutable ⇒ exact replay on recovery
+        lo, hi = int(start["snapshot"]), int(end["snapshot"])
+        return iter([(lo, hi)]) if hi > lo else iter([])
+
+
+class FeedRangeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshotfeed"
+
+    def schema(self) -> str:
+        return FEED_RANGE_SCHEMA
+
+    def simpleStreamReader(self, schema) -> FeedRangeStreamReader:
+        return FeedRangeStreamReader(self.options)
+
+
+def register_snapshotfeed(spark: SparkSession) -> None:
+    spark.dataSource.register(FeedRangeDataSource)
+
+
+def feed_stream(
+    spark: SparkSession,
+    sink,
+    consume,
+    checkpoint_dir: str,
+    start_snapshot: int = -1,
+    max_snapshots: int | None = None,
+):
+    """The readStream+foreachBatch form of a feed consumer.
+
+    ``consume(feed_df, from_snap, to_snap)`` is called once per
+    pending committed range with the DISTRIBUTED feed DataFrame (never
+    for feed-silent ranges — folds, compaction, rebucket — which are
+    skipped exactly like FeedCursor's auto-advance).  Returns the
+    un-started ``DataStreamWriter``; callers pick the trigger and
+    start it.  Exactly-once: the checkpoint replays an unacknowledged
+    range against immutable manifests, and an idempotent consumer sink
+    (batch-guarded or last-write-wins keyed upsert) absorbs it."""
+    register_snapshotfeed(spark)
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        # O(ranges) rows — a control-plane collect, not a data read
+        for r in batch_df.collect():
+            feed = sink.changes_between(spark, r.from_snap, r.to_snap)
+            if feed is not None:
+                consume(feed, r.from_snap, r.to_snap)
+
+    reader = (
+        spark.readStream.format("snapshotfeed")
+        .option("path", sink.target_dir)
+        .option("startSnapshot", start_snapshot)
+        .option(
+            "maxSnapshots",
+            max_snapshots
+            if max_snapshots is not None
+            else sink.MAX_COW_DIFFS,
+        )
+    )
+    return (
+        reader.load()
+        .writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+    )

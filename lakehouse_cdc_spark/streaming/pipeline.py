@@ -573,8 +573,14 @@ class SnapshotUpsertSink:
                     *[self._delta_path(s) for s, _ in delta_run]
                 ).withColumn(
                     "_change_snapshot",
+                    # anchored to the path TAIL: a target_dir that
+                    # itself contains a /v=N/__delta/ segment (clone
+                    # nested under another sink's layout) must not
+                    # mis-stamp every row with the OUTER snapshot
                     F.regexp_extract(
-                        F.col("_metadata.file_path"), r"/v=(\d+)/__delta/", 1
+                        F.col("_metadata.file_path"),
+                        r"/v=(\d+)/__delta/[^/]+$",
+                        1,
                     ).cast("int"),
                 )
             )
@@ -1314,6 +1320,73 @@ class SnapshotUpsertSink:
             rows,
             "snapshot int, is_committed boolean, batch_id long, "
             "n_buckets int, buckets_rewritten int, gc_watermark string",
+        )
+
+    def ledger_table(self, spark: SparkSession) -> DataFrame:
+        """The TRANSACTION LEDGER: one row per committed snapshot with
+        the batch id that produced it — the queryable audit surface of
+        the exactly-once contract (the reference keeps the same record
+        in its ``processed_batches`` Postgres table,
+        src/processor/spark_exactly_once.py; here it is reconstructed
+        from the immutable manifests, no extra store).  Columns:
+
+        - ``snapshot``, ``batch_id``, ``lineage`` — the commit record;
+        - ``is_data_commit`` — False for maintenance commits
+          (compaction / rebucket / fold / gc), which advance the
+          snapshot but CARRY the previous batch id: the replay guard
+          compares batch ids, so maintenance never widens the
+          exactly-once window;
+        - ``buckets_rewritten``, ``n_deltas`` — the commit's physical
+          footprint;
+        - ``is_committed`` — True on the live pointer's snapshot.
+
+        A replayed batch id never appears twice: process_batch skips
+        an already-committed (lineage, batch) — count(distinct
+        batch_id) over data commits IS the processed-batch count, and
+        auditing "did batch N land exactly once?" is a ledger filter,
+        not a rescan."""
+        _, _, committed_snap = self.committed()
+        rows = []
+        prev_batch: int | None = None
+        prev_lineage: str | None = None
+        for d in sorted(
+            (x for x in os.listdir(self.target_dir)
+             if x.startswith("v=") and x.split("=", 1)[1].isdigit()),
+            key=lambda x: int(x.split("=", 1)[1]),
+        ):
+            snap = int(d.split("=", 1)[1])
+            manifest = self._read_manifest(snap)
+            if manifest is None:
+                continue  # uncommitted (crashed) or pre-manifest dir
+            batch = manifest.get("committed_batch")
+            lineage = manifest.get("committed_lineage") or ""
+            # a maintenance commit re-records the previous data
+            # batch's id; a data commit advances it (or starts a new
+            # lineage)
+            is_data = prev_batch is None or (
+                batch != prev_batch or lineage != prev_lineage
+            )
+            rows.append(
+                (
+                    snap,
+                    batch,
+                    lineage,
+                    is_data,
+                    sum(
+                        1
+                        for b, s in manifest.get("buckets", {}).items()
+                        if s == snap
+                    ),
+                    len(manifest.get("deltas") or []),
+                    snap == committed_snap,
+                )
+            )
+            prev_batch, prev_lineage = batch, lineage
+        return spark.createDataFrame(
+            rows,
+            "snapshot int, batch_id long, lineage string, "
+            "is_data_commit boolean, buckets_rewritten int, "
+            "n_deltas int, is_committed boolean",
         )
 
     def files_table(self, spark: SparkSession) -> DataFrame:
