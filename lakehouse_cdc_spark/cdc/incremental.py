@@ -70,6 +70,78 @@ def delta_agg_adjustments(
     )
 
 
+def delta_moment_adjustments(
+    prev_state: DataFrame,
+    delta_compacted: DataFrame,
+    keys: list[str],
+    group_col: str,
+    measures: dict[str, Column],
+    op_col: str = "operation",
+    delete_op: str = "d",
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Per-group ``(cnt_adj, <name>_adj …)`` for SEVERAL additive
+    measures at once — the generalization that makes VARIANCE (and any
+    higher moment) incrementally maintainable: maintain exact integer
+    ``(count, Σx, Σx²)`` and the serving layer derives
+    ``var = (n·Σx² − (Σx)²) / n²`` at read time.  Retraction is exact
+    because every maintained quantity is an integer sum (pass
+    fixed-point measures); ONE semi-join lookup of the changed keys
+    serves all measures, so adding moments costs no extra shuffle."""
+    changed = delta_compacted.select(*keys).distinct()
+    if broadcast_delta:
+        changed = F.broadcast(changed)
+    old = prev_state.join(changed, on=keys, how="left_semi").select(
+        F.col(group_col).alias("g"),
+        F.lit(-1).cast("bigint").alias("cnt_adj"),
+        *[(-m).cast("bigint").alias(f"{n}_adj") for n, m in measures.items()],
+    )
+    new = delta_compacted.filter(F.col(op_col) != delete_op).select(
+        F.col(group_col).alias("g"),
+        F.lit(1).cast("bigint").alias("cnt_adj"),
+        *[m.cast("bigint").alias(f"{n}_adj") for n, m in measures.items()],
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("g")
+        .agg(
+            F.sum("cnt_adj").alias("cnt_adj"),
+            *[F.sum(f"{n}_adj").alias(f"{n}_adj") for n in measures],
+        )
+    )
+
+
+def apply_moment_adjustments(
+    prev_agg: DataFrame,
+    adjustments: DataFrame,
+    group_col: str,
+    cnt_col: str,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge multi-measure adjustments (``delta_moment_adjustments``)
+    into the previous aggregate; same full-outer group join and
+    zero-count drop-out as :func:`apply_agg_adjustments`."""
+    adj = adjustments.withColumnRenamed("g", group_col)
+    merged = prev_agg.join(adj, on=group_col, how="full_outer")
+    return (
+        merged.select(
+            F.col(group_col),
+            (
+                F.coalesce(F.col(cnt_col), F.lit(0))
+                + F.coalesce(F.col("cnt_adj"), F.lit(0))
+            ).alias(cnt_col),
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"{c}_adj"), F.lit(0))
+                ).alias(c)
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(cnt_col) > 0)
+    )
+
+
 def apply_agg_adjustments(
     prev_agg: DataFrame,
     adjustments: DataFrame,

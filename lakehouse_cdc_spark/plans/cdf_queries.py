@@ -176,6 +176,75 @@ def cdf_incremental_view_maintenance(spark, sf_dir):
 
 
 @register(
+    "cdf_incremental_moments",
+    oracle=f"""
+    WITH final_state AS (
+      SELECT o_orderpriority AS grp,
+             ({_FP} + CASE WHEN o_orderkey % 6 = 0 THEN 100000 ELSE 0 END)
+               // 100 AS val_d
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+      UNION ALL
+      SELECT o_orderpriority, {_FP} // 100
+      FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(val_d) AS BIGINT) AS sum_d,
+           CAST(SUM(val_d * val_d) AS BIGINT) AS sum_sq_d
+    FROM final_state GROUP BY grp ORDER BY grp
+    """,
+    tags=("cdc", "cdf", "ivm", "variance", "S12", "T-family"),
+)
+def cdf_incremental_moments(spark, sf_dir):
+    """SECOND-MOMENT view maintenance over the change feed: the
+    maintained aggregate carries exact integer ``(count, Σx, Σx²)``
+    per group — enough to serve mean AND variance/stddev at read time
+    (``var = (n·Σx² − (Σx)²)/n²``) — updated from ``changes_between``
+    batches alone via multi-measure retract/add
+    (cdc/incremental.py:delta_moment_adjustments: ONE changed-key
+    semi-join serves every moment, no extra shuffle per measure).
+    Classic IVM only covers linear aggregates; keeping the raw power
+    sums makes variance self-maintainable too, exactly (integer
+    dollars, truncating div on both engines — never divided doubles
+    on the oracle surface).  The oracle recomputes all three sums from
+    the final state — hash match proves feed ≡ recompute across
+    inserts, updates, and deletes."""
+    from lakehouse_cdc_spark.cdc.incremental import (
+        apply_moment_adjustments,
+        delta_moment_adjustments,
+    )
+
+    sink = _demo_sink(spark, sf_dir)
+    val_d = F.expr("val_cents div 100")
+    measures = {"sum_d": val_d, "sum_sq_d": val_d * val_d}
+    visible0 = sink.state_at(spark, 0).filter(F.col("operation") != "d")
+    agg = visible0.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(val_d).cast("bigint").alias("sum_d"),
+        F.sum(val_d * val_d).cast("bigint").alias("sum_sq_d"),
+    )
+    for s in (1, 2):
+        feed = sink.changes_between(spark, s - 1, s)
+        prev_visible = sink.state_at(spark, s - 1).filter(
+            F.col("operation") != "d"
+        )
+        adj = delta_moment_adjustments(
+            prev_visible, feed, keys=["k"], group_col="grp", measures=measures
+        )
+        agg = apply_moment_adjustments(
+            agg, adj, "grp", "cnt", ["sum_d", "sum_sq_d"]
+        )
+    return agg.select(
+        "grp",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_d").cast("bigint").alias("sum_d"),
+        F.col("sum_sq_d").cast("bigint").alias("sum_sq_d"),
+    ).orderBy("grp")
+
+
+@register(
     "timetravel_snapshot_diff",
     oracle=f"""
     SELECT o_orderkey AS k, 'added' AS change, o_orderpriority AS grp,

@@ -853,6 +853,56 @@ _EPOCH_CAP_MILLI = 4_000  # max 4 epochs per source (milli-epochs)
 
 
 @register(
+    "mix_curriculum_phases",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS difficulty
+      FROM documents
+    ),
+    t AS (SELECT *, NTILE(4) OVER (ORDER BY difficulty, doc_id) AS phase
+          FROM docs)
+    SELECT CAST(phase AS INTEGER) AS phase, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(difficulty) AS BIGINT) AS sum_difficulty,
+           CAST(MAX(difficulty) AS BIGINT) AS max_difficulty
+    FROM t GROUP BY phase, source ORDER BY phase, source
+    """,
+    tags=("llm", "mixing", "curriculum", "training-prep", "curation"),
+)
+def mix_curriculum_phases(spark, sf_dir):
+    """CURRICULUM SCHEDULING: order the corpus easy→hard (difficulty =
+    token count; any integer score plugs in) and cut it into 4 exact
+    NTILE phases — the shortest-first curriculum a pretraining run
+    warms up with — then audit each phase's source composition (count,
+    difficulty mass, hardest doc).  A skewed phase (one source owning
+    phase 1) is the classic curriculum failure mode this report
+    catches before training.  Scale shape: the global NTILE uses the
+    two-pass prefix scan (operators/prefix.py:ntile_two_pass —
+    quantile range-buckets + per-bucket window + broadcast offsets),
+    NEVER a SinglePartition window; integer tile arithmetic makes the
+    assignment bit-identical to the oracle's NTILE."""
+    from lakehouse_cdc_spark.operators.prefix import ntile_two_pass
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("difficulty"),
+    )
+    phased = ntile_two_pass(d, 4, "difficulty", "doc_id", "phase")
+    return (
+        phased.groupBy("phase", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("difficulty").cast("bigint").alias("sum_difficulty"),
+            F.max("difficulty").cast("bigint").alias("max_difficulty"),
+        )
+        .orderBy("phase", "source")
+    )
+
+
+@register(
     "mix_epoch_schedule",
     oracle=f"""
     WITH per_src AS (

@@ -117,6 +117,100 @@ def ledger_exactly_once_replay(spark, sf_dir):
     return ledger.join(counts, on="snapshot", how="left").orderBy("snapshot")
 
 
+_EVO_CACHE: dict[str, object] = {}
+
+
+def _schema_evo_sink(spark, sf_dir):
+    """A sink whose batch 1 ADDS a column (``flag``) — schema
+    evolution mid-stream, the Iceberg add-column shape.  Cached per
+    sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    sink = _EVO_CACHE.get(sf_dir)
+    if sink is not None and sink.committed_snapshot() == 2:
+        return sink
+    sink = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="schema_evo_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    b0, b1, b2 = _demo_batches(spark, sf_dir)
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1.withColumn("flag", F.lit(1).cast("bigint")), 1)
+    sink.process_batch(b2, 2)  # b2 has no flag column: stays NULL
+    _EVO_CACHE[sf_dir] = sink
+    return sink
+
+
+@register(
+    "source_schema_evolution",
+    oracle=f"""
+    WITH c AS ({{counts}})
+    SELECT * FROM (
+      SELECT 'flag' AS field, 'bigint' AS dtype, 1 AS first_snapshot,
+             nupd_live + nins AS non_null_rows FROM c
+      UNION ALL
+      SELECT 'grp', 'string', 0, n_visible FROM c
+      UNION ALL
+      SELECT 'k', 'bigint', 0, n_visible FROM c
+      UNION ALL
+      SELECT 'val_cents', 'bigint', 0, n_visible FROM c
+    ) ORDER BY field
+    """.format(
+        counts="""
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0
+                                AND o_orderkey % 9 <> 0)
+             + COUNT(*) FILTER (WHERE o_orderkey % 3 = 1
+                                  AND o_orderkey % 5 = 0) AS BIGINT)
+          AS n_visible,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 6 = 0
+                                AND o_orderkey % 9 <> 0) AS BIGINT)
+          AS nupd_live,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 1
+                                AND o_orderkey % 5 = 0) AS BIGINT) AS nins
+      FROM orders
+    """
+    ),
+    tags=("cdc", "schema-evolution", "S12", "audit"),
+)
+def source_schema_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION audit: batch 1 adds a ``flag`` column
+    mid-stream; the sink's manifest-tracked union schema widens
+    (pipeline.py:_union_schema_json — buckets evolve independently,
+    the state schema is the union, footer-only cost; Spark's own
+    mergeSchema cannot merge this with later int32/int64 drift, which
+    is why the sink tracks it).  The declared result reports, per
+    final-state column: its resolved dtype, the first snapshot whose
+    batch carried it, and the LIVE non-null row count — old rows read
+    NULL for the added column, deleted flag-carriers drop out.  The
+    oracle re-derives all of it from the declared batch algebra; a
+    hash match proves evolution changed no pre-existing value."""
+    sink = _schema_evo_sink(spark, sf_dir)
+    t = sink.current_table(spark)
+    data_cols = [c for c in t.columns if c not in ("operation", "seq")]
+    dtypes = dict(t.dtypes)
+    first = {c: (1 if c == "flag" else 0) for c in data_cols}
+    meta = spark.createDataFrame(
+        [(c, dtypes[c], first[c]) for c in data_cols],
+        "field string, dtype string, first_snapshot int",
+    )
+    counts = t.select(
+        *[
+            F.count(F.col(c)).cast("bigint").alias(c)
+            for c in data_cols
+        ]
+    )
+    long = counts.selectExpr(
+        "stack({n}, {args}) AS (field, non_null_rows)".format(
+            n=len(data_cols),
+            args=", ".join(f"'{c}', {c}" for c in data_cols),
+        )
+    )
+    return meta.join(long, on="field").orderBy("field")
+
+
 _XSINK_CACHE: dict[str, object] = {}
 
 

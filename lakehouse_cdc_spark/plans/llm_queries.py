@@ -25,6 +25,7 @@ from lakehouse_cdc_spark.llm.similarity import (
     bucketed_cosine_pairs,
     bucketed_cosine_pairs_blocked,
     cosine_pairs,
+    cosine_sim,
     cosine_topk,
     dot,
     ivf_assign,
@@ -612,6 +613,289 @@ def emb_ann_query_ivf(spark, sf_dir):
         F.col("embedding").alias("q_embedding")
     )
     return ivf_topk(emb, centroids, query, k=10, probes=2)
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_DOT_EQ.format(a='e.embedding', b='c.cemb')}
+                       / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM n e, c) WHERE rn = 1
+    ),
+    anchors AS (SELECT vec_id AS anchor_id, embedding AS aemb,
+                       norm_sq AS anorm
+                FROM n WHERE vec_id % 100 = 7),
+    aprobe AS (
+      SELECT anchor_id, cluster FROM (
+        SELECT a.anchor_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY a.anchor_id ORDER BY
+                 round({_DOT_EQ.format(a='a.aemb', b='c.cemb')}
+                       / (sqrt(a.anorm) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM anchors a, c) WHERE rn <= 2
+    ),
+    cand AS (SELECT DISTINCT p.anchor_id, s.vec_id
+             FROM aprobe p JOIN assign s USING (cluster)
+             WHERE s.vec_id <> p.anchor_id),
+    scored AS (
+      SELECT d.anchor_id, d.vec_id AS negative_id,
+             round({_DOT_EQ.format(a='e.embedding', b='a.aemb')}
+                   / (sqrt(e.norm_sq) * sqrt(a.anorm)), 6) AS cos_sim
+      FROM cand d
+      JOIN n e ON e.vec_id = d.vec_id
+      JOIN anchors a ON a.anchor_id = d.anchor_id
+    )
+    SELECT anchor_id, negative_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC,
+                                            negative_id ASC) AS rn
+      FROM scored WHERE cos_sim < 0.95
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "contrastive", "training"),
+)
+def emb_hard_negative_mining(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive embedding training: for
+    each anchor (``vec_id % 100 = 7``), the top-3 most-similar vectors
+    that are NOT near-duplicates (cos < 0.95 — above that they are
+    presumed positives/dups, useless as negatives), searched ONLY in
+    the anchor's 2 probed IVF buckets.  The standard in-batch-negatives
+    upgrade every embedding-model pipeline runs at scale: candidate
+    space is probes/K of the corpus (bucket-keyed join, broadcast
+    centroids and anchors — no all-pairs), the per-anchor window is
+    anchor-partitioned.  Deterministic approximation, so the oracle
+    composes the identical probe pipeline and must agree
+    bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assign = ivf_assign(emb, centroids).select("vec_id", "cluster")
+    anchor_rows = emb.filter(F.col("vec_id") % 100 == 7)
+    anchors = anchor_rows.select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("aemb")
+    )
+    aprobe = ivf_assign(anchor_rows, centroids, probes=2).select(
+        F.col("vec_id").alias("anchor_id"), "cluster"
+    )
+    cand = (
+        F.broadcast(aprobe)
+        .join(assign, on="cluster")
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), on="vec_id")
+        .join(F.broadcast(anchors), on="anchor_id")
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(
+                cosine_sim(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("aemb").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < 0.95)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("anchor_id", "negative_id", "cos_sim")
+    )
+
+
+@register(
+    "emb_late_interaction_maxsim",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, vec_id // 50 AS grp, embedding,
+                      {_NORM_SQ} AS norm_sq
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm
+          FROM n WHERE grp = 0),
+    cand AS (SELECT grp, vec_id, embedding, norm_sq FROM n WHERE grp <> 0),
+    sims AS (
+      SELECT q.qid, c.grp, c.vec_id,
+             CAST(round({_DOT_EQ.format(a='q.qemb', b='c.embedding')}
+                   / (sqrt(q.qnorm) * sqrt(c.norm_sq)) * 1000000)
+                  AS BIGINT) AS sim_micro
+      FROM q, cand c
+    ),
+    best AS (SELECT qid, grp, MAX(sim_micro) AS max_sim
+             FROM sims GROUP BY qid, grp)
+    SELECT CAST(grp AS BIGINT) AS doc_group,
+           CAST(SUM(max_sim) AS BIGINT) AS maxsim_score_micro
+    FROM best GROUP BY grp
+    ORDER BY maxsim_score_micro DESC, doc_group ASC
+    LIMIT 5
+    """,
+    tags=("llm", "similarity", "retrieval", "late-interaction"),
+)
+def emb_late_interaction_maxsim(spark, sf_dir):
+    """LATE-INTERACTION retrieval (ColBERT MaxSim): documents are
+    multi-vector bags (here: vec_id // 50 groups), the query is bag 0,
+    and a candidate's score is Σ over query vectors of its best
+    (max-cosine) match in the candidate bag — token-level interaction
+    deferred to scoring time, the retrieval family between single-
+    vector ANN and full cross-encoders.  Plan: broadcast the query bag
+    (bags are small by construction), one pass over candidate vectors,
+    two keyed aggregates (max per (query-vec, doc), sum per doc) —
+    candidate vectors are touched ONCE, no all-pairs among candidates.
+    Scores in exact integer micro-units (round then sum) so the
+    ranking never depends on float summation order — the
+    cross-engine-safe form of a fractional additive score."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") / 50).cast("bigint").alias("grp"),
+        "embedding",
+    )
+    q = emb.filter(F.col("grp") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    cand = emb.filter(F.col("grp") != 0)
+    sims = cand.join(F.broadcast(q)).select(
+        "qid",
+        "grp",
+        F.round(
+            cosine_sim(
+                F.col("qemb").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("sim_micro"),
+    )
+    best = sims.groupBy("qid", "grp").agg(
+        F.max("sim_micro").alias("max_sim")
+    )
+    return (
+        best.groupBy(F.col("grp").alias("doc_group"))
+        .agg(F.sum("max_sim").cast("bigint").alias("maxsim_score_micro"))
+        .orderBy(F.desc("maxsim_score_micro"), F.asc("doc_group"))
+        .limit(5)
+    )
+
+
+@register(
+    "contamination_embedding_overlap",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    train AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
+    eval_set AS (SELECT vec_id AS eval_id, embedding AS eemb,
+                        norm_sq AS enorm
+                 FROM n WHERE vec_id % 97 = 0),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT t.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                 round({_DOT_EQ.format(a='t.embedding', b='c.cemb')}
+                       / (sqrt(t.norm_sq) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM train t, c) WHERE rn = 1
+    ),
+    eprobe AS (
+      SELECT eval_id, cluster FROM (
+        SELECT e.eval_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.eval_id ORDER BY
+                 round({_DOT_EQ.format(a='e.eemb', b='c.cemb')}
+                       / (sqrt(e.enorm) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM eval_set e, c) WHERE rn <= 2
+    ),
+    cand AS (SELECT DISTINCT p.eval_id, a.vec_id
+             FROM eprobe p JOIN assign a USING (cluster)),
+    hits AS (
+      SELECT d.eval_id, d.vec_id,
+             round({_DOT_EQ.format(a='t.embedding', b='e.eemb')}
+                   / (sqrt(t.norm_sq) * sqrt(e.enorm)), 6) AS cs
+      FROM cand d
+      JOIN train t ON t.vec_id = d.vec_id
+      JOIN eval_set e ON e.eval_id = d.eval_id
+    )
+    SELECT eval_id,
+           CAST(COUNT(*) FILTER (WHERE cs >= 0.5) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(vec_id) FILTER (WHERE cs >= 0.5) AS BIGINT)
+             AS sum_train_ids
+    FROM hits GROUP BY eval_id ORDER BY eval_id
+    """,
+    tags=("llm", "curation", "contamination", "similarity", "ivf"),
+)
+def contamination_embedding_overlap(spark, sf_dir):
+    """SEMANTIC decontamination (the meaning-level complement of
+    ``contamination_ngram_overlap``'s lexical scan): held-out eval
+    vectors (``vec_id % 97 = 0``) are swept against the training set
+    for embedding-cosine overlap ≥ 0.5 — paraphrased benchmark leakage
+    that n-gram matching cannot see.  Bipartite and bucketed: train
+    vectors are IVF-assigned once, each eval vector probes its 2
+    nearest buckets (the tiny eval side is broadcast), so the pair
+    space is probes/K of |train| × |eval| — never all-pairs.  Output:
+    per eval item, how many training docs are contaminated and the
+    exact id-sum of the hits (the removal worklist's checksum).  Same
+    report a frontier-model data pipeline runs before training; the
+    oracle composes the identical probe pipeline."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    eval_rows = emb.filter(F.col("vec_id") % 97 == 0)
+    assign = ivf_assign(train, centroids).select("vec_id", "cluster")
+    eprobe = ivf_assign(eval_rows, centroids, probes=2).select(
+        F.col("vec_id").alias("eval_id"), "cluster"
+    )
+    evecs = eval_rows.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eemb")
+    )
+    cand = (
+        F.broadcast(eprobe)
+        .join(assign, on="cluster")
+        .select("eval_id", "vec_id")
+        .distinct()
+    )
+    hits = (
+        cand.join(train.select("vec_id", "embedding"), on="vec_id")
+        .join(F.broadcast(evecs), on="eval_id")
+        .select(
+            "eval_id",
+            "vec_id",
+            F.round(
+                cosine_sim(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("eemb").cast("array<double>"),
+                ),
+                6,
+            ).alias("cs"),
+        )
+    )
+    contaminated = F.col("cs") >= 0.5
+    return (
+        hits.groupBy("eval_id")
+        .agg(
+            F.count_if(contaminated).cast("bigint").alias("n_contaminated"),
+            F.sum(F.when(contaminated, F.col("vec_id")))
+            .cast("bigint")
+            .alias("sum_train_ids"),
+        )
+        .orderBy("eval_id")
+    )
 
 
 @register(
