@@ -853,6 +853,76 @@ _EPOCH_CAP_MILLI = 4_000  # max 4 epochs per source (milli-epochs)
 
 
 @register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             md5(concat('strat-', CAST(doc_id AS VARCHAR))) AS hx
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, lang, hx,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hx, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM h
+    )
+    SELECT lang,
+           CASE WHEN rn <= (8 * n_lang) // 10
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM sized GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    tags=("llm", "sampling", "split", "training-prep", "curation"),
+)
+def sample_stratified_exact(spark, sf_dir):
+    """EXACT stratified 80/20 split: within every stratum (language)
+    the train share is exactly ``floor(0.8 · n)`` docs — the guarantee
+    hash-threshold splits (sample_leakage_safe_split) only deliver in
+    expectation, needed when strata are small (a 60-doc low-resource
+    language must not lose 5 extra docs to sampling noise).  Selection
+    inside a stratum is a deterministic hash order (salted md5), so
+    the split is reproducible and unbiased by ingestion order; the
+    per-stratum window is lang-partitioned (never global), and the
+    per-stratum counts ride the same window — one shuffle total.
+    Output: the (lang × split) census with exact id-sums."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))).alias(
+            "hx"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("hx", "doc_id")
+    wc = Window.partitionBy("lang")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_lang"),
+    )
+    return (
+        sized.select(
+            "lang",
+            F.when(
+                F.col("rn") <= F.expr("(8 * n_lang) div 10"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
     "mix_curriculum_phases",
     oracle="""
     WITH docs AS (

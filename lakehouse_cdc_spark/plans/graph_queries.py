@@ -77,6 +77,69 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+@register(
+    "events_identity_stitching",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT user_id AS u,
+             1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      FROM events WHERE event_id % 53 = 0
+    ),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT component AS identity_id,
+           CAST(COUNT(*) FILTER (WHERE node < 1000000) AS BIGINT)
+             AS n_users,
+           CAST(COUNT(*) FILTER (WHERE node >= 1000000) AS BIGINT)
+             AS n_devices
+    FROM comp GROUP BY component ORDER BY identity_id
+    """,
+    tags=("graph", "identity", "er", "connected-components", "events"),
+)
+def events_identity_stitching(spark, sf_dir):
+    """CROSS-DEVICE IDENTITY STITCHING: users and devices (the ``k``
+    prop of a sampled event subset) form a bipartite link graph whose
+    connected components are resolved identities — the identity-graph
+    half of entity resolution (er_* dedups records; this stitches
+    OBSERVATION KEYS).  Device nodes live in a disjoint id space
+    (+1e6) so one component can be censused into users × devices.
+    Same scale machinery as dedup_connected_components: |edges|-per-
+    round min-label propagation, O(1)-row convergence probe; the
+    oracle replays the closure with a recursive CTE — a green row
+    proves the distributed iteration reaches the exact fixed point."""
+    e = table(spark, sf_dir, "events")
+    edges = (
+        e.filter(F.col("event_id") % 53 == 0)
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.lit(1000000)
+                + F.get_json_object(F.col("props"), "$.k").cast("bigint")
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges, src="u", dst="v")
+    return (
+        cc.groupBy(F.col("component").alias("identity_id"))
+        .agg(
+            F.count_if(F.col("node") < 1000000)
+            .cast("bigint")
+            .alias("n_users"),
+            F.count_if(F.col("node") >= 1000000)
+            .cast("bigint")
+            .alias("n_devices"),
+        )
+        .orderBy("identity_id")
+    )
+
+
 _BM25_TERMS = ("spark", "merge", "vector")
 _K1 = 1.2
 _B = 0.75

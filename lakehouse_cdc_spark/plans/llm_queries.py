@@ -720,6 +720,80 @@ def emb_hard_negative_mining(spark, sf_dir):
 
 
 @register(
+    "text_rrf_fusion",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ntok,
+             n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id ASC) AS ra,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rb
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ra AS BIGINT) AS rank_tokens,
+           CAST(rb AS BIGINT) AS rank_chars,
+           CAST(1000000000 // (60 + ra) + 1000000000 // (60 + rb)
+                AS BIGINT) AS rrf_nano
+    FROM ranked
+    ORDER BY rrf_nano DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("llm", "retrieval", "fusion", "ranking"),
+)
+def text_rrf_fusion(spark, sf_dir):
+    """RECIPROCAL RANK FUSION (Cormack et al. 2009 — the standard way
+    to merge heterogeneous retrieval rankings, e.g. BM25 + dense ANN):
+    fuse two global document rankings by summing 1/(60 + rank), here
+    in exact integer nano-units (``1e9 div (60+rank)``) so the fused
+    ordering never depends on float precision.  The two demo rankers
+    (token count, char count) stand in for any score columns — RRF
+    only consumes ranks, which is exactly why it fuses incomparable
+    scorers.  Scale shape: each global ranking uses the two-pass
+    prefix scan (operators/prefix.py:row_number_two_pass — NO
+    SinglePartition window), the fusion is a keyed self-join on
+    doc_id, and the final top-20 is TakeOrderedAndProject."""
+    from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
+
+    # persisted ON PURPOSE: each two-pass ranking derives bounds,
+    # per-bucket counts, and the bucketed scan from this base — six
+    # consumers total, and the 24-byte/row projection is the right
+    # thing to cache instead of re-tokenizing the corpus six times
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+            "n_chars",
+        )
+        .persist()
+    )
+    ra = row_number_two_pass(
+        d, "ntok", ["doc_id"], "rank_tokens", ascending=False
+    ).select("doc_id", "rank_tokens")
+    rb = row_number_two_pass(
+        d, "n_chars", ["doc_id"], "rank_chars", ascending=False
+    ).select("doc_id", "rank_chars")
+    fused = ra.join(rb, on="doc_id").select(
+        "doc_id",
+        F.col("rank_tokens").cast("bigint").alias("rank_tokens"),
+        F.col("rank_chars").cast("bigint").alias("rank_chars"),
+        F.expr(
+            "1000000000 div (60 + rank_tokens) + "
+            "1000000000 div (60 + rank_chars)"
+        )
+        .cast("bigint")
+        .alias("rrf_nano"),
+    )
+    return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(20)
+
+
+@register(
     "emb_late_interaction_maxsim",
     oracle=f"""
     WITH n AS (SELECT vec_id, vec_id // 50 AS grp, embedding,

@@ -245,6 +245,67 @@ def ts_ewma_recursive(spark, sf_dir):
 
 
 @register(
+    "ts_breakout_channel",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id, {_V100} AS v FROM events
+    ),
+    ch AS (
+      SELECT event_type, event_id, v,
+             MAX(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+               AS hi,
+             MIN(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+               AS lo
+      FROM base
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE v > hi) AS BIGINT) AS n_up,
+           CAST(COUNT(*) FILTER (WHERE v < lo) AS BIGINT) AS n_down,
+           CAST(SUM(event_id) FILTER (WHERE v > hi OR v < lo) AS BIGINT)
+             AS sum_breakout_ids
+    FROM ch GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "window", "anomaly", "channel"),
+)
+def ts_breakout_channel(spark, sf_dir):
+    """DONCHIAN CHANNEL BREAKOUTS: an observation breaking above the
+    rolling 20-observation high (or below the rolling low) of its own
+    series — the classic channel/regime-change detector (and the
+    windowed complement of ts_mad_anomalies' global robust-z).  Pure
+    bounded-frame window aggregates partitioned by series: one shuffle
+    on the series key, O(1) state per row in frame execution, exact
+    integer cents so the strict > / < comparisons are engine-identical
+    (the (ts, event_id) order key makes duplicate timestamps
+    deterministic).  Output: per-series breakout census with the
+    id-sum of flagged events."""
+    e = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ch = e.select(
+        "event_type",
+        "event_id",
+        v.alias("v"),
+        F.max(v).over(w.rowsBetween(-20, -1)).alias("hi"),
+        F.min(v).over(w.rowsBetween(-20, -1)).alias("lo"),
+    )
+    up = F.col("v") > F.col("hi")
+    down = F.col("v") < F.col("lo")
+    return (
+        ch.groupBy("event_type")
+        .agg(
+            F.count_if(up).cast("bigint").alias("n_up"),
+            F.count_if(down).cast("bigint").alias("n_down"),
+            F.sum(F.when(up | down, F.col("event_id")))
+            .cast("bigint")
+            .alias("sum_breakout_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "ts_downsample_ohlc",
     bench=True,
     oracle=f"""
