@@ -315,20 +315,11 @@ def timetravel_snapshot_diff(spark, sf_dir):
 _IDX_CACHE: dict[str, object] = {}
 
 
-def _text_demo_sinks(spark, sf_dir):
-    """Base text sink (3 documents-derived change batches) + the
-    inverted-index sink maintained from its feed, cached per sf_dir.
-
-    Batch algebra: b0 inserts docs with ``doc_id % 3 = 0``; b1 appends
-    ' updated extra' to docs with ``doc_id % 6 = 0`` (postings change:
-    two tokens gain tf) and inserts docs ``% 3 = 1 AND % 5 = 0``; b2
-    deletes docs ``% 9 = 0``."""
-    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
-    from lakehouse_cdc_spark.streaming.indexing import token_index_changes
-
-    cached = _IDX_CACHE.get(sf_dir)
-    if cached is not None and cached.committed_snapshot() == 2:
-        return cached
+def _text_demo_batches(spark, sf_dir):
+    """The shared documents-derived change batches: b0 inserts docs
+    with ``doc_id % 3 = 0``; b1 appends ' updated extra' to docs with
+    ``doc_id % 6 = 0`` (postings/shingles change) and inserts docs
+    ``% 3 = 1 AND % 5 = 0``; b2 deletes docs ``% 9 = 0``."""
     d = table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     b0 = d.filter(did % 3 == 0).select(
@@ -360,6 +351,18 @@ def _text_demo_sinks(spark, sf_dir):
         F.lit("d").alias("operation"),
         F.lit(2).cast("bigint").alias("seq"),
     )
+    return (b0, b1, b2)
+
+
+def _text_demo_sinks(spark, sf_dir):
+    """Base text sink (3 change batches) + the inverted-index sink
+    maintained from its feed, cached per sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.indexing import token_index_changes
+
+    cached = _IDX_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
     base = SnapshotUpsertSink(
         tempfile.mkdtemp(prefix="cdf_textbase_"),
         keys=["doc"],
@@ -372,7 +375,7 @@ def _text_demo_sinks(spark, sf_dir):
         order_by=["seq"],
         n_buckets=8,
     )
-    for i, b in enumerate((b0, b1, b2)):
+    for i, b in enumerate(_text_demo_batches(spark, sf_dir)):
         base.process_batch(b, i)
         feed = base.changes_between(spark, i - 1, i)
         prev = (
@@ -592,4 +595,127 @@ def cdf_incremental_ann_index(spark, sf_dir):
             F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
         )
         .orderBy("cluster")
+    )
+
+
+_LSH_CACHE: dict[str, object] = {}
+
+#: DuckDB mirror of llm/dedup.py's md5 minhash family + banding, over
+#: the final-state docs CTE (column ``doc``)
+_LSH_MINS = ",\n             ".join(
+    f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(8)
+)
+_LSH_BANDS = ",\n             ".join(
+    f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS band{b}" for b in range(4)
+)
+_LSH_LONG = "\n      UNION ALL ".join(
+    f"SELECT doc, CAST({b} AS INTEGER) AS band, band{b} AS band_key FROM bands"
+    for b in range(4)
+)
+
+
+def _lsh_demo_sinks(spark, sf_dir):
+    """Base text sink (same batches as the inverted-index demo) + the
+    MinHash-LSH band-index sink maintained from its feed, cached per
+    sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.indexing import lsh_index_changes
+
+    cached = _LSH_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
+    base = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_lshbase_"),
+        keys=["doc"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    idx = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_lshidx_"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=8,
+    )
+    for i, b in enumerate(_text_demo_batches(spark, sf_dir)):
+        base.process_batch(b, i)
+        feed = base.changes_between(spark, i - 1, i)
+        idx.process_batch(lsh_index_changes(feed, snapshot=i), i)
+    _LSH_CACHE[sf_dir] = idx
+    return idx
+
+
+@register(
+    "cdf_incremental_lsh_index",
+    oracle=f"""
+    WITH final_docs AS (
+      SELECT doc_id AS doc,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' updated extra'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+    ),
+    toks AS (SELECT doc, string_split_regex(trim(text), '\\s+') AS t
+             FROM final_docs),
+    idx AS (SELECT doc, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM idx),
+    sig AS (SELECT doc,
+             {_LSH_MINS}
+            FROM sh GROUP BY doc),
+    bands AS (SELECT doc,
+             {_LSH_BANDS}
+            FROM sig),
+    long AS (
+      {_LSH_LONG}
+    ),
+    buckets AS (SELECT band, band_key, COUNT(*) AS sz
+                FROM long GROUP BY 1, 2)
+    SELECT band,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band ORDER BY band
+    """,
+    tags=("cdc", "cdf", "index-maintenance", "lsh", "dedup", "S12"),
+)
+def cdf_incremental_lsh_index(spark, sf_dir):
+    """LSH-INDEX MAINTENANCE over the change feed — the dedup analog
+    of ``cdf_incremental_ann_index``, completing the feed-maintained
+    index family (aggregate / inverted index / ANN / LSH): the banded
+    MinHash index (document → 4 band-bucket hashes, the table
+    near-dup candidate generation joins on) lives in its own
+    (doc, band)-keyed bucketed sink and is kept in sync with a
+    text-bearing base table consuming ONLY ``changes_between``
+    batches — per snapshot the work is O(|changed docs| × shingles)
+    md5 minhashing with zero base rescans
+    (streaming/indexing.py:lsh_index_changes).  Updates re-shingle and
+    replace all 4 band rows wholesale (fixed band count — no old-state
+    lookup); deletes tombstone each band.  This is exactly the
+    maintained "old side" that ``dedup_incremental_new_shard`` joins a
+    daily ingest against.  The declared result is the per-band bucket
+    census (rows, distinct buckets, within-bucket candidate pairs
+    Σ C(sz,2)) read from the MAINTAINED index; the oracle re-derives
+    the final document state from the declared batch algebra and
+    recomputes signatures from scratch — a hash match proves
+    incremental index ≡ full rebuild across inserts, text edits (which
+    move band keys), and deletes."""
+    idx = _lsh_demo_sinks(spark, sf_dir)
+    t = idx.current_table(spark)
+    buckets = t.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(
+                F.expr("(sz * (sz - 1)) div 2")
+            ).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band")
     )

@@ -183,6 +183,123 @@ def rebuild_ann_index(
     )
 
 
+def lsh_index_changes(
+    feed: DataFrame,
+    snapshot: int,
+    id_col: str = "doc",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    op_col: str = "operation",
+) -> DataFrame:
+    """The MinHash-LSH BAND-INDEX change batch one snapshot's feed
+    implies — the dedup analog of :func:`ann_index_changes`: keep the
+    banded LSH index (document key → per-band bucket hash, the table
+    ``lsh_candidate_pairs`` joins on) in sync with a text-bearing base
+    table WITHOUT rescanning it, so near-dup candidate generation for
+    a daily ingest never recomputes the whole corpus' signatures.
+
+    Returns rows ``(id_col, band, band_key, operation, seq)`` for a
+    (key, band)-keyed upsert sink (``keys=[id_col, "band"]``,
+    ``order_by=["seq"]``, ``seq = snapshot`` so replays are idempotent
+    under last-write-wins):
+
+    - inserted/updated documents → re-shingle + minhash ONLY the feed
+      rows (O(|changed docs| × shingles), the md5 hash family of
+      llm/dedup.py so every band key is oracle-checkable) and upsert
+      all ``bands`` rows wholesale — the band count is fixed, so like
+      the ANN index the old posting never needs a lookup;
+    - deleted documents → one tombstone per band.
+
+    At scale this is the incremental half of ``dedup_incremental_
+    new_shard``: the maintained index IS the "old side" that query
+    joins new shards against, and this consumer is what keeps it
+    current from the change feed alone."""
+    from lakehouse_cdc_spark.llm.dedup import minhash_signatures
+
+    live = feed.filter(F.col(op_col) != "d")
+    sigs = minhash_signatures(
+        live, k=k, id_col=id_col, text_col=text_col, n=n
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    ups = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            id_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_key").alias("band_key"),
+            F.lit("u").alias(op_col),
+            F.lit(snapshot).cast("bigint").alias("seq"),
+        )
+    )
+    band_ids = F.explode(
+        F.array(*[F.lit(b).cast("int") for b in range(bands)])
+    ).alias("band")
+    dels = (
+        feed.filter(F.col(op_col) == "d")
+        .select(F.col(id_col), band_ids)
+        .select(
+            id_col,
+            "band",
+            F.lit(None).cast("string").alias("band_key"),
+            F.lit("d").alias(op_col),
+            F.lit(snapshot).cast("bigint").alias("seq"),
+        )
+    )
+    return ups.unionByName(dels)
+
+
+def rebuild_lsh_index(
+    visible: DataFrame,
+    id_col: str = "doc",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """The O(table) ground truth: band keys recomputed from the full
+    visible state — proves the incremental path lands the identical
+    index (tests and backfills)."""
+    from lakehouse_cdc_spark.llm.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        visible, k=k, id_col=id_col, text_col=text_col, n=n
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+
+
 def rebuild_token_index(
     visible: DataFrame,
     keys: list[str],

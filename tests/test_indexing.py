@@ -140,3 +140,111 @@ def test_index_replay_is_idempotent(spark, tmp_path):
     before = _index_state(idx, spark)
     idx.process_batch(changes, 1)  # replay under a NEW batch id
     assert _index_state(idx, spark) == before
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH band-index maintenance (round 7)
+# ---------------------------------------------------------------------------
+
+from lakehouse_cdc_spark.streaming.indexing import (  # noqa: E402
+    lsh_index_changes,
+    rebuild_lsh_index,
+)
+
+
+def _lsh_state(index_sink, spark):
+    t = index_sink.current_table(spark)
+    if t is None:
+        return []
+    return sorted((r.doc, r.band, r.band_key) for r in t.collect())
+
+
+def _lsh_rebuilt(base_sink, spark):
+    vis = base_sink.current_table(spark)
+    return sorted(
+        (r.doc, r.band, r.band_key)
+        for r in rebuild_lsh_index(vis).collect()
+    )
+
+
+def test_maintained_lsh_index_equals_rebuild(spark, tmp_path):
+    """The banded MinHash index maintained from changes_between alone
+    must equal a full-rebuild after inserts, a text edit (which moves
+    band keys), and a delete."""
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=2
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+
+    def advance(snap):
+        feed = base.changes_between(spark, snap - 1, snap)
+        idx.process_batch(lsh_index_changes(feed, snapshot=snap), snap)
+
+    base.process_batch(
+        _batch(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog", "c", 0),
+                (2, "the quick brown fox jumps over the lazy cat", "c", 0),
+                (3, "completely different text about spark engines", "c", 0),
+            ],
+        ),
+        0,
+    )
+    advance(0)
+    assert _lsh_state(idx, spark) == _lsh_rebuilt(base, spark)
+    # every live doc carries exactly 4 band rows
+    assert len(_lsh_state(idx, spark)) == 12
+
+    before = dict(
+        ((d, b), k) for d, b, k in _lsh_state(idx, spark) if d == 3
+    )
+    base.process_batch(
+        _batch(
+            spark,
+            [
+                (3, "entirely new words now live in document three", "u", 1),
+                (4, "the quick brown fox jumps over the lazy dog", "c", 1),
+            ],
+        ),
+        1,
+    )
+    advance(1)
+    assert _lsh_state(idx, spark) == _lsh_rebuilt(base, spark)
+    after = dict(((d, b), k) for d, b, k in _lsh_state(idx, spark) if d == 3)
+    # the edit rewrote doc 3's shingles → its band keys moved
+    assert before != after
+    # exact duplicates (1 and 4) share every band key
+    rows = _lsh_state(idx, spark)
+    k1 = sorted(k for d, b, k in rows if d == 1)
+    k4 = sorted(k for d, b, k in rows if d == 4)
+    assert k1 == k4
+
+    base.process_batch(_batch(spark, [(2, None, "d", 2)]), 2)
+    advance(2)
+    assert _lsh_state(idx, spark) == _lsh_rebuilt(base, spark)
+    assert not any(d == 2 for d, _, _ in _lsh_state(idx, spark))
+
+
+def test_lsh_index_replay_is_idempotent(spark, tmp_path):
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=1
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=2,
+    )
+    base.process_batch(_batch(spark, [(1, "one two three four", "c", 0)]), 0)
+    feed = base.changes_between(spark, -1, 0)
+    changes = lsh_index_changes(feed, snapshot=0)
+    idx.process_batch(changes, 0)
+    before = _lsh_state(idx, spark)
+    idx.process_batch(changes, 1)  # replay under a NEW batch id
+    assert _lsh_state(idx, spark) == before
