@@ -188,3 +188,58 @@ def pagerank_converged(
         ew.unpersist()
         deg.unpersist()
         e2.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Extract the k-CORE of the undirected graph ``edges`` by
+    iterative peeling run to the FIXED POINT: each round drops every
+    node with fewer than ``k`` surviving neighbors and restricts the
+    edge set to survivors; peeling stops when a round removes nothing
+    (or the graph dies).  Returns ``(core_edges, n_rounds)`` where
+    ``core_edges`` has columns (src, dst) — possibly empty — and
+    ``n_rounds`` counts the peel rounds actually executed (a pure
+    function of the graph, since the peel is exact set algebra).
+
+    ``edges`` must already contain both directions of every edge (the
+    degree aggregate reads only ``src``).
+
+    Scale notes per round: ONE |edges|-sized degree shuffle plus an
+    edge restriction via two joins against the alive node set (the
+    small side — broadcast).  The edge set monotonically shrinks, so
+    per-round cost decreases; convergence is detected by an O(1)-row
+    count probe riding each round's ``localCheckpoint`` (the loop is
+    unbounded, so lineage must be truncated eagerly — same discipline
+    as :func:`connected_components`)."""
+    cur = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_prev = cur.count()
+    rounds = 0
+    while n_prev > 0 and rounds < max_iter:
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        nxt = (
+            cur.join(F.broadcast(alive), "src")
+            .join(F.broadcast(alive.withColumnRenamed("src", "dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        rounds += 1
+        cur = nxt
+        if n == n_prev:
+            return cur, rounds
+        n_prev = n
+    if n_prev == 0:
+        return cur, rounds
+    raise RuntimeError(f"kcore did not converge in {max_iter} rounds")

@@ -1008,3 +1008,126 @@ def market_basket_rules(spark, sf_dir):
         .orderBy(F.desc("lift"), F.desc("co_cnt"), "part_a", "part_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (round 7)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3  # core order: survive with >= 3 surviving neighbors
+
+
+def _kcore_oracle() -> str:
+    """The peel loop REPLAYED in SQL as a convergence-gated recursive
+    CTE (the same trick as _pagerank_converged_oracle): the working
+    table carries one round's surviving edge set plus its size; each
+    step restricts to nodes with degree >= k IN THE WORKING TABLE and
+    re-stamps the new size via an empty-frame window; the
+    ``WHERE n < old_n`` gate emits nothing once a round removes no
+    edge, halting the recursion at the data-dependent fixed point.
+    Two terminal cases fall out of one final filter: if the last
+    emitted round IS the fixed point, one more alive-restriction is
+    the identity; if the next round would have been EMPTY (the whole
+    graph peels away), the same restriction yields zero rows."""
+    k = _KCORE_K
+    return f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co_cnt
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT p1 AS src, p2 AS dst FROM co WHERE co_cnt >= {_TRI_MIN_CO}
+      UNION ALL
+      SELECT p2, p1 FROM co WHERE co_cnt >= {_TRI_MIN_CO}
+    ),
+    rec(iter, src, dst, n) AS (
+      SELECT 0, src, dst, COUNT(*) OVER () FROM e0
+      UNION ALL
+      SELECT * FROM (
+        SELECT nxt.iter, nxt.src, nxt.dst, COUNT(*) OVER () AS n
+        FROM (
+          SELECT r.iter + 1 AS iter, r.src, r.dst, r.n AS old_n
+          FROM rec r
+          JOIN (SELECT src FROM rec GROUP BY src
+                HAVING COUNT(*) >= {k}) a ON r.src = a.src
+          JOIN (SELECT src FROM rec GROUP BY src
+                HAVING COUNT(*) >= {k}) b ON r.dst = b.src
+        ) nxt
+        QUALIFY n < nxt.old_n
+      )
+    ),
+    last_e AS MATERIALIZED (
+      SELECT src, dst FROM rec WHERE iter = (SELECT MAX(iter) FROM rec)
+    ),
+    core AS (
+      SELECT e.src, e.dst FROM last_e e
+      JOIN (SELECT src FROM last_e GROUP BY src
+            HAVING COUNT(*) >= {k}) a ON e.src = a.src
+      JOIN (SELECT src FROM last_e GROUP BY src
+            HAVING COUNT(*) >= {k}) b ON e.dst = b.src
+    )
+    SELECT src AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM core
+    GROUP BY src ORDER BY part_key
+    """
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "community", "iterative", "convergence"),
+)
+def graph_kcore_membership(spark, sf_dir):
+    """k-CORE DECOMPOSITION (k=3) of the part co-purchase graph by
+    iterative peeling run to the FIXED POINT — the densest-region
+    extractor community-detection and fraud pipelines run before
+    anything expensive: each round drops every node with fewer than k
+    surviving neighbors and restricts the edge set to survivors; what
+    remains is the 3-core (every member has >= 3 neighbors INSIDE the
+    core — pytest proves subgraph closure against a driver-side
+    adjacency rebuild).  The loop stops when a round removes nothing,
+    detected by an O(1)-row count probe riding each round's
+    localCheckpoint (operators/graph.py:kcore — the round count is
+    data-dependent: 1 at sf0.001, ~11 at sf0.01, and at sf0.1 the
+    whole graph peels away, so the declared result must agree on an
+    EMPTY core too).  The oracle replays the identical tol-free peel
+    as a convergence-gated DuckDB recursive CTE — a hash match proves
+    the surviving membership, each member's within-core degree, AND
+    the stopping rule agree across engines.
+
+    Scale shape: the standard distributed k-core loop — per round ONE
+    degree aggregate (|edges|-sized shuffle on the src key) and an
+    edge restriction via two joins against the alive set, which Spark
+    broadcasts (alive is |nodes|-sized, always the small side).  The
+    edge set only ever SHRINKS, so per-round cost is monotonically
+    decreasing; lineage is truncated per round, so the plan stays O(1)
+    deep at any round count.  Exact integer keys and counts — no
+    floats anywhere."""
+    from lakehouse_cdc_spark.operators.graph import kcore
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= _TRI_MIN_CO)
+    )
+    edges = co.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        co.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    core_edges, _rounds = kcore(edges, k=_KCORE_K)
+    return (
+        core_edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("part_key"), "core_degree")
+        .orderBy("part_key")
+    )

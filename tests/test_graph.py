@@ -219,3 +219,71 @@ def test_distribution_drift_tv_is_a_metric(spark):
     num = sum(r.tv_num for r in rows)
     assert rows[0].tv_num_total == num
     assert tv == num * 1_000_000 // rows[0].tv_den
+
+
+def test_kcore_operator_on_crafted_graphs(spark):
+    """Peeling fixpoint on hand-checkable graphs: a clique survives,
+    pendant chains peel away, and a graph whose core is EMPTY returns
+    an empty edge set (the sf0.1 shape) without spinning."""
+    from lakehouse_cdc_spark.operators.graph import kcore
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src int, dst int")
+
+    # K4 with a pendant chain 4-5-6: the 3-core is exactly the K4
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    core, rounds = kcore(sym(k4 + chain), k=3)
+    got = sorted((r.src, r.dst) for r in core.collect())
+    want = sorted([(a, b) for a, b in k4] + [(b, a) for a, b in k4])
+    assert got == want
+    assert rounds >= 1
+
+    # a pure cycle has no 3-core: everything peels to empty
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    core, _ = kcore(sym(cyc), k=3)
+    assert core.count() == 0
+
+    # ...but the cycle IS its own 2-core (fixpoint on round 1)
+    core, rounds = kcore(sym(cyc), k=2)
+    assert core.count() == 10
+    assert rounds == 1
+
+
+def test_kcore_is_subgraph_closed(spark, sf_dir):
+    """Every core member's reported degree counts only neighbors that
+    are themselves core members — the defining k-core property (not
+    just 'degree >= k in the full graph')."""
+    from lakehouse_cdc_spark.plans import graph_queries as gq
+
+    rows = gq.graph_kcore_membership(spark, sf_dir).collect()
+    members = {r.part_key for r in rows}
+    assert members  # non-degenerate fixture
+    # rebuild the raw co-purchase edges and check closure manually
+    import pyspark.sql.functions as F
+    from lakehouse_cdc_spark.plans.registry import table
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= gq._TRI_MIN_CO)
+        .select("p1", "p2")
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in co:
+        adj.setdefault(r.p1, set()).add(r.p2)
+        adj.setdefault(r.p2, set()).add(r.p1)
+    got = {r.part_key: r.core_degree for r in rows}
+    for node, deg in got.items():
+        in_core = len(adj.get(node, set()) & members)
+        assert in_core == deg
+        assert deg >= gq._KCORE_K
