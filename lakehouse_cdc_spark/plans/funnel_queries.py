@@ -22,6 +22,7 @@ output 10^6x smaller than its input.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.plans.registry import register, table
@@ -618,4 +619,150 @@ def events_cohort_ltv(spark, sf_dir):
             ).alias("ltv_per_user"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-pattern matching (round 7): MATCH_RECOGNIZE-style V shapes
+# ---------------------------------------------------------------------------
+
+_V_MIN_LEG = 2  # both the decline and the recovery need >= 2 strict steps
+
+
+@register(
+    "events_pattern_vshape",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS prev_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dirs AS (
+      SELECT user_id, tus, event_id, v, prev_v,
+             CASE WHEN v > prev_v THEN 1
+                  WHEN v < prev_v THEN -1 ELSE 0 END AS dir,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  CASE WHEN v > prev_v THEN 1
+                                       WHEN v < prev_v THEN -1 ELSE 0 END
+                                  ORDER BY tus, event_id) AS grp
+      FROM seq WHERE prev_v IS NOT NULL
+    ),
+    annotated AS (
+      SELECT user_id, dir, grp,
+             COUNT(*) OVER p AS run_len,
+             first_value(prev_v) OVER o AS base_v,
+             first_value(v) OVER od AS end_v,
+             first_value(tus) OVER o AS first_tus,
+             first_value(tus) OVER od AS last_tus,
+             ROW_NUMBER() OVER o AS rn
+      FROM dirs
+      WINDOW p AS (PARTITION BY user_id, grp),
+             o AS (PARTITION BY user_id, grp ORDER BY tus, event_id),
+             od AS (PARTITION BY user_id, grp ORDER BY tus DESC, event_id DESC)
+    ),
+    runs AS (
+      SELECT user_id, dir, run_len, base_v, end_v, first_tus, last_tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_tus)
+               AS run_seq
+      FROM annotated WHERE rn = 1
+    )
+    SELECT d.user_id,
+           CAST(d.last_tus AS BIGINT) AS valley_us,
+           CAST(d.run_len AS BIGINT) AS down_len,
+           CAST(u.run_len AS BIGINT) AS up_len,
+           CAST(d.base_v - d.end_v AS BIGINT) AS depth_c,
+           CAST(u.end_v - u.base_v AS BIGINT) AS recovery_c
+    FROM runs d JOIN runs u
+      ON u.user_id = d.user_id AND u.run_seq = d.run_seq + 1
+    WHERE d.dir = -1 AND u.dir = 1
+      AND d.run_len >= {_V_MIN_LEG} AND u.run_len >= {_V_MIN_LEG}
+    ORDER BY d.user_id, valley_us
+    """,
+    tags=("events", "pattern", "match-recognize", "W-family"),
+)
+def events_pattern_vshape(spark, sf_dir):
+    """MATCH_RECOGNIZE-style EVENT-PATTERN DETECTION without the SQL
+    extension (Spark has no MATCH_RECOGNIZE; Flink/Trino ship it): per
+    user stream, find every V-shape — a run of >= 2 strictly falling
+    values immediately followed by a run of >= 2 strictly rising
+    values (the drawdown-and-recovery motif behind churn saves, price
+    bounce alerts, and degraded-then-healed SLO episodes).  Pattern
+    states are compiled to window algebra: direction per step (lag),
+    gaps-and-islands run ids (double row_number difference), per-run
+    aggregates via framed windows, then a self-join of CONSECUTIVE
+    runs (run_seq + 1) — the regex ``DOWN{{2,}} UP{{2,}}`` as exactly
+    two window passes and one narrow join.  Everything is exact
+    integer cents and epoch-µs, so matches are bit-identical across
+    engines.
+
+    Scale shape: both window passes partition by user_id (ONE hash
+    exchange, reused by Spark across the passes — no cross-user
+    traffic), and the runs self-join is on (user_id, run_seq) over the
+    already-shrunk run table.  At 100 TB: per-user sequences are the
+    unit of parallelism, identical to sessionization."""
+    e = table(spark, sf_dir, "events")
+    v = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        v.alias("v"),
+        F.lag(v).over(w).alias("prev_v"),
+    ).filter(F.col("prev_v").isNotNull())
+    dir_col = (
+        F.when(F.col("v") > F.col("prev_v"), 1)
+        .when(F.col("v") < F.col("prev_v"), -1)
+        .otherwise(0)
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    wd = Window.partitionBy("user_id", "dir").orderBy("tus", "event_id")
+    dirs = seq.withColumn("dir", dir_col).withColumn(
+        "grp", F.row_number().over(wu) - F.row_number().over(wd)
+    )
+    p = Window.partitionBy("user_id", "grp")
+    o = p.orderBy("tus", "event_id")
+    od = p.orderBy(F.col("tus").desc(), F.col("event_id").desc())
+    annotated = dirs.select(
+        "user_id",
+        "dir",
+        "grp",
+        F.count(F.lit(1)).over(p).alias("run_len"),
+        F.first("prev_v").over(o).alias("base_v"),
+        F.first("v").over(od).alias("end_v"),
+        F.first("tus").over(o).alias("first_tus"),
+        F.first("tus").over(od).alias("last_tus"),
+        F.row_number().over(o).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    runs = annotated.withColumn(
+        "run_seq",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("first_tus")),
+    )
+    d = runs.alias("d")
+    u = runs.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.user_id") == F.col("d.user_id"))
+            & (F.col("u.run_seq") == F.col("d.run_seq") + 1),
+        )
+        .filter(
+            (F.col("d.dir") == -1)
+            & (F.col("u.dir") == 1)
+            & (F.col("d.run_len") >= _V_MIN_LEG)
+            & (F.col("u.run_len") >= _V_MIN_LEG)
+        )
+        .select(
+            F.col("d.user_id").alias("user_id"),
+            F.col("d.last_tus").cast("bigint").alias("valley_us"),
+            F.col("d.run_len").cast("bigint").alias("down_len"),
+            F.col("u.run_len").cast("bigint").alias("up_len"),
+            (F.col("d.base_v") - F.col("d.end_v")).cast("bigint").alias("depth_c"),
+            (F.col("u.end_v") - F.col("u.base_v")).cast("bigint").alias("recovery_c"),
+        )
+        .orderBy("user_id", "valley_us")
     )

@@ -785,3 +785,99 @@ def maintenance_rebucket_planner(spark, sf_dir):
         ).alias("n_recommended"),
         (F.col("max_bucket_rows") > _RB_TARGET_ROWS).alias("rebucket_needed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression from sufficient statistics (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_ols_by_brand",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l.l_extendedprice) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    suff AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY brand
+    ),
+    d AS (
+      SELECT brand, n, sx, sy,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy
+      FROM suff
+    )
+    SELECT brand, n, sx, sy,
+           round(dxy / dxx, 6) AS slope,
+           round((CAST(sy AS DOUBLE) - (dxy / dxx) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round((dxy * dxy) / (dxx * dyy), 6) AS r2
+    FROM d ORDER BY brand
+    """,
+    tags=("stats", "regression", "A-family"),
+)
+def stats_ols_by_brand(spark, sf_dir):
+    """Per-brand ordinary least squares (extended price in whole
+    dollars regressed on quantity) computed ENTIRELY from mergeable
+    sufficient statistics — the one-pass distributed regression shape:
+    one groupBy collects exact-integer (n, Σx, Σy, Σxy, Σx², Σy²)
+    with map-side partial aggregation, then slope / intercept / R²
+    are pure driver-free arithmetic on the six columns.  Adding a
+    measure never adds a shuffle; the same six sums serve correlation,
+    variance, and forecast-error bands.  Determinism: the sums are
+    exact integers small enough to be exactly representable as
+    doubles (< 2^53 at every tested sf), and both engines then apply
+    the IDENTICAL IEEE expression tree, so round(·, 6) agrees
+    bit-for-bit.  Scale: |brands| output rows; the only wide exchange
+    is the brand hash — and the part-side join is broadcast
+    (|part| << |lineitem|).
+
+    Reference parity: extends the reference's per-table COUNT/SUM
+    validation probes (src/validation/validation.py) to second-order
+    statistics."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    suff = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    dxx = nd * F.col("sxx").cast("double") - sxd * sxd
+    dxy = nd * F.col("sxy").cast("double") - sxd * syd
+    dyy = nd * F.col("syy").cast("double") - syd * syd
+    return suff.select(
+        "brand",
+        "n",
+        "sx",
+        "sy",
+        F.round(dxy / dxx, 6).alias("slope"),
+        F.round((syd - (dxy / dxx) * sxd) / nd, 6).alias("intercept"),
+        F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
+    ).orderBy("brand")

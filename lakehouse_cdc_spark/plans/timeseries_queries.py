@@ -765,3 +765,87 @@ def ts_mad_anomalies(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_seasonal_dow_profile",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_V100}) AS day_c
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(day_c) AS BIGINT) AS dow_sum_c
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS total_days,
+             CAST(SUM(day_c) AS BIGINT) AS total_c
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.dow AS INT) AS dow, d.n_days, d.dow_sum_c,
+           CAST(d.dow_sum_c // d.n_days AS BIGINT) AS dow_mean_c,
+           CAST(d.dow_sum_c * t.total_days * 1000000
+                // (t.total_c * d.n_days) AS BIGINT) AS seasonal_ppm
+    FROM dow d JOIN tot t ON d.event_type = t.event_type
+    ORDER BY d.event_type, d.dow
+    """,
+    tags=("timeseries", "seasonality", "window"),
+)
+def ts_seasonal_dow_profile(spark, sf_dir):
+    """Day-of-week SEASONAL PROFILE per event stream — the first half
+    of a seasonal decomposition (the multiplicative index that
+    deseasonalizes a daily series before anomaly detection or
+    forecasting): daily totals in exact integer cents roll up to a
+    per-(type, weekday) mean and a seasonal index in parts-per-million
+    of the overall daily mean (``dow_sum·total_days·1e6 //
+    (total_c·n_days)`` — a pure integer rational, so the index is
+    bit-identical across engines; 1 000 000 = an average weekday).
+    Weekday numbering is pinned to Sunday=0 (DuckDB's convention;
+    Spark's 1-based dayofweek is shifted down).
+
+    Scale shape: ONE |type × day|-sized shuffle for the daily rollup
+    (map-side combined), then two tiny aggregates over |days| rows and
+    a |types|-row join — at 100 TB the daily compaction dominates and
+    parallelizes on the (type, day) hash; nothing downstream grows
+    with the corpus."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("day_c"))
+    )
+    dow = (
+        daily.groupBy(
+            "event_type", (F.dayofweek("day") - F.lit(1)).cast("int").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("day_c").cast("bigint").alias("dow_sum_c"),
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_days"),
+        F.sum("day_c").cast("bigint").alias("total_c"),
+    )
+    return (
+        dow.join(tot, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "dow_sum_c",
+            F.expr("dow_sum_c div n_days").cast("bigint").alias("dow_mean_c"),
+            F.expr(
+                "(dow_sum_c * total_days * 1000000) div (total_c * n_days)"
+            ).cast("bigint").alias("seasonal_ppm"),
+        )
+        .orderBy("event_type", "dow")
+    )
