@@ -703,3 +703,103 @@ def text_zipf_profile(spark, sf_dir):
             "rnk", "w", "f", (F.col("rnk") * F.col("f")).cast("bigint").alias("rank_x_freq")
         )
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS cn,
+                  COUNT(DISTINCT w2) AS n1fw
+           FROM bg GROUP BY 1),
+    cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1bw FROM bg GROUP BY 1),
+    b AS (SELECT COUNT(*) AS btypes FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+             (greatest(4 * c2.c - 3, 0) * {_PPB}) // (4 * c1.cn)
+               AS t1_ppb,
+             (3 * c1.n1fw * cont.n1bw * {_PPB}) // (4 * c1.cn * b.btypes)
+               AS t2_ppb
+      FROM bg JOIN c2 USING (w1, w2)
+              JOIN c1 USING (w1)
+              JOIN cont USING (w2)
+              CROSS JOIN b)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(t1_ppb + t2_ppb) AS BIGINT) AS score_sum,
+           CAST(SUM(t1_ppb + t2_ppb) // COUNT(*) AS BIGINT) AS avg_p_ppb
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram scoring per document — the
+    smoother real LM-quality filters (KenLM/CCNet lineage) actually
+    use, next to ``text_bigram_lm_score``'s add-one baseline:
+    P(w2|w1) = max(c(w1w2)−D, 0)/c(w1) + D·N1+(w1·)/c(w1) · Pcont(w2)
+    with discount D = 0.75 and the continuation probability
+    Pcont(w2) = N1+(·w2)/|bigram types| — so a word's score reflects
+    how many CONTEXTS it completes, not raw frequency (the property
+    that makes KN robust to bursty tokens).  With D = 3/4 both terms
+    are exact integer rationals; each is floored to parts-per-billion
+    separately (t1 = (4c−3)⁺·1e9 // 4c₁;
+    t2 = 3·N1fw·N1bw·1e9 // (4c₁·B)) so both engines agree
+    bit-for-bit — same fixed-point discipline as the add-one query.
+
+    Plan shape: bigrams build MAP-SIDE from the token array; three
+    count tables (pair, left-context + distinct-successor fused into
+    ONE aggregate, distinct-predecessor) shuffle on their own keys;
+    B is a one-row broadcast; the score join shuffles on (w1, w2)
+    with the stats sides AQE-broadcast when small.  At 100 TB every
+    shuffle is |vocab|- or |bigram-type|-sized, never |corpus|."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.countDistinct("w2").alias("n1fw"),
+    )
+    cont = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1bw"))
+    b = c2.agg(F.count(F.lit(1)).alias("btypes"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(b))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(greatest(4 * c - 3, 0) * {_PPB}) div (4 * cn)"
+            ).alias("t1_ppb"),
+            F.expr(
+                f"(3 * n1fw * n1bw * {_PPB}) div (4 * cn * btypes)"
+            ).alias("t2_ppb"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("t1_ppb") + F.col("t2_ppb")).cast("bigint").alias("score_sum"),
+        F.expr(
+            "CAST(sum(t1_ppb + t2_ppb) div count(*) AS BIGINT)"
+        ).alias("avg_p_ppb"),
+    )

@@ -97,3 +97,34 @@ def test_ngram_novelty_first_doc_fully_novel(spark, sf_dir):
         .collect()[0][0]
     )
     assert total_novel == n_distinct
+
+
+def test_kneser_ney_rewards_continuation_diversity(spark, tmp_path):
+    """The defining KN property: two equally-rare bigrams differ only
+    in how many contexts their second word completes — the
+    diverse-continuation word must score strictly higher (raw
+    frequency alone cannot produce this ordering)."""
+    from lakehouse_cdc_spark.plans.lm_queries import text_kneser_ney_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a cat"),
+            (2, "b cat"),
+            (3, "c cat"),
+            (4, "d cat"),
+            (5, "f gnu"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in text_kneser_ney_bigram(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # both probe docs hold a single count-1 bigram with a count-1
+    # left context; only n1bw (contexts completed by w2) differs
+    assert got[1].n_bigrams == got[5].n_bigrams == 1
+    assert got[1].avg_p_ppb > got[5].avg_p_ppb
+    # 'cat' completes 4 contexts vs 'gnu' 1, B = 5 bigram types:
+    # t2 = 3*1*4*1e9 // (4*1*5) vs 3*1*1*1e9 // (4*1*5); t1 equal
+    assert got[1].avg_p_ppb - got[5].avg_p_ppb == (
+        3 * 4 * 10**9 // 20 - 3 * 10**9 // 20
+    )
