@@ -714,3 +714,70 @@ def detect_scene_cuts(
             )
 
     return df.mapInPandas(batches, SCENE_CUT_SCHEMA)
+
+
+# ----------------------------------------------------------- audio VAD
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_active", T.IntegerType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("max_run", T.IntegerType()),
+    ]
+)
+
+
+def audio_active_segments(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the step an
+    audio curation pipeline runs right after decode to cut a clip
+    into keep-worthy segments: channel-0 energy per 16-frame block
+    (same blocking as :func:`audio_fingerprint`), a block is ACTIVE
+    when its energy strictly exceeds the clip's floor-mean block
+    energy (loudness-relative, so a uniformly quiet clip isn't all
+    dropped), and consecutive active blocks merge into segments.
+    Emits per clip: block count, active count, segment count, and the
+    longest active run — all exact integers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nbs, nas, nss, mrs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, s = _parse_wav(bytes(payload))
+                ch0 = s[:, 0].astype(np.int64)
+                nb = len(ch0) // _AFP_BLOCK
+                blocks = ch0[: nb * _AFP_BLOCK].reshape(nb, _AFP_BLOCK)
+                energy = (blocks * blocks).sum(axis=1)
+                thr = int(energy.sum()) // nb
+                act = energy > thr
+                n_active = int(act.sum())
+                n_segments = 0
+                max_run = 0
+                run = 0
+                for a in act:
+                    if a:
+                        run += 1
+                        if run == 1:
+                            n_segments += 1
+                        max_run = max(max_run, run)
+                    else:
+                        run = 0
+                ids.append(int(doc_id))
+                nbs.append(nb)
+                nas.append(n_active)
+                nss.append(n_segments)
+                mrs.append(max_run)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_blocks": nbs,
+                    "n_active": nas,
+                    "n_segments": nss,
+                    "max_run": mrs,
+                }
+            )
+
+    return df.mapInPandas(batches, VAD_SCHEMA)

@@ -3028,3 +3028,71 @@ def multimodal_ahash_dedup_groups(spark, sf_dir):
         F.count(F.lit(1)).alias("dup_cnt"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle="""
+    WITH frames AS (
+      -- channel-0 sample i of doc: ((doc*31 + i*17) % 4096) - 2048
+      SELECT d.doc_id,
+             (64 + d.doc_id % 129) // 16 AS nb,
+             i.i // 16 AS block,
+             ((d.doc_id * 31 + i.i * 17) % 4096 - 2048) AS s
+      FROM documents d, range(0, 193) i(i)
+      WHERE i.i < ((64 + d.doc_id % 129) // 16) * 16
+    ),
+    energy AS (
+      SELECT doc_id, nb, block, SUM(s * s) AS e
+      FROM frames GROUP BY doc_id, nb, block
+    ),
+    thr AS (SELECT doc_id, SUM(e) // MAX(nb) AS t FROM energy GROUP BY doc_id),
+    active AS (
+      SELECT e.doc_id, e.nb, e.block, e.e > t.t AS act
+      FROM energy e JOIN thr t USING (doc_id)
+    ),
+    seg AS (
+      SELECT doc_id, block,
+             block - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY block)
+               AS grp
+      FROM active WHERE act
+    ),
+    runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM seg GROUP BY 1, 2),
+    run_agg AS (
+      SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS max_run
+      FROM runs GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(MAX(a.nb) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN a.act THEN 1 ELSE 0 END) AS INT) AS n_active,
+           CAST(COALESCE(MAX(r.n_segments), 0) AS INT) AS n_segments,
+           CAST(COALESCE(MAX(r.max_run), 0) AS INT) AS max_run
+    FROM active a LEFT JOIN run_agg r ON a.doc_id = r.doc_id
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+    tags=("llm", "multimodal", "audio", "vad", "segmentation", "pandas-udf"),
+)
+def multimodal_audio_vad_segments(spark, sf_dir):
+    """Voice-activity SEGMENTATION over real WAV bytes — the curation
+    step between decode and keep/drop for audio corpora: channel-0
+    energy per 16-frame block, blocks strictly above the clip's
+    floor-mean energy are active, and consecutive active blocks merge
+    into segments (llm/multimodal.py:audio_active_segments).  The
+    threshold is loudness-RELATIVE (floor-mean of the clip's own block
+    energies, exact integer), so uniform gain changes the segmentation
+    not at all — same invariance the fingerprint has.  The oracle
+    rebuilds block energies from the closed-form fixture samples and
+    replays the threshold + gaps-and-islands run algebra in SQL — a
+    wrong channel de-interleave, block boundary, or an >= vs >
+    threshold slip breaks the hash.  Arrow-batched mapInPandas; at
+    100 TB the (doc, segments) summary replaces the clip bytes in
+    every downstream keep/drop decision, exactly like the image
+    signatures."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        audio_active_segments,
+        encode_wav_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_active_segments(encode_wav_fixture(docs)).orderBy("doc_id")

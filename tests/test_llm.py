@@ -658,3 +658,46 @@ def test_prefix_filter_join_equals_naive_jaccard(spark):
         for r in prefix_filter_jaccard_pairs(docs).collect()
     }
     assert pruned == naive and naive  # identical, and non-trivial
+
+
+def test_audio_vad_segments_hand_checkable(spark):
+    """VAD segmentation on hand-built PCM: one loud region in a quiet
+    clip yields exactly one segment covering the loud blocks; a
+    constant-energy clip has NO block strictly above its own mean."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from lakehouse_cdc_spark.llm.multimodal import audio_active_segments
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    quiet = [10] * 16 * 6
+    loud_mid = [10] * 16 * 2 + [1500] * 16 * 2 + [10] * 16 * 2
+    constant = [700] * 16 * 6
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav(loud_mid))),
+            (2, bytearray(wav(constant))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: r
+        for r in audio_active_segments(df).orderBy("doc_id").collect()
+    }
+    m = got[1]
+    assert m.n_blocks == 6
+    assert m.n_active == 2  # the two loud blocks
+    assert m.n_segments == 1
+    assert m.max_run == 2
+    c = got[2]
+    # every block equals the mean -> none STRICTLY above it
+    assert (c.n_active, c.n_segments, c.max_run) == (0, 0, 0)
