@@ -1441,3 +1441,51 @@ def sample_global_shuffle(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+_RSV_K = 3  # uniform sample size per source
+
+
+@register(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rank
+      FROM documents)
+    WHERE rank <= {_RSV_K}
+    ORDER BY source, rank
+    """,
+    tags=("llm", "sampling", "reservoir", "stratified"),
+)
+def sample_reservoir_per_source(spark, sf_dir):
+    """Uniform k-RESERVOIR per stratum, distributed and deterministic:
+    every document draws a priority from the md5 hash of its id (a
+    uniform deterministic permutation — the same derandomization trick
+    as sample_hash_deterministic) and each source keeps its k lowest
+    priorities.  This is the bounded-size companion to the
+    fraction-based stratified samplers: a fixed per-source quota that
+    needs no second pass to discover stratum sizes, which is exactly
+    how eval-set carving and per-domain spot-check samples are drawn
+    at corpus scale.
+
+    Plan shape: the rank-k filter compiles to WindowGroupLimit, so
+    each partition discards everything beyond its top-k BEFORE the
+    single source-keyed exchange — per-stratum traffic is O(k), not
+    O(|stratum|), the reservoir property in distributed form."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= _RSV_K)
+        .orderBy("source", "rank")
+    )

@@ -766,3 +766,90 @@ def events_pattern_vshape(spark, sf_dir):
         )
         .orderBy("user_id", "valley_us")
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min of inactivity starts a new session
+
+
+@register(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER w AS prev_tus
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN prev_tus IS NULL
+                       OR tus - prev_tus > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           CAST(MIN(tus) AS BIGINT) AS session_start_us,
+           CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM numbered GROUP BY user_id, sess_idx
+    ORDER BY user_id, sess_idx
+    """,
+    tags=("events", "sessionization", "window", "W-family"),
+)
+def events_sessionize_batch(spark, sf_dir):
+    """BATCH SESSIONIZATION with a 30-minute inactivity gap — the
+    batch twin of the streaming session windows
+    (streaming/windows.py) and the reference's own thirty-minute
+    lookback concept (src/validation/validation.py's
+    ``thirty_mins_ago`` re-validation window), done as pure window
+    algebra: a session opens where the inter-event gap exceeds 30
+    minutes (lag), session ids are the running sum of open flags, and
+    one groupBy rolls each session up to start / duration / event
+    census.  Exact epoch-µs integers throughout.
+
+    Scale shape: both window passes and the final rollup partition by
+    user_id — ONE hash exchange total (Spark reuses the partitioning
+    across lag, running sum, and groupBy); per-user sequences are the
+    parallelism unit, the canonical sessionization posture at any
+    corpus size."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_tus"),
+    )
+    flagged = seq.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_tus").isNull()
+            | (F.col("tus") - F.col("prev_tus") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("sess_idx", F.sum("new_sess").over(ws))
+    return (
+        numbered.groupBy("user_id", F.col("sess_idx").cast("bigint").alias("sess_idx"))
+        .agg(
+            F.min("tus").cast("bigint").alias("session_start_us"),
+            (F.max("tus") - F.min("tus")).cast("bigint").alias("duration_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .orderBy("user_id", "sess_idx")
+    )

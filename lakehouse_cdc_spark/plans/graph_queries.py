@@ -1078,6 +1078,7 @@ def _kcore_oracle() -> str:
 
 @register(
     "graph_kcore_membership",
+    bench=True,
     oracle=_kcore_oracle(),
     tags=("graph", "kcore", "community", "iterative", "convergence"),
 )

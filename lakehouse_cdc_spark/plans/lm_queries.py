@@ -707,6 +707,7 @@ def text_zipf_profile(spark, sf_dir):
 
 @register(
     "text_kneser_ney_bigram",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
                   FROM documents),

@@ -98,3 +98,28 @@ def test_vshape_detects_crafted_pattern(spark, tmp_path):
     assert m.depth_c == 500  # 10.00 -> 5.00
     assert m.recovery_c == 700  # 5.00 -> 12.00
     assert 2 not in matches
+
+
+def test_sessionize_batch_gap_splitting(spark, tmp_path):
+    """Events 29 minutes apart share a session; a 31-minute gap opens
+    a new one, with exact duration and census."""
+    import datetime as dt
+
+    from lakehouse_cdc_spark.plans.funnel_queries import events_sessionize_batch
+
+    base = dt.datetime(2026, 1, 1)
+    mins = [0, 29, 58, 95, 96]  # 58->95 is a 37-min gap
+    rows = [
+        (i + 1, base + dt.timedelta(minutes=m), 7, "view" if i % 2 else "click", 1.0, "{}")
+        for i, m in enumerate(mins)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = events_sessionize_batch(spark, str(tmp_path)).collect()
+    assert [(r.sess_idx, r.n_events) for r in got] == [(1, 3), (2, 2)]
+    assert got[0].duration_us == 58 * 60 * 1_000_000
+    assert got[1].duration_us == 1 * 60 * 1_000_000
+    assert got[0].n_types == 2
