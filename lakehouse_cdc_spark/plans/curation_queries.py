@@ -1489,3 +1489,67 @@ def sample_reservoir_per_source(spark, sf_dir):
         .filter(F.col("rank") <= _RSV_K)
         .orderBy("source", "rank")
     )
+
+
+_QNORM_DROP_PPM = 200_000  # drop the bottom 20% per source
+
+
+@register(
+    "text_quality_quantile_normalize",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST((rnk - 1) * 1000000 // GREATEST(n_src - 1, 1) AS BIGINT)
+             AS pct_ppm,
+           CAST(CASE WHEN (rnk - 1) * 1000000 // GREATEST(n_src - 1, 1)
+                          >= {_QNORM_DROP_PPM}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents)
+    ORDER BY source, pct_ppm, doc_id
+    """,
+    tags=("llm", "text", "quality", "calibration", "window"),
+)
+def text_quality_quantile_normalize(spark, sf_dir):
+    """PER-SOURCE QUANTILE NORMALIZATION of a quality signal — the
+    calibration step before any global keep/drop threshold: raw scores
+    (here the integer length signal) are NOT comparable across sources
+    (a median news article and a median forum post differ wildly), so
+    each document's score becomes its within-source percentile in
+    exact integer ppm (``(rank−1)·1e6 // (n−1)``), and the gate
+    "drop the bottom 20%" then means the same thing in every source —
+    the rank-based equivalent of per-source z-scoring, robust to any
+    monotone score transform.
+
+    Plan shape: ONE source-keyed exchange serves both window passes
+    (rank + per-source count share the partitioning); the threshold is
+    a map-side comparison.  At 100 TB this is the cheap half of
+    calibration — no global sort, no quantile sketch, just per-source
+    ranking that parallelizes on the source hash (salt ultra-hot
+    sources into sub-strata if one source dominates the corpus)."""
+    d = table(spark, sf_dir, "documents")
+    wp = Window.partitionBy("source")
+    wr = wp.orderBy("n_chars", "doc_id")
+    pct = F.expr(
+        "CAST((rnk - 1) * 1000000 div greatest(n_src - 1, 1) AS BIGINT)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(wr).alias("rnk"),
+            F.count(F.lit(1)).over(wp).alias("n_src"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            pct.alias("pct_ppm"),
+            F.when(pct >= _QNORM_DROP_PPM, 1).otherwise(0).cast("int").alias("keep"),
+        )
+        .orderBy("source", "pct_ppm", "doc_id")
+    )

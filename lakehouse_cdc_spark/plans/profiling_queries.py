@@ -881,3 +881,99 @@ def stats_ols_by_brand(spark, sf_dir):
         F.round((syd - (dxy / dxx) * sxd) / nd, 6).alias("intercept"),
         F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
     ).orderBy("brand")
+
+
+@register(
+    "profile_fd_violations",
+    oracle="""
+    WITH cands AS (
+      SELECT 'customer: c_nationkey -> region' AS fd,
+             CAST(c.c_nationkey AS VARCHAR) AS lhs,
+             CAST(n.n_regionkey AS VARCHAR) AS rhs
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'orders: o_custkey -> priority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> returnflag',
+             CAST(l_orderkey AS VARCHAR), l_returnflag
+      FROM lineitem
+    ),
+    per_lhs AS (
+      SELECT fd, lhs, COUNT(DISTINCT rhs) AS n_rhs
+      FROM cands GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_distinct,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS violation_ppm
+    FROM per_lhs GROUP BY fd ORDER BY fd
+    """,
+    tags=("profiling", "quality", "functional-dependency"),
+)
+def profile_fd_violations(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY discovery probes (the Metanome-style
+    profiling step schema-inference and data-contract tooling runs):
+    for each candidate FD ``lhs → rhs``, count left-hand groups whose
+    right side is NOT single-valued.  Three candidates spanning the
+    three outcomes: a TRUE dependency (customer nation → region
+    through the nation dim — 0 violations by construction), a
+    NEAR-dependency (customer → order priority: violated by most
+    multi-order customers), and a NON-dependency (order → line return
+    flag).  Violation rate in exact integer ppm.
+
+    Scale shape: one map-side projection per candidate unioned into a
+    single (fd, lhs)-keyed aggregate — the |lhs groups| shuffle, with
+    COUNT(DISTINCT rhs) expanded by Spark into the standard two-phase
+    partial-distinct plan (no row explosion); the dimension join for
+    the first candidate is broadcast.  At 100 TB candidate FDs
+    evaluate in ONE pass over the fact table each, the profiling
+    posture that makes contract checks affordable."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cands = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.lit("customer: c_nationkey -> region").alias("fd"),
+            F.col("c_nationkey").cast("string").alias("lhs"),
+            F.col("n_regionkey").cast("string").alias("rhs"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("orders: o_custkey -> priority").alias("fd"),
+                F.col("o_custkey").cast("string").alias("lhs"),
+                F.col("o_orderpriority").alias("rhs"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem: l_orderkey -> returnflag").alias("fd"),
+                F.col("l_orderkey").cast("string").alias("lhs"),
+                F.col("l_returnflag").alias("rhs"),
+            )
+        )
+    )
+    per_lhs = cands.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").alias("n_rhs")
+    )
+    return (
+        per_lhs.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.max("n_rhs").cast("bigint").alias("max_rhs_distinct"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("violation_ppm"),
+        )
+        .orderBy("fd")
+    )
