@@ -3096,3 +3096,119 @@ def multimodal_audio_vad_segments(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return audio_active_segments(encode_wav_fixture(docs)).orderBy("doc_id")
+
+
+@register(
+    "emb_cluster_drift_tv",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cemb,
+                      {_NORM_SQ} AS cnorm
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(c.cemb[i] AS DOUBLE)))
+                   / (sqrt({_NORM_SQ.replace('embedding', 'e.embedding')})
+                      * sqrt(c.cnorm)), 6) AS cs
+      FROM embeddings e, c
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    per_cluster AS (
+      SELECT cid AS cluster,
+             SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM assigned GROUP BY cid
+    ),
+    tot AS (SELECT SUM(n_ref) AS na, SUM(n_cur) AS nb FROM per_cluster),
+    shifted AS (
+      SELECT p.cluster, p.n_ref, p.n_cur, t.na, t.nb,
+             abs(p.n_ref * t.nb - p.n_cur * t.na) AS shift_num
+      FROM per_cluster p, tot t
+    )
+    SELECT cluster,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_ref * 1000000 // na AS BIGINT) AS ref_share_ppm,
+           CAST(n_cur * 1000000 // nb AS BIGINT) AS cur_share_ppm,
+           CAST(shift_num * 1000000 // (na * nb) AS BIGINT) AS shift_ppm,
+           CAST((SUM(shift_num) OVER ()) * 1000000 // (2 * na * nb)
+                AS BIGINT) AS tv_ppm
+    FROM shifted ORDER BY cluster
+    """,
+    tags=("llm", "embeddings", "drift", "ivf", "monitoring"),
+)
+def emb_cluster_drift_tv(spark, sf_dir):
+    """EMBEDDING-DISTRIBUTION DRIFT over the IVF index — the
+    staleness monitor a production vector store runs to decide when
+    frozen centroids need retraining: the corpus splits into a
+    reference population (even vec_id — "what the centroids were
+    trained on") and a current one (odd), both assigned to the same 8
+    frozen centroids, and the per-cluster occupancy distributions are
+    compared by total-variation distance in EXACT integer ppm (the
+    cross-multiplied form ``|n_ref·N_cur − n_cur·N_ref|`` — no float
+    shares anywhere, same discipline as the Benford TV audit).  Per
+    cluster: both shares and the shift contribution; the scalar
+    ``tv_ppm`` rides every row (drift > threshold ⇒ retrain +
+    rebucket via maintenance_rebucket_planner).
+
+    Scale shape: ONE broadcast-centroid assignment pass over the
+    vectors (identical to emb_ivf_assign — K·dim work per vector, no
+    vector ever shuffles), then an 8-row aggregate; the drift math is
+    arithmetic on |clusters| rows.  At 100 TB the monitor costs the
+    same as one IVF assignment scan, and in the maintained-index
+    deployment (cdf_incremental_ann_index) it reads the ASSIGNMENT
+    SINK instead and costs O(|clusters|)."""
+    from lakehouse_cdc_spark.llm.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assigned = ivf_assign(emb, centroids)
+    per_cluster = assigned.groupBy("cluster").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = per_cluster.agg(
+        F.sum("n_ref").alias("na"), F.sum("n_cur").alias("nb")
+    )
+    shifted = per_cluster.crossJoin(F.broadcast(tot)).withColumn(
+        "shift_num",
+        F.abs(F.col("n_ref") * F.col("nb") - F.col("n_cur") * F.col("na")),
+    )
+    total_shift = shifted.agg(F.sum("shift_num").alias("shift_total"))
+    # ppm multiplications ride DECIMAL(38,0): shift_num grows as na*nb,
+    # so the *1e6 product would pass int64 at large sf while the
+    # oracle's HUGEINT stays exact (same guard as the Benford TV audit)
+    return (
+        shifted.crossJoin(F.broadcast(total_shift))
+        .select(
+            "cluster",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.expr(
+                "CAST(CAST(n_ref AS DECIMAL(38,0)) * 1000000 div na"
+                " AS BIGINT)"
+            ).alias("ref_share_ppm"),
+            F.expr(
+                "CAST(CAST(n_cur AS DECIMAL(38,0)) * 1000000 div nb"
+                " AS BIGINT)"
+            ).alias("cur_share_ppm"),
+            F.expr(
+                "CAST(CAST(shift_num AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("shift_ppm"),
+            F.expr(
+                "CAST(CAST(shift_total AS DECIMAL(38,0)) * 1000000"
+                " div (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("cluster")
+    )
