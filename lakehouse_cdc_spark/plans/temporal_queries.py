@@ -707,3 +707,85 @@ def cdc_bitemporal_asof(spark, sf_dir):
             | (F.col("then_event") != F.col("now_event"))
         ).alias("revised"),
     )
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH opened AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_opened
+      FROM orders GROUP BY 1
+    ),
+    closed AS (
+      SELECT last_ship AS day, COUNT(*) AS n_closed
+      FROM (
+        SELECT l_orderkey,
+               CAST(MAX(l_shipdate) AS DATE) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+      ) GROUP BY 1
+    ),
+    days AS (
+      SELECT day, COALESCE(o.n_opened, 0) AS n_opened,
+             COALESCE(c.n_closed, 0) AS n_closed
+      FROM opened o FULL OUTER JOIN closed c USING (day)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM days ORDER BY day
+    """,
+    tags=("temporal", "backlog", "event-sourcing", "window"),
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    """OPEN-BACKLOG RECONSTRUCTION from the order event log — the
+    event-sourcing view a fulfilment dashboard derives from CDC
+    history: an order OPENS on its order date and CLOSES when its last
+    line ships (max l_shipdate per order); the daily running sum of
+    opens − closes is the standing backlog curve.  This is the
+    state-over-time query class (like inventory from movements) that
+    snapshot stores answer for free and event logs must reconstruct.
+    Exact integer counts; days as formatted strings.
+
+    Scale shape: the per-order close date is ONE map-side-combined max
+    over lineitem keyed by order; both event streams then compact to
+    |days|-sized tables before the full-outer align, and the running
+    sum is the TWO-PASS PREFIX form (operators/prefix.py:
+    lower_bucket_agg — per-day carry-in via a broadcast theta join
+    over the calendar-bounded day table), so NO unpartitioned window
+    exists anywhere in the plan at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    opened = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    days = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+        .withColumn("net", F.col("n_opened") - F.col("n_closed"))
+    )
+    from lakehouse_cdc_spark.operators.prefix import lower_bucket_agg
+
+    carry = lower_bucket_agg(days, "day", "net", "carry", combine="sum")
+    return (
+        days.join(carry, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_opened").cast("bigint").alias("n_opened"),
+            F.col("n_closed").cast("bigint").alias("n_closed"),
+            (F.col("carry") + F.col("net")).cast("bigint").alias("open_backlog"),
+        )
+        .orderBy("day")
+    )
