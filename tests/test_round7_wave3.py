@@ -123,3 +123,44 @@ def test_sessionize_batch_gap_splitting(spark, tmp_path):
     assert got[0].duration_us == 58 * 60 * 1_000_000
     assert got[1].duration_us == 1 * 60 * 1_000_000
     assert got[0].n_types == 2
+
+
+def test_backlog_reconstruction_crafted(spark, tmp_path):
+    """Two orders opening on days 1/2, closing on days 2/4: the
+    backlog curve must be 1, 1, 0-gap, 0 with the close day defined by
+    the LAST shipped line."""
+    import datetime as dt
+
+    from lakehouse_cdc_spark.plans.temporal_queries import (
+        orders_open_backlog_daily,
+    )
+
+    d = lambda n: dt.datetime(2026, 1, n)  # noqa: E731
+    spark.createDataFrame(
+        [(1, 10, "O", 5.0, d(1), "1-URGENT"), (2, 11, "O", 6.0, d(2), "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity long, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp"
+    )
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1, 1.0, 0.0, 0.0, "N", "O", d(2)),
+            (2, 1, 1, 1, 1, 1.0, 0.0, 0.0, "N", "O", d(3)),
+            (2, 2, 1, 2, 1, 1.0, 0.0, 0.0, "N", "O", d(4)),  # last line day 4
+        ],
+        li_schema,
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        (r.day, r.n_opened, r.n_closed, r.open_backlog)
+        for r in orders_open_backlog_daily(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2026-01-01", 1, 0, 1),
+        ("2026-01-02", 1, 1, 1),
+        ("2026-01-04", 0, 1, 0),
+    ]
