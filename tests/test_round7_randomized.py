@@ -128,3 +128,92 @@ def test_random_stream_keeps_index_and_expiry_predictions_exact(
     assert {
         r.vec_id for r in base.current_table(spark).collect()
     } == live
+
+
+_WORDS = [
+    "spark", "merge", "rows", "vector", "stream", "delta", "bucket",
+    "index", "shingle", "corpus", "feed", "snapshot",
+]
+
+
+def _text(rng):
+    return " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 9)))
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_stream_keeps_lsh_index_exact(spark, tmp_path, seed):
+    """Same co-stress shape for the round-7 LSH band index: a random
+    document change stream interleaved with compaction/rebucket, the
+    index maintained through a FeedCursor, must equal a from-scratch
+    signature rebuild at the end — under interleavings (edits across
+    rebucket, deletes of compacted docs, replay boundaries) no
+    hand-written case enumerates."""
+    from lakehouse_cdc_spark.streaming.indexing import (
+        lsh_index_changes,
+        rebuild_lsh_index,
+    )
+
+    rng = random.Random(seed)
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=2
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=2,
+    )
+    cursor = FeedCursor(base, str(tmp_path / "cursor.json"))
+    live: set[int] = set()
+
+    def advance():
+        while True:
+            feed, to_snap, ack = cursor.next_batch(spark)
+            if feed is None:
+                return
+            idx.process_batch(lsh_index_changes(feed, snapshot=to_snap), to_snap)
+            ack()
+
+    next_id = 0
+    for batch_id in range(6):
+        rows = []
+        seq = batch_id * 100
+        prev_live = sorted(live)
+        for _ in range(rng.randrange(1, 4)):
+            rows.append((next_id, _text(rng), "c", seq))
+            live.add(next_id)
+            next_id += 1
+            seq += 1
+        for d in rng.sample(prev_live, k=min(len(prev_live), rng.randrange(0, 3))):
+            rows.append((d, _text(rng), "u", seq))
+            seq += 1
+        touched = {r[0] for r in rows}
+        deletable = [d for d in prev_live if d not in touched]
+        if deletable and rng.random() < 0.4:
+            d = rng.choice(deletable)
+            rows.append((d, None, "d", seq))
+            seq += 1
+            live.discard(d)
+        base.process_batch(
+            spark.createDataFrame(
+                rows, "doc long, text string, operation string, seq long"
+            ),
+            batch_id,
+        )
+        r = rng.random()
+        if r < 0.25:
+            base.compact_buckets(spark, files_per_bucket=1, min_files=1)
+        elif r < 0.4:
+            base.rebucket(spark, rng.choice([2, 3, 4]))
+        advance()
+
+    got = sorted(
+        (r.doc, r.band, r.band_key)
+        for r in idx.current_table(spark).collect()
+    )
+    want = sorted(
+        (r.doc, r.band, r.band_key)
+        for r in rebuild_lsh_index(base.current_table(spark)).collect()
+    )
+    assert got == want
+    assert {d for d, _, _ in got} == live
