@@ -159,3 +159,91 @@ def source_metadata_provenance(spark, sf_dir):
             F.max("doc_id").cast("bigint").alias("max_doc"),
         )
     )
+
+
+@register(
+    "source_connector_fleet_reconcile",
+    oracle="""
+    SELECT 'src-' || regexp_replace(lower(n_name), '[^a-z0-9]+', '-', 'g')
+             AS connector,
+           CASE n_nationkey % 3
+             WHEN 0 THEN 'create'
+             WHEN 1 THEN 'replace'
+             ELSE 'noop' END AS action
+    FROM nation ORDER BY connector
+    """,
+    tags=("connectors", "lifecycle", "reconcile", "S1"),
+)
+def source_connector_fleet_reconcile(spark, sf_dir):
+    """CONNECTOR-FLEET RECONCILIATION as a distributed diff — the
+    multi-tenant form of the lifecycle module (connectors.py, itself
+    the declarative re-expression of the reference's imperative
+    create_source_connector.py): one desired Debezium source per
+    nation-tenant is GENERATED by the validated pure config functions
+    (full configs, canonical sorted-key JSON), the live fleet is the
+    declared drift scheme (every 3rd tenant absent → create; the next
+    drifted in slot.name → replace; the rest identical → noop), and
+    the reconcile decision is a full-outer join + config comparison
+    over DataFrames.  The oracle maps the drift scheme straight to
+    actions — a hash match proves the REAL generated configs diff to
+    exactly the declared plan (a config-generation or comparison bug
+    flips an action).  pytest separately pins this DataFrame diff ≡
+    connectors.reconcile_plan on the same fleet.
+
+    Scale shape: the per-tenant spec tables here are 25 rows from the
+    nation dim, but the plan is the one that matters at fleet scale
+    (thousands of connectors across tenants): a name-keyed full-outer
+    hash join of two config tables with a string comparison — no
+    driver loop over connectors, unlike the reference's one-REST-call-
+    per-connector script."""
+    import json as _json
+
+    from lakehouse_cdc_spark.connectors import debezium_postgres_source
+    from lakehouse_cdc_spark.plans.registry import table
+
+    nations = [
+        (int(r.n_nationkey), str(r.n_name))
+        for r in table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()  # 25-row dimension: the fleet spec source
+    ]
+
+    def spec(name_raw: str, slot: str) -> tuple[str, str]:
+        import re as _re
+
+        tenant = _re.sub(r"[^a-z0-9]+", "-", name_raw.lower())
+        s = debezium_postgres_source(
+            name=f"src-{tenant}",
+            database_hostname=f"{tenant}.db.internal.example",
+            database_dbname=tenant,
+            tables=["public.orders"],
+            topic_prefix=tenant,
+            slot_name=slot,
+        )
+        return s["name"], _json.dumps(s["config"], sort_keys=True)
+
+    desired = spark.createDataFrame(
+        [spec(nm, "debezium_slot") for _, nm in nations],
+        "connector string, desired_cfg string",
+    )
+    live_rows = []
+    for k, nm in nations:
+        if k % 3 == 0:
+            continue  # absent from the live fleet
+        slot = "old_slot" if k % 3 == 1 else "debezium_slot"
+        n, cfg = spec(nm, slot)
+        live_rows.append((n, cfg))
+    live = spark.createDataFrame(
+        live_rows, "connector string, live_cfg string"
+    )
+    return (
+        desired.join(live, "connector", "full_outer")
+        .select(
+            "connector",
+            F.when(F.col("live_cfg").isNull(), F.lit("create"))
+            .when(F.col("live_cfg") != F.col("desired_cfg"), F.lit("replace"))
+            .otherwise(F.lit("noop"))
+            .alias("action"),
+        )
+        .orderBy("connector")
+    )

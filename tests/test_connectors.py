@@ -119,3 +119,54 @@ def test_rest_calls_render_create_and_replace():
     # converged → no calls at all
     live = {s["name"]: dict(s["config"]) for s in desired}
     assert rest_calls(desired, live) == []
+
+
+def test_fleet_reconcile_query_matches_pure_plan(spark, sf_dir):
+    """The distributed diff (declared query) and the pure-function
+    reconcile_plan must land the identical fleet plan."""
+    from lakehouse_cdc_spark.connectors import (
+        debezium_postgres_source,
+        reconcile_plan,
+    )
+    from lakehouse_cdc_spark.plans.source_queries import (
+        source_connector_fleet_reconcile,
+    )
+    from lakehouse_cdc_spark.plans.registry import table
+    import pyspark.sql.functions as F  # noqa: F401
+    import re
+
+    got = {
+        r.connector: r.action
+        for r in source_connector_fleet_reconcile(spark, sf_dir).collect()
+    }
+
+    nations = [
+        (int(r.n_nationkey), str(r.n_name))
+        for r in table(spark, sf_dir, "nation").collect()
+    ]
+
+    def spec(nm, slot):
+        tenant = re.sub(r"[^a-z0-9]+", "-", nm.lower())
+        return debezium_postgres_source(
+            name=f"src-{tenant}",
+            database_hostname=f"{tenant}.db.internal.example",
+            database_dbname=tenant,
+            tables=["public.orders"],
+            topic_prefix=tenant,
+            slot_name=slot,
+        )
+
+    desired = [spec(nm, "debezium_slot") for _, nm in nations]
+    live = {
+        s["name"]: s["config"]
+        for s in (
+            spec(nm, "old_slot" if k % 3 == 1 else "debezium_slot")
+            for k, nm in nations
+            if k % 3 != 0
+        )
+    }
+    pure = {
+        name: ("noop" if action == "noop" else action)
+        for action, name in reconcile_plan(desired, live)
+    }
+    assert got == pure
