@@ -699,11 +699,12 @@ def events_pattern_vshape(spark, sf_dir):
     integer cents and epoch-µs, so matches are bit-identical across
     engines.
 
-    Scale shape: both window passes partition by user_id (ONE hash
-    exchange, reused by Spark across the passes — no cross-user
-    traffic), and the runs self-join is on (user_id, run_seq) over the
-    already-shrunk run table.  At 100 TB: per-user sequences are the
-    unit of parallelism, identical to sessionization."""
+    Scale shape: two user-keyed exchanges total (plan-verified —
+    user_id for the step/lag pass, (user_id, dir) for the island
+    numbering); every key includes user_id, so no cross-user traffic
+    exists anywhere, and the runs self-join is on (user_id, run_seq)
+    over the already-shrunk run table.  At 100 TB: per-user sequences
+    are the unit of parallelism, identical to sessionization."""
     e = table(spark, sf_dir, "events")
     v = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -378,3 +378,60 @@ def test_asof_operators_match_python_model_on_random_data(spark):
     for lk, lt, lid in left:
         assert got_b[lid] == model_backward(lk, lt), ("backward", lid)
         assert got_n[lid] == model_nearest(lk, lt), ("nearest", lid)
+
+
+# --------------------------------------------------------------- k-core
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _kcore_model(pairs, k):
+    """Naive single-threaded peel: adjacency sets, repeatedly drop
+    nodes with < k neighbors, to the true fixed point."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pairs=edge_strategy, k=st.integers(2, 4))
+def test_kcore_matches_python_model_on_random_graphs(spark, pairs, k):
+    """The distributed peel must land the exact same core (members AND
+    within-core degrees) as a naive sequential peel, for arbitrary
+    small graphs and k."""
+    from lakehouse_cdc_spark.operators.graph import kcore
+
+    pairs = list({tuple(sorted(p)) for p in pairs})  # simple graph
+    want = _kcore_model(pairs, k)
+    if pairs:
+        sym = spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src int, dst int",
+        )
+    else:
+        sym = spark.createDataFrame([], "src int, dst int")
+    core, _rounds = kcore(sym, k=k)
+    got: dict = {}
+    for r in core.collect():
+        got[r.src] = got.get(r.src, 0) + 1
+    assert got == want
