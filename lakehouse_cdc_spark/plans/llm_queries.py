@@ -3212,3 +3212,130 @@ def emb_cluster_drift_tv(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+_RAKE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+_RAKE_TOP = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, i, t[i] AS token
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)
+            WHERE t[i] <> ''),
+    content AS (
+      SELECT doc_id, i, token,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos WHERE token NOT IN {_RAKE_STOPWORDS!r}
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(token, ' ' ORDER BY i) AS phrase,
+             COUNT(*) AS plen
+      FROM content GROUP BY doc_id, grp
+    ),
+    word_stats AS (
+      SELECT c.token,
+             COUNT(*) AS freq,
+             SUM(p.plen) AS degree
+      FROM content c
+      JOIN phrases p ON p.doc_id = c.doc_id AND p.grp = c.grp
+      GROUP BY c.token
+    ),
+    scored AS (
+      SELECT p.doc_id, p.grp, p.phrase, p.plen,
+             SUM(w.degree * 1000 // w.freq) AS phrase_score
+      FROM content c
+      JOIN phrases p ON p.doc_id = c.doc_id AND p.grp = c.grp
+      JOIN word_stats w ON w.token = c.token
+      GROUP BY p.doc_id, p.grp, p.phrase, p.plen
+    )
+    SELECT phrase,
+           CAST(MAX(plen) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(phrase_score) AS BIGINT) AS score_permille
+    FROM scored
+    GROUP BY phrase
+    ORDER BY score_permille DESC, phrase ASC
+    LIMIT {_RAKE_TOP}
+    """,
+    tags=("llm", "text", "keywords", "rake"),
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE-style KEYWORD EXTRACTION (Rose et al. 2010) — the
+    unsupervised key-phrase miner curation teams run for corpus
+    inspection and topic labeling: stopwords DELIMIT candidate
+    phrases (maximal stopword-free token runs, recovered with the
+    gaps-and-islands trick on token positions), every word scores
+    degree/frequency (degree = Σ length of phrases it appears in —
+    words living in long phrases beat words living alone), and a
+    phrase scores the sum of its member words, all in exact integer
+    permille (degree·1000 // freq), so the top-20 ranking is
+    bit-identical across engines.  Identical phrase texts share one
+    output row with their occurrence count (same word multiset ⇒ same
+    score, so MAX is a no-op aggregator there).
+
+    Scale shape: position explosion is map-side; islands need one
+    doc-keyed window pass; word stats are a |vocab|-sized shuffle and
+    the phrase-score join shuffles on (doc, grp) — phrase-bounded, not
+    corpus-quadratic; the final top-20 is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    pos = (
+        d.select(
+            "doc_id", F.posexplode(tokens("text")).alias("i0", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "token")
+    )
+    content = (
+        pos.filter(~F.col("token").isin(*_RAKE_STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            ),
+        )
+    )
+    phrases = content.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        content.join(phrases, ["doc_id", "grp"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    scored = (
+        content.join(phrases, ["doc_id", "grp"])
+        .join(word_stats, "token")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(
+            F.sum(F.expr("degree * 1000 div freq")).alias("phrase_score")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("phrase_score").cast("bigint").alias("score_permille"),
+        )
+        .orderBy(F.desc("score_permille"), F.asc("phrase"))
+        .limit(_RAKE_TOP)
+    )

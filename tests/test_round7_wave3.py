@@ -164,3 +164,31 @@ def test_backlog_reconstruction_crafted(spark, tmp_path):
         ("2026-01-02", 1, 1, 1),
         ("2026-01-04", 0, 1, 0),
     ]
+
+
+def test_rake_phrase_delimiting_and_scoring(spark, tmp_path):
+    """Stopwords delimit phrases; a word that always appears inside a
+    long phrase outranks an equally-frequent isolated word."""
+    from lakehouse_cdc_spark.plans.llm_queries import text_rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning model beats the baseline"),
+            (2, "deep learning model wins again"),
+            (3, "baseline of simple rules"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.phrase: r for r in text_rake_keywords(spark, str(tmp_path)).collect()}
+    # 'the' and 'of' never appear inside any phrase
+    assert not any(" the " in f" {p} " or p.startswith("the ") for p in got)
+    # the 3-word run before 'the' forms one phrase in doc 1
+    assert "deep learning model beats" in got
+    # 'baseline' occurs twice (freq 2), both times as a length-1
+    # phrase: degree 2 => score 1000 permille; 'deep' occurs twice
+    # inside length-4/5 phrases: degree 9, freq 2 => 4500 — isolated
+    # words rank below phrase-dwelling words of equal frequency
+    assert got["baseline"].score_permille == 1000
+    four = got["deep learning model wins again"]
+    assert four.score_permille > got["baseline"].score_permille
