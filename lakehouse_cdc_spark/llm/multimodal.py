@@ -781,3 +781,52 @@ def audio_active_segments(
             )
 
     return df.mapInPandas(batches, VAD_SCHEMA)
+
+
+# ------------------------------------------------- decode quarantine
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.IntegerType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("px_count", T.LongType()),
+    ]
+)
+
+
+def decode_bmp_quarantine(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode with a QUARANTINE lane — the media twin of the CDC
+    poison-message split (cdc/decode.py's DLQ): every payload either
+    decodes (ok=1, exact pixel count) or lands in the quarantine lane
+    (ok=0, reason) WITHOUT failing the batch.  A corrupt byte stream
+    in a 100 TB media crawl is a certainty, and a kernel that throws
+    kills the whole task+retry cycle; catching per-row keeps the
+    pipeline flowing and the quarantine table queryable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, oks, reasons, pxs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(doc_id))
+                try:
+                    arr = _parse_bmp(bytes(payload))
+                    oks.append(1)
+                    reasons.append(None)
+                    pxs.append(int(arr.size))
+                except Exception:  # noqa: BLE001 — quarantine, never raise
+                    oks.append(0)
+                    reasons.append("decode-error")
+                    pxs.append(0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "ok": oks,
+                    "reason": reasons,
+                    "px_count": pxs,
+                }
+            )
+
+    return df.mapInPandas(batches, QUARANTINE_SCHEMA)

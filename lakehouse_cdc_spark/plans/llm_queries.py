@@ -3339,3 +3339,173 @@ def text_rake_keywords(spark, sf_dir):
         .orderBy(F.desc("score_permille"), F.asc("phrase"))
         .limit(_RAKE_TOP)
     )
+
+
+@register(
+    "sketch_minhash_estimate_error",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+             {_MINS}
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id,
+             {_BANDS}
+            FROM sig),
+    cand AS (
+{_BAND_UNION}
+    ),
+    est AS (
+      SELECT c.da, c.db,
+             ({' + '.join(f'CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END'
+                          for j in range(8))}) AS est_matches
+      FROM cand c JOIN sig a ON a.doc_id = c.da
+                  JOIN sig b ON b.doc_id = c.db
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS isect
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.da
+      JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+      GROUP BY c.da, c.db
+    )
+    SELECT e.da, e.db,
+           CAST(e.est_matches AS BIGINT) AS est_matches,
+           CAST(e.est_matches * 1000 // 8 AS BIGINT) AS est_permille,
+           CAST(COALESCE(i.isect, 0) * 1000
+                // (sa.n + sb.n - COALESCE(i.isect, 0)) AS BIGINT)
+             AS exact_permille,
+           CAST(abs(e.est_matches * 1000 // 8
+                    - COALESCE(i.isect, 0) * 1000
+                      // (sa.n + sb.n - COALESCE(i.isect, 0))) AS BIGINT)
+             AS abs_err_permille
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.da
+    JOIN sizes sb ON sb.doc_id = e.db
+    LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+    ORDER BY e.da, e.db
+    """,
+    tags=("llm", "dedup", "minhash", "sketch", "accuracy-audit"),
+)
+def sketch_minhash_estimate_error(spark, sf_dir):
+    """MinHash ESTIMATOR-ACCURACY AUDIT — the sketch-quality probe
+    (sibling of emb_ivf_recall_probe for ANN): for every LSH candidate
+    pair, the k=8 component-match estimate of Jaccard
+    (matches·1000 // 8) sits next to the EXACT shingle Jaccard, with
+    the absolute error in permille.  This is the measurement that
+    justifies (or indicts) a chosen k: E[matches/k] = J exactly, with
+    σ = sqrt(J(1−J)/k), and the audit makes the realized spread
+    visible on the actual corpus instead of trusting the formula.
+    All integer arithmetic — both engines agree bit-for-bit.
+
+    Scale shape: estimates are O(k) per candidate pair; the exact leg
+    joins shingle postings THROUGH the candidate pair set (never
+    all-pairs — the candidates bound the quadratic term exactly as
+    dedup_lsh_verified does); everything downstream of the bounded
+    pair set is arithmetic."""
+    from lakehouse_cdc_spark.llm.dedup import shingle_table
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8)
+    cand = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(8)],
+    )
+    matches = None
+    for j in range(8):
+        term = F.when(F.col(f"ha{j}") == F.col(f"hb{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = (
+        cand.join(a, "da")
+        .join(b, "db")
+        .select("da", "db", matches.alias("est_matches"))
+    )
+    sh = shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cand.join(sh_a, "da")
+        .join(sh_b, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    return (
+        est.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .join(inter, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            F.col("est_matches").cast("bigint").alias("est_matches"),
+            F.expr("CAST(est_matches * 1000 div 8 AS BIGINT)").alias(
+                "est_permille"
+            ),
+            F.expr(
+                "CAST(COALESCE(isect, 0) * 1000"
+                " div (na + nb - COALESCE(isect, 0)) AS BIGINT)"
+            ).alias("exact_permille"),
+            F.expr(
+                "CAST(abs(est_matches * 1000 div 8"
+                " - COALESCE(isect, 0) * 1000"
+                "   div (na + nb - COALESCE(isect, 0))) AS BIGINT)"
+            ).alias("abs_err_permille"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+@register(
+    "multimodal_decode_quarantine",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INT) AS ok,
+           CASE WHEN doc_id % 17 = 0 THEN 'decode-error' END AS reason,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                ELSE (4 + doc_id % 13) * (4 + (doc_id * 7) % 11)
+                     * (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END)
+                END AS BIGINT) AS px_count
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "quarantine", "dlq", "pandas-udf"),
+)
+def multimodal_decode_quarantine(spark, sf_dir):
+    """CORRUPT-MEDIA QUARANTINE — the DLQ pattern applied to the
+    decode kernel (the media twin of the reference's poison-message
+    skip, src/processor/spark_exactly_once.py's malformed-JSON guard):
+    every 17th document's BMP payload is TRUNCATED to its first 10
+    bytes (a real corrupt-crawl artifact), and the decode kernel
+    (llm/multimodal.py:decode_bmp_quarantine) catches per-row instead
+    of throwing — good rows carry their exact pixel count, bad rows
+    land in the ok=0 lane with a reason, and the BATCH NEVER FAILS.
+    The oracle derives both lanes from the corruption modulus and the
+    closed-form geometry — a hash match proves the kernel decodes
+    exactly the uncorrupted set (no false quarantines, no crashes
+    leaking through).
+
+    Scale shape: identical to every decode stage — Arrow-batched
+    mapInPandas, payload bytes never shuffle; the quarantine lane is
+    what makes the whole-corpus decode RESTARTABLE (a task retry
+    re-quarantines deterministically instead of dying on the same
+    byte)."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        decode_bmp_quarantine,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    corrupted = encode_bmp_fixture(docs).withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.expr("substring(payload, 1, 10)"),
+        ).otherwise(F.col("payload")),
+    )
+    return decode_bmp_quarantine(corrupted).orderBy("doc_id")
