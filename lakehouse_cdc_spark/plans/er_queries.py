@@ -1047,3 +1047,76 @@ def er_em_weight_estimation(spark, sf_dir):
         F.col("m3").alias("m_nat_ppm"),
         F.col("u3").alias("u_nat_ppm"),
     )
+
+
+@register(
+    "er_match_quality_audit",
+    oracle=_ER_MATCH_CTES
+    + """
+    , per_lev AS (
+      SELECT lev, COUNT(*) AS n_links, SUM(is_correct) AS n_correct
+      FROM matches GROUP BY lev
+    ),
+    tot AS (
+      SELECT SUM(n_links) AS links, SUM(n_correct) AS correct,
+             (SELECT COUNT(*) FROM customer) AS truth
+      FROM per_lev
+    )
+    SELECT p.lev,
+           CAST(p.n_links AS BIGINT) AS n_links,
+           CAST(p.n_correct AS BIGINT) AS n_correct,
+           CAST(p.n_correct * 1000000 // p.n_links AS BIGINT)
+             AS lev_precision_ppm,
+           CAST(t.correct * 1000000 // t.links AS BIGINT)
+             AS overall_precision_ppm,
+           CAST(t.correct * 1000000 // t.truth AS BIGINT)
+             AS overall_recall_ppm
+    FROM per_lev p, tot t
+    ORDER BY p.lev
+    """,
+    tags=("er", "evaluation", "precision-recall"),
+)
+def er_match_quality_audit(spark, sf_dir):
+    """MATCH-QUALITY EVALUATION of the blocked fuzzy matcher — the
+    precision/recall report an ER pipeline publishes before anyone
+    trusts its links, computable here WITHOUT human labels because the
+    corruption is deterministic (ground truth: every dirty record's
+    one true match is its own key): per edit distance, link count,
+    correct count and precision; overall precision (correct / accepted
+    links) and recall (correct / |truth|) in exact integer ppm riding
+    every row.  The lev=0 stratum is exact-match links (expected
+    ~perfect); precision decay across lev 1→2 is the evidence for
+    where to put the acceptance threshold.
+
+    Scale shape: one rollup over the already-bounded match table
+    (blocking caps candidates; see er_blocked_fuzzy_match) plus a
+    3-row broadcast of the totals — the evaluation adds nothing to
+    the matcher's own cost."""
+    matches = _fuzzy_matches(spark, sf_dir)
+    per_lev = matches.groupBy("lev").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum("is_correct").alias("n_correct"),
+    )
+    truth = _customer_count(spark, sf_dir)
+    tot = per_lev.agg(
+        F.sum("n_links").alias("links"),
+        F.sum("n_correct").alias("correct"),
+    )
+    return (
+        per_lev.crossJoin(F.broadcast(tot))
+        .select(
+            "lev",
+            F.col("n_links").cast("bigint").alias("n_links"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.expr("CAST(n_correct * 1000000 div n_links AS BIGINT)").alias(
+                "lev_precision_ppm"
+            ),
+            F.expr("CAST(correct * 1000000 div links AS BIGINT)").alias(
+                "overall_precision_ppm"
+            ),
+            F.expr(
+                f"CAST(correct * 1000000 div {truth} AS BIGINT)"
+            ).alias("overall_recall_ppm"),
+        )
+        .orderBy("lev")
+    )
