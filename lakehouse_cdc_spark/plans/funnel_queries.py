@@ -854,3 +854,102 @@ def events_sessionize_batch(spark, sf_dir):
         )
         .orderBy("user_id", "sess_idx")
     )
+
+
+_WEEK_US = 604_800_000_000  # 7 days in epoch-µs; engine-neutral weeks
+
+
+@register(
+    "events_growth_accounting",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS w
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, w,
+             LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+      FROM uw
+    ),
+    maxw AS (SELECT MAX(w) AS mw FROM uw),
+    lastw AS (SELECT user_id, MAX(w) AS lw FROM uw GROUP BY user_id),
+    activity AS (
+      SELECT w, CASE WHEN prev_w IS NULL THEN 'new'
+                     WHEN prev_w = w - 1 THEN 'retained'
+                     ELSE 'resurrected' END AS kind
+      FROM lagged
+      UNION ALL
+      SELECT prev_w + 1, 'churned' FROM lagged WHERE prev_w < w - 1
+      UNION ALL
+      SELECT l.lw + 1, 'churned' FROM lastw l, maxw m WHERE l.lw < m.mw
+    )
+    SELECT CAST(w AS BIGINT) AS week,
+           CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+    FROM activity GROUP BY w ORDER BY week
+    """,
+    tags=("events", "growth", "retention", "W-family"),
+)
+def events_growth_accounting(spark, sf_dir):
+    """GROWTH ACCOUNTING (the new / retained / resurrected / churned
+    weekly ledger every growth team reports): user-weeks classify by
+    the lag of their previous active week — first week ever = new,
+    consecutive = retained, gap = resurrected — and churn events post
+    to the week AFTER activity stopped (both mid-history gaps and
+    end-of-history exits, the latter against the corpus max week).
+    Weeks are engine-neutral integer epoch-µs floor-divisions (no
+    engine's week-truncation convention involved).  The identity
+    actives(w) = new + retained + resurrected is structural; churn
+    closes the ledger so week-over-week active deltas reconcile
+    exactly — all integer counts.
+
+    Scale shape: ONE user-keyed window pass over the deduplicated
+    user-week table (itself a map-side distinct), a per-user max, a
+    one-row max broadcast, and a |weeks|-sized rollup.  Per-user
+    histories are the parallelism unit; nothing global but the
+    one-row max."""
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(_WEEK_US)).cast("bigint").alias("w"),
+    ).distinct()
+    lagged = uw.withColumn(
+        "prev_w", F.lag("w").over(Window.partitionBy("user_id").orderBy("w"))
+    )
+    maxw = uw.agg(F.max("w").alias("mw"))
+    lastw = uw.groupBy("user_id").agg(F.max("w").alias("lw"))
+    kind = (
+        F.when(F.col("prev_w").isNull(), "new")
+        .when(F.col("prev_w") == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    activity = (
+        lagged.select("w", kind.alias("kind"))
+        .unionByName(
+            lagged.filter(F.col("prev_w") < F.col("w") - 1).select(
+                (F.col("prev_w") + 1).alias("w"), F.lit("churned").alias("kind")
+            )
+        )
+        .unionByName(
+            lastw.crossJoin(F.broadcast(maxw))
+            .filter(F.col("lw") < F.col("mw"))
+            .select((F.col("lw") + 1).alias("w"), F.lit("churned").alias("kind"))
+        )
+    )
+    agg = [
+        F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{k}")
+        for k in ("new", "retained", "resurrected", "churned")
+    ]
+    return (
+        activity.groupBy(F.col("w").cast("bigint").alias("week"))
+        .agg(*agg)
+        .orderBy("week")
+    )
