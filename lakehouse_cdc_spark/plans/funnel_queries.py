@@ -917,7 +917,10 @@ def events_growth_accounting(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     uw = e.select(
         "user_id",
-        (F.unix_micros("ts") / F.lit(_WEEK_US)).cast("bigint").alias("w"),
+        # integer div, NOT `/`: epoch-µs exceeds 2^53, so a double
+        # quotient could misplace a week boundary vs the oracle's
+        # exact `//`
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").cast("bigint").alias("w"),
     ).distinct()
     lagged = uw.withColumn(
         "prev_w", F.lag("w").over(Window.partitionBy("user_id").orderBy("w"))

@@ -219,7 +219,12 @@ def lsh_index_changes(
     current from the change feed alone."""
     from lakehouse_cdc_spark.llm.dedup import minhash_signatures
 
-    live = feed.filter(F.col(op_col) != "d")
+    # a NULL-text live row must count as unsigned (tombstoned below),
+    # not hash to md5('') bands: null shingles vanish inside concat_ws,
+    # so without this filter the degenerate row would silently sign
+    live = feed.filter(
+        (F.col(op_col) != "d") & F.col(text_col).isNotNull()
+    )
     sigs = minhash_signatures(
         live, k=k, id_col=id_col, text_col=text_col, n=n
     )
@@ -248,16 +253,19 @@ def lsh_index_changes(
     band_ids = F.explode(
         F.array(*[F.lit(b).cast("int") for b in range(bands)])
     ).alias("band")
-    dels = (
-        feed.filter(F.col(op_col) == "d")
-        .select(F.col(id_col), band_ids)
-        .select(
-            id_col,
-            "band",
-            F.lit(None).cast("string").alias("band_key"),
-            F.lit("d").alias(op_col),
-            F.lit(snapshot).cast("bigint").alias("seq"),
-        )
+    # tombstone every changed key that ends the snapshot WITHOUT a
+    # signature: deletes, plus the degenerate live row whose text is
+    # NULL (contract-violating but must not leave stale bands behind —
+    # the anti-join costs O(|feed|))
+    gone = feed.select(id_col).distinct().join(
+        sigs.select(id_col), on=id_col, how="left_anti"
+    )
+    dels = gone.select(F.col(id_col), band_ids).select(
+        id_col,
+        "band",
+        F.lit(None).cast("string").alias("band_key"),
+        F.lit("d").alias(op_col),
+        F.lit(snapshot).cast("bigint").alias("seq"),
     )
     return ups.unionByName(dels)
 
@@ -273,11 +281,16 @@ def rebuild_lsh_index(
 ) -> DataFrame:
     """The O(table) ground truth: band keys recomputed from the full
     visible state — proves the incremental path lands the identical
-    index (tests and backfills)."""
+    index (tests and backfills).  NULL-text rows are unsigned, the
+    same contract the incremental path enforces."""
     from lakehouse_cdc_spark.llm.dedup import minhash_signatures
 
     sigs = minhash_signatures(
-        visible, k=k, id_col=id_col, text_col=text_col, n=n
+        visible.filter(F.col(text_col).isNotNull()),
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
     )
     band_structs = [
         F.struct(

@@ -248,3 +248,29 @@ def test_lsh_index_replay_is_idempotent(spark, tmp_path):
     before = _lsh_state(idx, spark)
     idx.process_batch(changes, 1)  # replay under a NEW batch id
     assert _lsh_state(idx, spark) == before
+
+
+def test_lsh_index_null_text_update_leaves_no_stale_bands(spark, tmp_path):
+    """A contract-violating live update carrying NULL text must
+    tombstone the doc's bands (not leave the old signature behind)."""
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=1
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=2,
+    )
+    base.process_batch(
+        _batch(spark, [(1, "alpha beta gamma delta", "c", 0)]), 0
+    )
+    idx.process_batch(
+        lsh_index_changes(base.changes_between(spark, -1, 0), snapshot=0), 0
+    )
+    assert len(_lsh_state(idx, spark)) == 4
+    base.process_batch(_batch(spark, [(1, None, "u", 1)]), 1)
+    idx.process_batch(
+        lsh_index_changes(base.changes_between(spark, 0, 1), snapshot=1), 1
+    )
+    assert _lsh_state(idx, spark) == []

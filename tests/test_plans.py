@@ -216,40 +216,20 @@ def test_all_plans_have_no_cartesian_row_udfs_or_global_windows(spark):
                     df._jdf.queryExecution().explainString(simple)
                 )
             ]
+        # fold the driver-canonicalizer schema fence into the SAME
+        # registry pass (building all ~300 plans twice cost ~90 s of
+        # suite wall): every oracle-backed query must emit only scalar
+        # columns — round 5's only red row was an array cell the
+        # driver's pandas value-hash could not hash
+        if spec.oracle is not None:
+            bad += [
+                f"complex-typed output column: {f.name}"
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
-
-
-def test_no_oracle_backed_query_outputs_complex_types(spark):
-    """The driver canonicalizes query output with pandas
-    (sort_values + value-hash), which throws `unhashable type: list`
-    on Array/Map/Struct cells BEFORE any comparison — round 5's only
-    red row (scalar_higher_order_functions) was exactly this.  Fence
-    the whole class: every oracle-backed registry query must emit
-    only scalar columns; arrays must be serialized (array_join) on
-    both surfaces.  Only the plan's schema is inspected (no collect),
-    but building a plan is not free for every query — the cdf_* demo
-    sinks run their batch commits on first touch (then cache)."""
-    from lakehouse_cdc_spark.plans import REGISTRY
-
-    sf = "/root/testdata/sf0.001"
-    offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
-        if spec.oracle is None:
-            continue
-        schema = spec.fn(spark, sf).schema
-        complex_cols = [
-            f.name
-            for f in schema.fields
-            if f.dataType.typeName() in ("array", "map", "struct")
-        ]
-        if complex_cols:
-            offenders[name] = complex_cols
-    assert not offenders, (
-        "oracle-backed queries with complex-typed output (the driver's "
-        f"pandas canonicalizer cannot hash these): {offenders}"
-    )
 
 
 def test_spatial_grid_join_equals_naive_cross_join(spark):
