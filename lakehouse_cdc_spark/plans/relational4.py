@@ -856,3 +856,88 @@ def orders_seasonal_index(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "customer_revenue_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, rev_c,
+             NTILE(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+      FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT SUM(revenue_c) AS t FROM per)
+    SELECT CAST(decile AS INT) AS decile, n_customers, revenue_c,
+           CAST(revenue_c * 1000000 // t AS BIGINT) AS share_ppm,
+           CAST(SUM(revenue_c) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // t AS BIGINT) AS cum_share_ppm
+    FROM per, tot ORDER BY decile
+    """,
+    tags=("analytics", "pareto", "lorenz", "two-pass-prefix", "O-family"),
+)
+def customer_revenue_lorenz(spark, sf_dir):
+    """REVENUE CONCENTRATION (Lorenz/Pareto deciles) — the who-pays-
+    the-bills table every revenue review opens with: customers ranked
+    by lifetime order value, cut into exact NTILE(10) deciles, each
+    decile reporting customer count, exact revenue cents, revenue
+    share, and the cumulative (Lorenz) share in integer ppm — the
+    80/20 read-off is cum_share_ppm at decile 1–2.  The global decile
+    assignment uses the TWO-PASS prefix scan
+    (operators/prefix.py:ntile_two_pass — range-bucket row numbers +
+    broadcast carry, bit-identical to NTILE), so NO data-sized window
+    ever single-partitions; the final cumulative runs over the
+    10-row decile table.
+
+    Scale shape: one |customers|-keyed revenue rollup (map-side
+    combined), the two-pass tile assignment (bucket-partitioned
+    window + two broadcast joins), a 10-row aggregate.  At 100 TB the
+    decile cut costs the same as any global-rank query — which is
+    exactly why the two-pass form exists."""
+    from lakehouse_cdc_spark.operators.prefix import ntile_two_pass
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tiled = ntile_two_pass(
+        rev, 10, "rev_c", "o_custkey", "decile", ascending=False
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("revenue_c"),
+    )
+    tot = per.agg(F.sum("revenue_c").alias("t"))
+    from lakehouse_cdc_spark.operators.prefix import lower_bucket_agg
+
+    carry = lower_bucket_agg(per, "decile", "revenue_c", "prior_rev")
+    return (
+        per.join(carry, "decile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "revenue_c",
+            F.expr("CAST(revenue_c * 1000000 div t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST((prior_rev + revenue_c) * 1000000 div t AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
