@@ -941,3 +941,106 @@ def customer_revenue_lorenz(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_ONTIME_DAYS = 21  # ship within 3 weeks of order date counts as on time
+_WILSON_Z = 1.96  # 95% score interval
+
+
+@register(
+    "supplier_ontime_wilson",
+    oracle=f"""
+    WITH lat AS (
+      SELECT l.l_suppkey,
+             CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE))
+                       <= {_ONTIME_DAYS}
+                  THEN 1 ELSE 0 END AS ontime
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    agg AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ontime) AS BIGINT) AS k
+      FROM lat GROUP BY l_suppkey
+    ),
+    scored AS (
+      SELECT l_suppkey, n, k,
+             (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+              - {_WILSON_Z} * sqrt(
+                  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE))
+               AS wilson
+      FROM agg
+    )
+    SELECT l_suppkey AS suppkey, n, k,
+           CAST(k * 1000000 // n AS BIGINT) AS ontime_ppm,
+           round(wilson, 6) AS wilson_lower
+    FROM scored
+    ORDER BY wilson_lower DESC, suppkey
+    LIMIT 25
+    """,
+    tags=("analytics", "slo", "wilson", "ranking", "A-family"),
+)
+def supplier_ontime_wilson(spark, sf_dir):
+    """SUPPLIER ON-TIME SLO ranking with the WILSON score lower bound
+    — the small-sample-honest ranking (the reddit-comment-sort
+    statistic): a supplier with 3/3 on-time must NOT outrank one with
+    97/100, which a raw rate does and the 95% Wilson lower bound
+    corrects exactly.  On-time = shipped within 21 days of the order
+    date.  Cross-engine determinism: counts are exact integers small
+    enough to be exact doubles, and the Wilson formula uses only
+    +,−,×,÷ and sqrt — every one a CORRECTLY-ROUNDED IEEE-754
+    operation — in the identical expression tree, so even before the
+    final round(·, 6) both engines hold bit-identical doubles.
+
+    Scale shape: one fact-fact join on the order key (co-partitioned
+    at 100 TB if both tables bucket by orderkey; AQE otherwise), a
+    map-side-combined per-supplier (n, k), then |suppliers|-row
+    arithmetic and a top-25 TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.when(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            <= _ONTIME_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("ontime"),
+    )
+    agg = lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ontime").cast("bigint").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(_WILSON_Z)
+    wilson = (
+        p
+        + z * z / (F.lit(2.0) * nd)
+        - z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z * z / (F.lit(4.0) * nd * nd)
+        )
+    ) / (F.lit(1.0) + z * z / nd)
+    return (
+        agg.select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n",
+            "k",
+            F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("ontime_ppm"),
+            F.round(wilson, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), F.asc("suppkey"))
+        .limit(25)
+    )
