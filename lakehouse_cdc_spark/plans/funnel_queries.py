@@ -956,3 +956,66 @@ def events_growth_accounting(spark, sf_dir):
         .agg(*agg)
         .orderBy("week")
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_activity_streaks",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM islands GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(best_streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY best_streak ORDER BY streak_days
+    """,
+    tags=("events", "streaks", "engagement", "W-family"),
+)
+def events_activity_streaks(spark, sf_dir):
+    """LONGEST DAILY-ACTIVITY STREAK distribution — the engagement
+    metric behind every "n-day streak" product mechanic: per user, the
+    distinct active days form gaps-and-islands runs (day − dense
+    position is constant within a consecutive run), the user's best
+    streak is their longest island, and the corpus rolls up to a
+    streak-length histogram.  Days are engine-neutral integer epoch-µs
+    floor-divisions; every count exact.
+
+    Scale shape: map-side distinct to user-days, ONE user-keyed window
+    pass for island ids, two shrinking aggregates (user-streaks, then
+    the |distinct streak lengths|-row histogram).  Per-user histories
+    parallelize on the user hash — the sessionization posture at
+    day granularity."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d"),
+    ).distinct()
+    islands = ud.withColumn(
+        "grp",
+        F.col("d")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return (
+        best.groupBy(F.col("best_streak").cast("bigint").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("streak_days")
+    )

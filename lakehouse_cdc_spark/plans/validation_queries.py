@@ -766,3 +766,111 @@ def validation_referential_integrity(spark, sf_dir):
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+@register(
+    "validation_rate_shift_ztest",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    halves AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi THEN 0 ELSE 1 END
+               AS half,
+             CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events e, bounds b
+    ),
+    tot AS (
+      SELECT half,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_err) AS BIGINT) AS k
+      FROM halves GROUP BY half
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN half = 0 THEN n END) AS n1,
+             MAX(CASE WHEN half = 0 THEN k END) AS k1,
+             MAX(CASE WHEN half = 1 THEN n END) AS n2,
+             MAX(CASE WHEN half = 1 THEN k END) AS k2
+      FROM tot
+    )
+    SELECT n1, k1, n2, k2,
+           CAST(k1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+           CAST(k2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+           round(
+             (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / sqrt(
+                 (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+             6) AS z_score,
+           CAST(CASE WHEN abs(
+             (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / sqrt(
+                 (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+             > 1.96 THEN 1 ELSE 0 END AS INT) AS significant_95
+    FROM wide
+    """,
+    tags=("validation", "monitoring", "ztest", "rate-shift"),
+)
+def validation_rate_shift_ztest(spark, sf_dir):
+    """ERROR-RATE SHIFT detection between the first and second half of
+    the stream's time range — the two-proportion pooled z-test a
+    monitoring stack runs across a deploy boundary (the per-day
+    p-chart flags outlier DAYS; this answers "did the rate LEVEL
+    move?").  The half split uses exact integer µs arithmetic
+    (ts·2 < lo+hi — no midpoint rounding), counts are exact, and the
+    z statistic uses only correctly-rounded IEEE ops (+,−,×,÷,sqrt)
+    in the identical tree on both engines, so even the significance
+    flag is bit-deterministic.
+
+    Scale shape: one min/max scan (a two-scalar broadcast), one
+    map-side classified count — two passes over events, no shuffle
+    wider than 2 rows."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.unix_micros("ts") * 2 < F.col("lo") + F.col("hi"), 0
+        ).otherwise(1).alias("half"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    tot = halves.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_err").cast("bigint").alias("k"),
+    )
+    wide = tot.agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 0, F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("half") == 1, F.col("k"))).alias("k2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    p1 = F.col("k1").cast("double") / n1d
+    p2 = F.col("k2").cast("double") / n2d
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p2 - p1) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n2d)
+    )
+    return wide.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.expr("CAST(k1 * 1000000 div n1 AS BIGINT)").alias("rate1_ppm"),
+        F.expr("CAST(k2 * 1000000 div n2 AS BIGINT)").alias("rate2_ppm"),
+        F.round(z, 6).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "significant_95"
+        ),
+    )
