@@ -737,8 +737,13 @@ def audio_active_segments(
     into keep-worthy segments: channel-0 energy per 16-frame block
     (same blocking as :func:`audio_fingerprint`), a block is ACTIVE
     when its energy strictly exceeds the clip's floor-mean block
-    energy (loudness-relative, so a uniformly quiet clip isn't all
-    dropped), and consecutive active blocks merge into segments.
+    energy (gain-invariant: the threshold scales with the clip's own
+    loudness, so re-gained copies segment identically; a perfectly
+    UNIFORM clip has no block strictly above its own mean and reports
+    zero segments), and consecutive active blocks merge into segments.
+    Clips shorter than one block (``nb == 0``) emit the all-zero row
+    rather than raising — a throwing kernel kills the whole
+    task+retry cycle (same tolerance as :func:`audio_fingerprint`).
     Emits per clip: block count, active count, segment count, and the
     longest active run — all exact integers."""
 
@@ -749,6 +754,13 @@ def audio_active_segments(
                 _, s = _parse_wav(bytes(payload))
                 ch0 = s[:, 0].astype(np.int64)
                 nb = len(ch0) // _AFP_BLOCK
+                if nb == 0:
+                    ids.append(int(doc_id))
+                    nbs.append(0)
+                    nas.append(0)
+                    nss.append(0)
+                    mrs.append(0)
+                    continue
                 blocks = ch0[: nb * _AFP_BLOCK].reshape(nb, _AFP_BLOCK)
                 energy = (blocks * blocks).sum(axis=1)
                 thr = int(energy.sum()) // nb

@@ -33,6 +33,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# kcore broadcast budget: the alive node set ships to every executor
+# only when its PROVABLE upper bound (|edges| // k, see kcore) fits
+# this many rows.  4M bigint keys ≈ 150 MB serialized — comfortably
+# inside executor memory and far under Spark's 8 GB broadcast ceiling;
+# above it the join shuffles (AQE may still pick broadcast from real
+# runtime stats).  Same discipline as the IVF centroid budget in
+# llm/similarity.py.
+_KCORE_BROADCAST_MAX_NODES = 4_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -210,12 +219,18 @@ def kcore(
     degree aggregate reads only ``src``).
 
     Scale notes per round: ONE |edges|-sized degree shuffle plus an
-    edge restriction via two joins against the alive node set (the
-    small side — broadcast).  The edge set monotonically shrinks, so
-    per-round cost decreases; convergence is detected by an O(1)-row
-    count probe riding each round's ``localCheckpoint`` (the loop is
-    unbounded, so lineage must be truncated eagerly — same discipline
-    as :func:`connected_components`)."""
+    edge restriction via two joins against the alive node set.  The
+    broadcast hint on the alive side is BUDGET-GUARDED: each round's
+    count probe gives ``|cur|`` rows for free, and every alive node
+    has degree >= k, so ``|alive| <= |cur| / k`` provably — the hint
+    is applied only when that bound fits ``_KCORE_BROADCAST_MAX_NODES``
+    (early peel rounds on a billion-node graph shuffle instead; late
+    rounds flip to broadcast as the graph shrinks).  The edge set
+    monotonically shrinks, so per-round cost decreases; convergence is
+    detected by an O(1)-row count probe riding each round's
+    ``localCheckpoint`` (the loop is unbounded, so lineage must be
+    truncated eagerly — same discipline as
+    :func:`connected_components`)."""
     cur = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
@@ -228,13 +243,25 @@ def kcore(
             .filter(F.col("d") >= k)
             .select("src")
         )
+        # provable alive-set bound from the probe already paid for:
+        # sum of surviving degrees = |cur| rows and each alive node
+        # contributes >= k of them, so |alive| <= |cur| // k.  Only
+        # hint broadcast under the byte budget; above it, let AQE pick
+        # the strategy (the early peel rounds of a huge graph keep a
+        # data-sized alive set that must NOT ship to every executor).
+        if n_prev // k <= _KCORE_BROADCAST_MAX_NODES:
+            a_src = F.broadcast(alive)
+            a_dst = F.broadcast(alive.withColumnRenamed("src", "dst"))
+        else:
+            a_src = alive
+            a_dst = alive.withColumnRenamed("src", "dst")
         # lazy checkpoint + count(): the probe action materializes the
         # checkpoint, so each round costs ONE job instead of the
         # eager-then-count two (sf0.1 delta sits inside run noise, but
         # the job count per round is strictly halved)
         nxt = (
-            cur.join(F.broadcast(alive), "src")
-            .join(F.broadcast(alive.withColumnRenamed("src", "dst")), "dst")
+            cur.join(a_src, "src")
+            .join(a_dst, "dst")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )

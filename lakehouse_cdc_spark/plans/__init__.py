@@ -42,77 +42,77 @@ from lakehouse_cdc_spark.plans import ledger_queries  # noqa: E402,F401
 # head ROTATES each round: entries the driver has never sampled move
 # in, driver-confirmed entries move out (they stay registered and
 # local-gated — the full registry is checked by tools/check_oracle.py
-# every session).  Round-7 head: all 50 are first-time samples drawn
-# from the 88 never-driver-sampled entries (round-6 cumulative:
-# 181/269) — the TPC-H leftovers, er_*, multimodal_*, sketch_*,
-# text_*, mix_*, stats_*, and the six round-6 post-rotation queries.
-# Every one was dtype-prescreened against the driver's Arrow/pandas
-# canonicalization axes (tools/dtype_screen.py; audit note in
-# COVERAGE.md): 4 carried non-null int64 values > 2^53, an axis
-# checksum_stats_lineitem already proved driver-green in round 2, and
-# zero carried the classes that have bitten (complex cells, Decimal,
-# nullable big ints, tz-aware timestamps).  The remaining 38
-# never-sampled entries plus the round-7-new operators rotate in
-# round 8, finishing the sweep.
+# every session).  Round-8 head: all 50 are first-time samples drawn
+# from the 74 never-driver-sampled entries (round-7 cumulative:
+# 231/305) per the committed round-8 rotation plan (COVERAGE.md) —
+# the round-7 operators (feed-maintained indexes, ledger, kcore,
+# events/text/stats waves) plus the round-6 leftovers (graph_*,
+# emb_pq_*, dedup spans, text corpus stats).  Every one is local-gate
+# green at sf0.01 AND sf0.1 and dtype-prescreened
+# (tools/dtype_screen.py).  The remaining 24 never-sampled entries
+# rotate in round 9, finishing the sweep.
 _SHOWCASE_HEAD = [
-    # round-6 post-rotation operators, first driver confirmation
-    "scalar_map_functions",
-    "scalar_collation_group",
-    "scalar_try_arithmetic",
-    "scalar_xml_roundtrip",
-    "source_metadata_provenance",
-    # TPC-H leftovers — the rest of the 22-query sweep
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q11_important_value",
-    "q13_custdist",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_heavy_shippers",
-    "q21_kept_waiting",
-    "q22_idle_rich_customers",
-    # entity resolution
-    "er_sorted_neighborhood",
-    "er_golden_record",
-    "er_snm_multipass",
-    "er_agreement_patterns",
-    # multimodal (binary decode, signatures, dedup groups)
-    "multimodal_decode_fake",
-    "multimodal_resize_thumbnail",
-    "multimodal_frame_sample",
-    "multimodal_ahash_signatures",
-    "multimodal_audio_fingerprint",
-    "multimodal_ahash_dedup_groups",
-    # sketches
-    "sketch_countmin_heavy_hitters",
-    "sketch_bloom_join_prune",
-    "sketch_histogram_quantiles",
-    "sketch_weighted_quantiles",
-    "sketch_theta_set_ops",
-    "sketch_approx_top_k",
-    "sketch_topk_mergeable_rollup",
-    # text analysis
-    "text_tfidf_top_terms",
-    "text_chunk_windows",
-    "text_rare_token_ratio",
-    "text_bpe_train_iterative",
-    "text_cooccurrence_topk",
-    "text_boilerplate_spans",
-    "text_bigram_lm_score",
-    "text_quality_logit",
-    # mixing / sampling economics
-    "mix_sources_budget",
-    "mix_temperature_weights",
-    "mix_epoch_schedule",
-    # stats
-    "stats_correlation_matrix",
-    "stats_winsorized_means",
-    "stats_equi_depth_estimate",
+    # feed-maintained index family + ledger + lifecycle (round 7)
+    "cdf_incremental_moments",
+    "cdf_incremental_ann_index",
+    "cdf_incremental_lsh_index",
+    "ledger_exactly_once_replay",
+    "ledger_cross_sink_alignment",
+    "maintenance_expiry_safety",
+    "source_schema_evolution",
+    "source_connector_fleet_reconcile",
+    # graph family
+    "graph_kcore_membership",
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_bfs_khop",
+    "events_identity_stitching",
+    # events / funnel analytics
+    "events_pattern_vshape",
+    "events_sessionize_batch",
+    "events_growth_accounting",
+    "events_activity_streaks",
+    "orders_open_backlog_daily",
+    "orders_concurrency_curve",
+    # embeddings / ANN
+    "emb_pq_adc_topk",
+    "emb_pq_rerank",
+    "emb_neardup_bucketed",
+    "emb_late_interaction_maxsim",
+    "emb_cluster_drift_tv",
+    "contamination_embedding_overlap",
+    # dedup spans / incremental
+    "dedup_winnowing_spans",
+    "dedup_substring_residual",
+    "dedup_incremental_new_shard",
+    # text corpus statistics / LM / retrieval
+    "text_kneser_ney_bigram",
+    "text_rake_keywords",
+    "text_quality_quantile_normalize",
+    "text_rrf_fusion",
+    "text_zipf_profile",
+    "text_ngram_novelty",
+    "text_perplexity_tertiles",
+    # multimodal (round-7 additions)
+    "multimodal_audio_vad_segments",
+    "multimodal_decode_quarantine",
+    # sketches / stats / profiling
+    "sketch_minhash_estimate_error",
+    "stats_ols_by_brand",
+    "profile_fd_violations",
+    # time series
+    "ts_breakout_channel",
+    "ts_seasonal_dow_profile",
+    # sampling / mixing
+    "sample_stratified_exact",
+    "sample_reservoir_per_source",
+    "mix_curriculum_phases",
+    # ER / validation / business analytics
+    "er_match_quality_audit",
+    "validation_rate_shift_ztest",
+    "customer_revenue_lorenz",
+    "supplier_ontime_wilson",
+    "market_basket_rules",
 ]
 
 

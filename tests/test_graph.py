@@ -251,6 +251,28 @@ def test_kcore_operator_on_crafted_graphs(spark):
     assert rounds == 1
 
 
+def test_kcore_broadcast_budget_guard(spark, monkeypatch):
+    """Above the broadcast byte budget the alive-set join must still
+    produce the identical core via the shuffle path — the 100×-scale
+    posture: a data-sized alive set never ships to every executor."""
+    from lakehouse_cdc_spark.operators import graph as g
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src int, dst int")
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    # budget 0 ⇒ the |cur|//k bound always exceeds it ⇒ no broadcast
+    # hint on any round; the peel answer must not change
+    monkeypatch.setattr(g, "_KCORE_BROADCAST_MAX_NODES", 0)
+    core, rounds = g.kcore(sym(k4 + chain), k=3)
+    got = sorted((r.src, r.dst) for r in core.collect())
+    want = sorted([(a, b) for a, b in k4] + [(b, a) for a, b in k4])
+    assert got == want
+    assert rounds >= 1
+
+
 def test_kcore_is_subgraph_closed(spark, sf_dir):
     """Every core member's reported degree counts only neighbors that
     are themselves core members — the defining k-core property (not

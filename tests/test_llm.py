@@ -682,10 +682,12 @@ def test_audio_vad_segments_hand_checkable(spark):
     quiet = [10] * 16 * 6
     loud_mid = [10] * 16 * 2 + [1500] * 16 * 2 + [10] * 16 * 2
     constant = [700] * 16 * 6
+    short = [900] * 7  # < one 16-frame block: nb == 0, must not raise
     df = spark.createDataFrame(
         [
             (1, bytearray(wav(loud_mid))),
             (2, bytearray(wav(constant))),
+            (3, bytearray(wav(short))),
         ],
         "doc_id long, payload binary",
     )
@@ -701,3 +703,6 @@ def test_audio_vad_segments_hand_checkable(spark):
     c = got[2]
     # every block equals the mean -> none STRICTLY above it
     assert (c.n_active, c.n_segments, c.max_run) == (0, 0, 0)
+    s = got[3]
+    # sub-block clip: the all-zero row, not a ZeroDivisionError
+    assert (s.n_blocks, s.n_active, s.n_segments, s.max_run) == (0, 0, 0, 0)
