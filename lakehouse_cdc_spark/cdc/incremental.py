@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_cdc_spark.operators.hints import runtime_sized
+
 
 def delta_agg_adjustments(
     prev_state: DataFrame,
@@ -49,7 +51,12 @@ def delta_agg_adjustments(
     """
     changed = delta_compacted.select(*keys).distinct()
     if broadcast_delta:
-        changed = F.broadcast(changed)
+        # delta keys are micro-batch-bounded in streaming use but
+        # UNBOUNDED under backfill/replay — a forced hint would ship a
+        # data-sized set to every executor.  runtime_sized leaves the
+        # call to AQE, which broadcasts exactly when the materialized
+        # delta fits the threshold (operators/hints.py).
+        changed = runtime_sized(changed, "delta")
     old = prev_state.join(changed, on=keys, how="left_semi").select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("bigint").alias("cnt_adj"),
@@ -90,7 +97,12 @@ def delta_moment_adjustments(
     serves all measures, so adding moments costs no extra shuffle."""
     changed = delta_compacted.select(*keys).distinct()
     if broadcast_delta:
-        changed = F.broadcast(changed)
+        # delta keys are micro-batch-bounded in streaming use but
+        # UNBOUNDED under backfill/replay — a forced hint would ship a
+        # data-sized set to every executor.  runtime_sized leaves the
+        # call to AQE, which broadcasts exactly when the materialized
+        # delta fits the threshold (operators/hints.py).
+        changed = runtime_sized(changed, "delta")
     old = prev_state.join(changed, on=keys, how="left_semi").select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("bigint").alias("cnt_adj"),

@@ -31,6 +31,7 @@ from lakehouse_cdc_spark.llm.dedup import (
     shingle_table,
 )
 from lakehouse_cdc_spark.llm.text import quality_score, token_count, tokens, word_shingles
+from lakehouse_cdc_spark.operators.hints import runtime_sized
 from lakehouse_cdc_spark.operators.graph import connected_components
 from lakehouse_cdc_spark.plans.llm_queries import (
     _BAND_UNION,
@@ -398,7 +399,7 @@ def text_rare_token_ratio(spark, sf_dir):
     dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     flagged = (
-        tok.join(F.broadcast(dfreq), "tok")
+        tok.join(runtime_sized(dfreq, "vocabulary"), "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

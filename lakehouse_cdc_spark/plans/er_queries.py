@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from lakehouse_cdc_spark.operators.hints import runtime_sized
 from lakehouse_cdc_spark.plans.registry import register, table
 
 # Deterministic corruption of c_name, identical SQL on both engines:
@@ -207,8 +208,11 @@ def _fuzzy_matches(spark, sf_dir):
         .select("blk")
     )
     scored = (
-        dirty.join(F.broadcast(big), "blk", "left_anti")
-        .join(clean.join(F.broadcast(big), "blk", "left_anti"), "blk")
+        dirty.join(runtime_sized(big, "membership"), "blk", "left_anti")
+        .join(
+            clean.join(runtime_sized(big, "membership"), "blk", "left_anti"),
+            "blk",
+        )
         .filter(F.abs(F.length("dirty_name") - F.length("c_name")) <= 2)
         .select(
             "dirty_key",

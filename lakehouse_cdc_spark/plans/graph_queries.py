@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
 from lakehouse_cdc_spark.llm.text import tokens
+from lakehouse_cdc_spark.operators.hints import runtime_sized
 from lakehouse_cdc_spark.operators.graph import connected_components
 from lakehouse_cdc_spark.plans.llm_queries import (
     _BAND_UNION,
@@ -228,7 +229,7 @@ def _bm25_scored(spark, sf_dir):
         + _K1 * (1.0 - _B + _B * (F.col("dl").cast("double") / F.col("avgdl")))
     )
     contrib = (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(runtime_sized(dfreq, "vocabulary"), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -985,8 +986,8 @@ def market_basket_rules(spark, sf_dir):
     f1 = freq.select(F.col("p").alias("p1"), F.col("f").alias("cnt_a"))
     f2 = freq.select(F.col("p").alias("p2"), F.col("f").alias("cnt_b"))
     return (
-        co.join(F.broadcast(f1), "p1")
-        .join(F.broadcast(f2), "p2")
+        co.join(runtime_sized(f1, "vocabulary"), "p1")
+        .join(runtime_sized(f2, "vocabulary"), "p2")
         .select(
             F.col("p1").alias("part_a"),
             F.col("p2").alias("part_b"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from lakehouse_cdc_spark.operators.hints import runtime_sized
 from lakehouse_cdc_spark.plans.registry import register, table
 
 _CM_DEPTH = 4
@@ -219,7 +220,9 @@ def sketch_bloom_join_prune(spark, sf_dir):
     )
     verdict = flags.groupBy("k").agg(F.expr("bool_and(hit)").alias("maybe"))
     joined = verdict.join(
-        F.broadcast(member.withColumn("__m", F.lit(1))), "k", "left"
+        runtime_sized(member.withColumn("__m", F.lit(1)), "membership"),
+        "k",
+        "left",
     ).select("k", "maybe", F.col("__m").isNotNull().alias("is_member"))
     return joined.agg(
         F.count(F.lit(1)).alias("n_probed"),

@@ -30,6 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.llm.text import tokens
+from lakehouse_cdc_spark.operators.hints import runtime_sized
 from lakehouse_cdc_spark.plans.registry import register, table
 
 # ---------------------------------------------------------- iterative BPE
@@ -280,11 +281,12 @@ def text_cooccurrence_topk(spark, sf_dir):
     )
     wcnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("wc"))
     return (
-        top.join(F.broadcast(wcnt.withColumnRenamed("tok", "w1")), "w1")
+        top.join(runtime_sized(wcnt.withColumnRenamed("tok", "w1"), "vocabulary"), "w1")
         .withColumnRenamed("wc", "w1_cnt")
         .join(
-            F.broadcast(
-                wcnt.select(F.col("tok").alias("w2"), F.col("wc").alias("w2_cnt"))
+            runtime_sized(
+                wcnt.select(F.col("tok").alias("w2"), F.col("wc").alias("w2_cnt")),
+                "vocabulary",
             ),
             "w2",
         )
@@ -357,7 +359,7 @@ def text_bpe_encode(spark, sf_dir):
         "source", "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
     return (
-        docw.join(F.broadcast(enc), "w")
+        docw.join(runtime_sized(enc, "vocabulary"), "w")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_cdc_spark.operators.hints import runtime_sized
+
 
 def token_index_changes(
     feed: DataFrame,
@@ -67,7 +69,7 @@ def token_index_changes(
     new_post = postings(feed.filter(F.col(op_col) != "d"), "tf_new")
     changed_keys = feed.select(*keys).distinct()
     old_post = postings(
-        prev_visible.join(F.broadcast(changed_keys), on=keys, how="left_semi"),
+        prev_visible.join(runtime_sized(changed_keys, "delta"), on=keys, how="left_semi"),
         "tf_old",
     )
 
