@@ -568,7 +568,6 @@ def _ann_demo_sinks(spark, sf_dir):
     FROM ranked WHERE rn = 1
     GROUP BY cid ORDER BY cid
     """,
-    bench=True,
     tags=("cdc", "cdf", "index-maintenance", "ann", "ivf", "S12"),
 )
 def cdf_incremental_ann_index(spark, sf_dir):

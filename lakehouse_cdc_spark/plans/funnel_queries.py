@@ -774,6 +774,7 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min of inactivity starts a new session
 
 @register(
     "events_sessionize_batch",
+    bench=True,
     oracle=f"""
     WITH seq AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,

@@ -70,6 +70,7 @@ _LEDGER_COUNTS = """
 
 @register(
     "ledger_exactly_once_replay",
+    bench=True,
     oracle=f"""
     WITH c AS ({_LEDGER_COUNTS})
     SELECT * FROM (

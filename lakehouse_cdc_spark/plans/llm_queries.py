@@ -106,7 +106,6 @@ def dedup_exact_documents(spark, sf_dir):
     ORDER BY cos_sim DESC, e.vec_id ASC
     LIMIT 10
     """,
-    bench=True,
     tags=("llm", "similarity", "ann"),
 )
 def emb_cosine_topk(spark, sf_dir):
@@ -795,6 +794,7 @@ def text_rrf_fusion(spark, sf_dir):
 
 @register(
     "emb_late_interaction_maxsim",
+    bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, vec_id // 50 AS grp, embedding,
                       {_NORM_SQ} AS norm_sq
@@ -867,6 +867,7 @@ def emb_late_interaction_maxsim(spark, sf_dir):
 
 @register(
     "contamination_embedding_overlap",
+    bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm

@@ -899,7 +899,6 @@ def agg_approx_distinct(spark, sf_dir):
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
-    bench=True,
     tags=("agg", "filter", "P4", "P5"),
 )
 def q6_forecast_revenue(spark, sf_dir):

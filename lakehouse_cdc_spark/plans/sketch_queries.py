@@ -554,7 +554,6 @@ _BM_WORD = 32  # user-id bits per bigint word (sign-safe everywhere)
 
 @register(
     "agg_bitmap_exact_distinct",
-    bench=True,
     oracle=f"""
     WITH words AS (
       SELECT event_type,

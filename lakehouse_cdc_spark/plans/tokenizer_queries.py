@@ -96,7 +96,6 @@ def _bpe_train_oracle() -> str:
 
 @register(
     "text_bpe_pair_merge",
-    bench=True,
     oracle="""
     WITH tok AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
