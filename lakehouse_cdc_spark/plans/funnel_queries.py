@@ -1020,3 +1020,415 @@ def events_activity_streaks(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (round 8): multi-touch credit assignment
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000  # credit touches within 7 days
+
+
+@register(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END
+               AS is_touch,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) * 4
+                  WHEN event_type = 'click' THEN epoch_us(ts) * 4 + 1
+             END AS enc
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, event_type, v,
+             SUM(is_touch) OVER w AS n_t,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+               AS n_view,
+             MIN(enc) OVER w AS enc_first,
+             MAX(enc) OVER w AS enc_last
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                   AND 1 PRECEDING)
+    ),
+    purch AS (
+      SELECT v, n_t, n_view,
+             CAST(enc_first % 4 AS INTEGER) AS ft_code,
+             CAST(enc_last % 4 AS INTEGER) AS lt_code,
+             CASE WHEN n_t > 0 THEN v // n_t END AS q,
+             CASE WHEN n_t > 0 THEN v % n_t END AS r
+      FROM framed WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT
+        COUNT(*) FILTER (ft_code = 0) AS nf_view,
+        COUNT(*) FILTER (ft_code = 1) AS nf_click,
+        COUNT(*) FILTER (n_t IS NULL OR n_t = 0) AS n_orphan,
+        COALESCE(SUM(v) FILTER (ft_code = 0), 0) AS ft_view,
+        COALESCE(SUM(v) FILTER (ft_code = 1), 0) AS ft_click,
+        COALESCE(SUM(v) FILTER (n_t IS NULL OR n_t = 0), 0) AS v_orphan,
+        COUNT(*) FILTER (lt_code = 0) AS nl_view,
+        COUNT(*) FILTER (lt_code = 1) AS nl_click,
+        COALESCE(SUM(v) FILTER (lt_code = 0), 0) AS lt_view,
+        COALESCE(SUM(v) FILTER (lt_code = 1), 0) AS lt_click,
+        COALESCE(SUM(q * n_view + CASE WHEN ft_code = 0 THEN r ELSE 0 END)
+                 FILTER (n_t > 0), 0) AS lin_view,
+        COALESCE(SUM(q * (n_t - n_view)
+                     + CASE WHEN ft_code = 1 THEN r ELSE 0 END)
+                 FILTER (n_t > 0), 0) AS lin_click
+      FROM purch
+    )
+    SELECT 'view' AS touch_type, CAST(nf_view AS BIGINT) AS n_first,
+           CAST(nl_view AS BIGINT) AS n_last,
+           CAST(ft_view AS BIGINT) AS first_touch_cents,
+           CAST(lt_view AS BIGINT) AS last_touch_cents,
+           CAST(lin_view AS BIGINT) AS linear_cents
+    FROM agg
+    UNION ALL
+    SELECT 'click', CAST(nf_click AS BIGINT), CAST(nl_click AS BIGINT),
+           CAST(ft_click AS BIGINT), CAST(lt_click AS BIGINT),
+           CAST(lin_click AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT '(none)', CAST(n_orphan AS BIGINT), CAST(n_orphan AS BIGINT),
+           CAST(v_orphan AS BIGINT), CAST(v_orphan AS BIGINT),
+           CAST(v_orphan AS BIGINT)
+    FROM agg
+    ORDER BY touch_type
+    """,
+    tags=("events", "attribution", "window", "analytics", "W-family"),
+)
+def events_attribution_multitouch(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION — first-touch, last-touch, and linear
+    credit assignment of every purchase's value to the user's
+    view/click touches in the 7 days strictly before it, the query
+    every marketing warehouse runs nightly (Flink/Trino users build it
+    with MATCH_RECOGNIZE; here it is pure window algebra Spark
+    executes in ONE user-keyed exchange).  No purchase×touch join ever
+    materializes: a value-based RANGE frame over epoch-µs carries the
+    touch census (count per type) and the first/last touch IDENTITY —
+    the touch's type rides inside a ``tus*4+code`` integer so one
+    MIN/MAX over the frame recovers it (min_by/max_by don't exist as
+    frame aggregates).  Linear credit is exact integer division:
+    q = v div n to every touch, remainder to the first touch's type,
+    so the three schemes each redistribute every attributed cent
+    (Σ linear = Σ first = Σ last, testable to the cent).  Purchases
+    with no prior touch land in the '(none)' row — the orphan audit.
+    Scale shape: the frame, the purchase filter, and the rollup share
+    one user_id hash partitioning; state per user is the 7-day touch
+    window, the same bound the streaming interval join carries."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.col("event_type").isin("view", "click"), 1)
+        .otherwise(0)
+        .alias("is_touch"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts") * 4)
+        .when(F.col("event_type") == "click", F.unix_micros("ts") * 4 + 1)
+        .alias("enc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    framed = seq.select(
+        "event_type",
+        "v",
+        F.sum("is_touch").over(w).alias("n_t"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("n_view"),
+        F.min("enc").over(w).alias("enc_first"),
+        F.max("enc").over(w).alias("enc_last"),
+    )
+    purch = framed.filter(F.col("event_type") == "purchase").select(
+        "v",
+        "n_t",
+        "n_view",
+        (F.col("enc_first") % 4).cast("int").alias("ft_code"),
+        (F.col("enc_last") % 4).cast("int").alias("lt_code"),
+        F.when(F.col("n_t") > 0, F.expr("v div n_t")).alias("q"),
+        F.when(F.col("n_t") > 0, F.expr("v % n_t")).alias("r"),
+    )
+    a = purch.agg(
+        F.count(F.when(F.col("ft_code") == 0, 1)).alias("nf_view"),
+        F.count(F.when(F.col("ft_code") == 1, 1)).alias("nf_click"),
+        F.count(
+            F.when(F.col("n_t").isNull() | (F.col("n_t") == 0), 1)
+        ).alias("n_orphan"),
+        F.coalesce(
+            F.sum(F.when(F.col("ft_code") == 0, F.col("v"))), F.lit(0)
+        ).alias("ft_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("ft_code") == 1, F.col("v"))), F.lit(0)
+        ).alias("ft_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_t").isNull() | (F.col("n_t") == 0), F.col("v")
+                )
+            ),
+            F.lit(0),
+        ).alias("v_orphan"),
+        F.count(F.when(F.col("lt_code") == 0, 1)).alias("nl_view"),
+        F.count(F.when(F.col("lt_code") == 1, 1)).alias("nl_click"),
+        F.coalesce(
+            F.sum(F.when(F.col("lt_code") == 0, F.col("v"))), F.lit(0)
+        ).alias("lt_view"),
+        F.coalesce(
+            F.sum(F.when(F.col("lt_code") == 1, F.col("v"))), F.lit(0)
+        ).alias("lt_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_t") > 0,
+                    F.col("q") * F.col("n_view")
+                    + F.when(F.col("ft_code") == 0, F.col("r")).otherwise(0),
+                )
+            ),
+            F.lit(0),
+        ).alias("lin_view"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_t") > 0,
+                    F.col("q") * (F.col("n_t") - F.col("n_view"))
+                    + F.when(F.col("ft_code") == 1, F.col("r")).otherwise(0),
+                )
+            ),
+            F.lit(0),
+        ).alias("lin_click"),
+    )
+    rows = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.col("nf_view").cast("bigint").alias("n_first"),
+                    F.col("nl_view").cast("bigint").alias("n_last"),
+                    F.col("ft_view").cast("bigint").alias("first_touch_cents"),
+                    F.col("lt_view").cast("bigint").alias("last_touch_cents"),
+                    F.col("lin_view").cast("bigint").alias("linear_cents"),
+                ),
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.col("nf_click").cast("bigint").alias("n_first"),
+                    F.col("nl_click").cast("bigint").alias("n_last"),
+                    F.col("ft_click").cast("bigint").alias("first_touch_cents"),
+                    F.col("lt_click").cast("bigint").alias("last_touch_cents"),
+                    F.col("lin_click").cast("bigint").alias("linear_cents"),
+                ),
+                F.struct(
+                    F.lit("(none)").alias("touch_type"),
+                    F.col("n_orphan").cast("bigint").alias("n_first"),
+                    F.col("n_orphan").cast("bigint").alias("n_last"),
+                    F.col("v_orphan").cast("bigint").alias("first_touch_cents"),
+                    F.col("v_orphan").cast("bigint").alias("last_touch_cents"),
+                    F.col("v_orphan").cast("bigint").alias("linear_cents"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.*")
+    return rows.orderBy("touch_type")
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis (round 8): tenure hazard curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_survival_hazard",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS lifespan
+      FROM events GROUP BY user_id
+    ),
+    per_len AS (
+      SELECT lifespan, COUNT(*) AS ended
+      FROM span GROUP BY lifespan
+    ),
+    risk AS (
+      SELECT lifespan AS tenure_day, ended,
+             SUM(ended) OVER (ORDER BY lifespan DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_at_risk
+      FROM per_len
+    )
+    SELECT CAST(tenure_day AS BIGINT) AS tenure_day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(ended AS BIGINT) AS n_ended,
+           CAST(ended * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM risk
+    ORDER BY tenure_day
+    """,
+    tags=("events", "survival", "hazard", "analytics", "A-family"),
+)
+def events_survival_hazard(spark, sf_dir):
+    """DISCRETE-TIME SURVIVAL HAZARD over user tenure — the churn
+    curve: for each observed lifespan d (days between a user's first
+    and last event), the risk set n_at_risk (users whose lifespan is
+    >= d) and the hazard h(d) = ended(d) / n_at_risk(d) in exact
+    integer ppm — the per-tenure-day churn probability a retention
+    team reads before pricing interventions (the Kaplan-Meier
+    estimator's ingredients; the survival product itself is a float
+    chain, so the exact surface is the hazard table it derives from).
+    Scale shape: one user-keyed aggregate reduces the event log to one
+    row per user; everything after operates on the lifespan HISTOGRAM
+    (rows = distinct lifespans, bounded by the calendar, not the
+    corpus) — the reverse-cumulative risk set is the broadcast theta
+    self-join over that tiny table (the lower_bucket_agg carry
+    pattern, no SinglePartition window anywhere).  No per-user row
+    survives the first aggregate."""
+    e = table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifespan")
+    )
+    per_len = span.groupBy("lifespan").agg(
+        F.count(F.lit(1)).alias("ended")
+    )
+    other = per_len.select(
+        F.col("lifespan").alias("__l2"), F.col("ended").alias("__e2")
+    )
+    risk = (
+        per_len.join(
+            F.broadcast(other), F.col("__l2") >= F.col("lifespan")
+        )
+        .groupBy(F.col("lifespan").alias("tenure_day"), "ended")
+        .agg(F.sum("__e2").alias("n_at_risk"))
+    )
+    return risk.select(
+        F.col("tenure_day").cast("bigint").alias("tenure_day"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("ended").cast("bigint").alias("n_ended"),
+        F.expr("ended * 1000000 div n_at_risk")
+        .cast("bigint")
+        .alias("hazard_ppm"),
+    ).orderBy("tenure_day")
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (round 8): signup -> first purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             MIN(e.ts_us) - s.s_us AS delay_us
+      FROM signup s
+      JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase') e
+        ON e.user_id = s.user_id AND e.ts_us >= s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    mins AS (SELECT user_id, delay_us // 60000000 AS delay_min FROM conv),
+    ranked AS (
+      SELECT delay_min,
+             ROW_NUMBER() OVER (ORDER BY delay_min, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM mins
+    ),
+    picks AS (
+      SELECT
+        MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN delay_min END) AS p25,
+        MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN delay_min END) AS p50,
+        MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN delay_min END) AS p75,
+        MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN delay_min END) AS p90,
+        MAX(n) AS n_converted
+      FROM ranked
+    )
+    SELECT CAST((SELECT COUNT(*) FROM signup) AS BIGINT) AS n_signed_up,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(n_converted * 1000000
+                // (SELECT COUNT(*) FROM signup) AS BIGINT)
+             AS conversion_ppm,
+           CAST(p25 AS BIGINT) AS p25_min,
+           CAST(p50 AS BIGINT) AS p50_min,
+           CAST(p75 AS BIGINT) AS p75_min,
+           CAST(p90 AS BIGINT) AS p90_min
+    FROM picks
+    """,
+    tags=("events", "funnel", "latency", "percentile", "analytics"),
+)
+def events_funnel_time_to_convert(spark, sf_dir):
+    """CONVERSION-LATENCY DISTRIBUTION — signup → first subsequent
+    purchase delay, summarized as conversion rate (exact ppm) plus
+    EXACT p25/p50/p75/p90 of the delay in whole minutes, picked by
+    integer rank (ceil(n·p/100), percentile_disc semantics) so no
+    cross-engine interpolation drift can enter — the funnel-latency
+    readout that sets nudge-campaign timing.  Scale shape: one
+    user-keyed aggregate per stage (signup minimum, conditional
+    purchase-after minimum via a user-keyed join both engines plan as
+    one co-partitioned pass), then GLOBAL ranks over the
+    converted-users delays via the two-pass prefix scan
+    (operators/prefix.py:row_number_two_pass — no data-sized
+    SinglePartition window); the ceil-rank pick reads 4 rows from the
+    ranked delay column."""
+    from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
+
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    conv = (
+        signup.join(purchases, "user_id")
+        .filter(F.col("ts_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg((F.min("ts_us") - F.col("s_us")).alias("delay_us"))
+        .select("user_id", F.expr("delay_us div 60000000").alias("delay_min"))
+    )
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = row_number_two_pass(
+        conv, "delay_min", ["user_id"], "rn"
+    ).crossJoin(F.broadcast(n_conv))
+    picks = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 25 + 99) div 100"), F.col("delay_min"))
+        ).alias("p25"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("delay_min"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 75 + 99) div 100"), F.col("delay_min"))
+        ).alias("p75"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("delay_min"))
+        ).alias("p90"),
+        F.max("n").alias("n_converted"),
+    )
+    n_signup = signup.agg(F.count(F.lit(1)).alias("n_signed_up"))
+    return picks.crossJoin(F.broadcast(n_signup)).select(
+        F.col("n_signed_up").cast("bigint").alias("n_signed_up"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.expr("n_converted * 1000000 div n_signed_up")
+        .cast("bigint")
+        .alias("conversion_ppm"),
+        F.col("p25").cast("bigint").alias("p25_min"),
+        F.col("p50").cast("bigint").alias("p50_min"),
+        F.col("p75").cast("bigint").alias("p75_min"),
+        F.col("p90").cast("bigint").alias("p90_min"),
+    )
