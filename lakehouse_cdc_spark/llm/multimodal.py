@@ -604,6 +604,50 @@ def ahash_bmp(
     return df.mapInPandas(batches, AHASH_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_bmp(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Difference-hash perceptual image signature — the GRADIENT
+    sibling of :func:`ahash_bmp`: decode, 9x8 nearest-neighbor
+    downscale (channel 0, one extra column), and each of the 64 bits
+    records whether a cell is strictly brighter than its right
+    neighbor.  dHash is robust where aHash is weak (global brightness
+    / contrast shifts cancel out of the pairwise comparisons — a
+    re-exposed copy keeps its gradient signs), so real image-dedup
+    cascades run both and candidate on either.  Pure integer
+    selection + comparison: bit-identical on any engine or
+    partitioning."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pix = _parse_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = pix.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                thumb = pix[np.ix_(ys, xs)][:, :, 0]
+                bits = (thumb[:, :8] > thumb[:, 1:]).astype(np.uint64).ravel()
+                sig = 0
+                for i, bval in enumerate(bits):
+                    sig |= int(bval) << i
+                if sig >= 1 << 63:  # two's-complement bigint, like ahash
+                    sig -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(sig)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(batches, DHASH_SCHEMA)
+
+
 # ----------------------------------------------------- audio fingerprint
 
 AUDIO_FP_SCHEMA = T.StructType(

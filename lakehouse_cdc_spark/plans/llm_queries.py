@@ -3510,3 +3510,62 @@ def multimodal_decode_quarantine(spark, sf_dir):
         ).otherwise(F.col("payload")),
     )
     return decode_bmp_quarantine(corrupted).orderBy("doc_id")
+
+
+@register(
+    "multimodal_dhash_signatures",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             4 + (doc_id * 7) % 11 AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT g.doc_id, y.y, x.x,
+             (g.doc_id + 3 * ((x.x * g.w) // 9)
+              + 5 * ((y.y * g.h) // 8)) % 256 AS v
+      FROM geo g, range(0, 9) x(x), range(0, 8) y(y)
+    ),
+    pairs AS (
+      SELECT l.doc_id, l.y, l.x,
+             CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+      FROM cells l
+      JOIN cells r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+      WHERE l.x < 8
+    ),
+    sigs AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN bit = 0 THEN 0
+                         -- bit 63 is the sign bit: DuckDB rejects the
+                         -- overflowing shift, so state it as min-bigint
+                         WHEN y * 8 + x = 63
+                           THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT)
+                         END) AS dhash
+      FROM pairs GROUP BY doc_id
+    )
+    SELECT doc_id, dhash FROM sigs ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "dedup", "phash", "pandas-udf"),
+)
+def multimodal_dhash_signatures(spark, sf_dir):
+    """GRADIENT perceptual signatures (difference hash): every
+    document's BMP decodes, downsamples to 9x8, and each bit records
+    whether a cell out-brightens its right neighbor — packed 64-bit
+    two's-complement, the brightness-shift-robust partner of
+    multimodal_ahash_signatures (a re-exposed copy keeps its gradient
+    signs while its aHash bits flip; production image dedup runs BOTH
+    and candidates on either).  The oracle rebuilds all 72 gathered
+    cells per image from the closed-form fixture pixels and replays
+    the 64 comparisons — one wrong gather coordinate (the 9-wide x
+    grid is the easy off-by-one) breaks the hash.  Arrow-batched
+    mapInPandas; at scale the signature replaces the image in every
+    downstream shuffle, same as the aHash path."""
+    from lakehouse_cdc_spark.llm.multimodal import (
+        dhash_bmp,
+        encode_bmp_fixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return dhash_bmp(encode_bmp_fixture(docs)).orderBy("doc_id")

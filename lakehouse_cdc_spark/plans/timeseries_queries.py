@@ -849,3 +849,90 @@ def ts_seasonal_dow_profile(spark, sf_dir):
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear trend (round 8): the two-state sibling of the EWMA
+# ---------------------------------------------------------------------------
+
+_HOLT_SCHEMA = (
+    "user_id bigint, n_events bigint, level double, trend double,"
+    " forecast_1 double"
+)
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key Holt recurrence (alpha = beta = 0.5) in plain IEEE ops:
+    l' = 0.5*x + 0.5*(l + b); b' = 0.5*(l' - l) + 0.5*b — the same
+    operation sequence the oracle's recursive CTE evaluates, so the
+    doubles match bit-for-bit (halvings and adds only)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    level = None
+    trend = 0.0
+    for x in pdf["value"]:
+        x = float(x)
+        if level is None:
+            level = x
+        else:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            level = new_level
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "level": [level],
+            "trend": [trend],
+            "forecast_1": [level + trend],
+        }
+    )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    r AS (
+      SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT ev.user_id, ev.rn,
+             0.5 * ev.value + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * ev.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           l AS level, b AS trend, l + b AS forecast_1
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY rn DESC) AS rr
+          FROM r)
+    WHERE rr = 1
+    """,
+    tags=("timeseries", "pandas-udf", "stateful", "forecast"),
+)
+def ts_holt_linear(spark, sf_dir):
+    """HOLT'S LINEAR TREND (double exponential smoothing, alpha =
+    beta = 0.5) — the two-state extension of ts_ewma_recursive that a
+    capacity-planning pipeline runs for short-horizon forecasts: the
+    level tracks the series, the trend tracks its drift, and the
+    one-step forecast is level + trend.  Like the EWMA this is the
+    recurrence class SQL window frames cannot express (two coupled
+    states over the full prefix), so it rides the same idiomatic
+    escape hatch: ``groupBy(key).applyInPandas`` — sequential per key,
+    embarrassingly parallel across keys, one Arrow batch per group.
+    The oracle replays the IDENTICAL IEEE operation sequence with a
+    two-column recursive CTE (the new level expression is repeated
+    inside the trend update — deterministic recomputation, same
+    bits), and alpha = beta = 0.5 keeps every step to halvings and
+    adds, so the doubles match bit-for-bit with no rounding column."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return e.groupBy("user_id").applyInPandas(_holt_group, _HOLT_SCHEMA)
