@@ -1554,3 +1554,90 @@ def text_quality_quantile_normalize(spark, sf_dir):
         )
         .orderBy("source", "pct_ppm", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Purged time-series split (round 8)
+# ---------------------------------------------------------------------------
+
+_TS_SPLIT_TEST_START = "2024-01-24 00:00:00"
+_TS_SPLIT_EMBARGO = "2024-01-21 00:00:00"  # 3-day embargo before test
+
+
+@register(
+    "sample_time_series_split",
+    oracle=f"""
+    WITH lanes AS (
+      SELECT event_id, user_id,
+             CASE WHEN ts < TIMESTAMP '{_TS_SPLIT_EMBARGO}' THEN 'train'
+                  WHEN ts < TIMESTAMP '{_TS_SPLIT_TEST_START}' THEN 'embargo'
+                  ELSE 'test' END AS lane
+      FROM events
+    )
+    SELECT CAST(COUNT(*) FILTER (lane = 'train') AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (lane = 'embargo') AS BIGINT)
+             AS n_embargo_purged,
+           CAST(COUNT(*) FILTER (lane = 'test') AS BIGINT) AS n_test,
+           CAST(COUNT(DISTINCT user_id) FILTER (lane = 'train') AS BIGINT)
+             AS train_users,
+           CAST(COUNT(DISTINCT user_id) FILTER (lane = 'test') AS BIGINT)
+             AS test_users,
+           CAST(bit_xor(CASE WHEN lane = 'test' THEN event_id
+                             ELSE 0 END) AS BIGINT) AS test_ids_xor
+    FROM lanes
+    """,
+    tags=("sampling", "split", "timeseries", "leakage"),
+)
+def sample_time_series_split(spark, sf_dir):
+    """PURGED TIME-SERIES SPLIT — the temporal complement of
+    sample_leakage_safe_split (which guards against CONTENT leakage by
+    splitting on near-dup clusters): forecasting and financial-ML
+    evaluation must split on TIME, and rows inside the embargo window
+    immediately before the test boundary are PURGED entirely — a
+    trailing-window feature computed at the end of train would
+    otherwise overlap the first test labels (the lookahead leak;
+    de Prado's purged CV — public).  Emits the three lane sizes, the
+    per-lane user counts, and an XOR digest of the test-lane event ids
+    pinning the exact membership across engines and reruns.  Pure
+    map-side lane assignment + one aggregate — at 100 TB the split IS
+    a predicate, never a shuffle; with a date-partitioned layout the
+    lanes are partition-pruned scans."""
+    e = table(spark, sf_dir, "events")
+    lane = (
+        F.when(
+            F.col("ts") < F.lit(_TS_SPLIT_EMBARGO).cast("timestamp"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("ts") < F.lit(_TS_SPLIT_TEST_START).cast("timestamp"),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    lanes = e.select("event_id", "user_id", lane.alias("lane"))
+    return lanes.agg(
+        F.count(F.when(F.col("lane") == "train", 1))
+        .cast("bigint")
+        .alias("n_train"),
+        F.count(F.when(F.col("lane") == "embargo", 1))
+        .cast("bigint")
+        .alias("n_embargo_purged"),
+        F.count(F.when(F.col("lane") == "test", 1))
+        .cast("bigint")
+        .alias("n_test"),
+        F.countDistinct(
+            F.when(F.col("lane") == "train", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("train_users"),
+        F.countDistinct(
+            F.when(F.col("lane") == "test", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("test_users"),
+        F.expr(
+            "bit_xor(CASE WHEN lane = 'test' THEN event_id ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("test_ids_xor"),
+    )

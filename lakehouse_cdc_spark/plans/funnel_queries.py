@@ -1432,3 +1432,185 @@ def events_funnel_time_to_convert(spark, sf_dir):
         F.col("p75").cast("bigint").alias("p75_min"),
         F.col("p90").cast("bigint").alias("p90_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period and repeat-purchase analytics (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    shifted AS (
+      SELECT ym, rev_cents, n_orders,
+             LAG(rev_cents) OVER (ORDER BY ym) AS prev_rev,
+             LAG(ym) OVER (ORDER BY ym) AS prev_ym,
+             LAG(rev_cents, 12) OVER (ORDER BY ym) AS yoy_rev,
+             LAG(ym, 12) OVER (ORDER BY ym) AS yoy_ym
+      FROM monthly
+    )
+    SELECT ym, rev_cents, n_orders,
+           CAST(CASE WHEN prev_ym = CASE WHEN ym % 100 = 1
+                                         THEN ym - 89 ELSE ym - 1 END
+                THEN (rev_cents - prev_rev) * 10000 // prev_rev
+                END AS BIGINT) AS mom_bps,
+           CAST(CASE WHEN yoy_ym = ym - 100
+                THEN (rev_cents - yoy_rev) * 10000 // yoy_rev
+                END AS BIGINT) AS yoy_bps
+    FROM shifted ORDER BY ym
+    """,
+    tags=("orders", "analytics", "window", "period-over-period"),
+)
+def orders_period_over_period(spark, sf_dir):
+    """MONTH-OVER-MONTH and YEAR-OVER-YEAR revenue growth with
+    CALENDAR-ALIGNMENT GUARDS — the finance dashboard staple done
+    honestly: a plain LAG is wrong whenever a month is missing from
+    the data (it silently compares against the wrong period), so each
+    delta validates the lagged row's actual ym before reporting
+    (prev must be the true previous calendar month, yoy must be
+    exactly ym−100) and emits NULL for unaligned gaps instead of a
+    fabricated growth number.  Growth in exact integer basis points
+    (floor division).  Scale: the window runs over the MONTHLY table
+    (rows = months in history, calendar-bounded like the survival
+    histogram) — the only corpus-sized work is the first groupBy."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyyMM").cast("bigint").alias("ym")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    # months-in-history rows: a single-task window here is bounded by
+    # the calendar (~80 rows over 7 years), not the corpus — same
+    # contract as the survival-hazard histogram, but expressed through
+    # a 1-bucket two-pass scan to keep the plan fence's invariant
+    from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
+
+    ranked = row_number_two_pass(monthly, "ym", [], "rk")
+    a = ranked.select(
+        F.col("ym").alias("__ym2"),
+        F.col("rev_cents").alias("__rev2"),
+        F.col("rk").alias("__rk2"),
+    )
+    shifted = (
+        ranked.join(
+            F.broadcast(a.withColumnRenamed("__rk2", "__rk_prev")),
+            F.col("__rk_prev") == F.col("rk") - 1,
+            "left",
+        )
+        .withColumnsRenamed({"__ym2": "prev_ym", "__rev2": "prev_rev"})
+        .join(
+            F.broadcast(
+                a.select(
+                    F.col("__ym2").alias("yoy_ym"),
+                    F.col("__rev2").alias("yoy_rev"),
+                    (F.col("__rk2") + 12).alias("__rk_yoy"),
+                )
+            ),
+            F.col("__rk_yoy") == F.col("rk"),
+            "left",
+        )
+    )
+    prev_aligned = F.col("prev_ym") == F.when(
+        F.col("ym") % 100 == 1, F.col("ym") - 89
+    ).otherwise(F.col("ym") - 1)
+    yoy_aligned = F.col("yoy_ym") == F.col("ym") - 100
+    return shifted.select(
+        "ym",
+        "rev_cents",
+        "n_orders",
+        F.when(
+            prev_aligned,
+            F.expr("(rev_cents - prev_rev) * 10000 div prev_rev"),
+        )
+        .cast("bigint")
+        .alias("mom_bps"),
+        F.when(
+            yoy_aligned,
+            F.expr("(rev_cents - yoy_rev) * 10000 div yoy_rev"),
+        )
+        .cast("bigint")
+        .alias("yoy_bps"),
+    ).orderBy("ym")
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey,
+             CAST(strftime(MIN(o_orderdate), '%Y%m') AS BIGINT) AS cohort_ym,
+             MIN(o_orderdate) AS d1
+      FROM orders GROUP BY o_custkey
+    ),
+    seconds AS (
+      SELECT o_custkey, o_orderdate AS d2 FROM ranked WHERE rn = 2
+    )
+    SELECT f.cohort_ym,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(s.o_custkey) AS BIGINT) AS n_repeat,
+           CAST(COUNT(s.o_custkey) * 1000000 // COUNT(*) AS BIGINT)
+             AS repeat_ppm,
+           CAST(SUM(datediff('day', f.d1, s.d2)) AS BIGINT)
+             AS sum_days_to_second
+    FROM firsts f LEFT JOIN seconds s ON f.o_custkey = s.o_custkey
+    GROUP BY f.cohort_ym ORDER BY f.cohort_ym
+    """,
+    tags=("orders", "analytics", "retention", "cohort"),
+)
+def orders_repeat_purchase_curve(spark, sf_dir):
+    """REPEAT-PURCHASE rate by acquisition cohort — the retention
+    readout on the ORDERS axis (events_retention_cohorts' commerce
+    twin): per first-order month, how many customers ever ordered a
+    second time (exact ppm) and the total days between first and
+    second order (exact integer sum — the mean is one division away
+    and the sum stays hash-checkable).  One customer-keyed window
+    ranks each customer's orders; firsts and seconds are two cheap
+    derivations of it.  Scale: everything is keyed by o_custkey until
+    the final cohort rollup (|months| rows); the window and both
+    aggregates reuse one hash partitioning."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyyMM")
+        .cast("bigint")
+        .alias("cohort_ym"),
+        F.min("o_orderdate").alias("d1"),
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("__ck2"), F.col("o_orderdate").alias("d2")
+    )
+    j = firsts.join(seconds, firsts.o_custkey == F.col("__ck2"), "left")
+    return (
+        j.groupBy("cohort_ym")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.count("__ck2").cast("bigint").alias("n_repeat"),
+            F.expr("count(__ck2) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("repeat_ppm"),
+            F.sum(F.datediff("d2", "d1")).cast("bigint").alias(
+                "sum_days_to_second"
+            ),
+        )
+        .orderBy("cohort_ym")
+    )

@@ -977,3 +977,92 @@ def profile_fd_violations(spark, sf_dir):
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "profile_gini_impurity",
+    oracle="""
+    WITH cols AS (
+      SELECT 'orders.o_orderpriority' AS col, o_orderpriority AS v
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+      UNION ALL
+      SELECT 'documents.source', source FROM documents
+    ),
+    counts AS (
+      SELECT col, v, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM cols GROUP BY col, v
+    ),
+    stats AS (
+      SELECT col,
+             CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS HUGEINT) AS sum_c2
+      FROM counts GROUP BY col
+    )
+    SELECT col,
+           CAST(n AS BIGINT) AS n,
+           n_distinct,
+           CAST((n * n - sum_c2) * 1000000 // (n * n) AS BIGINT)
+             AS gini_ppm
+    FROM stats ORDER BY col
+    """,
+    tags=("profiling", "stats", "cbo", "A-family"),
+)
+def profile_gini_impurity(spark, sf_dir):
+    """CATEGORICAL-COLUMN GINI IMPURITY (1 − Σpᵢ²) in exact integer
+    ppm — the selectivity/skew probe a cost-based optimizer and a
+    stratified sampler both read: 0 means one value dominates
+    (predicates on it are useless), values near the uniform bound
+    (1 − 1/k) mean even strata.  Unlike entropy this needs NO
+    logarithm, so the whole statistic is integer arithmetic: per
+    column one value-count aggregate, then (n² − Σc²)·10⁶ div n² with
+    the squares accumulated in DECIMAL(38,0)/HUGEINT (n² at 100 TB
+    overflows int64 — the round-3 overflow-cliff lesson applied ahead
+    of time).  Six columns ride one unioned plan; each probe is a
+    map-side-combined count like the reference's validation
+    aggregates."""
+    specs = [
+        ("orders.o_orderpriority", "orders", "o_orderpriority"),
+        ("orders.o_orderstatus", "orders", "o_orderstatus"),
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        ("events.event_type", "events", "event_type"),
+        ("documents.lang", "documents", "lang"),
+        ("documents.source", "documents", "source"),
+    ]
+    parts = []
+    for label, tbl, col in specs:
+        t = table(spark, sf_dir, tbl)
+        parts.append(
+            t.select(F.lit(label).alias("col"), F.col(col).alias("v"))
+        )
+    cols = parts[0]
+    for p in parts[1:]:
+        cols = cols.unionByName(p)
+    counts = cols.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    stats = counts.groupBy("col").agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("sum_c2"),
+    )
+    return stats.select(
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        "n_distinct",
+        (
+            (F.col("n") * F.col("n") - F.col("sum_c2"))
+            * F.lit(1000000).cast("decimal(38,0)")
+            / (F.col("n") * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    ).orderBy("col")

@@ -874,3 +874,91 @@ def validation_rate_shift_ztest(spark, sf_dir):
             "significant_95"
         ),
     )
+
+
+@register(
+    "validation_uniqueness_contract",
+    oracle="""
+    WITH probes AS (
+      SELECT 'customer.c_custkey' AS pk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+      FROM customer
+      UNION ALL
+      SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey)
+      FROM orders
+      UNION ALL
+      SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey)
+      FROM part
+      UNION ALL
+      SELECT 'supplier.s_suppkey', COUNT(*), COUNT(DISTINCT s_suppkey)
+      FROM supplier
+      UNION ALL
+      SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL
+      SELECT 'documents.doc_id', COUNT(*), COUNT(DISTINCT doc_id)
+      FROM documents
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+             COUNT(DISTINCT l_orderkey * 1000 + l_linenumber)
+      FROM lineitem
+    )
+    SELECT pk, n_rows, n_distinct,
+           CAST(n_rows - n_distinct AS BIGINT) AS duplicate_rows,
+           CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END AS BIGINT)
+             AS is_unique
+    FROM probes ORDER BY pk
+    """,
+    tags=("validation", "uniqueness", "quality", "A-family"),
+)
+def validation_uniqueness_contract(spark, sf_dir):
+    """PRIMARY-KEY UNIQUENESS across every keyed table in ONE report —
+    the constraint check lakehouse tables can't enforce at write time
+    (no unique indexes at 100 TB), so it runs as a scheduled probe:
+    per declared key, row count vs distinct count, the duplicate
+    excess, and a pass flag.  The composite lineitem key folds into
+    one integer (linenumber < 1000 by TPC-H contract) so the distinct
+    is one column on both engines.  This is the uniqueness sibling of
+    validation_referential_integrity: an upsert pipeline that double-
+    applied a batch shows up HERE first (duplicate keys), before any
+    FK edge breaks.  Scale: each probe is one map-side-combined
+    count(distinct) — Spark plans the 7 probes as independent
+    aggregates unioned at the end, nothing joins."""
+    probes = []
+    for label, tbl, key in [
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+        ("part.p_partkey", "part", F.col("p_partkey")),
+        ("supplier.s_suppkey", "supplier", F.col("s_suppkey")),
+        ("events.event_id", "events", F.col("event_id")),
+        ("documents.doc_id", "documents", F.col("doc_id")),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
+        ),
+    ]:
+        t = table(spark, sf_dir, tbl)
+        probes.append(
+            t.agg(
+                F.lit(label).alias("pk"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(key).cast("bigint").alias("n_distinct"),
+            )
+        )
+    rep = probes[0]
+    for p in probes[1:]:
+        rep = rep.unionByName(p)
+    return rep.select(
+        "pk",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("duplicate_rows"),
+        F.when(F.col("n_rows") == F.col("n_distinct"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_unique"),
+    ).orderBy("pk")
