@@ -214,6 +214,7 @@ def lower_bucket_agg(
     out_col: str,
     combine: str = "sum",
     default=0,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """For every bucket, combine ``value_col`` over all STRICTLY lower
     buckets (the carry-in of a two-pass prefix scan): ``sum`` for
@@ -223,16 +224,27 @@ def lower_bucket_agg(
     an O(n_buckets²) broadcast — never a window, never a collect.
     ``default=None`` keeps the carry NULL for the lowest bucket (what
     a running-max wants); any other value coalesces (what a cumsum
-    wants).  Returns (bucket_col, out_col).
+    wants).  ``partition_cols`` scopes the carry: lower buckets only
+    combine WITHIN the same partition key (one independent prefix
+    scan per key — per_bucket then has one row per (key, bucket)).
+    Returns (*partition_cols, bucket_col, out_col).
     """
-    t = per_bucket.select(F.col(bucket_col).alias("__t_b"))
+    pcols = partition_cols or []
+    t = per_bucket.select(
+        *[F.col(c) for c in pcols], F.col(bucket_col).alias("__t_b")
+    )
     p = per_bucket.select(
-        F.col(bucket_col).alias("__p_b"), F.col(value_col).alias("__p_v")
+        *[F.col(c).alias(f"__p_{c}") for c in pcols],
+        F.col(bucket_col).alias("__p_b"),
+        F.col(value_col).alias("__p_v"),
     )
     agg = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.sum}[combine]
+    cond = F.col("__p_b") < F.col("__t_b")
+    for c in pcols:
+        cond = cond & F.col(f"__p_{c}").eqNullSafe(F.col(c))
     out = (
-        t.join(F.broadcast(p), F.col("__p_b") < F.col("__t_b"), "left")
-        .groupBy("__t_b")
+        t.join(F.broadcast(p), cond, "left")
+        .groupBy(*pcols, "__t_b")
         .agg(agg("__p_v").alias(out_col))
     )
     if default is not None:

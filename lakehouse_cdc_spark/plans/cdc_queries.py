@@ -505,3 +505,80 @@ def cdc_lateness_audit(spark, sf_dir):
         ),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+@register(
+    "cdc_partial_column_upsert",
+    oracle="""
+    WITH patches AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS val_patch,
+             CASE WHEN event_id % 2 = 1 THEN event_type END AS type_patch
+      FROM events
+    )
+    SELECT user_id,
+           (max(CASE WHEN val_patch IS NOT NULL THEN
+                struct_pack(ts := ts, eid := event_id, v := val_patch)
+            END)).v AS val_cents,
+           (max(CASE WHEN type_patch IS NOT NULL THEN
+                struct_pack(ts := ts, eid := event_id, v := type_patch)
+            END)).v AS last_type,
+           CAST(COUNT(*) FILTER (val_patch IS NOT NULL) AS BIGINT)
+             AS n_val_patches,
+           CAST(COUNT(*) FILTER (type_patch IS NOT NULL) AS BIGINT)
+             AS n_type_patches
+    FROM patches GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("cdc", "merge", "partial-update", "S9", "W1"),
+)
+def cdc_partial_column_upsert(spark, sf_dir):
+    """COLUMN-LEVEL partial upsert compaction — the patch-stream
+    semantics row-level LWW (cdc_latest_state / apply_changes) cannot
+    express: real CDC streams carry SPARSE updates (Debezium partial
+    events, MERGE ... UPDATE SET col = COALESCE(src.col, tgt.col)),
+    where NULL means "field untouched", so the current state of each
+    COLUMN is its own latest NON-NULL value — two columns of one key
+    can come from two different change events.  Executed as ONE
+    groupBy with per-column max-of-struct aggregates (the (ts,
+    event_id, value) struct orders lexicographically, so the max among
+    non-null carriers IS the latest patch — no window, no per-column
+    join, and adding patched columns adds aggregate expressions, never
+    shuffles).  The fixture derives a deterministic patch stream from
+    events (even event_ids patch the value column, odd ones the type
+    column); the oracle replays it with arg_max FILTER.  At 100 TB
+    this is the compaction a wide sparse-update table needs: the
+    row-LWW form would resurrect stale columns from the last full
+    row."""
+    e = table(spark, sf_dir, "events")
+    patches = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+        ).alias("val_patch"),
+        F.when(F.col("event_id") % 2 == 1, F.col("event_type")).alias(
+            "type_patch"
+        ),
+    )
+
+    def latest_non_null(col):
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct("ts", "event_id", col),
+            )
+        ).getField(col)
+
+    return (
+        patches.groupBy("user_id")
+        .agg(
+            latest_non_null("val_patch").alias("val_cents"),
+            latest_non_null("type_patch").alias("last_type"),
+            F.count("val_patch").cast("bigint").alias("n_val_patches"),
+            F.count("type_patch").cast("bigint").alias("n_type_patches"),
+        )
+        .orderBy("user_id")
+    )

@@ -1066,3 +1066,135 @@ def profile_gini_impurity(spark, sf_dir):
         .cast("bigint")
         .alias("gini_ppm"),
     ).orderBy("col")
+
+
+_CD_FILE_ROWS = 4096  # insert-order synthetic file size (zone-map twin)
+_CD_DAYS_PER_FILE = 30  # date-clustered layout: one file per ~month
+
+
+@register(
+    "maintenance_clustering_depth",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey // {_CD_FILE_ROWS} AS f_ins,
+             datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               AS d
+      FROM lineitem
+    ),
+    layouts AS (
+      SELECT 'date_clustered' AS layout, d // {_CD_DAYS_PER_FILE} AS file_id,
+             d FROM li
+      UNION ALL
+      SELECT 'insert_order', f_ins, d FROM li
+    ),
+    zones AS (
+      SELECT layout, file_id, MIN(d) AS zmin, MAX(d) AS zmax
+      FROM layouts GROUP BY layout, file_id
+    ),
+    deltas AS (
+      SELECT layout, zmin AS d, 1 AS delta FROM zones
+      UNION ALL
+      SELECT layout, zmax + 1, -1 FROM zones
+    ),
+    daily AS (
+      SELECT layout, d, SUM(delta) AS net FROM deltas GROUP BY layout, d
+    ),
+    curve AS (
+      SELECT layout, d, net,
+             SUM(net) OVER (PARTITION BY layout ORDER BY d) AS depth
+      FROM daily
+    ),
+    files AS (SELECT layout, COUNT(*) AS nf FROM zones GROUP BY layout)
+    SELECT c.layout,
+           CAST(f.nf AS BIGINT) AS files_total,
+           CAST(MAX(c.depth) AS BIGINT) AS max_depth,
+           CAST(COUNT(*) FILTER (c.depth >= 2) * 1000000
+                // COUNT(*) FILTER (c.depth >= 1) AS BIGINT)
+             AS overlapped_boundary_ppm
+    FROM curve c JOIN files f ON c.layout = f.layout
+    GROUP BY c.layout, f.nf ORDER BY c.layout
+    """,
+    tags=("maintenance", "clustering", "zonemap", "M1-scale"),
+)
+def maintenance_clustering_depth(spark, sf_dir):
+    """CLUSTERING DEPTH — the file-overlap metric that tells a
+    lakehouse WHEN to rewrite (Delta's OPTIMIZE/clustering metric,
+    made explicit): each file's l_shipdate zone [zmin, zmax] enters a
+    +1/−1 interval sweep, and the running sum is how many files a
+    point-in-time reader must open.  Insert-order files (orderkey
+    div 4096 — what a CDC ingest produces) each span nearly the whole
+    calendar, so max_depth ≈ file count and every boundary day is
+    overlapped; date-clustered files are near-disjoint (depth ~1-2).
+    The report quantifies exactly the read-amplification gap
+    maintenance_zone_map_skipping prices and layout_zorder_clustering
+    fixes — the decision input for scheduling the rewrite.  Scale
+    shape: one |lineitem| aggregate reduces to |files| zones; the
+    sweep runs on the per-day delta table (calendar-bounded) via the
+    two-pass prefix carry — no SinglePartition window, same discipline
+    as orders_concurrency_curve."""
+    from pyspark.sql import Window
+
+    from lakehouse_cdc_spark.operators.prefix import (
+        lower_bucket_agg,
+        with_range_bucket,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {_CD_FILE_ROWS}").alias("f_ins"),
+        F.expr(
+            "datediff(to_date(l_shipdate), DATE '1992-01-01')"
+        ).alias("d"),
+    )
+    layouts = li.select(
+        F.lit("date_clustered").alias("layout"),
+        F.expr(f"d div {_CD_DAYS_PER_FILE}").alias("file_id"),
+        "d",
+    ).unionAll(li.select(F.lit("insert_order"), F.col("f_ins"), F.col("d")))
+    zones = layouts.groupBy("layout", "file_id").agg(
+        F.min("d").alias("zmin"), F.max("d").alias("zmax")
+    )
+    deltas = zones.select(
+        "layout", F.col("zmin").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        zones.select("layout", (F.col("zmax") + 1).alias("d"), F.lit(-1))
+    )
+    daily = with_range_bucket(
+        deltas.groupBy("layout", "d").agg(F.sum("delta").alias("net")),
+        "d",
+        16,
+    )
+    carry = lower_bucket_agg(
+        daily.groupBy("layout", "__bkt").agg(F.sum("net").alias("__btot")),
+        "__bkt",
+        "__btot",
+        "__carry",
+        partition_cols=["layout"],
+    )
+    curve = daily.join(carry, ["layout", "__bkt"]).withColumn(
+        "depth",
+        F.sum("net").over(
+            Window.partitionBy("layout", "__bkt").orderBy("d")
+        )
+        + F.col("__carry"),
+    )
+    files = zones.groupBy("layout").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        curve.groupBy("layout")
+        .agg(
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.expr(
+                "count(CASE WHEN depth >= 2 THEN 1 END) * 1000000"
+                " div count(CASE WHEN depth >= 1 THEN 1 END)"
+            )
+            .cast("bigint")
+            .alias("overlapped_boundary_ppm"),
+        )
+        .join(F.broadcast(files), "layout")
+        .select(
+            "layout",
+            F.col("nf").cast("bigint").alias("files_total"),
+            "max_depth",
+            "overlapped_boundary_ppm",
+        )
+        .orderBy("layout")
+    )
