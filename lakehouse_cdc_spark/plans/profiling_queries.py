@@ -1198,3 +1198,112 @@ def maintenance_clustering_depth(spark, sf_dir):
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "stats_higher_moments",
+    oracle="""
+    WITH suff AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT grp, n,
+             CAST(s1 AS BIGINT) AS s1_out,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM suff
+    ),
+    c AS (
+      SELECT grp, n, s1_out, m,
+             r2 - m * m AS m2,
+             r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+             r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+                - 3.0 * m * m * m * m AS m4
+      FROM d
+    )
+    SELECT grp, n, s1_out AS sum_x,
+           round(m, 6) AS mean,
+           round(m2, 6) AS variance_pop,
+           round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM c ORDER BY grp
+    """,
+    tags=("stats", "moments", "profiling", "A-family"),
+)
+def stats_higher_moments(spark, sf_dir):
+    """SKEWNESS and EXCESS KURTOSIS per group from exact integer power
+    sums — the one-pass distributed higher-moment shape (the same
+    mergeable-suffstats discipline as stats_ols_by_brand, two moments
+    further): one groupBy collects (n, Σx, Σx², Σx³, Σx⁴) with
+    map-side combine, central moments and the standardized statistics
+    are pure arithmetic on five columns.  The power sums accumulate in
+    DECIMAL(38,0)/HUGEINT — Σx⁴ overflows int64 long before 100 TB
+    (the round-3 overflow-cliff class, pre-empted) — and are exactly
+    representable as doubles at tested SFs, after which both engines
+    apply IDENTICAL IEEE trees (raw moments first, then the central-
+    moment polynomial, then the ratios), so round(·, 6) agrees
+    bit-for-bit.  Skew/kurtosis are what a data profiler stores to
+    pick between histogram shapes and to flag heavy-tailed columns
+    before a z-score monitor is trusted."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")
+    suff = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s1"),
+        F.sum(x * x).cast("decimal(38,0)").alias("s2"),
+        F.sum(x * x * x).cast("decimal(38,0)").alias("s3"),
+        F.sum(x * x * x * x).cast("decimal(38,0)").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    d = suff.select(
+        "grp",
+        "n",
+        F.col("s1").cast("bigint").alias("sum_x"),
+        m.alias("m"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    m_, r2_, r3_, r4_ = F.col("m"), F.col("r2"), F.col("r3"), F.col("r4")
+    c = d.select(
+        "grp",
+        "n",
+        "sum_x",
+        m_.alias("m"),
+        (r2_ - m_ * m_).alias("m2"),
+        (r3_ - F.lit(3.0) * m_ * r2_ + F.lit(2.0) * m_ * m_ * m_).alias("m3"),
+        (
+            r4_
+            - F.lit(4.0) * m_ * r3_
+            + F.lit(6.0) * m_ * m_ * r2_
+            - F.lit(3.0) * m_ * m_ * m_ * m_
+        ).alias("m4"),
+    )
+    m2_, m3_, m4_ = F.col("m2"), F.col("m3"), F.col("m4")
+    return c.select(
+        "grp",
+        "n",
+        "sum_x",
+        F.round(F.col("m"), 6).alias("mean"),
+        F.round(m2_, 6).alias("variance_pop"),
+        F.round(m3_ / (F.sqrt(m2_) * m2_), 6).alias("skewness"),
+        F.round(m4_ / (m2_ * m2_) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    ).orderBy("grp")

@@ -268,3 +268,162 @@ def scalar_xml_roundtrip(spark, sf_dir):
             ).otherwise(0)
         ).cast("bigint").alias("roundtrip_ok"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("sql", "listagg", "A-family", "F5"),
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """ORDERED string aggregation — Spark 4.0's ``listagg`` (the ANSI
+    SQL:2023 function; DuckDB spells it string_agg ... ORDER BY).
+    Unordered string_agg output is partition-dependent garbage for
+    hashing or diffing; the WITHIN-GROUP order makes the concatenation
+    a pure function of the group — the only honest way a distributed
+    engine can emit delimited lists (report exports, label sets,
+    grouped id manifests).  One groupBy over the 25-row dimension;
+    at scale the per-group sort is local to each group after the hash
+    exchange."""
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+             CAST(COALESCE(TRY_CAST(
+               regexp_extract(text, '([0-9]+)', 1) AS BIGINT), -1) AS BIGINT)
+               AS first_number,
+             len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS n_four_letter,
+             length(regexp_replace(text, '[aeiou]', '*', 'g')) AS n_chars
+      FROM d
+    )
+    SELECT CAST(SUM(n_numbers) AS BIGINT) AS total_numbers,
+           CAST(SUM(CASE WHEN first_number >= 0 THEN first_number
+                         ELSE 0 END) AS BIGINT) AS sum_first_numbers,
+           CAST(SUM(n_four_letter) AS BIGINT) AS total_four_letter,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars_after_replace,
+           CAST(COUNT(CASE WHEN n_numbers > 0 THEN 1 END) AS BIGINT)
+             AS docs_with_numbers
+    FROM m
+    """,
+    tags=("scalar", "regexp", "F-family", "text"),
+)
+def scalar_regexp_functions(spark, sf_dir):
+    """REGEXP surface contract — extract-all counts, first-match
+    capture, word-boundary classes, and global replace, executed on
+    real corpus text and reduced to exact integer totals so any
+    engine divergence in regex semantics (greedy match spans, \\b
+    word-boundary interpretation, empty-match handling) breaks the
+    hash.  Spark's regexp_extract_all / regexp_count / regexp_replace
+    are all codegen'd JVM operators (this entire query is one
+    map-side pass + a scalar aggregate — the right way to run regex
+    over 100 TB of text; a Python re loop would be the 100× slow
+    path)."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+        ).alias("n_numbers"),
+        F.coalesce(
+            F.expr(
+            "try_cast(regexp_extract(text, '([0-9]+)', 1) AS BIGINT)"
+            ),
+            F.lit(-1),
+        ).cast("bigint").alias("first_number"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b[a-z]{4}\b"), 0)
+        ).alias("n_four_letter"),
+        F.length(
+            F.regexp_replace(F.col("text"), "[aeiou]", "*")
+        ).alias("n_chars"),
+    )
+    return m.agg(
+        F.sum("n_numbers").cast("bigint").alias("total_numbers"),
+        F.sum(
+            F.when(F.col("first_number") >= 0, F.col("first_number")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_first_numbers"),
+        F.sum("n_four_letter").cast("bigint").alias("total_four_letter"),
+        F.sum("n_chars").cast("bigint").alias("total_chars_after_replace"),
+        F.count(F.when(F.col("n_numbers") > 0, 1))
+        .cast("bigint")
+        .alias("docs_with_numbers"),
+    )
+
+
+@register(
+    "scalar_calendar_edges",
+    oracle="""
+    WITH probes AS (
+      SELECT 'jan31+1mo' AS probe,
+             CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE) AS d
+      UNION ALL
+      SELECT 'feb29+1yr',
+             CAST(DATE '2024-02-29' + INTERVAL 12 MONTH AS DATE)
+      UNION ALL
+      SELECT 'may31-3mo',
+             CAST(DATE '2024-05-31' - INTERVAL 3 MONTH AS DATE)
+      UNION ALL
+      SELECT 'dec31+2mo',
+             CAST(DATE '2023-12-31' + INTERVAL 2 MONTH AS DATE)
+    )
+    SELECT probe,
+           strftime(d, '%Y-%m-%d') AS result_date,
+           CAST(EXTRACT(dow FROM d) AS BIGINT) AS day_of_week_sun0,
+           CAST(EXTRACT(quarter FROM d) AS BIGINT) AS quarter
+    FROM probes ORDER BY probe
+    """,
+    tags=("scalar", "calendar", "semantics", "F9"),
+)
+def scalar_calendar_edges(spark, sf_dir):
+    """CALENDAR-ARITHMETIC EDGE CONTRACT, executed: month arithmetic
+    from a month-end clamps to the target month's last day (Jan 31 +
+    1 month = Feb 29 in a leap year, NOT Mar 2), leap day + 12 months
+    clamps to Feb 28, and subtraction clamps symmetrically — the
+    add_months semantics both engines share but many hand-rolled
+    day-arithmetic pipelines get wrong (the +30d approximation drifts
+    forever).  Each probe also extracts day-of-week (Sunday=0
+    convention pinned explicitly: Spark's dayofweek is 1-based
+    Sunday=1, so the query subtracts 1 to meet DuckDB's dow) and
+    quarter.  A calendar divergence anywhere breaks the hash — this
+    is the executed contract billing/cohort code relies on."""
+    probes = [
+        ("jan31+1mo", "2024-01-31", 1),
+        ("feb29+1yr", "2024-02-29", 12),
+        ("may31-3mo", "2024-05-31", -3),
+        ("dec31+2mo", "2023-12-31", 2),
+    ]
+    rows = None
+    for name, base, months in probes:
+        r = spark.range(1).select(
+            F.lit(name).alias("probe"),
+            F.add_months(F.lit(base).cast("date"), months).alias("d"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.select(
+        "probe",
+        F.date_format("d", "yyyy-MM-dd").alias("result_date"),
+        (F.dayofweek("d") - 1).cast("bigint").alias("day_of_week_sun0"),
+        F.quarter("d").cast("bigint").alias("quarter"),
+    ).orderBy("probe")
