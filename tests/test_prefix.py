@@ -201,3 +201,33 @@ def test_two_pass_null_ordering_matches_global_window(spark):
         )
         got = {(r.id, r.rn, r.nt) for r in two_pass.collect()}
         assert got == expected, f"ascending={ascending}"
+
+
+def test_lower_bucket_agg_partition_cols_scopes_the_carry(spark):
+    """With partition_cols, each key's prefix carry is independent —
+    a bucket of key A never leaks into key B's cumulative sum (the
+    per-layout sweep maintenance_clustering_depth relies on)."""
+    from lakehouse_cdc_spark.operators.prefix import lower_bucket_agg
+
+    rows = [
+        ("a", 0, 10), ("a", 1, 20), ("a", 2, 30),
+        ("b", 0, 1), ("b", 2, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, bkt int, v long")
+    got = {
+        (r.k, r.bkt, r.carry)
+        for r in lower_bucket_agg(
+            df, "bkt", "v", "carry", partition_cols=["k"]
+        ).collect()
+    }
+    assert got == {
+        ("a", 0, 0), ("a", 1, 10), ("a", 2, 30),
+        ("b", 0, 0), ("b", 2, 1),
+    }
+    # no partition_cols: unchanged legacy behavior (global carry)
+    solo = df.filter(F.col("k") == "a")
+    legacy = {
+        (r.bkt, r.carry)
+        for r in lower_bucket_agg(solo, "bkt", "v", "carry").collect()
+    }
+    assert legacy == {(0, 0), (1, 10), (2, 30)}
