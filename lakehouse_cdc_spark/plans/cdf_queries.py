@@ -832,3 +832,149 @@ def cdf_incremental_text_index(spark, sf_dir):
         .orderBy(F.desc("score_fp"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+_GRP_CACHE: dict[str, object] = {}
+
+#: uncapped per-band candidate join over the `bands` CTE (the pair
+#: policy must be insertion-monotone for maintained ≡ rebuild; the
+#: capped _BAND_UNION of dedup_minhash_lsh is time-dependent under
+#: increments)
+_GRP_BAND_UNION = "\n      UNION\n".join(
+    f"      SELECT a.doc AS da, b.doc AS db FROM bands a JOIN bands b\n"
+    f"        ON a.band{b} = b.band{b} AND a.doc < b.doc"
+    for b in range(4)
+)
+
+
+def _grp_demo_sinks(spark, sf_dir):
+    """Base text sink fed three INSERT-ONLY batches (doc_id % 3 =
+    0 / 1 / 2 — the whole documents table by the end), with the LSH
+    band index AND the dedup-group label table maintained from its
+    feed, cached per sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.indexing import (
+        dedup_groups_changes,
+        lsh_index_changes,
+    )
+
+    cached = _GRP_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    batches = [
+        d.filter(did % 3 == i).select(
+            did.alias("doc"),
+            F.col("text"),
+            F.lit("c").alias("operation"),
+            F.lit(i).cast("bigint").alias("seq"),
+        )
+        for i in range(3)
+    ]
+    base = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_grpbase_"),
+        keys=["doc"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    idx = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_grpidx_"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=8,
+    )
+    lab = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_grplab_"),
+        keys=["doc"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    for i, b in enumerate(batches):
+        base.process_batch(b, i)
+        feed = base.changes_between(spark, i - 1, i)
+        prev_index = idx.current_table(spark) if i > 0 else None
+        prev_labels = lab.current_table(spark) if i > 0 else None
+        lab.process_batch(
+            dedup_groups_changes(
+                feed, prev_labels, prev_index, snapshot=i
+            ),
+            i,
+        )
+        idx.process_batch(lsh_index_changes(feed, snapshot=i), i)
+    _GRP_CACHE[sf_dir] = lab
+    return lab
+
+
+@register(
+    "cdf_incremental_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE final_docs AS (
+      SELECT doc_id AS doc, text FROM documents
+    ),
+    toks AS (SELECT doc, string_split_regex(trim(text), '\\s+') AS t
+             FROM final_docs),
+    idx AS (SELECT doc, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM idx),
+    sig AS (SELECT doc,
+             {_LSH_MINS}
+            FROM sh GROUP BY doc),
+    bands AS (SELECT doc,
+             {_LSH_BANDS}
+            FROM sig),
+    cand AS (
+{_GRP_BAND_UNION}
+    ),
+    sym AS (SELECT da AS u, db AS v FROM cand
+            UNION SELECT db, da FROM cand),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, w.label FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS grp FROM walk GROUP BY node)
+    SELECT grp AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp GROUP BY grp HAVING COUNT(*) >= 2
+    ORDER BY canonical_doc_id
+    """,
+    tags=("cdc", "cdf", "index-maintenance", "dedup", "graph", "S12"),
+)
+def cdf_incremental_dedup_groups(spark, sf_dir):
+    """DEDUP-GROUP MAINTENANCE over the change feed — the decision
+    layer of incremental dedup, completing the story the maintained
+    LSH index started: as append-only shards land, the transitive
+    near-dup GROUP LABELS (who is a duplicate of whom, which doc is
+    canonical) are kept current consuming ONLY ``changes_between``
+    batches + the maintained band index + the maintained label table
+    (streaming/indexing.py:dedup_groups_changes).  Per snapshot the
+    work is O(|new docs| × shingles + |touched groups|): new docs
+    band-join the maintained index, only the MERGED groups' members
+    are re-labeled (min-label connected components on the touched
+    subgraph — never the corpus), and unchanged groups never re-emit.
+    Append-only is enforced (a delete can split a group — that is a
+    rebuild, the same boundary as MAX retraction in maintained
+    aggregates).  The declared result is every multi-doc group (label
+    = min member = canonical doc) read from the MAINTAINED table; the
+    oracle recomputes the closure from the full final corpus with a
+    recursive CTE and the same uncapped band-pair policy — a hash
+    match proves the incrementally maintained labels reach the exact
+    fixed point a from-scratch rebuild lands."""
+    lab = _grp_demo_sinks(spark, sf_dir)
+    t = lab.current_table(spark).select("doc", "label")
+    return (
+        t.groupBy(F.col("label").alias("canonical_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc"))).alias(
+                "members"
+            ),
+        )
+        .filter(F.col("group_size") >= 2)
+        .orderBy("canonical_doc_id")
+    )

@@ -1614,3 +1614,72 @@ def orders_repeat_purchase_curve(spark, sf_dir):
         )
         .orderBy("cohort_ym")
     )
+
+
+@register(
+    "window_session_tvf",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_tus
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_id, tus, v,
+             SUM(CASE WHEN prev_tus IS NULL
+                           OR tus - prev_tus > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_idx
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, sess_idx,
+             MIN(tus) AS session_start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(v) AS BIGINT) AS value_cents
+      FROM numbered GROUP BY user_id, sess_idx
+    )
+    SELECT user_id, CAST(session_start_us AS BIGINT) AS session_start_us,
+           n_events, value_cents
+    FROM sessions ORDER BY user_id, session_start_us
+    """,
+    tags=("events", "sessionization", "tvf", "T7"),
+)
+def window_session_tvf(spark, sf_dir):
+    """Spark's native ``session_window`` TVF in BATCH mode — the same
+    operator the streaming sessionizer uses (streaming/stateful.py),
+    here proven EQUIVALENT to the hand-built gaps-and-islands window
+    algebra: the oracle replays events_sessionize_batch's lag/
+    running-sum construction, and the hash must match Spark's built-in
+    session assignment (same 30-minute gap).  The TVF closes a session
+    when the NEXT event is more than the gap away, exactly the
+    lag-based open rule — an off-by-one in either boundary convention
+    breaks every session start.  Session start is reported in exact
+    epoch-µs.  Scale: session_window plans as one user-keyed exchange
+    + a session-merging aggregate, the same single-shuffle shape as
+    the manual form — this row certifies the built-in can replace the
+    window algebra wherever the engine's users prefer TVF syntax."""
+    e = table(spark, sf_dir, "events")
+    grouped = (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+        )
+    )
+    return grouped.select(
+        "user_id",
+        F.col("session_start_us").cast("bigint").alias("session_start_us"),
+        "n_events",
+        "value_cents",
+    ).orderBy("user_id", "session_start_us")

@@ -332,3 +332,176 @@ def rebuild_token_index(
     return tok.groupBy("token", *keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+
+
+def dedup_groups_changes(
+    feed: DataFrame,
+    prev_labels: DataFrame | None,
+    prev_index: DataFrame | None,
+    snapshot: int,
+    id_col: str = "doc",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    op_col: str = "operation",
+) -> DataFrame:
+    """The DEDUP-GROUP label change batch one APPEND-ONLY snapshot's
+    feed implies — the group-maintenance completion of the incremental
+    dedup story: ``cdf_incremental_lsh_index`` keeps the band index
+    current and ``dedup_incremental_new_shard`` scores a new shard
+    against it; this operator keeps the transitive GROUP LABELS (the
+    actual keep/drop decisions) current, consuming only the feed, the
+    maintained band index, and the maintained label table.
+
+    Contract: INSERT-ONLY (raises on update/delete ops).  New edges
+    then only ever MERGE components — the one direction incremental
+    connected components is sound in (a delete can SPLIT a group,
+    which no O(delta) algebra can repair without rereading the
+    affected documents; that case is a rebuild, exactly like MAX
+    retraction in maintained aggregates).  Append-only is also the
+    common corpus shape: crawl shards arrive, documents are never
+    edited in place.
+
+    Per snapshot, O(|new docs| × shingles + |touched groups|):
+
+    1. band the new docs (same md5 family as the maintained index);
+    2. candidate pairs = new×old (band join against ``prev_index``)
+       ∪ new×new (band self-join) — UNCAPPED, so the pair policy is
+       insertion-monotone and the maintained labels provably equal a
+       from-scratch rebuild (a bucket cap is time-dependent under
+       increments; at production scale cap the REBUILD and accept
+       drift, or keep buckets bounded upstream);
+    3. touched old groups = labels of old partners; their FULL member
+       lists come from one label-keyed semi-join (the only read of
+       old state, O(touched members));
+    4. connected components over [pairs ∪ (member—label) edges ∪
+       (new, new) self-edges] — a subgraph of merged groups + new
+       docs, never the corpus;
+    5. emit upserts for new docs and any member whose label changed
+       (minimal batch — untouched groups never re-emit).
+
+    Labels stay the MIN member id inductively: every old group is
+    connected through its label node (itself the group's min), so the
+    min over a merged component equals the full-rebuild min.  Two old
+    docs sharing a band bucket were already merged when the later one
+    arrived, so no old×old edge is ever missed."""
+    from lakehouse_cdc_spark.operators.graph import connected_components
+
+    bad = feed.filter(F.col(op_col) != "c").take(1)
+    if bad:
+        raise ValueError(
+            "dedup_groups_changes is append-only: got operation "
+            f"{bad[0][op_col]!r} — a delete/update can SPLIT a group, "
+            "which requires rebuild_dedup_groups over the final state"
+        )
+    new_docs = feed.select(id_col, text_col)
+    new_bands = rebuild_lsh_index(
+        new_docs, id_col=id_col, text_col=text_col,
+        k=k, bands=bands, rows_per_band=rows_per_band, n=n,
+    )
+    if prev_index is None:
+        old_bands = new_bands.limit(0)
+    else:
+        old_bands = prev_index.select(id_col, "band", "band_key")
+    if prev_labels is None:
+        prev_lab = new_docs.select(
+            F.col(id_col), F.col(id_col).alias("label")
+        ).limit(0)
+    else:
+        prev_lab = prev_labels.select(id_col, "label")
+
+    ob = old_bands.select(
+        F.col(id_col).alias("__oid"), "band", "band_key"
+    )
+    pairs_new_old = (
+        new_bands.join(ob, ["band", "band_key"])
+        .select(F.col(id_col).alias("u"), F.col("__oid").alias("v"))
+        .distinct()
+    )
+    nb2 = new_bands.select(
+        F.col(id_col).alias("__nid2"), "band", "band_key"
+    )
+    pairs_new_new = (
+        new_bands.join(nb2, ["band", "band_key"])
+        .filter(F.col(id_col) < F.col("__nid2"))
+        .select(F.col(id_col).alias("u"), F.col("__nid2").alias("v"))
+        .distinct()
+    )
+    touched_labels = (
+        pairs_new_old.select(F.col("v").alias(id_col))
+        .join(prev_lab, id_col)
+        .select("label")
+        .distinct()
+    )
+    members = prev_lab.join(
+        runtime_sized(touched_labels, "delta"), "label", "left_semi"
+    )
+    member_edges = members.select(
+        F.col(id_col).alias("u"), F.col("label").alias("v")
+    )
+    self_edges = new_docs.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("v")
+    )
+    edges = (
+        pairs_new_old.unionByName(pairs_new_new)
+        .unionByName(member_edges)
+        .unionByName(self_edges)
+    )
+    cc = connected_components(edges, src="u", dst="v").select(
+        F.col("node").alias(id_col), F.col("component").alias("label")
+    )
+    # minimal batch: only labels that differ from the previous state
+    prev_named = prev_lab.select(
+        F.col(id_col).alias("__pid"), F.col("label").alias("__plab")
+    )
+    changed = cc.join(
+        prev_named,
+        (F.col(id_col) == F.col("__pid"))
+        & (F.col("label") == F.col("__plab")),
+        "left_anti",
+    )
+    return changed.select(
+        id_col,
+        "label",
+        F.lit("u").alias(op_col),
+        F.lit(snapshot).cast("bigint").alias("seq"),
+    )
+
+
+def rebuild_dedup_groups(
+    visible: DataFrame,
+    id_col: str = "doc",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """The O(table) ground truth: group labels recomputed from the
+    full visible corpus with the same UNCAPPED band-pair policy —
+    proves the incremental path lands identical labels (tests,
+    backfills, and the delete/update escape hatch)."""
+    from lakehouse_cdc_spark.operators.graph import connected_components
+
+    all_bands = rebuild_lsh_index(
+        visible, id_col=id_col, text_col=text_col,
+        k=k, bands=bands, rows_per_band=rows_per_band, n=n,
+    )
+    b2 = all_bands.select(F.col(id_col).alias("__id2"), "band", "band_key")
+    pairs = (
+        all_bands.join(b2, ["band", "band_key"])
+        .filter(F.col(id_col) < F.col("__id2"))
+        .select(F.col(id_col).alias("u"), F.col("__id2").alias("v"))
+        .distinct()
+    )
+    self_edges = visible.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("v")
+    )
+    cc = connected_components(
+        pairs.unionByName(self_edges), src="u", dst="v"
+    )
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("label")
+    )

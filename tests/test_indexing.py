@@ -357,3 +357,106 @@ def test_token_index_tracks_through_compaction_and_rebucket(spark, tmp_path):
     advance()
     assert maintained() == rebuilt()
     assert all(d != 2 for _, d, _ in maintained())
+
+
+def test_maintained_dedup_groups_equal_rebuild_stepwise(spark, tmp_path):
+    """Append-only group maintenance must equal a from-scratch rebuild
+    after EVERY batch — including a cross-batch merge (a new doc
+    near-dups members of two different existing groups) — and must
+    refuse non-insert feeds (a delete can split a group)."""
+    import pytest
+
+    from lakehouse_cdc_spark.streaming.indexing import (
+        dedup_groups_changes,
+        lsh_index_changes,
+        rebuild_dedup_groups,
+    )
+
+    base = SnapshotUpsertSink(
+        str(tmp_path / "base"), keys=["doc"], order_by=["seq"], n_buckets=2
+    )
+    idx = SnapshotUpsertSink(
+        str(tmp_path / "idx"),
+        keys=["doc", "band"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    lab = SnapshotUpsertSink(
+        str(tmp_path / "lab"), keys=["doc"], order_by=["seq"], n_buckets=2
+    )
+
+    def advance(snap):
+        feed = base.changes_between(spark, snap - 1, snap)
+        prev_index = idx.current_table(spark) if snap > 0 else None
+        prev_labels = lab.current_table(spark) if snap > 0 else None
+        lab.process_batch(
+            dedup_groups_changes(feed, prev_labels, prev_index, snapshot=snap),
+            snap,
+        )
+        idx.process_batch(lsh_index_changes(feed, snapshot=snap), snap)
+
+    def maintained():
+        return sorted(
+            (r.doc, r.label) for r in lab.current_table(spark).collect()
+        )
+
+    def rebuilt():
+        return sorted(
+            (r.doc, r.label)
+            for r in rebuild_dedup_groups(
+                base.current_table(spark)
+            ).collect()
+        )
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "pack my box with five dozen fresh liquor jugs today"
+    # batch 0: two separate near-dup seeds + one unique doc
+    base.process_batch(
+        _batch(
+            spark,
+            [(1, a, "c", 0), (5, b, "c", 0),
+             (9, "completely unrelated text about spark engines", "c", 0)],
+        ),
+        0,
+    )
+    advance(0)
+    assert maintained() == rebuilt()
+
+    # batch 1: near-dups of each seed -> two groups grow independently
+    base.process_batch(
+        _batch(
+            spark,
+            [(2, a.replace("tonight", "tomorrow"), "c", 1),
+             (6, b.replace("today", "tonight"), "c", 1)],
+        ),
+        1,
+    )
+    advance(1)
+    got = maintained()
+    assert got == rebuilt()
+    labels = dict(got)
+    assert labels[2] == labels[1] and labels[6] == labels[5]
+    assert labels[1] != labels[5]
+
+    # batch 2: a BRIDGE doc sharing bands with both groups merges them
+    bridge = (
+        a.rsplit(" ", 1)[0] + " " + b
+    )  # front half shingles ~ group A, back half ~ group B
+    base.process_batch(_batch(spark, [(3, bridge, "c", 2)]), 2)
+    advance(2)
+    got = maintained()
+    assert got == rebuilt()
+    labels = dict(got)
+    if labels[3] == labels[1]:  # bridge actually connected both sides
+        assert labels[5] == labels[1]
+
+    # non-insert feeds are refused loudly
+    base.process_batch(_batch(spark, [(9, None, "d", 3)]), 3)
+    feed = base.changes_between(spark, 2, 3)
+    with pytest.raises(ValueError, match="append-only"):
+        dedup_groups_changes(
+            feed,
+            lab.current_table(spark),
+            idx.current_table(spark),
+            snapshot=3,
+        ).take(1)
