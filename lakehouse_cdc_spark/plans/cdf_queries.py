@@ -978,3 +978,107 @@ def cdf_incremental_dedup_groups(spark, sf_dir):
         .filter(F.col("group_size") >= 2)
         .orderBy("canonical_doc_id")
     )
+
+
+_CHK_CACHE: dict[str, object] = {}
+
+
+def _chk_demo_sink(spark, sf_dir):
+    """Sink with CHECK constraints fed one orders-derived batch whose
+    rows deterministically violate them (negative totals minted from
+    key parity, out-of-range dates), cached per sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    cached = _CHK_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 0:
+        return cached
+    o = table(spark, sf_dir, "orders")
+    batch = o.select(
+        F.col("o_orderkey").alias("k"),
+        # every 7th key minted negative — a violating measure
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            -fixed_point(F.col("o_totalprice"), 2),
+        )
+        .otherwise(fixed_point(F.col("o_totalprice"), 2))
+        .alias("total_cents"),
+        # every 11th key nulled — NULL must count as a violation
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    sink = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_chk_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+        checks={
+            "total_positive": "total_cents > 0",
+            "priority_set": "priority IS NOT NULL",
+        },
+    )
+    sink.process_batch(batch, 0)
+    _CHK_CACHE[sf_dir] = sink
+    return sink
+
+
+@register(
+    "sink_check_quarantine",
+    oracle="""
+    WITH lanes AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'total_positive'
+                  WHEN o_orderkey % 11 = 0 THEN 'priority_set'
+             END AS rule,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN -CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             END AS total_cents
+      FROM orders
+    )
+    SELECT COALESCE(rule, '(committed)') AS lane,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_total_cents,
+           CAST(bit_xor(k) AS BIGINT) AS keys_xor
+    FROM lanes GROUP BY rule ORDER BY lane
+    """,
+    tags=("cdc", "sink", "check-constraint", "quality", "S12"),
+)
+def sink_check_quarantine(spark, sf_dir):
+    """WRITE-TIME CHECK CONSTRAINTS with a quarantine lane — the sink
+    enforces declared row rules (positive measure, mandatory column)
+    on every non-delete batch row: violators divert to the queryable
+    ``_quarantine`` lane tagged with the FIRST failing rule in
+    declared order (NULL check results are violations — NULL-escaping
+    is how bad rows sneak past ANSI CHECK), clean rows commit.  The
+    declared result is the three-lane census (committed state + one
+    row per rule) with exact sums and key-XOR membership digests read
+    from the SINK's own surfaces (current_table + quarantine_table);
+    the oracle re-derives every lane from the declared violation
+    algebra — a hash match proves the split is exact and loses no
+    row.  This is the Delta CHECK-constraint / DLQ posture done
+    lakehouse-native: at 100 TB one poison row must not fail the
+    ingest, and audit-after-commit ships the corruption first."""
+    sink = _chk_demo_sink(spark, sf_dir)
+    committed = sink.current_table(spark).select(
+        F.lit("(committed)").alias("lane"),
+        F.col("k"),
+        F.col("total_cents"),
+    )
+    q = sink.quarantine_table(spark).select(
+        F.col("__check").alias("lane"), F.col("k"), F.col("total_cents")
+    )
+    return (
+        committed.unionByName(q)
+        .groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("total_cents").cast("bigint").alias("sum_total_cents"),
+            F.expr("bit_xor(k)").cast("bigint").alias("keys_xor"),
+        )
+        .orderBy("lane")
+    )

@@ -166,6 +166,8 @@ class SnapshotUpsertSink:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 8192,
         bloom_hashes: int = 3,
+        checks: dict[str, str] | None = None,
+        check_mode: str = "quarantine",
     ):
         self.target_dir = target_dir
         self.keys = keys
@@ -206,6 +208,29 @@ class SnapshotUpsertSink:
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
+        #: CHECK constraints — {name: SQL boolean expression} enforced
+        #: on every NON-DELETE batch row at write time (a lakehouse
+        #: table has no unique/check indexes; the honest alternatives
+        #: are enforce-on-write or audit-after, and audit-after ships
+        #: the corruption first).  ``check_mode``:
+        #:   "quarantine" (default) — violating rows divert to the
+        #:     ``_quarantine/`` parquet lane (queryable via
+        #:     :meth:`quarantine_table`, tagged with the failing check
+        #:     + batch id) and the CLEAN remainder commits — the
+        #:     poison-row posture of cdc/decode.py's DLQ: one bad row
+        #:     must not fail a 100 TB ingest.  The lane is
+        #:     at-least-once (a crash between the lane write and the
+        #:     commit replays the batch and re-appends) — dedup on
+        #:     read by (__check, __batch, key) where exactness
+        #:     matters, exactly like any DLQ topic.
+        #:   "fail" — raise with a per-check census, commit nothing
+        #:     (dev/CI posture).
+        #: Deletes bypass checks: a tombstone legitimately carries
+        #: NULL payload columns.  checks=None costs zero extra jobs.
+        if check_mode not in ("quarantine", "fail"):
+            raise ValueError(f"check_mode must be quarantine|fail, got {check_mode!r}")
+        self.checks = dict(checks) if checks else None
+        self.check_mode = check_mode
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -939,6 +964,9 @@ class SnapshotUpsertSink:
         if watermark is not None:
             batch_df = batch_df.filter(F.col(self._order_key()) >= F.lit(watermark))
 
+        if self.checks:
+            batch_df = self._enforce_checks(spark, batch_df, batch_id)
+
         if self.merge_on_read and legacy_base is None:
             n_pending = self._append_delta(
                 spark, batch_df, manifest, committed_snap, batch_id, watermark
@@ -963,6 +991,56 @@ class SnapshotUpsertSink:
             watermark=watermark,
             legacy_base=legacy_base,
         )
+
+    def _quarantine_dir(self) -> str:
+        return os.path.join(self.target_dir, "_quarantine")
+
+    def _enforce_checks(
+        self, spark: SparkSession, batch_df: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """Split a batch on the declared CHECK constraints: return the
+        clean rows, divert (or raise on) the violators.  Delete rows
+        pass unchecked — a tombstone's payload columns are legally
+        NULL.  The violation tag is the FIRST failing check (declared
+        order), so one quarantined row names one actionable rule."""
+        is_delete = F.col(self.op_col) == F.lit("d")
+        reason = F.lit(None).cast("string")
+        for name in reversed(list(self.checks)):
+            expr = self.checks[name]
+            # a check that evaluates NULL is a violation (ANSI CHECK
+            # semantics would pass it; a data-quality gate must not —
+            # NULL-escaping is exactly how bad rows sneak through)
+            ok = F.coalesce(F.expr(expr), F.lit(False))
+            reason = F.when(~ok, F.lit(name)).otherwise(reason)
+        tagged = batch_df.withColumn(
+            "__check", F.when(is_delete, F.lit(None).cast("string")).otherwise(reason)
+        )
+        bad = tagged.filter(F.col("__check").isNotNull())
+        if self.check_mode == "fail":
+            census = bad.groupBy("__check").count().collect()
+            if census:
+                detail = ", ".join(f"{r['__check']}={r['count']}" for r in census)
+                raise ValueError(
+                    f"CHECK constraint violations in batch {batch_id}: {detail}"
+                )
+            return tagged.drop("__check")
+        # quarantine lane: append violators with provenance, commit the
+        # clean remainder.  The write job is the per-batch cost of
+        # enabling checks; it scans only the (usually empty) violating
+        # subset thanks to the pushed filter.
+        bad.withColumn("__batch", F.lit(batch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(self._quarantine_dir())
+        return tagged.filter(F.col("__check").isNull()).drop("__check")
+
+    def quarantine_table(self, spark: SparkSession) -> DataFrame | None:
+        """The quarantine lane as a DataFrame (batch schema +
+        ``__check`` = failing rule, ``__batch`` = source batch id), or
+        None if nothing was ever quarantined."""
+        try:
+            return spark.read.parquet(self._quarantine_dir())
+        except Exception:
+            return None
 
     def _merge_into_buckets(
         self,

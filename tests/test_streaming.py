@@ -1074,3 +1074,72 @@ def test_state_data_source_reads_checkpointed_aggregation(spark, tmp_path):
     md = spark.read.format("state-metadata").load(ck).collect()
     assert len(md) == 1 and md[0]["operatorName"] == "stateStoreSave"
     assert md[0]["maxBatchId"] >= md[0]["minBatchId"] >= 0
+
+
+def test_sink_check_constraints_quarantine_and_fail(spark, tmp_path):
+    """Write-time CHECK enforcement: violating rows divert to the
+    queryable quarantine lane tagged with the failing rule (clean rows
+    commit), NULL check results count as violations, deletes bypass
+    checks, and fail mode raises a per-check census committing
+    nothing."""
+    import pytest
+
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    def b(rows, seq):
+        return spark.createDataFrame(
+            rows, "id int, v long, operation string, seq int"
+        ).withColumn("seq", F.lit(seq))
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        checks={"v_positive": "v > 0", "v_bounded": "v <= 1000"},
+    )
+    sink.process_batch(
+        b([(1, 10, "c", 0), (2, -5, "c", 0), (3, None, "c", 0),
+           (4, 5000, "c", 0)], 0),
+        0,
+    )
+    state = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert state == {1: 10}  # only the clean row committed
+    q = sink.quarantine_table(spark)
+    reasons = {r.id: r["__check"] for r in q.collect()}
+    # first declared failing rule tags the row; NULL fails v_positive
+    assert reasons == {2: "v_positive", 3: "v_positive", 4: "v_bounded"}
+    assert {r["__batch"] for r in q.collect()} == {0}
+
+    # a delete carrying NULL payload passes checks and tombstones
+    sink.process_batch(b([(1, None, "d", 1)], 1), 1)
+    assert sink.current_table(spark).count() == 0
+    assert sink.quarantine_table(spark).count() == 3  # unchanged
+
+    # fail mode: census raised, nothing committed
+    strict = SnapshotUpsertSink(
+        str(tmp_path / "t2"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        checks={"v_positive": "v > 0"},
+        check_mode="fail",
+    )
+    with pytest.raises(ValueError, match="v_positive=2"):
+        strict.process_batch(
+            b([(1, 1, "c", 0), (2, -1, "c", 0), (3, 0, "c", 0)], 0), 0
+        )
+    assert strict.committed_snapshot() is None
+
+    # checks compose with merge-on-read ingest
+    mor = SnapshotUpsertSink(
+        str(tmp_path / "t3"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        merge_on_read=True,
+        checks={"v_positive": "v > 0"},
+    )
+    mor.process_batch(b([(1, 7, "c", 0), (2, -7, "c", 0)], 0), 0)
+    assert {r.id: r.v for r in mor.current_table(spark).collect()} == {1: 7}
+    assert mor.quarantine_table(spark).count() == 1
