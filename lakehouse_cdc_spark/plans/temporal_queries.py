@@ -789,3 +789,108 @@ def orders_open_backlog_daily(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour max staleness
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH purch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus
+      FROM events WHERE event_type = 'view'
+    ),
+    matched AS (
+      SELECT p.event_id, p.tus, p.cents, v.v_tus, v.v_eid
+      FROM purch p LEFT JOIN LATERAL (
+        SELECT tus AS v_tus, event_id AS v_eid
+        FROM views v
+        WHERE v.user_id = p.user_id
+          AND (v.tus < p.tus OR (v.tus = p.tus AND v.event_id < p.event_id))
+        ORDER BY v.tus DESC, v.event_id DESC LIMIT 1
+      ) v ON TRUE
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) FILTER (v_tus IS NOT NULL
+                AND tus - v_tus <= {_ASOF_TOL_US}) AS BIGINT)
+             AS n_matched,
+           CAST(COUNT(*) FILTER (v_tus IS NOT NULL
+                AND tus - v_tus > {_ASOF_TOL_US}) AS BIGINT)
+             AS n_stale_dropped,
+           CAST(COUNT(*) FILTER (v_tus IS NULL) AS BIGINT) AS n_no_prior,
+           CAST(SUM(CASE WHEN v_tus IS NOT NULL
+                         AND tus - v_tus <= {_ASOF_TOL_US}
+                    THEN cents ELSE 0 END) AS BIGINT) AS matched_cents,
+           CAST(bit_xor(CASE WHEN v_tus IS NOT NULL
+                             AND tus - v_tus <= {_ASOF_TOL_US}
+                        THEN v_eid ELSE 0 END) AS BIGINT)
+             AS matched_view_ids_xor
+    FROM matched
+    """,
+    tags=("temporal", "asof", "tolerance", "J-family"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """AS-OF JOIN WITH A STALENESS TOLERANCE — pandas merge_asof's
+    ``tolerance`` semantics, distributed: each purchase matches the
+    user's latest strictly-prior view ONLY if it is at most 1 hour
+    old; older matches are dropped to NULL rather than silently
+    attached (market-data / attribution hygiene — a quote from last
+    Tuesday must not price today's trade).  Built on the ONE-shuffle
+    union+window as-of kernel (operators/asof.py — no theta-join
+    BroadcastNestedLoop); the matched view's OWN timestamp rides the
+    payload struct, so the tolerance gate is a post-hoc map-side
+    filter costing nothing.  Census output: matched / stale-dropped /
+    no-prior lanes with exact cents and an XOR digest of the matched
+    view ids (the oracle's correlated LATERAL top-1 must pick the
+    IDENTICAL view rows).  Scale: |purchases|+|views| rows through one
+    user-keyed exchange, tolerance applied after — same cost as the
+    untoleranced as-of."""
+    from lakehouse_cdc_spark.operators.asof import asof_join_backward
+
+    e = table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    j = asof_join_backward(
+        purch,
+        views,
+        on=["user_id"],
+        time_col="tus",
+        tiebreak=["event_id"],
+        payload={"tus": "v_tus", "event_id": "v_eid"},
+    )
+    fresh = F.col("v_tus").isNotNull() & (
+        F.col("tus") - F.col("v_tus") <= _ASOF_TOL_US
+    )
+    stale = F.col("v_tus").isNotNull() & (
+        F.col("tus") - F.col("v_tus") > _ASOF_TOL_US
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count(F.when(fresh, 1)).cast("bigint").alias("n_matched"),
+        F.count(F.when(stale, 1)).cast("bigint").alias("n_stale_dropped"),
+        F.count(F.when(F.col("v_tus").isNull(), 1))
+        .cast("bigint")
+        .alias("n_no_prior"),
+        F.sum(F.when(fresh, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("matched_cents"),
+        F.expr(
+            f"bit_xor(CASE WHEN v_tus IS NOT NULL AND tus - v_tus <= "
+            f"{_ASOF_TOL_US} THEN v_eid ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("matched_view_ids_xor"),
+    )
