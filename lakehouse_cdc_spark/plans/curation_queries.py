@@ -1641,3 +1641,52 @@ def sample_time_series_split(spark, sf_dir):
         .cast("bigint")
         .alias("test_ids_xor"),
     )
+
+
+@register(
+    "text_length_histogram_by_source",
+    oracle="""
+    WITH lens AS (
+      SELECT source,
+             CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM lens GROUP BY source, bucket ORDER BY source, bucket
+    """,
+    tags=("text", "histogram", "packing", "curation"),
+)
+def text_length_histogram_by_source(spark, sf_dir):
+    """DOCUMENT-LENGTH HISTOGRAM per source in log2 buckets — the
+    packing planner's input (llm_sequence_packing bins against a fixed
+    token budget; this table says what budget utilization each source
+    CAN achieve and how much overflow chunking to expect) and the
+    curation diff that catches a source whose scrape started
+    truncating.  Bucket = floor(log2(n_chars)) — integer-exact in both
+    engines because n_chars is an integer and log2 of an int is
+    correctly rounded well past 2^53... except exactly at powers of
+    two, where floor(log2(2^k)) = k is exact anyway.  One map-side
+    bucket assignment + a (source × ~20 buckets)-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+        .cast("bigint")
+        .alias("bucket"),
+        "n_chars",
+    )
+    return (
+        lens.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source", "bucket")
+    )

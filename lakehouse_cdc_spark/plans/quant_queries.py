@@ -715,3 +715,61 @@ def emb_hard_negative_mining(spark, sf_dir):
         )
         .orderBy("a_id", "rk")
     )
+
+
+@register(
+    "emb_norm_distribution",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             CAST(floor(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * 1000000.0) AS BIGINT) AS norm_micro
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+           CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro,
+           CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro,
+           CAST(COUNT(CASE WHEN norm_micro < 100000 THEN 1 END) AS BIGINT)
+             AS n_near_zero
+    FROM norms GROUP BY label ORDER BY label
+    """,
+    tags=("embeddings", "quality", "monitoring", "A-family"),
+)
+def emb_norm_distribution(spark, sf_dir):
+    """EMBEDDING-NORM HEALTH MONITOR: per-label L2-norm census (min /
+    max / sum in exact integer micro-units, plus a near-zero count) —
+    the first thing an embedding pipeline watches, because norm
+    collapse (vectors shrinking toward zero after a bad re-embed or a
+    truncated model export) silently destroys every cosine downstream
+    while row counts stay green.  The norm is floor(sqrt(Σx²)·1e6):
+    the inner Σx² folds left in both engines and sqrt/floor are
+    correctly-rounded IEEE ops on identical trees, so the integer is
+    bit-determined.  One map-side pass + a |labels|-row aggregate —
+    at 100 TB this rides the same scan as any other vector-table
+    probe."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = e.select(
+        "label",
+        F.floor(F.sqrt(sq) * 1000000.0).cast("bigint").alias("norm_micro"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("norm_micro").cast("bigint").alias("min_norm_micro"),
+            F.max("norm_micro").cast("bigint").alias("max_norm_micro"),
+            F.sum("norm_micro").cast("bigint").alias("sum_norm_micro"),
+            F.count(F.when(F.col("norm_micro") < 100000, 1))
+            .cast("bigint")
+            .alias("n_near_zero"),
+        )
+        .orderBy("label")
+    )

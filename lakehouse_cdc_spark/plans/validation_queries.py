@@ -962,3 +962,89 @@ def validation_uniqueness_contract(spark, sf_dir):
         .cast("bigint")
         .alias("is_unique"),
     ).orderBy("pk")
+
+
+#: declared per-column null budgets in ppm (the data contract)
+_NULL_BUDGETS = [
+    ("orders.o_custkey", "orders", "o_custkey", 0),
+    ("orders.o_totalprice", "orders", "o_totalprice", 0),
+    ("events.user_id", "events", "user_id", 0),
+    ("events.props", "events", "props", 10_000),
+    ("documents.text", "documents", "text", 5_000),
+    ("documents.lang", "documents", "lang", 50_000),
+]
+
+
+@register(
+    "validation_null_rate_budget",
+    oracle="""
+    WITH probes AS (
+      SELECT 'orders.o_custkey' AS col, CAST(0 AS BIGINT) AS budget_ppm,
+             COUNT(*) AS n, COUNT(*) - COUNT(o_custkey) AS nulls
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_totalprice', 0, COUNT(*),
+             COUNT(*) - COUNT(o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'events.user_id', 0, COUNT(*),
+             COUNT(*) - COUNT(user_id) FROM events
+      UNION ALL
+      SELECT 'events.props', 10000, COUNT(*),
+             COUNT(*) - COUNT(props) FROM events
+      UNION ALL
+      SELECT 'documents.text', 5000, COUNT(*),
+             COUNT(*) - COUNT(text) FROM documents
+      UNION ALL
+      SELECT 'documents.lang', 50000, COUNT(*),
+             COUNT(*) - COUNT(lang) FROM documents
+    )
+    SELECT col, budget_ppm,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(nulls AS BIGINT) AS n_nulls,
+           CAST(nulls * 1000000 // n AS BIGINT) AS null_ppm,
+           CAST(CASE WHEN nulls * 1000000 // n <= budget_ppm
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_budget
+    FROM probes ORDER BY col
+    """,
+    tags=("validation", "quality", "contract", "A-family"),
+)
+def validation_null_rate_budget(spark, sf_dir):
+    """NULL-RATE BUDGETS — the data contract as an executable probe:
+    each column carries a declared maximum null rate (0 for keys and
+    measures, small allowances for optional payloads) and the report
+    grades actual null ppm against it.  The difference from a bare
+    null-count profile is the BUDGET column: the check encodes what
+    the downstream consumers tolerate, so a within_budget=0 row is an
+    actionable contract breach, not a statistic (the reference's
+    validation suite grades success rates the same way —
+    src/validation/validation.py's Good/Warning/Poor bands).  Six
+    single-pass COUNT aggregates unioned; exact integer ppm."""
+    parts = []
+    for label, tbl, col, budget in _NULL_BUDGETS:
+        t = table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(label).alias("col"),
+                F.lit(budget).cast("bigint").alias("budget_ppm"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col))
+                .cast("bigint")
+                .alias("n_nulls"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return rep.select(
+        "col",
+        "budget_ppm",
+        "n_rows",
+        "n_nulls",
+        F.expr("n_nulls * 1000000 div n_rows").cast("bigint").alias("null_ppm"),
+        F.when(
+            F.expr("n_nulls * 1000000 div n_rows") <= F.col("budget_ppm"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_budget"),
+    ).orderBy("col")
