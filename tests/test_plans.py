@@ -282,3 +282,15 @@ def test_registry_head_is_the_family_showcase():
     head = list(REGISTRY)[:50]
     assert head == _SHOWCASE_HEAD
     assert all(REGISTRY[n].oracle for n in head)
+
+
+def test_runtime_sized_sides_get_aqe_broadcast_at_small_scale(spark, sf_dir):
+    """operators/hints.py's contract, proven empirically: a
+    vocabulary-sized side marked runtime_sized (NO forced hint) is
+    still broadcast by AQE once its true materialized size is known —
+    so dropping the forced hints cost nothing at test scale, while a
+    genuinely large side would shuffle instead of OOMing the driver."""
+    df = REGISTRY["text_rare_token_ratio"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes join strategies during execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
