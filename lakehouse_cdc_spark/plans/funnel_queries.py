@@ -1683,3 +1683,169 @@ def window_session_tvf(spark, sf_dir):
         "n_events",
         "value_cents",
     ).orderBy("user_id", "session_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation signature (round 8): curation's traffic filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bot_signature",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS ng
+      FROM seq WHERE gap_us IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, gap_us AS median_gap_us
+      FROM gaps WHERE rn = (ng + 1) // 2
+    ),
+    feats AS (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT EXTRACT(hour FROM ts)) AS BIGINT)
+               AS active_hours,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events e GROUP BY e.user_id
+    )
+    SELECT f.user_id, f.n_events, f.active_hours, f.active_days,
+           CAST(m.median_gap_us AS BIGINT) AS median_gap_us,
+           CAST(CASE WHEN m.median_gap_us <= 600000000
+                          AND f.active_hours >= 20
+                     THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+    FROM feats f JOIN med m ON f.user_id = m.user_id
+    ORDER BY f.user_id
+    """,
+    tags=("events", "bot-detection", "curation", "window"),
+)
+def events_bot_signature(spark, sf_dir):
+    """AUTOMATION-SIGNATURE features per user — the traffic filter a
+    training-data pipeline runs before user-generated text is
+    trusted: humans sleep and hesitate, bots fire around the clock at
+    machine cadence.  Features: exact MEDIAN inter-event gap (rank
+    pick ceil(n/2) within each user's own gap sequence — no
+    interpolation, no global sort), distinct active hours-of-day,
+    active days, event count; the flag fires on sub-10-minute median
+    cadence sustained across >=20 distinct hours.  Scale shape: the
+    lag, the per-user gap ranking, and the census all reuse ONE
+    user_id hash partitioning; output is one row per user with >=2
+    events."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    wg = Window.partitionBy("user_id").orderBy("gap_us")
+    wc = Window.partitionBy("user_id")
+    gaps = (
+        seq.filter(F.col("gap_us").isNotNull())
+        .select(
+            "user_id",
+            "gap_us",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("ng"),
+        )
+    )
+    med = gaps.filter(
+        F.col("rn") == F.expr("(ng + 1) div 2")
+    ).select("user_id", F.col("gap_us").alias("median_gap_us"))
+    feats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(F.hour("ts")).cast("bigint").alias("active_hours"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    return (
+        feats.join(med, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "active_hours",
+            "active_days",
+            F.col("median_gap_us").cast("bigint").alias("median_gap_us"),
+            F.when(
+                (F.col("median_gap_us") <= 600_000_000)
+                & (F.col("active_hours") >= 20),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "window_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER w AS rk,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC)
+    )
+    SELECT CAST(COUNT(CASE WHEN rk <= 3 THEN 1 END) AS BIGINT)
+             AS kept_with_ties,
+           CAST(COUNT(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT)
+             AS kept_row_number,
+           CAST(COUNT(CASE WHEN rk <= 3 AND rn > 3 THEN 1 END) AS BIGINT)
+             AS tie_overflow,
+           CAST(bit_xor(CASE WHEN rk <= 3 THEN o_orderkey ELSE 0 END)
+                AS BIGINT) AS kept_ids_xor
+    FROM ranked
+    """,
+    tags=("window", "topk", "ties", "semantics", "W-family"),
+)
+def window_topk_with_ties(spark, sf_dir):
+    """TOP-K WITH TIES vs WITHOUT — the executed contract between
+    RANK (SQL:2008 FETCH FIRST k ROWS WITH TIES) and ROW_NUMBER
+    top-k: rank()<=k keeps every row tied with the k-th (deterministic
+    regardless of partitioning — no arbitrary tie victim), row_number
+    keeps exactly k with an arbitrary-but-ordered winner.  The
+    tie_overflow census counts rows that a WITH TIES reader gets and a
+    row_number reader silently loses — on money rounded to cents, ties
+    are common enough to matter for audit reproducibility.  The XOR
+    digest pins the exact WITH-TIES membership (a tie-break divergence
+    between engines breaks it; the rank key is the exact cents
+    integer, so there is no float-equality ambiguity).  One
+    customer-keyed window pass; Spark plans rank<=k as
+    WindowGroupLimit at scale."""
+    o = table(spark, sf_dir, "orders")
+    key = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    w = Window.partitionBy("o_custkey").orderBy(key.desc())
+    ranked = o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("rk") <= 3, 1))
+        .cast("bigint")
+        .alias("kept_with_ties"),
+        F.count(F.when(F.col("rn") <= 3, 1))
+        .cast("bigint")
+        .alias("kept_row_number"),
+        F.count(F.when((F.col("rk") <= 3) & (F.col("rn") > 3), 1))
+        .cast("bigint")
+        .alias("tie_overflow"),
+        F.expr("bit_xor(CASE WHEN rk <= 3 THEN o_orderkey ELSE 0 END)")
+        .cast("bigint")
+        .alias("kept_ids_xor"),
+    )
