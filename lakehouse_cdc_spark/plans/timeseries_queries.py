@@ -936,3 +936,78 @@ def ts_holt_linear(spark, sf_dir):
         .select("user_id", "ts", "event_id", "value")
     )
     return e.groupBy("user_id").applyInPandas(_holt_group, _HOLT_SCHEMA)
+
+
+@register(
+    "ts_time_weighted_average",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS tus, {_V100} AS v,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS next_tus
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type, v,
+             CAST(next_tus - tus AS HUGEINT) AS dt
+      FROM seq WHERE next_tus IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(v AS HUGEINT) * dt) AS HUGEINT) AS num,
+             CAST(SUM(dt) AS HUGEINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM seg GROUP BY event_type
+    )
+    SELECT event_type, n_segments,
+           CAST(den AS BIGINT) AS span_us,
+           CAST(num // den AS BIGINT) AS twap_cents_floor,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap_cents
+    FROM agg ORDER BY event_type
+    """,
+    tags=("timeseries", "twap", "window", "A-family"),
+)
+def ts_time_weighted_average(spark, sf_dir):
+    """TIME-WEIGHTED AVERAGE over irregular samples — the integral
+    ∫v·dt / ∫dt every ops dashboard and TWAP execution report needs
+    when observations are NOT equally spaced (a plain AVG over
+    irregular samples is biased toward bursts: 100 readings in a hot
+    minute must not outweigh one reading that held for an hour).
+    Each sample holds until the next one (step interpolation, the
+    LOCF convention); the numerator Σ v·dt accumulates in
+    DECIMAL(38,0)/HUGEINT — cents × µs products overflow int64 at any
+    real span (the overflow-cliff class, pre-empted) — and the floor
+    quotient is exact while the 6-dp double rides an identical IEEE
+    tree.  One series-keyed window (lead) + one aggregate; same
+    single-exchange shape as the OHLC downsampler."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr(_V100).alias("v"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_tus"),
+    )
+    seg = seq.filter(F.col("next_tus").isNotNull()).select(
+        "event_type",
+        "v",
+        (F.col("next_tus") - F.col("tus")).cast("decimal(38,0)").alias("dt"),
+    )
+    agg = seg.groupBy("event_type").agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("dt"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum("dt").cast("decimal(38,0)").alias("den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        F.col("den").cast("bigint").alias("span_us"),
+        F.floor(F.col("num") / F.col("den"))
+        .cast("bigint")
+        .alias("twap_cents_floor"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("twap_cents"),
+    ).orderBy("event_type")

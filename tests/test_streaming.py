@@ -1143,3 +1143,33 @@ def test_sink_check_constraints_quarantine_and_fail(spark, tmp_path):
     mor.process_batch(b([(1, 7, "c", 0), (2, -7, "c", 0)], 0), 0)
     assert {r.id: r.v for r in mor.current_table(spark).collect()} == {1: 7}
     assert mor.quarantine_table(spark).count() == 1
+
+
+def test_sink_schema_widening_int_to_bigint(spark, tmp_path):
+    """A later batch whose column widened (int -> bigint) must merge:
+    Spark's set-operation type coercion widens the union, and the
+    committed state carries the wider type without corrupting old
+    rows."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, 100, "c", 0), (2, 200, "c", 0)],
+            "id int, v int, operation string, seq int",
+        ),
+        0,
+    )
+    big = 5_000_000_000  # does not fit int32
+    sink.process_batch(
+        spark.createDataFrame(
+            [(2, big, "u", 1), (3, big + 1, "c", 1)],
+            "id int, v long, operation string, seq int",
+        ),
+        1,
+    )
+    state = {r.id: r.v for r in sink.current_table(spark).collect()}
+    assert state == {1: 100, 2: big, 3: big + 1}
+    assert dict(sink.current_table(spark).dtypes)["v"] == "bigint"
