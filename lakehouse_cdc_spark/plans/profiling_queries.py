@@ -1307,3 +1307,143 @@ def stats_higher_moments(spark, sf_dir):
         F.round(m3_ / (F.sqrt(m2_) * m2_), 6).alias("skewness"),
         F.round(m4_ / (m2_ * m2_) - F.lit(3.0), 6).alias("excess_kurtosis"),
     ).orderBy("grp")
+
+
+#: cumulative Poisson(1) CDF thresholds in millionths — the inverse-CDF
+#: table that turns an md5-uniform into a deterministic Poisson weight
+#: (k=0..5, capped at 6; P(k>6) < 1e-4 adds negligible mass)
+_BOOT_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+_BOOT_B = 16  # bootstrap replicates
+
+
+def _boot_weight_sql(key_expr: str, b: int) -> str:
+    """SQL for the replicate-b Poisson(1) weight of a row — identical
+    text in both engines: md5 of (key | b) -> uniform millionths ->
+    inverse CDF."""
+    u = (
+        f"CAST(conv(substring(md5(concat(CAST({key_expr} AS STRING), "
+        f"'|{b}')), 1, 6), 16, 10) AS BIGINT) % 1000000"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_PPM)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+def _boot_weight_duck(key_expr: str, b: int) -> str:
+    u = (
+        f"CAST(from_hex(substring(md5(CAST({key_expr} AS VARCHAR) "
+        f"|| '|{b}'), 1, 6)) AS BIGINT)"
+    )
+    # DuckDB lacks conv(); from_hex gives a 3-byte blob -> cast path
+    # differs, so derive the integer via a portable hex walk instead
+    u = (
+        "("
+        + " + ".join(
+            f"CASE substring(md5(CAST({key_expr} AS VARCHAR) || '|{b}'), {i + 1}, 1) "
+            + " ".join(
+                f"WHEN '{d}' THEN {int(d, 16) * 16 ** (5 - i)}"
+                for d in "0123456789abcdef"
+            )
+            + " END"
+            for i in range(6)
+        )
+        + ") % 1000000"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_PPM)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             {", ".join(
+                 f"CAST(SUM(({_boot_weight_duck('k', b)}) * x) AS BIGINT)"
+                 f" AS wx{b}, "
+                 f"CAST(SUM({_boot_weight_duck('k', b)}) AS BIGINT) AS w{b}"
+                 for b in range(_BOOT_B)
+             )}
+      FROM base
+    ),
+    reps AS (
+      SELECT n, sx,
+             {", ".join(
+                 f"CAST(wx{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) AS m{b}"
+                 for b in range(_BOOT_B)
+             )}
+      FROM agg
+    )
+    SELECT n,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_mean,
+           round(least({", ".join(f"m{b}" for b in range(_BOOT_B))}), 6)
+             AS boot_lo,
+           round(greatest({", ".join(f"m{b}" for b in range(_BOOT_B))}), 6)
+             AS boot_hi,
+           round(({" + ".join(f"m{b}" for b in range(_BOOT_B))})
+                 / {_BOOT_B}.0, 6) AS boot_mean
+    FROM reps
+    """,
+    tags=("stats", "bootstrap", "resampling", "A-family"),
+)
+def stats_bootstrap_ci(spark, sf_dir):
+    """DETERMINISTIC POISSON BOOTSTRAP — resampling uncertainty for
+    the mean with no randomness anywhere: each of 16 replicates draws
+    every row's multiplicity from Poisson(1) via inverse-CDF over an
+    md5-uniform of (row key | replicate id) — the Poisson bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google TR 2012 — public) that makes bootstrap feasible
+    in ONE distributed pass: no per-replicate reshuffle, no resampled
+    copies, just 2·B extra aggregate columns riding the same scan
+    (Σw·x and Σw per replicate; the CDF thresholds are exact
+    millionth-integer constants, so weights are engine-identical by
+    md5 contract).  Replicate means and the [min, max] envelope are
+    identical IEEE trees both sides.  The same md5-derived
+    reproducibility discipline as SRP planes / PQ codebooks: the
+    OPERATOR is exercised, not a random fixture."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("x"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    ]
+    for b in range(_BOOT_B):
+        w = F.expr(_boot_weight_sql("k", b))
+        aggs.append(F.sum(w * F.col("x")).cast("bigint").alias(f"wx{b}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"w{b}"))
+    agg = base.agg(*aggs)
+    reps = agg.select(
+        "n",
+        "sx",
+        *[
+            (F.col(f"wx{b}").cast("double") / F.col(f"w{b}").cast("double")).alias(
+                f"m{b}"
+            )
+            for b in range(_BOOT_B)
+        ],
+    )
+    ms = [F.col(f"m{b}") for b in range(_BOOT_B)]
+    total = ms[0]
+    for m in ms[1:]:
+        total = total + m
+    return reps.select(
+        "n",
+        F.round(F.col("sx").cast("double") / F.col("n").cast("double"), 6).alias(
+            "point_mean"
+        ),
+        F.round(F.least(*ms), 6).alias("boot_lo"),
+        F.round(F.greatest(*ms), 6).alias("boot_hi"),
+        F.round(total / float(_BOOT_B), 6).alias("boot_mean"),
+    )
