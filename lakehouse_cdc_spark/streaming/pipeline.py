@@ -168,6 +168,7 @@ class SnapshotUpsertSink:
         bloom_hashes: int = 3,
         checks: dict[str, str] | None = None,
         check_mode: str = "quarantine",
+        zone_cols: list[str] | None = None,
     ):
         self.target_dir = target_dir
         self.keys = keys
@@ -231,6 +232,20 @@ class SnapshotUpsertSink:
             raise ValueError(f"check_mode must be quarantine|fail, got {check_mode!r}")
         self.checks = dict(checks) if checks else None
         self.check_mode = check_mode
+        #: per-bucket RANGE zone maps ([min, max] per column) — the
+        #: range-predicate complement of the point-lookup blooms: every
+        #: bucket rewrite folds min/max for these columns out of the
+        #: freshly written parquet FOOTERS (pyarrow metadata walk — no
+        #: data re-read, no extra Spark job) into the manifest, and
+        #: ``lookup_range(col, lo, hi)`` then opens only overlapping
+        #: buckets.  v1 supports integer and string columns; float
+        #: columns are refused (parquet NaN row-group stats are the
+        #: PARQUET-1222 silent-drop class the cdclog writer already
+        #: guards against), timestamps belong in an integer epoch
+        #: column.  GC'd buckets keep carried zones (row removal can
+        #: only over-approximate — over-scan, never a miss); rebucket
+        #: drops them like blooms (keyed by the old bucket map).
+        self.zone_cols = list(zone_cols) if zone_cols else None
         os.makedirs(target_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -407,6 +422,7 @@ class SnapshotUpsertSink:
         schema_json: str | None = None,
         deltas: list[int] | None = None,
         blooms: dict | None = None,
+        zones: dict | None = None,
     ) -> None:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
@@ -444,6 +460,11 @@ class SnapshotUpsertSink:
             # base ({"bits", "hashes", "cols": {col: {bucket: b64}}});
             # probe_buckets/lookup prune point reads with them
             new_manifest["blooms"] = blooms
+        if zones:
+            # per-bucket per-column [min, max] zone maps folded from
+            # the written parquet footers ({col: {bucket: [lo, hi]}});
+            # zone_probe_buckets/lookup_range prune range reads
+            new_manifest["zones"] = zones
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
         # would leave the committed pointer describing the loser's map
@@ -912,6 +933,55 @@ class SnapshotUpsertSink:
         df = self._state_reader(spark, manifest.get("schema")).parquet(*paths)
         return df.filter(F.col(self.op_col) != "d").filter(match)
 
+    # -- zone-map-pruned range lookups -------------------------------------
+    def zone_probe_buckets(
+        self, col: str, lo, hi, manifest: dict | None = None
+    ) -> list[int]:
+        """Bucket ids whose [min, max] zone MAY overlap ``[lo, hi]``;
+        buckets without a zone (tracking off, pre-zone commits,
+        rebucket drops) are always candidates — pruning is an
+        optimization, never a filter.  Comparison happens in the
+        column's own domain (int or str), the same total order parquet
+        footer stats use."""
+        if manifest is None:
+            manifest = self._read_manifest(self.committed_snapshot()) or {}
+        all_buckets = sorted(int(b) for b in manifest.get("buckets", {}))
+        col_map = (manifest.get("zones") or {}).get(col)
+        if not col_map:
+            return all_buckets
+        out = []
+        for b in all_buckets:
+            z = col_map.get(str(b))
+            if z is None or not (z[1] < lo or z[0] > hi):
+                out.append(b)
+        return out
+
+    def lookup_range(self, spark: SparkSession, col: str, lo, hi):
+        """Range lookup ``col BETWEEN lo AND hi`` reading ONLY the
+        zone-overlapping buckets — the range complement of the bloom
+        point ``lookup()``: at 100 TB a narrow range on a clustered
+        non-key column touches a handful of files instead of the
+        table.  Pending MOR deltas carry no zones, so the lookup falls
+        back to the full merge-on-read scan (fold_deltas() first to
+        restore pruning), mirroring lookup()."""
+        snap = self.committed_snapshot()
+        manifest = self._read_manifest(snap)
+        if manifest is None or not manifest.get("buckets"):
+            return None
+        match = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if manifest.get("deltas"):
+            return self.current_table(spark).filter(match)
+        cand = self.zone_probe_buckets(col, lo, hi, manifest=manifest)
+        paths = [
+            self._bucket_path(manifest["buckets"][str(b)], b)
+            for b in cand
+            if str(b) in manifest["buckets"]
+        ]
+        if not paths:  # every bucket zone-cleared: provably no match
+            return self.current_table(spark).filter(F.lit(False))
+        df = self._state_reader(spark, manifest.get("schema")).parquet(*paths)
+        return df.filter(F.col(self.op_col) != "d").filter(match)
+
     # -- the foreachBatch body ------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch into state.
@@ -1230,6 +1300,25 @@ class SnapshotUpsertSink:
             if any(m for m in blooms.values())
             else None
         )
+        # zone bookkeeping mirrors blooms: rewritten buckets' carried
+        # ranges are stale — replace them with ranges folded from the
+        # freshly written footers; untouched buckets keep theirs
+        zones_doc = None
+        if self.zone_cols or manifest.get("zones"):
+            zones = {
+                col: dict(m)
+                for col, m in (manifest.get("zones") or {}).items()
+            }
+            for col in list(zones):
+                for b in rewritten:
+                    zones[col].pop(str(b), None)
+            if self.zone_cols:
+                fresh_zones = _footer_zones(
+                    snap_dir, rewritten, self.zone_cols
+                )
+                for col, m in fresh_zones.items():
+                    zones.setdefault(col, {}).update(m)
+            zones_doc = {c: m for c, m in zones.items() if m} or None
         if stored_schema is None and manifest["buckets"]:
             # legacy target predating schema tracking: untouched buckets
             # may hold columns no tracked commit ever saw — never start
@@ -1248,6 +1337,7 @@ class SnapshotUpsertSink:
             watermark,
             schema_json,
             blooms=bloom_doc,
+            zones=zones_doc,
         )
         # per-phase wall clock of the LAST committed batch — the sink's
         # own latency breakdown (T8 observability; tools/stream_bench.py
@@ -1327,6 +1417,9 @@ class SnapshotUpsertSink:
             # bloom filters stay exactly valid (lookup() must — and
             # does — scan the un-bloomed deltas regardless)
             blooms=manifest.get("blooms"),
+            # same for zone maps: lookup_range falls back to the full
+            # merge-on-read scan while deltas are outstanding
+            zones=manifest.get("zones"),
         )
         self.last_batch_timings = {
             "probe_s": 0.0,
@@ -1549,6 +1642,7 @@ class SnapshotUpsertSink:
             manifest.get("schema"),  # compaction never changes the schema
             # same rows, fewer files: the carried blooms stay exact
             blooms=manifest.get("blooms"),
+            zones=manifest.get("zones"),  # same rows: ranges unchanged
         )
         return sorted(todo)
 
@@ -1830,8 +1924,80 @@ class SnapshotUpsertSink:
             # the remaining rows can only over-approximate — carried
             # filters stay correct (false positives, never negatives)
             blooms=manifest.get("blooms"),
+            zones=manifest.get("zones"),  # superset ranges: over-scan only
         )
         return n_expired
+
+
+def _footer_zones(
+    snap_dir: str, buckets: set[int], zone_cols: list[str]
+) -> dict:
+    """Fold per-bucket [min, max] for ``zone_cols`` out of the parquet
+    FOOTERS of freshly written bucket files — pyarrow metadata only,
+    no data read, no Spark job.  v1 domain guard: integer and string
+    columns only (floats refused — NaN-skipped row-group stats are the
+    PARQUET-1222 silent-drop class; see the cdclog writer's identical
+    gating).  A column absent from a file (schema evolution) or with
+    absent stats contributes no bound — that bucket keeps NO zone for
+    the column (always-scan, never a wrong prune)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as patypes
+
+    out: dict[str, dict[str, list]] = {}
+    for b in buckets:
+        bdir = os.path.join(snap_dir, f"__bucket={b}")
+        try:
+            files = [
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+        except FileNotFoundError:
+            continue
+        per_col: dict[str, list] = {}
+        complete = dict.fromkeys(zone_cols, True)
+        for path in files:
+            meta = pq.ParquetFile(path).metadata
+            schema = meta.schema.to_arrow_schema()
+            idx = {
+                name: i
+                for i, name in enumerate(schema.names)
+                if name in zone_cols
+            }
+            for colname in zone_cols:
+                i = idx.get(colname)
+                if i is None:
+                    complete[colname] = False
+                    continue
+                t = schema.types[i]
+                if not (
+                    patypes.is_integer(t)
+                    or patypes.is_string(t)
+                    or patypes.is_large_string(t)
+                ):
+                    complete[colname] = False
+                    continue
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        # all-NULL row groups carry no stats — they
+                        # hold no comparable values, so they bound
+                        # nothing (NULL never matches a range)
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "surrogateescape")
+                        mx = mx.decode("utf-8", "surrogateescape")
+                    cur = per_col.get(colname)
+                    if cur is None:
+                        per_col[colname] = [mn, mx]
+                    else:
+                        cur[0] = min(cur[0], mn)
+                        cur[1] = max(cur[1], mx)
+        for colname, z in per_col.items():
+            if complete[colname]:
+                out.setdefault(colname, {})[str(b)] = z
+    return out
 
 
 def _iso_watermark(watermark):

@@ -1173,3 +1173,69 @@ def test_sink_schema_widening_int_to_bigint(spark, tmp_path):
     state = {r.id: r.v for r in sink.current_table(spark).collect()}
     assert state == {1: 100, 2: big, 3: big + 1}
     assert dict(sink.current_table(spark).dtypes)["v"] == "bigint"
+
+
+def test_sink_zone_maps_prune_range_lookups(spark, tmp_path):
+    """Per-bucket [min,max] zones folded from the written parquet
+    footers must (a) prune range lookups to overlapping buckets only,
+    (b) never lose a matching row (lossless invariant), (c) go stale-
+    safe through rewrites, and (d) fall back to the full scan while
+    MOR deltas are outstanding."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    def b(rows, seq):
+        return spark.createDataFrame(
+            rows, "id int, d long, operation string, seq int"
+        ).withColumn("seq", F.lit(seq))
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=4,
+        zone_cols=["d"],
+    )
+    # ids spread over 4 hash buckets; d correlates with id so zones
+    # are narrow per bucket only by luck — use disjoint d ranges per
+    # insert wave to get real pruning
+    sink.process_batch(b([(i, 100 + i, "c", 0) for i in range(20)], 0), 0)
+    man = sink._read_manifest(sink.committed_snapshot())
+    zones = man.get("zones", {}).get("d", {})
+    assert zones  # footers produced bounds
+    # lossless: zone-pruned range result == full-scan filter
+    lo, hi = 105, 110
+    got = sorted(
+        (r.id, r.d) for r in sink.lookup_range(spark, "d", lo, hi).collect()
+    )
+    want = sorted(
+        (r.id, r.d)
+        for r in sink.current_table(spark)
+        .filter((F.col("d") >= lo) & (F.col("d") <= hi))
+        .collect()
+    )
+    assert got == want and got
+    # a range outside every zone is provably empty without reading data
+    assert sink.zone_probe_buckets("d", 10_000, 20_000) == []
+    assert sink.lookup_range(spark, "d", 10_000, 20_000).count() == 0
+
+    # rewrite one bucket with a far-away d: its zone must refresh
+    sink.process_batch(b([(0, 99_999, "u", 1)], 1), 1)
+    man2 = sink._read_manifest(sink.committed_snapshot())
+    z2 = man2["zones"]["d"]
+    assert any(v[1] >= 99_999 for v in z2.values())
+    hit = sink.lookup_range(spark, "d", 99_000, 100_000).collect()
+    assert [(r.id, r.d) for r in hit] == [(0, 99_999)]
+
+    # MOR deltas outstanding -> full-scan fallback still correct
+    mor = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=4,
+        zone_cols=["d"],
+        merge_on_read=True,
+        fold_deltas_every=None,
+    )
+    mor.process_batch(b([(50, 555, "c", 2)], 2), 2)
+    got = sorted(r.id for r in mor.lookup_range(spark, "d", 550, 560).collect())
+    assert got == [50]
