@@ -1239,3 +1239,49 @@ def test_sink_zone_maps_prune_range_lookups(spark, tmp_path):
     mor.process_batch(b([(50, 555, "c", 2)], 2), 2)
     got = sorted(r.id for r in mor.lookup_range(spark, "d", 550, 560).collect())
     assert got == [50]
+
+
+def test_sink_sort_within_bucket_tightens_row_groups(spark, tmp_path):
+    """sort_within_bucket must leave the committed STATE identical to
+    the unsorted sink while making each file's rows monotone in the
+    sort column — the property row-group stats pruning and run-length
+    compression feed on."""
+    import pyarrow.parquet as pq
+
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    rows = [(i, (i * 7919) % 1000, "c", 0) for i in range(400)]
+    batch = spark.createDataFrame(rows, "id int, d long, operation string, seq int")
+
+    plain = SnapshotUpsertSink(
+        str(tmp_path / "plain"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    srt = SnapshotUpsertSink(
+        str(tmp_path / "sorted"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        sort_within_bucket=["d"],
+    )
+    plain.process_batch(batch, 0)
+    srt.process_batch(batch, 0)
+    # identical committed state
+    a = sorted((r.id, r.d) for r in plain.current_table(spark).collect())
+    b = sorted((r.id, r.d) for r in srt.current_table(spark).collect())
+    assert a == b
+    # every sorted-sink file is monotone in d
+    snap = srt._snapshot_path(srt.committed_snapshot())
+    import os as _os
+
+    checked = 0
+    for bdir in _os.listdir(snap):
+        if not bdir.startswith("__bucket="):
+            continue
+        for fn in _os.listdir(_os.path.join(snap, bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(_os.path.join(snap, bdir, fn), columns=["d"])
+            vals = t.column("d").to_pylist()
+            assert vals == sorted(vals)
+            checked += 1
+    assert checked >= 2
