@@ -3569,3 +3569,99 @@ def multimodal_dhash_signatures(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return dhash_bmp(encode_bmp_fixture(docs)).orderBy("doc_id")
+
+
+@register(
+    "dedup_threshold_yield_curve",
+    oracle=f"""
+    WITH {_SH_CTE},
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh) WHERE df <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT da, db,
+             inter * 1000000 // (sa.n + sb.n - inter) AS j_ppm
+      FROM pairs
+      JOIN sizes sa ON pairs.da = sa.doc_id
+      JOIN sizes sb ON pairs.db = sb.doc_id
+    ),
+    t AS (SELECT unnest([300000, 500000, 700000, 900000]) AS thr)
+    SELECT t.thr AS threshold_ppm,
+           CAST(COUNT(CASE WHEN s.j_ppm >= t.thr THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.j_ppm >= t.thr THEN s.db END)
+                AS BIGINT) AS n_docs_dropped
+    FROM t LEFT JOIN scored s ON TRUE
+    GROUP BY t.thr ORDER BY t.thr
+    """,
+    tags=("llm", "dedup", "economics", "threshold"),
+)
+def dedup_threshold_yield_curve(spark, sf_dir):
+    """DEDUP THRESHOLD ECONOMICS — the yield curve a curation team
+    reads before pinning the Jaccard cutoff: for thresholds 0.3 / 0.5
+    / 0.7 / 0.9, how many candidate pairs qualify and how many
+    documents the drop-higher-id rule would remove.  ONE pass builds
+    the exact capped-shingle pair table (same DF-capped inverted-index
+    join as dedup_ngram_jaccard, scores as exact integer ppm — no
+    float threshold ambiguity at any cutoff); the four thresholds are
+    conditional aggregates over it, so exploring the whole curve costs
+    exactly one dedup run instead of four (the banding analog is
+    dedup_lsh_parameter_sweep — that varies RECALL via banding, this
+    varies PRECISION via the verify cutoff).  At 100 TB this table is
+    how you justify a cutoff to whoever owns the training data: pairs
+    and removed-doc counts per candidate policy, from one job."""
+    d = table(spark, sf_dir, "documents")
+    from lakehouse_cdc_spark.llm.dedup import shingle_table
+
+    sh = shingle_table(d, "doc_id", "text", 3)
+    freq_w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+        .filter(F.col("__df") <= _JACCARD_MAX_DF)
+        .drop("__df")
+    )
+    sized = capped.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(
+        F.col("doc_id").alias("da"), "shingle", F.col("__n").alias("na")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("db"), "shingle", F.col("__n").alias("nb")
+    )
+    scored = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "da",
+            "db",
+            F.expr("inter * 1000000 div (na + nb - inter)").alias("j_ppm"),
+        )
+    )
+    rows = None
+    for thr in (300000, 500000, 700000, 900000):
+        r = scored.agg(
+            F.lit(thr).cast("bigint").alias("threshold_ppm"),
+            F.count(F.when(F.col("j_ppm") >= thr, 1))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("j_ppm") >= thr, F.col("db"))
+            )
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("threshold_ppm")
