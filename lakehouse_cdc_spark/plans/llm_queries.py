@@ -3665,3 +3665,215 @@ def dedup_threshold_yield_curve(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("threshold_ppm")
+
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _sweep_block(p: int) -> str:
+    """One probe-count arm of the sweep: candidates at rn <= p, IVF
+    top-10 re-rank, hits against the exact top-10."""
+    return f"""
+      SELECT {p} AS probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{p}) AS n_cand_total,
+             CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit_total,
+             CAST(COUNT(i.vec_id) * 2 AS BIGINT) AS recall_pct
+      FROM exact e LEFT JOIN ivf_{p} i
+        ON e.qid = i.qid AND e.vec_id = i.vec_id"""
+
+
+def _sweep_ctes(p: int, dot_eq_eq: str) -> str:
+    return f"""
+    cand_{p} AS (
+      SELECT DISTINCT pr.qid, a.vec_id
+      FROM assign a JOIN probe_ranked pr ON a.cluster = pr.cluster
+      WHERE pr.rn <= {p}),
+    ivf_{p} AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                 round({dot_eq_eq} / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6)
+                   DESC, c.vec_id ASC) AS rn
+        FROM cand_{p} c JOIN n e ON e.vec_id = c.vec_id
+                        JOIN q ON q.qid = c.qid) WHERE rn <= 10)"""
+
+
+@register(
+    "emb_ivf_probe_sweep",
+    oracle=(
+        f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm
+          FROM n WHERE vec_id BETWEEN 3 AND 7),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({{dot_eq_eq}} / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6)
+                   DESC, e.vec_id ASC) AS rn
+        FROM n e, q) WHERE rn <= 10),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({{dot_ec}} / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM n e, c) WHERE rn = 1),
+    probe_ranked AS (
+      SELECT q.qid, c.cid AS cluster,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               round({{dot_cq}} / (sqrt(c.cnorm) * sqrt(q.qnorm)), 6)
+                 DESC, c.cid ASC) AS rn
+      FROM c, q),"""
+        + ",".join(_sweep_ctes(p, "{dot_eq_eq}") for p in _SWEEP_PROBES)
+        + """
+    """
+        + "\n      UNION ALL\n".join(_sweep_block(p) for p in _SWEEP_PROBES)
+        + """
+    ORDER BY probes
+    """
+    ).format(
+        dot_eq_eq=_DOT_EQ.format(a="e.embedding", b="q.qemb"),
+        dot_ec=_DOT_EQ.format(a="e.embedding", b="c.cemb"),
+        dot_cq=_DOT_EQ.format(a="c.cemb", b="q.qemb"),
+    ),
+    tags=("llm", "similarity", "ann", "ivf", "evaluation", "tuning"),
+)
+def emb_ivf_probe_sweep(spark, sf_dir):
+    """THE nprobe TUNING CURVE — recall@10 and candidate volume at
+    probes = 1 / 2 / 4 through the same 8-centroid IVF funnel, from
+    ONE pass: assignment and the full query→centroid ranking are
+    computed once, the three probe counts are filters over the ranked
+    table, and each arm re-ranks only its own candidates.  This is
+    the table an ANN deployment pins its latency/recall trade with
+    (emb_ivf_recall_probe evaluates the single shipped setting; this
+    produces the CURVE that justified it).  Totals over the 5-query
+    probe set: 50 possible hits, so recall_pct = 2·hits.  All
+    rankings use the rounded cosine with id tie-breaks — the oracle
+    replays every arm bit-for-bit.
+
+    Scale shape: centroids and queries broadcast; the corpus is
+    scored map-side once for assignment; candidate scoring per arm
+    touches only probed buckets — the sweep costs one assignment pass
+    plus the union of the arms' candidate sets, NOT three index
+    builds."""
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("__norm_sq").alias("cnorm"),
+    )
+    qs = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") <= 7)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("__norm_sq").alias("qnorm"),
+    )
+
+    def _cos(vec, norm, qvec, qnorm):
+        return F.round(
+            dot(vec.cast("array<double>"), qvec.cast("array<double>"))
+            / (F.sqrt(norm) * F.sqrt(qnorm)),
+            6,
+        )
+
+    w_q = Window.partitionBy("qid")
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            _cos(
+                F.col("embedding"), F.col("__norm_sq"),
+                F.col("qemb"), F.col("qnorm"),
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("cs"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            _cos(
+                F.col("embedding"), F.col("__norm_sq"),
+                F.col("cemb"), F.col("cnorm"),
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cs"), F.asc("cluster")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    probe_ranked = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            F.col("cid").alias("cluster"),
+            _cos(
+                F.col("cemb"), F.col("cnorm"), F.col("qemb"), F.col("qnorm")
+            ).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_q.orderBy(F.desc("cs"), F.asc("cluster"))),
+        )
+        .select("qid", "cluster", "rn")
+    )
+    out = None
+    for p in _SWEEP_PROBES:
+        cand = (
+            assign.join(
+                F.broadcast(probe_ranked.filter(F.col("rn") <= p)), "cluster"
+            )
+            .select("qid", "vec_id")
+            .distinct()
+        )
+        ivf = (
+            cand.join(emb, "vec_id")
+            .join(F.broadcast(qs), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                _cos(
+                    F.col("embedding"), F.col("__norm_sq"),
+                    F.col("qemb"), F.col("qnorm"),
+                ).alias("cs"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w_q.orderBy(F.desc("cs"), F.asc("vec_id"))
+                ),
+            )
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+        hits = exact.join(ivf, ["qid", "vec_id"], "left_semi")
+        arm = hits.agg(
+            F.lit(p).cast("bigint").alias("probes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_total"),
+        ).crossJoin(
+            F.broadcast(
+                cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand_total"))
+            )
+        ).select(
+            "probes",
+            "n_cand_total",
+            "n_hit_total",
+            (F.col("n_hit_total") * 2).cast("bigint").alias("recall_pct"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("probes")
