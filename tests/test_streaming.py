@@ -1285,3 +1285,73 @@ def test_sink_sort_within_bucket_tightens_row_groups(spark, tmp_path):
             assert vals == sorted(vals)
             checked += 1
     assert checked >= 2
+
+
+def test_sink_zone_map_losslessness_random_ranges(spark, tmp_path):
+    """Zone-pruned range lookups must equal the full-scan filter for
+    ANY range — including ranges straddling bucket zone boundaries,
+    empty ranges, and point ranges — and must survive a rebucket
+    (zones dropped -> always-scan, never a wrong prune).  Mirrors the
+    cdclog writer's 25-random-predicate losslessness test."""
+    import random
+
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    rng = random.Random(8)  # deterministic: seeded, round-8
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=4,
+        zone_cols=["d"],
+    )
+    rows = [(i, rng.randrange(0, 5000), "c", 0) for i in range(300)]
+    sink.process_batch(
+        spark.createDataFrame(
+            rows, "id int, d long, operation string, seq int"
+        ),
+        0,
+    )
+    # second wave rewrites some buckets (carried + refreshed zones)
+    rows2 = [(i, rng.randrange(0, 5000), "u", 1) for i in range(0, 300, 7)]
+    sink.process_batch(
+        spark.createDataFrame(
+            rows2, "id int, d long, operation string, seq int"
+        ),
+        1,
+    )
+    full = sink.current_table(spark).select("id", "d").cache()
+    try:
+        for _ in range(15):
+            lo = rng.randrange(-100, 5100)
+            hi = lo + rng.randrange(0, 1500)
+            got = sorted(
+                (r.id, r.d)
+                for r in sink.lookup_range(spark, "d", lo, hi).collect()
+            )
+            want = sorted(
+                (r.id, r.d)
+                for r in full.filter(
+                    (F.col("d") >= lo) & (F.col("d") <= hi)
+                ).collect()
+            )
+            assert got == want, (lo, hi)
+    finally:
+        full.unpersist()
+    # rebucket drops zones: probe returns every bucket, lookups stay
+    # correct through the always-scan path
+    sink.rebucket(spark, 8)
+    man = sink._read_manifest(sink.committed_snapshot())
+    assert "zones" not in man
+    assert len(sink.zone_probe_buckets("d", 0, 1)) == len(man["buckets"])
+    got = sorted(
+        (r.id, r.d)
+        for r in sink.lookup_range(spark, "d", 1000, 2000).collect()
+    )
+    want = sorted(
+        (r.id, r.d)
+        for r in sink.current_table(spark)
+        .filter((F.col("d") >= 1000) & (F.col("d") <= 2000))
+        .collect()
+    )
+    assert got == want
