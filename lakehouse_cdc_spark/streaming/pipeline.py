@@ -1604,6 +1604,33 @@ class SnapshotUpsertSink:
             rows, "bucket int, snapshot int, path string, size_bytes long"
         )
 
+    def stats_table(self, spark: SparkSession) -> DataFrame:
+        """One row per (bucket, stat) of the COMMITTED manifest — the
+        pruning-metadata introspection table (Iceberg's
+        ``<table>.partitions``-style surface for THIS sink's skipping
+        state): which buckets carry bloom filters for which columns,
+        which carry zone maps and with what bounds, and which are
+        blind (always-scan).  The operational question it answers:
+        "why did my lookup open k buckets?" — stale-after-rewrite
+        drops and rebucket resets show up here as missing rows."""
+        manifest = self._read_manifest(self.committed_snapshot()) or {}
+        rows = []
+        for b, snap in (manifest.get("buckets") or {}).items():
+            rows.append((int(b), snap, "bucket", None, None, None))
+        for col, m in ((manifest.get("blooms") or {}).get("cols") or {}).items():
+            for b in m:
+                rows.append((int(b), None, "bloom", col, None, None))
+        for col, m in (manifest.get("zones") or {}).items():
+            for b, z in m.items():
+                rows.append(
+                    (int(b), None, "zone", col, str(z[0]), str(z[1]))
+                )
+        return spark.createDataFrame(
+            rows,
+            "bucket int, snapshot int, stat string, col string,"
+            " zone_min string, zone_max string",
+        )
+
     # -- bucket compaction (M1 on the bucketed layout) ------------------
     def compact_buckets(
         self, spark: SparkSession, files_per_bucket: int = 1, min_files: int = 2

@@ -1355,3 +1355,35 @@ def test_sink_zone_map_losslessness_random_ranges(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_sink_stats_table_reflects_pruning_metadata(spark, tmp_path):
+    """stats_table must census the committed manifest's pruning state:
+    every bucket row, zone rows with stringified bounds, and bloom
+    rows per tracked column — and show drops after a rebucket."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"),
+        keys=["id"],
+        order_by=["seq"],
+        n_buckets=2,
+        zone_cols=["d"],
+        bloom_cols=["tag"],
+    )
+    sink.process_batch(
+        spark.createDataFrame(
+            [(1, 10, "a", "c", 0), (2, 20, "b", "c", 0)],
+            "id int, d long, tag string, operation string, seq int",
+        ),
+        0,
+    )
+    st = sink.stats_table(spark)
+    kinds = {r.stat for r in st.collect()}
+    assert kinds == {"bucket", "zone", "bloom"}
+    zrows = [r for r in st.collect() if r.stat == "zone"]
+    assert all(r.col == "d" and int(r.zone_min) <= int(r.zone_max) for r in zrows)
+    # rebucket drops blooms + zones: only bucket rows remain
+    sink.rebucket(spark, 4)
+    kinds = {r.stat for r in sink.stats_table(spark).collect()}
+    assert kinds == {"bucket"}
