@@ -1849,3 +1849,142 @@ def window_topk_with_ties(spark, sf_dir):
         .cast("bigint")
         .alias("kept_ids_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature snapshot (round 8): the feature-store operator
+# ---------------------------------------------------------------------------
+
+_FS_LOOKBACK_US = 7 * 86_400_000_000
+
+
+@register(
+    "events_feature_snapshot_pit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+               AS f_views_7d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+               AS f_clicks_7d,
+             SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) OVER w
+               AS f_spend_7d_cents,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+               AS f_errors_7d,
+             MIN(CASE WHEN event_type = 'signup' THEN tus END)
+               OVER (PARTITION BY user_id ORDER BY tus
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS signup_tus
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN {_FS_LOOKBACK_US} PRECEDING
+                   AND 1 PRECEDING)
+    ),
+    labels AS (
+      SELECT event_id AS label_event_id, user_id,
+             COALESCE(f_views_7d, 0) AS f_views_7d,
+             COALESCE(f_clicks_7d, 0) AS f_clicks_7d,
+             COALESCE(f_spend_7d_cents, 0) AS f_spend_7d_cents,
+             COALESCE(f_errors_7d, 0) AS f_errors_7d,
+             CASE WHEN signup_tus IS NOT NULL
+                  THEN (tus - signup_tus) // 86400000000 END
+               AS f_tenure_days
+      FROM framed WHERE event_type = 'purchase'
+    )
+    SELECT label_event_id, user_id,
+           CAST(f_views_7d AS BIGINT) AS f_views_7d,
+           CAST(f_clicks_7d AS BIGINT) AS f_clicks_7d,
+           CAST(f_spend_7d_cents AS BIGINT) AS f_spend_7d_cents,
+           CAST(f_errors_7d AS BIGINT) AS f_errors_7d,
+           CAST(f_tenure_days AS BIGINT) AS f_tenure_days
+    FROM labels ORDER BY label_event_id
+    """,
+    tags=("events", "feature-store", "point-in-time", "leakage", "W-family"),
+)
+def events_feature_snapshot_pit(spark, sf_dir):
+    """POINT-IN-TIME FEATURE SNAPSHOT — the feature-store operator
+    that makes training data leakage-safe: for every label event
+    (purchase), each feature is computed over STRICTLY-BEFORE data
+    only (trailing-7-day view/click counts, spend, error count via a
+    RANGE frame ending at −1; tenure via the first prior signup) — a
+    feature computed over [t−7d, t] instead of [t−7d, t) leaks the
+    label into itself, the bug point-in-time joins exist to prevent
+    (every feature-store's core contract).  All five features ride
+    ONE user-keyed window exchange over the interleaved event
+    sequence — no per-feature as-of join, no label×history fan-out;
+    adding features adds frame aggregates, never shuffles.  Exact
+    integers throughout (cents, whole days).  At 100 TB this is the
+    nightly training-snapshot job: output one row per label with its
+    features as of the label's own timestamp."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_FS_LOOKBACK_US, -1)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    framed = seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tus",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("f_views_7d"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("f_clicks_7d"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("v")).otherwise(0)
+        )
+        .over(w)
+        .alias("f_spend_7d_cents"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .alias("f_errors_7d"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("tus"))
+        )
+        .over(w_all)
+        .alias("signup_tus"),
+    )
+    return (
+        framed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("label_event_id"),
+            "user_id",
+            F.coalesce("f_views_7d", F.lit(0)).cast("bigint").alias("f_views_7d"),
+            F.coalesce("f_clicks_7d", F.lit(0))
+            .cast("bigint")
+            .alias("f_clicks_7d"),
+            F.coalesce("f_spend_7d_cents", F.lit(0))
+            .cast("bigint")
+            .alias("f_spend_7d_cents"),
+            F.coalesce("f_errors_7d", F.lit(0))
+            .cast("bigint")
+            .alias("f_errors_7d"),
+            F.when(
+                F.col("signup_tus").isNotNull(),
+                F.expr("(tus - signup_tus) div 86400000000"),
+            )
+            .cast("bigint")
+            .alias("f_tenure_days"),
+        )
+        .orderBy("label_event_id")
+    )
