@@ -40,7 +40,6 @@ def delta_agg_adjustments(
     measure: Column,
     op_col: str = "operation",
     delete_op: str = "d",
-    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Per-group ``(cnt_adj, sum_adj)`` a compacted delta implies.
 
@@ -49,14 +48,12 @@ def delta_agg_adjustments(
     is an integer-typed column expression (use ``fixed_point`` for
     money) so retraction is exact.
     """
-    changed = delta_compacted.select(*keys).distinct()
-    if broadcast_delta:
-        # delta keys are micro-batch-bounded in streaming use but
-        # UNBOUNDED under backfill/replay — a forced hint would ship a
-        # data-sized set to every executor.  runtime_sized leaves the
-        # call to AQE, which broadcasts exactly when the materialized
-        # delta fits the threshold (operators/hints.py).
-        changed = runtime_sized(changed, "delta")
+    # delta keys are micro-batch-bounded in streaming use but
+    # UNBOUNDED under backfill/replay — a forced hint would ship a
+    # data-sized set to every executor.  runtime_sized leaves the
+    # call to AQE, which broadcasts exactly when the materialized
+    # delta fits the threshold (operators/hints.py).
+    changed = runtime_sized(delta_compacted.select(*keys).distinct(), "delta")
     old = prev_state.join(changed, on=keys, how="left_semi").select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("bigint").alias("cnt_adj"),
@@ -85,7 +82,6 @@ def delta_moment_adjustments(
     measures: dict[str, Column],
     op_col: str = "operation",
     delete_op: str = "d",
-    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Per-group ``(cnt_adj, <name>_adj …)`` for SEVERAL additive
     measures at once — the generalization that makes VARIANCE (and any
@@ -95,14 +91,9 @@ def delta_moment_adjustments(
     because every maintained quantity is an integer sum (pass
     fixed-point measures); ONE semi-join lookup of the changed keys
     serves all measures, so adding moments costs no extra shuffle."""
-    changed = delta_compacted.select(*keys).distinct()
-    if broadcast_delta:
-        # delta keys are micro-batch-bounded in streaming use but
-        # UNBOUNDED under backfill/replay — a forced hint would ship a
-        # data-sized set to every executor.  runtime_sized leaves the
-        # call to AQE, which broadcasts exactly when the materialized
-        # delta fits the threshold (operators/hints.py).
-        changed = runtime_sized(changed, "delta")
+    # same AQE delegation as delta_group_adjustments: no forced hint,
+    # the broadcast happens exactly when the materialized delta fits.
+    changed = runtime_sized(delta_compacted.select(*keys).distinct(), "delta")
     old = prev_state.join(changed, on=keys, how="left_semi").select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("bigint").alias("cnt_adj"),

@@ -43,77 +43,84 @@ from lakehouse_cdc_spark.plans import experiment_queries  # noqa: E402,F401
 # head ROTATES each round: entries the driver has never sampled move
 # in, driver-confirmed entries move out (they stay registered and
 # local-gated — the full registry is checked by tools/check_oracle.py
-# every session).  Round-8 head: all 50 are first-time samples drawn
-# from the 74 never-driver-sampled entries (round-7 cumulative:
-# 231/305) per the committed round-8 rotation plan (COVERAGE.md) —
-# the round-7 operators (feed-maintained indexes, ledger, kcore,
-# events/text/stats waves) plus the round-6 leftovers (graph_*,
-# emb_pq_*, dedup spans, text corpus stats).  Every one is local-gate
-# green at sf0.01 AND sf0.1 and dtype-prescreened
-# (tools/dtype_screen.py).  The remaining 24 never-sampled entries
-# rotate in round 9, finishing the sweep.
+# every session).  Round-9 head: all 50 are first-time samples drawn
+# from the 58 never-driver-sampled entries (round-8 cumulative:
+# 281/339) per the committed round-9 rotation plan (COVERAGE.md) —
+# the round-8 engine-surface rows (feed-maintained text/dedup-group
+# indexes, sink CHECK quarantine + zone-range reads, experiment/
+# feature-store/attribution analytics, stats and ts waves) plus the
+# round-7 leftovers (validation/maintenance/profile/cdc families).
+# Every one is local-gate green at sf0.01 AND sf0.1 and
+# dtype-prescreened.  The remaining 8 never-sampled entries
+# (subquery_above_avg, subquery_exists_sql, customer_rfm_segments,
+# customer_abc_pareto, orders_seasonal_index, profile_table_summary,
+# topk_skyline_suppliers, text_vocab_growth — all plain-SQL shapes
+# whose families are already driver-confirmed) rotate in round 10,
+# finishing the sweep.
 _SHOWCASE_HEAD = [
-    # feed-maintained index family + ledger + lifecycle (round 7)
-    "cdf_incremental_moments",
-    "cdf_incremental_ann_index",
-    "cdf_incremental_lsh_index",
-    "ledger_exactly_once_replay",
-    "ledger_cross_sink_alignment",
-    "maintenance_expiry_safety",
-    "source_schema_evolution",
-    "source_connector_fleet_reconcile",
-    # graph family
-    "graph_kcore_membership",
-    "graph_triangle_count",
-    "graph_common_neighbors",
-    "graph_bfs_khop",
-    "events_identity_stitching",
-    # events / funnel analytics
-    "events_pattern_vshape",
-    "events_sessionize_batch",
-    "events_growth_accounting",
-    "events_activity_streaks",
-    "orders_open_backlog_daily",
-    "orders_concurrency_curve",
-    # embeddings / ANN
-    "emb_pq_adc_topk",
-    "emb_pq_rerank",
-    "emb_neardup_bucketed",
-    "emb_late_interaction_maxsim",
-    "emb_cluster_drift_tv",
-    "contamination_embedding_overlap",
-    # dedup spans / incremental
-    "dedup_winnowing_spans",
-    "dedup_substring_residual",
-    "dedup_incremental_new_shard",
-    # text corpus statistics / LM / retrieval
-    "text_kneser_ney_bigram",
-    "text_rake_keywords",
-    "text_quality_quantile_normalize",
-    "text_rrf_fusion",
-    "text_zipf_profile",
-    "text_ngram_novelty",
-    "text_perplexity_tertiles",
-    # multimodal (round-7 additions)
-    "multimodal_audio_vad_segments",
-    "multimodal_decode_quarantine",
-    # sketches / stats / profiling
-    "sketch_minhash_estimate_error",
-    "stats_ols_by_brand",
-    "profile_fd_violations",
+    # feed-maintained index family (round 8 closes the set: text + groups)
+    "cdf_incremental_text_index",
+    "cdf_incremental_dedup_groups",
+    # snapshot-sink engine surface
+    "sink_check_quarantine",
+    "sink_zone_range_lookup",
+    "maintenance_zone_map_skipping",
+    "maintenance_clustering_depth",
+    "maintenance_partition_health",
+    "layout_zorder_clustering",
+    # CDC family leftovers
+    "cdc_partial_column_upsert",
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "checksum_merkle_partitions",
+    # validation / data contracts
+    "validation_uniqueness_contract",
+    "validation_null_rate_budget",
+    "validation_sample_match",
+    "validation_linenumber_contiguity",
+    # experimentation / feature store / attribution
+    "experiment_cuped_adjusted",
+    "experiment_srm_check",
+    "events_feature_snapshot_pit",
+    "events_attribution_multitouch",
+    "events_survival_hazard",
+    "events_funnel_time_to_convert",
+    "events_bot_signature",
+    # business analytics
+    "orders_period_over_period",
+    "orders_repeat_purchase_curve",
+    # windows / SQL surface
+    "window_session_tvf",
+    "window_topk_with_ties",
+    "agg_listagg_ordered",
+    "scalar_regexp_functions",
+    "scalar_calendar_edges",
+    "join_asof_tolerance",
+    "spatial_nearest_in_radius",
+    # stats / profiling
+    "stats_higher_moments",
+    "stats_bootstrap_ci",
+    "profile_gini_impurity",
+    "profile_join_key_skew",
     # time series
-    "ts_breakout_channel",
-    "ts_seasonal_dow_profile",
-    # sampling / mixing
-    "sample_stratified_exact",
-    "sample_reservoir_per_source",
-    "mix_curriculum_phases",
-    # ER / validation / business analytics
-    "er_match_quality_audit",
-    "validation_rate_shift_ztest",
-    "customer_revenue_lorenz",
-    "supplier_ontime_wilson",
-    "market_basket_rules",
+    "ts_holt_linear",
+    "ts_time_weighted_average",
+    # text / LLM-pipeline
+    "text_length_histogram_by_source",
+    "text_word_burstiness",
+    "contamination_ngram_overlap",
+    "pii_pseudonymize",
+    "llm_dataset_card",
+    # dedup economics / parameterization
+    "dedup_cascade_report",
+    "dedup_lsh_parameter_sweep",
+    "dedup_threshold_yield_curve",
+    # embeddings / multimodal
+    "emb_norm_distribution",
+    "emb_ivf_probe_sweep",
+    "multimodal_dhash_signatures",
+    # sampling
+    "sample_time_series_split",
 ]
 
 

@@ -1878,7 +1878,7 @@ _FS_LOOKBACK_US = 7 * 86_400_000_000
                AS f_errors_7d,
              MIN(CASE WHEN event_type = 'signup' THEN tus END)
                OVER (PARTITION BY user_id ORDER BY tus
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS signup_tus
       FROM seq
       WINDOW w AS (PARTITION BY user_id ORDER BY tus
@@ -1934,10 +1934,16 @@ def events_feature_snapshot_pit(spark, sf_dir):
         .orderBy("tus")
         .rangeBetween(-_FS_LOOKBACK_US, -1)
     )
+    # RANGE, not ROWS: with tied timestamps a ROWS frame's peer order is
+    # engine/run-dependent, so a same-microsecond signup may or may not
+    # land inside the frame — RANGE excludes ALL peers of the current
+    # value, preserving both the strictly-before contract and
+    # cross-engine hash determinism (the four 7-day features already
+    # use tie-safe RANGE frames).
     w_all = (
         Window.partitionBy("user_id")
         .orderBy("tus")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     framed = seq.select(
         "user_id",

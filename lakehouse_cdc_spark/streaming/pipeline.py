@@ -1108,12 +1108,14 @@ class SnapshotUpsertSink:
                 )
             return tagged.drop("__check")
         # quarantine lane: append violators with provenance, commit the
-        # clean remainder.  The write job is the per-batch cost of
-        # enabling checks; it scans only the (usually empty) violating
-        # subset thanks to the pushed filter.
-        bad.withColumn("__batch", F.lit(batch_id).cast("bigint")).write.mode(
-            "append"
-        ).parquet(self._quarantine_dir())
+        # clean remainder.  A cheap limit(1) probe gates the write job
+        # so clean pipelines (the common case) pay one short-circuiting
+        # scan instead of a full append job touching _quarantine/ every
+        # batch.
+        if not bad.isEmpty():
+            bad.withColumn(
+                "__batch", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(self._quarantine_dir())
         return tagged.filter(F.col("__check").isNull()).drop("__check")
 
     def quarantine_table(self, spark: SparkSession) -> DataFrame | None:
@@ -1121,7 +1123,13 @@ class SnapshotUpsertSink:
         ``__check`` = failing rule, ``__batch`` = source batch id), or
         None if nothing was ever quarantined."""
         try:
-            return spark.read.parquet(self._quarantine_dir())
+            # mergeSchema: violators append across batches whose schemas
+            # may evolve (the sink supports widening/added columns) —
+            # a single sampled footer would silently drop historical
+            # violator columns from the view.
+            return spark.read.option("mergeSchema", "true").parquet(
+                self._quarantine_dir()
+            )
         except Exception:
             return None
 
