@@ -35,6 +35,7 @@ from lakehouse_cdc_spark.plans import semantics_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import cdf_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import ledger_queries  # noqa: E402,F401
 from lakehouse_cdc_spark.plans import experiment_queries  # noqa: E402,F401
+from lakehouse_cdc_spark.plans import stats_tests_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness snapshot samples the FIRST
