@@ -37,6 +37,26 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None
     shutil.rmtree(back)
 
 
+
+def _ref_roots(target_dir: str) -> set[int]:
+    """Snapshots pinned by named refs (_REFS.json): every tag, plus a
+    WAP branch's whole base..head chain (staged history must stay
+    time-travelable until published or aborted).  Ref roots join the
+    keep set of expire_snapshots/expiry_safety before the manifest
+    reference closure."""
+    import json
+
+    refs_file = os.path.join(target_dir, "_REFS.json")
+    if not os.path.exists(refs_file):
+        return set()
+    with open(refs_file) as f:
+        refs = json.load(f)
+    roots: set[int] = {int(s) for s in (refs.get("tags") or {}).values()}
+    for b in (refs.get("branches") or {}).values():
+        roots.update(range(int(b["base"]), int(b["snapshot"]) + 1))
+    return roots
+
+
 def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     """Snapshot expiry for a SnapshotUpsertSink directory (M2,
     expire_snapshots(retain_last=5) semantics — spark_batch.py:424).
@@ -60,6 +80,7 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     keep = set(versions[-retain_last:])
     if committed_snap is not None:
         keep.add(committed_snap)
+    keep |= _ref_roots(target_dir)
     # every RETAINED snapshot must stay fully readable (time travel):
     # union in the bucket dirs each retained manifest references —
     # keeping only the committed manifest's references would leave
@@ -136,6 +157,7 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
     base_keep = set(versions[-retain_last:])
     if committed_snap is not None:
         base_keep.add(committed_snap)
+    base_keep |= _ref_roots(target_dir)
     keep = set(base_keep)
     while True:  # same reference closure as expire_snapshots
         referenced = set()

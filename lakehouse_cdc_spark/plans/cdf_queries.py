@@ -1167,3 +1167,108 @@ def sink_zone_range_lookup(spark, sf_dir):
         F.min("d").cast("bigint").alias("min_d"),
         F.max("d").cast("bigint").alias("max_d"),
     )
+
+
+_WAP_CACHE: dict[str, object] = {}
+
+
+def _wap_demo_sink(spark, sf_dir):
+    """Sink taken through one full write-audit-publish lifecycle:
+    main commit of all orders, a pre-publish tag, a branch staging
+    deterministic updates (+1000 cents on key%3==0) and deletes
+    (key%5==0), then publish — cached per sf_dir."""
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+    cached = _WAP_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 1:
+        return cached
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_point(F.col("o_totalprice"), 2).alias("cents"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    staged = o.filter(
+        (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (fixed_point(F.col("o_totalprice"), 2) + 1000).alias("cents"),
+        F.when(F.col("o_orderkey") % 5 == 0, "d")
+        .otherwise("u")
+        .alias("operation"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    sink = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_wap_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    sink.process_batch(base, 0)
+    sink.create_tag("pre_publish")
+    sink.create_branch("audit")
+    sink.stage_batch("audit", staged, 1)
+    sink.publish_branch("audit")
+    return _WAP_CACHE.setdefault(sf_dir, sink)
+
+
+@register(
+    "sink_wap_publish",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_FP} AS cents FROM orders
+    ),
+    published AS (
+      SELECT k,
+             CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END AS cents
+      FROM base WHERE k % 5 <> 0
+    ),
+    lanes AS (
+      SELECT 'published_main' AS lane, k, cents FROM published
+      UNION ALL
+      SELECT 'tag_pre_publish', k, cents FROM base
+    )
+    SELECT lane,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(bit_xor(k) AS BIGINT) AS keys_xor
+    FROM lanes GROUP BY lane ORDER BY lane
+    """,
+    tags=("cdc", "sink", "wap", "branch", "tag", "S12"),
+)
+def sink_wap_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH THROUGH THE SINK'S OWN REFS — the staging
+    discipline (Iceberg branch/tag + the WAP pattern Netflix published)
+    executed end to end on the oracle gate: all orders commit to main,
+    a ``pre_publish`` TAG pins that snapshot, a BRANCH stages a batch
+    of deterministic updates (+1000 cents on key%3) and deletes
+    (key%5) as a full durable snapshot that main readers cannot see,
+    and ``publish_branch`` fast-forwards the pointer in one atomic
+    rename.  The declared result reads BOTH lanes from the sink's ref
+    surfaces — the published main table (``current_table``, updates
+    applied, tombstones gone) and the tag (time travel to the exact
+    pre-publish state, immune to expiry) — and the oracle re-derives
+    each lane from the staged-change algebra: a hash match proves
+    publish applied exactly the staged changes and the tag preserved
+    exactly the pre-publish rows.  At 100 TB this is how a bad batch
+    is audited BEFORE anyone reads it, instead of rolled back after."""
+    sink = _wap_demo_sink(spark, sf_dir)
+    published = sink.current_table(spark).select(
+        F.lit("published_main").alias("lane"), "k", "cents"
+    )
+    tagged = (
+        sink.state_at_ref(spark, "pre_publish")
+        .filter(F.col("operation") != "d")
+        .select(F.lit("tag_pre_publish").alias("lane"), "k", "cents")
+    )
+    return (
+        published.unionByName(tagged)
+        .groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.expr("bit_xor(k)").cast("bigint").alias("keys_xor"),
+        )
+        .orderBy("lane")
+    )

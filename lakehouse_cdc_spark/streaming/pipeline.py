@@ -318,7 +318,16 @@ class SnapshotUpsertSink:
     def _claim_path(self, snapshot: int) -> str:
         return os.path.join(self.target_dir, f"v={snapshot}.claim")
 
-    def _claim(self, new_snap: int, batch_id: int | None) -> None:
+    def _claim_owner(self, branch: str | None) -> str:
+        """Claim-file owner string: the checkpoint lineage, plus a
+        ``@wap:<branch>`` marker for staged (write-audit-publish)
+        commits so recovery can tell a deliberately-unpublished
+        snapshot from a writer that died mid-commit."""
+        return f"{self.lineage or ''}" + (f"@wap:{branch}" if branch else "")
+
+    def _claim(
+        self, new_snap: int, batch_id: int | None, branch: str | None = None
+    ) -> None:
         """CAS-style writer fence: exclusively create ``v=N.claim``
         BEFORE any snapshot data is written.  Exactly one writer can
         claim a snapshot number, so two writers that both read base
@@ -347,7 +356,7 @@ class SnapshotUpsertSink:
             ours = f"{'' if batch_id is None else batch_id}"
             if (
                 owner is not None
-                and owner == (self.lineage or "")
+                and owner == self._claim_owner(branch)
                 and owner_batch == ours
             ):
                 # our own interrupted attempt: same lineage AND same
@@ -365,8 +374,16 @@ class SnapshotUpsertSink:
                 "base (or recover_interrupted_commit() if that writer died)"
             ) from None
         with os.fdopen(fd, "w") as f:
-            f.write(f"{self.lineage or ''}:{'' if batch_id is None else batch_id}")
-        cur = self.committed_snapshot()
+            f.write(
+                f"{self._claim_owner(branch)}:"
+                f"{'' if batch_id is None else batch_id}"
+            )
+        if branch is None:
+            cur = self.committed_snapshot()
+        else:
+            # a staged commit's base is the BRANCH head, not the main
+            # pointer (which stays put until publish)
+            cur = (self.refs()["branches"].get(branch) or {}).get("snapshot")
         base_ok = (cur is None and new_snap == 0) or cur == new_snap - 1
         if not base_ok:
             os.unlink(self._claim_path(new_snap))
@@ -394,6 +411,27 @@ class SnapshotUpsertSink:
         cand = (cur if cur is not None else -1) + 1
         if not os.path.exists(self._claim_path(cand)):
             return None
+        try:
+            with open(self._claim_path(cand)) as f:
+                claim_owner = f.read().rpartition(":")[0]
+        except FileNotFoundError:
+            claim_owner = ""
+        if "@wap:" in claim_owner:
+            # staged write-audit-publish claim, NOT a crashed main
+            # commit: if the branch ref records the snapshot it is a
+            # live unpublished branch (leave it alone); if the writer
+            # died between manifest and ref update, roll the stage back
+            branch = claim_owner.rpartition("@wap:")[2]
+            head = (self.refs()["branches"].get(branch) or {}).get("snapshot")
+            if head is not None and head >= cand:
+                return None
+            shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
+            try:
+                os.unlink(self._manifest_path(cand))
+            except FileNotFoundError:
+                pass
+            os.unlink(self._claim_path(cand))
+            return "rolled_back"
         manifest = self._read_manifest(cand)
         if manifest is not None and "committed_batch" in manifest:
             self._publish_pointer(
@@ -436,6 +474,7 @@ class SnapshotUpsertSink:
         deltas: list[int] | None = None,
         blooms: dict | None = None,
         zones: dict | None = None,
+        branch: str | None = None,
     ) -> None:
         """The snapshot commit protocol, shared by every writer
         (process_batch / gc_tombstones / compact_buckets): manifest
@@ -493,6 +532,21 @@ class SnapshotUpsertSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(mtmp, self._manifest_path(new_snap))
+        if branch is not None:
+            # write-audit-publish: the snapshot is complete and durable
+            # but INVISIBLE to main readers — advance the branch ref,
+            # not the pointer.  The claim file is deliberately retained:
+            # it reserves the snapshot-number lane against main writers
+            # until publish_branch / abort_branch releases it.
+            refs = self.refs()
+            if branch not in refs["branches"]:
+                raise RuntimeError(
+                    f"staged commit for unknown branch {branch!r}"
+                )
+            refs["branches"][branch]["snapshot"] = new_snap
+            refs["branches"][branch]["batch"] = batch_id
+            self._write_refs(refs)
+            return
         self._publish_pointer(self.lineage, batch_id, new_snap)
         try:
             os.unlink(self._claim_path(new_snap))
@@ -823,6 +877,235 @@ class SnapshotUpsertSink:
                 except FileNotFoundError:
                     pass
 
+    # -- named refs: tags + write-audit-publish branches -------------------
+    #
+    # Iceberg/Nessie-style refs (public designs: Iceberg branching &
+    # tagging spec, the WAP pattern Netflix published for Iceberg):
+    # a TAG pins a snapshot immutably (audit/repro anchor, expiry
+    # root); a BRANCH is a movable head for the write-audit-publish
+    # flow — stage_batch commits full snapshots that main readers
+    # cannot see, audits run against the branch head, and
+    # publish_branch fast-forwards the main pointer in one atomic
+    # rename.  The reference has no equivalent (its sink publishes
+    # every write immediately, spark_exactly_once.py); this is the
+    # staging discipline a 100 TB ingest needs so a bad batch is
+    # auditable before anyone reads it.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.target_dir, "_REFS.json")
+
+    def refs(self) -> dict:
+        """Named refs document: ``{"tags": {name: snapshot},
+        "branches": {name: {"base": int, "snapshot": int (head),
+        "batch": int|None}}}``."""
+        try:
+            with open(self._refs_path()) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            doc = {}
+        doc.setdefault("tags", {})
+        doc.setdefault("branches", {})
+        return doc
+
+    def _write_refs(self, doc: dict) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_path())
+
+    def create_tag(self, name: str, snapshot: int | None = None) -> int:
+        """Pin ``snapshot`` (default: the committed one) under an
+        immutable name.  A tagged snapshot never expires
+        (maintenance.expire_snapshots keeps every ref root and its
+        manifest closure).  Idempotent on the same snapshot; retagging
+        a different one raises — tags are immutable by contract."""
+        snap = self.committed_snapshot() if snapshot is None else snapshot
+        if snap is None or self._read_manifest(snap) is None:
+            raise ValueError(f"cannot tag snapshot {snap}: no manifest")
+        refs = self.refs()
+        existing = refs["tags"].get(name)
+        if existing is not None and existing != snap:
+            raise ValueError(
+                f"tag {name!r} already pins snapshot {existing}; "
+                "tags are immutable (delete_tag first)"
+            )
+        refs["tags"][name] = snap
+        self._write_refs(refs)
+        return snap
+
+    def delete_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs["tags"]:
+            raise KeyError(f"unknown tag {name!r}")
+        del refs["tags"][name]
+        self._write_refs(refs)
+
+    def resolve_ref(self, name: str) -> int | None:
+        """Snapshot a ref name points at: ``"main"`` → the committed
+        pointer, else tag, else branch head."""
+        if name == "main":
+            return self.committed_snapshot()
+        refs = self.refs()
+        if name in refs["tags"]:
+            return refs["tags"][name]
+        if name in refs["branches"]:
+            return refs["branches"][name]["snapshot"]
+        raise KeyError(f"unknown ref {name!r}")
+
+    def state_at_ref(self, spark: SparkSession, name: str):
+        """Time travel by ref name (full state incl. tombstones)."""
+        snap = self.resolve_ref(name)
+        return None if snap is None else self.state_at(spark, snap)
+
+    def table_at_ref(self, spark: SparkSession, name: str):
+        """User-visible table (tombstones filtered) at a ref."""
+        state = self.state_at_ref(spark, name)
+        return None if state is None else state.filter(
+            F.col(self.op_col) != "d"
+        )
+
+    def create_branch(self, name: str, from_snapshot: int | None = None) -> int:
+        """Open a write-audit-publish branch at ``from_snapshot``
+        (default: the committed pointer).  While the branch holds
+        staged snapshots, the snapshot-number lane is reserved (claim
+        files), so a concurrent MAIN writer fails fast with
+        ConcurrentCommitError until publish/abort — the deliberate
+        freeze-lane semantics of this single-lane WAP (Iceberg's
+        multi-branch merge/rebase is out of scope)."""
+        base = self.committed_snapshot() if from_snapshot is None else from_snapshot
+        if base is None or self._read_manifest(base) is None:
+            raise ValueError(
+                f"cannot branch from snapshot {base}: no manifest "
+                "(commit at least one batch first)"
+            )
+        refs = self.refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["branches"][name] = {"base": base, "snapshot": base, "batch": None}
+        self._write_refs(refs)
+        return base
+
+    def stage_batch(self, branch: str, batch_df: DataFrame, batch_id: int) -> None:
+        """The WRITE of write-audit-publish: merge one batch into the
+        BRANCH head exactly like process_batch merges into main —
+        same copy-on-write bucket merge, same CHECK enforcement, same
+        claim fence, same durable manifest — except the commit
+        advances the branch ref, leaving the main pointer (and every
+        main reader) untouched.  Audit with ``table_at_ref`` /
+        ``quarantine_table``, then ``publish_branch`` or
+        ``abort_branch``.  Staging always takes the copy-on-write
+        path (a staged delta would be invisible work to audit)."""
+        refs = self.refs()
+        if branch not in refs["branches"]:
+            raise KeyError(f"unknown branch {branch!r}")
+        b = refs["branches"][branch]
+        if b["batch"] is not None and batch_id <= b["batch"]:
+            return  # replayed staged batch — already committed to the branch
+        head = b["snapshot"]
+        spark = batch_df.sparkSession
+        manifest = self._read_manifest(head)
+        if manifest is None:
+            raise ValueError(f"branch {branch!r} head {head} lost its manifest")
+        watermark = manifest.get("gc_watermark")
+        if watermark is not None:
+            batch_df = batch_df.filter(
+                F.col(self._order_key()) >= F.lit(watermark)
+            )
+        if self.checks:
+            batch_df = self._enforce_checks(spark, batch_df, batch_id)
+        self._merge_into_buckets(
+            spark,
+            batch_df,
+            manifest,
+            head,
+            commit_batch_id=batch_id,
+            claim_batch_id=batch_id,
+            watermark=watermark,
+            branch=branch,
+        )
+
+    def publish_branch(self, branch: str) -> int:
+        """The PUBLISH of write-audit-publish: fast-forward the main
+        pointer to the branch head in one atomic pointer rename — the
+        staged snapshots (already durable, manifest-complete history)
+        become the committed chain, the reserved claims release, and
+        the branch ref disappears.  Exactly-once carries over: the
+        pointer takes the head manifest's recorded lineage/batch, so
+        a replay of a published staged batch is skipped by the same
+        guard as any committed batch.  Idempotent after a crash
+        between pointer and ref cleanup."""
+        refs = self.refs()
+        b = refs["branches"].get(branch)
+        if b is None:
+            raise KeyError(f"unknown branch {branch!r}")
+        head, base = b["snapshot"], b["base"]
+        cur = self.committed_snapshot()
+        if head != base and cur not in (base, head):
+            raise ConcurrentCommitError(
+                f"branch {branch!r} staged from base {base} but main "
+                f"moved to {cur}; abort and restage"
+            )
+        if head != base and cur != head:  # not a crash-replay of publish
+            m = self._read_manifest(head)
+            self._publish_pointer(
+                m.get("committed_lineage") or None, m["committed_batch"], head
+            )
+        for s in range(base + 1, head + 1):
+            try:
+                os.unlink(self._claim_path(s))
+            except FileNotFoundError:
+                pass
+        del refs["branches"][branch]
+        self._write_refs(refs)
+        return head
+
+    def abort_branch(self, branch: str) -> int:
+        """The no-PUBLISH arm: drop every staged snapshot (data dirs,
+        manifests, claims) and the ref.  Main never saw any of it.
+        Returns how many staged snapshots were discarded."""
+        refs = self.refs()
+        b = refs["branches"].get(branch)
+        if b is None:
+            raise KeyError(f"unknown branch {branch!r}")
+        head, base = b["snapshot"], b["base"]
+        if head != base and self.committed_snapshot() == head:
+            raise ValueError(
+                f"branch {branch!r} head {head} is the committed snapshot "
+                "(already published); refusing to delete committed data"
+            )
+        discarded = 0
+        for s in range(base + 1, head + 1):
+            shutil.rmtree(self._snapshot_path(s), ignore_errors=True)
+            for p in (self._manifest_path(s), self._claim_path(s)):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            discarded += 1
+        # a stage that crashed between manifest and ref update left a
+        # claim one past the recorded head — clear it iff it is ours
+        nxt_claim = self._claim_path(head + 1)
+        if os.path.exists(nxt_claim):
+            try:
+                with open(nxt_claim) as f:
+                    owner = f.read().rpartition(":")[0]
+            except FileNotFoundError:
+                owner = ""
+            if owner == self._claim_owner(branch):
+                shutil.rmtree(
+                    self._snapshot_path(head + 1), ignore_errors=True
+                )
+                for p in (self._manifest_path(head + 1), nxt_claim):
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        del refs["branches"][branch]
+        self._write_refs(refs)
+        return discarded
+
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         """Full state incl. delete tombstones (one row per ever-seen key)
         — one multi-path scan over every bucket's current file set."""
@@ -1143,10 +1426,13 @@ class SnapshotUpsertSink:
         claim_batch_id: int | None,
         watermark,
         legacy_base: DataFrame | None = None,
+        branch: str | None = None,
     ) -> None:
         """The copy-on-write merge body, shared by process_batch (live
-        batches claim with their batch id) and fold_deltas (maintenance
-        claim, batch_id=None, commit preserves the last batch id)."""
+        batches claim with their batch id), fold_deltas (maintenance
+        claim, batch_id=None, commit preserves the last batch id), and
+        stage_batch (``branch`` set: commit targets the branch ref,
+        main pointer untouched)."""
         n_buckets = manifest["n_buckets"]
         bucket = self._bucket_col(n_buckets)
         # no batch pre-compaction: the merge below window-compacts the
@@ -1263,7 +1549,9 @@ class SnapshotUpsertSink:
                     merged = merged.observe(bloom_obs, *aggs)
 
             new_snap = (committed_snap if committed_snap is not None else -1) + 1
-            self._claim(new_snap, claim_batch_id)  # writer fence, before data
+            # writer fence, before data (branch stages fence on the
+            # branch head instead of the pointer)
+            self._claim(new_snap, claim_batch_id, branch=branch)
             snap_dir = self._snapshot_path(new_snap)
             # data first (always a fresh directory — never one being
             # read); static overwrite truncates any orphan files a
@@ -1365,6 +1653,7 @@ class SnapshotUpsertSink:
             schema_json,
             blooms=bloom_doc,
             zones=zones_doc,
+            branch=branch,
         )
         # per-phase wall clock of the LAST committed batch — the sink's
         # own latency breakdown (T8 observability; tools/stream_bench.py

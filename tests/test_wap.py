@@ -1,0 +1,234 @@
+"""Write-audit-publish branches + tags on the snapshot sink.
+
+The WAP contract under test: staged snapshots are durable and fully
+readable through the branch ref but INVISIBLE to main readers;
+publish is an atomic fast-forward; abort leaves main bit-identical;
+crashes on either side of the ref update recover correctly; refs pin
+snapshots against expiry; and the exactly-once replay guard carries
+across publish.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.maintenance import expire_snapshots, expiry_safety
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+from lakehouse_cdc_spark.streaming.pipeline import ConcurrentCommitError
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, val string, operation string, seq long"
+    )
+
+
+def _mk_sink(**kw):
+    return SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="wap_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+        **kw,
+    )
+
+
+def _vals(df):
+    return {r.k: r.val for r in df.collect()}
+
+
+@pytest.fixture()
+def seeded(spark):
+    sink = _mk_sink()
+    sink.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(10)]), 0
+    )
+    return sink
+
+
+def test_stage_is_invisible_until_publish(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch(
+        "audit",
+        _batch(spark, [(3, "staged3", "u", 1), (99, "new99", "c", 1)]),
+        1,
+    )
+    # main readers see the pre-stage state
+    assert sink.committed_snapshot() == 0
+    main = _vals(sink.current_table(spark))
+    assert main[3] == "v3" and 99 not in main
+    # the branch ref sees the staged merge
+    branch = _vals(sink.table_at_ref(spark, "audit"))
+    assert branch[3] == "staged3" and branch[99] == "new99"
+    # publish = atomic fast-forward
+    head = sink.publish_branch("audit")
+    assert sink.committed_snapshot() == head == 1
+    after = _vals(sink.current_table(spark))
+    assert after[3] == "staged3" and after[99] == "new99"
+    assert "audit" not in sink.refs()["branches"]
+    # claims released: a fresh main batch commits normally
+    sink.process_batch(_batch(spark, [(1, "post", "u", 2)]), 2)
+    assert sink.committed_snapshot() == 2
+
+
+def test_multi_batch_stage_chains_on_branch_head(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    sink.stage_batch("audit", _batch(spark, [(2, "s2", "u", 2)]), 2)
+    assert sink.refs()["branches"]["audit"]["snapshot"] == 2
+    branch = _vals(sink.table_at_ref(spark, "audit"))
+    assert branch[1] == "s1" and branch[2] == "s2"
+    assert sink.committed_snapshot() == 0
+    sink.publish_branch("audit")
+    assert sink.committed_snapshot() == 2
+    # the intermediate staged snapshot is regular history now
+    mid = _vals(
+        sink.state_at(spark, 1).filter(F.col("operation") != "d")
+    )
+    assert mid[1] == "s1" and mid[2] == "v2"
+
+
+def test_main_writer_fails_fast_while_staged(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    with pytest.raises(ConcurrentCommitError):
+        sink.process_batch(_batch(spark, [(2, "m", "u", 1)]), 1)
+    sink.abort_branch("audit")
+    # lane unfrozen after abort
+    sink.process_batch(_batch(spark, [(2, "m", "u", 1)]), 1)
+    assert _vals(sink.current_table(spark))[2] == "m"
+
+
+def test_abort_leaves_main_untouched(spark, seeded):
+    sink = seeded
+    before = _vals(sink.current_table(spark))
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(5, "bad", "u", 1)]), 1)
+    assert sink.abort_branch("audit") == 1
+    assert _vals(sink.current_table(spark)) == before
+    # staged artifacts fully gone
+    assert not os.path.isdir(sink._snapshot_path(1))
+    assert not os.path.exists(sink._manifest_path(1))
+    assert not os.path.exists(sink._claim_path(1))
+    with pytest.raises(ValueError):
+        sink.state_at(spark, 1)
+
+
+def test_staged_checks_quarantine_before_publish(spark):
+    sink = _mk_sink(checks={"val_set": "val IS NOT NULL"})
+    sink.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(4)]), 0
+    )
+    sink.create_branch("audit")
+    sink.stage_batch(
+        "audit",
+        _batch(spark, [(1, None, "u", 1), (2, "ok", "u", 1)]),
+        1,
+    )
+    # the violator never reached the staged state; audit reads both lanes
+    branch = _vals(sink.table_at_ref(spark, "audit"))
+    assert branch[1] == "v1" and branch[2] == "ok"
+    q = sink.quarantine_table(spark)
+    assert q.filter(F.col("__check") == "val_set").count() == 1
+
+
+def test_replay_guards_on_branch_and_after_publish(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    # replayed staged batch: no-op on the branch
+    sink.stage_batch("audit", _batch(spark, [(1, "dup", "u", 1)]), 1)
+    assert sink.refs()["branches"]["audit"]["snapshot"] == 1
+    sink.publish_branch("audit")
+    # replayed after publish: the main exactly-once guard skips it
+    sink.process_batch(_batch(spark, [(1, "dup", "u", 1)]), 1)
+    assert _vals(sink.current_table(spark))[1] == "s1"
+
+
+def test_recover_leaves_live_staged_branch_alone(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    assert sink.recover_interrupted_commit() is None
+    assert sink.refs()["branches"]["audit"]["snapshot"] == 1
+    assert _vals(sink.table_at_ref(spark, "audit"))[1] == "s1"
+
+
+def test_recover_rolls_back_stage_crashed_before_ref_update(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    # simulate the crash window: manifest+claim durable, ref not yet
+    # advanced — rewind the ref document by hand
+    refs = sink.refs()
+    refs["branches"]["audit"] = {"base": 0, "snapshot": 0, "batch": None}
+    sink._write_refs(refs)
+    assert sink.recover_interrupted_commit() == "rolled_back"
+    assert not os.path.isdir(sink._snapshot_path(1))
+    assert sink.committed_snapshot() == 0
+    # branch still usable: restage cleanly
+    sink.stage_batch("audit", _batch(spark, [(1, "s1b", "u", 2)]), 2)
+    assert _vals(sink.table_at_ref(spark, "audit"))[1] == "s1b"
+
+
+def test_publish_idempotent_after_crash_between_pointer_and_refs(
+    spark, seeded
+):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    # crash window: pointer already fast-forwarded, ref cleanup lost
+    m = sink._read_manifest(1)
+    sink._publish_pointer(
+        m.get("committed_lineage") or None, m["committed_batch"], 1
+    )
+    assert sink.committed_snapshot() == 1
+    head = sink.publish_branch("audit")  # the retry
+    assert head == 1
+    assert "audit" not in sink.refs()["branches"]
+    assert not os.path.exists(sink._claim_path(1))
+
+
+def test_tags_pin_snapshots_against_expiry(spark, seeded):
+    sink = seeded
+    sink.create_tag("baseline")  # pins snapshot 0
+    for i in range(1, 8):
+        sink.process_batch(
+            _batch(spark, [(i % 10, f"r{i}", "u", i)]), i
+        )
+    rows = {r["snapshot"]: r for r in expiry_safety(sink.target_dir, 2)}
+    assert rows[0]["would_expire"] is False  # tagged
+    expired = expire_snapshots(sink.target_dir, retain_last=2)
+    assert 0 not in expired
+    # the tagged snapshot stays fully time-travelable
+    tagged = _vals(
+        sink.state_at_ref(spark, "baseline").filter(
+            F.col("operation") != "d"
+        )
+    )
+    assert tagged[3] == "v3"
+    # and tags are immutable
+    with pytest.raises(ValueError):
+        sink.create_tag("baseline", 5)
+    sink.delete_tag("baseline")
+    with pytest.raises(KeyError):
+        sink.resolve_ref("baseline")
+
+
+def test_branch_chain_pinned_against_expiry(spark, seeded):
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    # expiry with retain_last=1 must keep the staged chain (base..head)
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    assert expired == []
+    assert _vals(sink.table_at_ref(spark, "audit"))[1] == "s1"
+    sink.publish_branch("audit")
+    assert sink.committed_snapshot() == 1
