@@ -807,151 +807,9 @@ def text_kneser_ney_bigram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Gopher-style rule gates + within-document repetition (round 9)
+# Within-document repetition (round 9; the rule-gate census itself is
+# curation_queries.text_gopher_rules — this is its missing dimension)
 # ---------------------------------------------------------------------------
-
-#: Gopher rule constants (Rae et al. 2021, public): word-count window,
-#: mean-word-length window (cleared denominators), minimum distinct
-#: stopwords, diversity and symbol-ratio bounds.
-_GQ_MIN_WORDS, _GQ_MAX_WORDS = 30, 100_000
-_GQ_STOPS = ("the", "a", "of", "and", "to")
-
-
-@register(
-    "text_gopher_quality_flags",
-    oracle=f"""
-    WITH f AS (
-      SELECT source,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-             len(list_distinct(string_split_regex(trim(text), '\\s+')))
-               AS n_uniq,
-             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS sum_len,
-             length(text)
-               - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-               AS n_punct,
-             len(list_intersect(
-               list_distinct(string_split_regex(trim(text), '\\s+')),
-               ['the', 'a', 'of', 'and', 'to'])) AS n_stops
-      FROM documents
-    ),
-    flags AS (
-      SELECT source,
-             CASE WHEN n_tok BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
-                  THEN 0 ELSE 1 END AS f_len,
-             CASE WHEN 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
-                  THEN 0 ELSE 1 END AS f_wordlen,
-             CASE WHEN n_stops >= 2 THEN 0 ELSE 1 END AS f_stop,
-             CASE WHEN 5 * n_uniq >= n_tok THEN 0 ELSE 1 END AS f_div,
-             CASE WHEN 10 * n_punct <= n_tok THEN 0 ELSE 1 END AS f_sym
-      FROM f
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(f_len) AS BIGINT) AS n_fail_len,
-           CAST(SUM(f_wordlen) AS BIGINT) AS n_fail_wordlen,
-           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopwords,
-           CAST(SUM(f_div) AS BIGINT) AS n_fail_diversity,
-           CAST(SUM(f_sym) AS BIGINT) AS n_fail_symbols,
-           CAST(SUM(CASE WHEN f_len + f_wordlen + f_stop + f_div + f_sym = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
-           CAST(CAST(SUM(CASE WHEN f_len + f_wordlen + f_stop + f_div
-                                   + f_sym = 0
-                              THEN 1 ELSE 0 END) AS HUGEINT)
-                * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
-    FROM flags GROUP BY source ORDER BY source
-    """,
-    tags=("llm", "text", "quality", "gopher", "curation"),
-)
-def text_gopher_quality_flags(spark, sf_dir):
-    """GOPHER QUALITY RULES (Rae et al. 2021, the published rule gate
-    every pretraining corpus passes through before model-based
-    filters) as a per-source census: word-count window, mean word
-    length in [3,10] (cleared denominators — 3·n ≤ Σlen ≤ 10·n, no
-    division), ≥2 distinct stopwords, type-token diversity ≥ 20%, and
-    symbol-to-word ratio ≤ 10%.  Every rule is exact integer
-    arithmetic over map-side features (token counts, whitespace-
-    stripped length, set intersections); the census reports per-rule
-    failure counts, the all-rules pass count, and the pass rate in
-    exact ppm — the triage table that decides which source needs a
-    cleanup pass before the expensive filters run.
-
-    Scale shape: pure map-side feature extraction (codegen regex +
-    array ops, zero joins) into one |sources|-row aggregate — the
-    cheapest possible full-corpus pass, which is the point: rule
-    gates run FIRST at 100 TB precisely because they cost one scan."""
-    d = table(spark, sf_dir, "documents")
-    t = tokens("text")
-    f = d.select(
-        "source",
-        token_count("text").alias("n_tok"),
-        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq"),
-        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
-        .cast("bigint")
-        .alias("sum_len"),
-        punct_count("text").cast("bigint").alias("n_punct"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(t),
-                F.array(*[F.lit(s) for s in _GQ_STOPS]),
-            )
-        )
-        .cast("bigint")
-        .alias("n_stops"),
-    )
-    flags = f.select(
-        "source",
-        F.when(
-            F.col("n_tok").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS), 0
-        )
-        .otherwise(1)
-        .alias("f_len"),
-        F.when(
-            (3 * F.col("n_tok") <= F.col("sum_len"))
-            & (F.col("sum_len") <= 10 * F.col("n_tok")),
-            0,
-        )
-        .otherwise(1)
-        .alias("f_wordlen"),
-        F.when(F.col("n_stops") >= 2, 0).otherwise(1).alias("f_stop"),
-        F.when(5 * F.col("n_uniq") >= F.col("n_tok"), 0)
-        .otherwise(1)
-        .alias("f_div"),
-        F.when(10 * F.col("n_punct") <= F.col("n_tok"), 0)
-        .otherwise(1)
-        .alias("f_sym"),
-    )
-    all_fail = (
-        F.col("f_len")
-        + F.col("f_wordlen")
-        + F.col("f_stop")
-        + F.col("f_div")
-        + F.col("f_sym")
-    )
-    return (
-        flags.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("f_len").cast("bigint").alias("n_fail_len"),
-            F.sum("f_wordlen").cast("bigint").alias("n_fail_wordlen"),
-            F.sum("f_stop").cast("bigint").alias("n_fail_stopwords"),
-            F.sum("f_div").cast("bigint").alias("n_fail_diversity"),
-            F.sum("f_sym").cast("bigint").alias("n_fail_symbols"),
-            F.sum(F.when(all_fail == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pass_all"),
-            (
-                F.sum(
-                    F.when(all_fail == 0, 1).otherwise(0)
-                ).cast("decimal(38,0)")
-                * F.lit(1000000).cast("decimal(38,0)")
-                / F.count(F.lit(1)).cast("decimal(38,0)")
-            )
-            .cast("bigint")
-            .alias("pass_ppm"),
-        )
-        .orderBy("source")
-    )
-
 
 _REP_FLAG_PPM = 100_000  # "repetitive" at >= 10% duplicate 2-grams
 
