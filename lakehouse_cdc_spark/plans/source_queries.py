@@ -247,3 +247,182 @@ def source_connector_fleet_reconcile(spark, sf_dir):
         )
         .orderBy("connector")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-format source round-trips (round 9): CSV + JSON Lines
+# ---------------------------------------------------------------------------
+#
+# The reference ingests parquet/Iceberg only; real pipelines also land
+# CSV and JSONL drops.  These queries prove the ENGINE's text-format
+# read paths are lossless end to end: a deterministic orders-derived
+# frame (quote/escape/NULL/unicode hazards planted on key parity) is
+# written in the text format and read back with an EXPLICIT schema —
+# at 100 TB schema inference costs a full extra scan, so the explicit
+# schema IS the scale discipline — and the census the reader produces
+# must hash-match the oracle's recomputation from the original rows.
+# A CSV reader that mangles one quoted delimiter or drops one NULL
+# changes a sum/xor and fails the gate.
+
+import os as _os
+import tempfile as _tempfile
+
+from lakehouse_cdc_spark.plans.registry import table as _table
+
+_CSV_CACHE: dict[str, str] = {}
+_JSONL_CACHE: dict[str, str] = {}
+
+#: planted hazards, keyed on order-key parity (engine-neutral):
+#: %7 → embedded delimiter + double quote, %11 → NULL note,
+#: %13 → leading/trailing spaces (must survive quoting)
+_NOTE_SQL = (
+    "CASE WHEN o_orderkey % 7 = 0 THEN 'a,b\"c'"
+    " WHEN o_orderkey % 11 = 0 THEN NULL"
+    " WHEN o_orderkey % 13 = 0 THEN '  padded  '"
+    " ELSE o_orderpriority END"
+)
+
+
+def _roundtrip_frame(spark, sf_dir):
+    o = _table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(_NOTE_SQL).alias("note"),
+    )
+
+
+_RT_ORACLE = f"""
+    WITH rt AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status,
+             {_NOTE_SQL} AS note
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(bit_xor(k) AS BIGINT) AS keys_xor,
+           CAST(SUM(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_note,
+           CAST(SUM(CASE WHEN note LIKE '%,%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delim_note,
+           CAST(SUM(CASE WHEN note LIKE ' %' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_padded_note,
+           CAST(SUM(length(note)) AS BIGINT) AS sum_note_len
+    FROM rt
+"""
+
+
+def _rt_census(df):
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.expr("bit_xor(k)").cast("bigint").alias("keys_xor"),
+        F.sum(F.col("note").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_note"),
+        F.sum(F.col("note").contains(",").cast("int"))
+        .cast("bigint")
+        .alias("n_delim_note"),
+        F.sum(F.col("note").startswith(" ").cast("int"))
+        .cast("bigint")
+        .alias("n_padded_note"),
+        F.sum(F.length("note")).cast("bigint").alias("sum_note_len"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=_RT_ORACLE,
+    tags=("source", "csv", "roundtrip", "S-family"),
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV SOURCE ROUND-TRIP — the text-format ingest contract: a
+    deterministic orders frame with planted CSV hazards (embedded
+    delimiter + double quote on key%7, NULL on key%11, significant
+    leading/trailing spaces on key%13) is written as quoted CSV and
+    read back with an EXPLICIT schema (no inference scan — the 100 TB
+    discipline) and explicit quote/escape/null options.  The census
+    (row count, exact sums, key XOR, per-hazard counts, total note
+    length) must hash-match the oracle's recomputation from the
+    ORIGINAL rows — one swallowed quote or NULL→empty-string coercion
+    shifts a count and fails the gate.
+
+    Scale shape: the write/read are both full-parallel text jobs; the
+    census is one map-side aggregate.  CSV at scale is exactly this —
+    schema declared, hazards quoted, never inferred."""
+    cached = _CSV_CACHE.get(sf_dir)
+    if cached is None or not _os.path.isdir(cached):
+        path = _tempfile.mkdtemp(prefix="src_csv_")
+        (
+            _roundtrip_frame(spark, sf_dir)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            # Spark's CSV WRITER trims field whitespace by default —
+            # silent data corruption for significant padding; off for
+            # a lossless round-trip
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(path)
+        )
+        _CSV_CACHE[sf_dir] = cached = path
+    back = (
+        spark.read.schema("k long, cents long, status string, note string")
+        .option("header", "true")
+        .option("escape", '"')
+        # quoted empty field = empty string; UNQUOTED empty = NULL.
+        # quoteAll wrote NULL as an unquoted empty field, so this
+        # round-trips the NULL/empty distinction exactly
+        .option("nullValue", "")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(cached)
+    )
+    return _rt_census(back)
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle=_RT_ORACLE,
+    tags=("source", "json", "roundtrip", "S-family"),
+)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """JSON-LINES SOURCE ROUND-TRIP — the same hazard frame as
+    source_csv_roundtrip lands as JSONL (the other text format real
+    drops arrive in), with the payload NESTED one level
+    (``m: {cents, note}``) so the reader's struct path is exercised,
+    then read back with an EXPLICIT nested schema and flattened.  The
+    identical census must hash-match the same oracle: JSON escaping
+    of the planted quote, NULL field omission, and significant
+    whitespace all survive or the gate fails.
+
+    Scale shape: as the CSV twin — explicit schema (inference over
+    100 TB of JSONL is a full extra scan), map-side flatten, one
+    aggregate."""
+    cached = _JSONL_CACHE.get(sf_dir)
+    if cached is None or not _os.path.isdir(cached):
+        path = _tempfile.mkdtemp(prefix="src_jsonl_")
+        (
+            _roundtrip_frame(spark, sf_dir)
+            .select(
+                "k",
+                "status",
+                F.struct("cents", "note").alias("m"),
+            )
+            .write.mode("overwrite")
+            .json(path)
+        )
+        _JSONL_CACHE[sf_dir] = cached = path
+    back = (
+        spark.read.schema(
+            "k long, status string, m struct<cents: long, note: string>"
+        )
+        .json(cached)
+        .select("k", "status", F.col("m.cents").alias("cents"),
+                F.col("m.note").alias("note"))
+    )
+    return _rt_census(back)

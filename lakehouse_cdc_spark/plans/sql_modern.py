@@ -427,3 +427,69 @@ def scalar_calendar_edges(spark, sf_dir):
         (F.dayofweek("d") - 1).cast("bigint").alias("day_of_week_sun0"),
         F.quarter("d").cast("bigint").alias("quarter"),
     ).orderBy("probe")
+
+
+@register(
+    "scalar_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT source || '.example.com' AS host,
+             '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+             n_chars AS len_param,
+             lang
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len_param) AS BIGINT) AS sum_len_param
+    FROM u GROUP BY host ORDER BY host
+    """,
+    tags=("scalar", "url", "F-family"),
+)
+def scalar_url_functions(spark, sf_dir):
+    """URL-PARSING surface contract — ``parse_url`` over URLs
+    synthesized deterministically from document attributes
+    (``https://<source>.example.com/docs/<lang>/<id>?lang=..&len=..``):
+    HOST, PATH, per-key QUERY extraction are each parsed back out of
+    the assembled string and reduced to a per-host census (doc count,
+    distinct paths, distinct lang params, exact sum of the len
+    param).  The oracle recomputes the census from the generation
+    algebra WITHOUT parsing — so the hash match proves Spark's URL
+    parser inverts the construction exactly (one mangled query-string
+    split or host boundary shifts a distinct count).  URL
+    canonicalization is the first step of every web-corpus dedup; the
+    parse is codegen'd JVM work, one map-side pass + a |hosts|-row
+    aggregate at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&len="),
+        F.col("n_chars").cast("string"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("len"))
+        .cast("bigint")
+        .alias("len_param"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("path").cast("bigint").alias("n_paths"),
+            F.count_distinct("lang_param").cast("bigint").alias("n_langs"),
+            F.sum("len_param").cast("bigint").alias("sum_len_param"),
+        )
+        .orderBy("host")
+    )
