@@ -1215,6 +1215,7 @@ def _wap_demo_sink(spark, sf_dir):
 
 @register(
     "sink_wap_publish",
+    bench=True,
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey AS k, {_FP} AS cents FROM orders
