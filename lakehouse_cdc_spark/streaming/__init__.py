@@ -23,6 +23,7 @@ from lakehouse_cdc_spark.streaming.indexing import (
 from lakehouse_cdc_spark.streaming.pipeline import (
     SnapshotUpsertSink,
     cdc_pipeline,
+    staged_cdc_pipeline,
     with_retry,
 )
 from lakehouse_cdc_spark.streaming.windows import (
@@ -43,6 +44,7 @@ __all__ = [
     "rate_source",
     "SnapshotUpsertSink",
     "cdc_pipeline",
+    "staged_cdc_pipeline",
     "with_retry",
     "watermark_dedup",
     "tumbling_window_agg",

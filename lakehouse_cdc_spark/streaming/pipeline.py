@@ -2488,3 +2488,33 @@ def cdc_pipeline(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def staged_cdc_pipeline(
+    changes_stream: DataFrame,
+    sink: SnapshotUpsertSink,
+    branch: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    retry_attempts: int = 3,
+):
+    """`cdc_pipeline`, staged: every micro-batch commits to ``branch``
+    via ``stage_batch`` — durable, replay-guarded, but INVISIBLE to
+    main readers until ``publish_branch``.  The write-audit-publish
+    ingest posture: drain a stream into the branch (availableNow),
+    audit ``table_at_ref(branch)`` / ``quarantine_table``, then
+    publish or abort.  The branch must already exist
+    (``create_branch``); checkpoint lineage rules are identical to
+    cdc_pipeline, so a crashed drain resumes onto the same branch."""
+    sink.lineage = _checkpoint_lineage(checkpoint_dir)
+
+    def body(batch_df, batch_id):
+        sink.stage_batch(branch, batch_df, batch_id)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(
+            with_retry(body, attempts=retry_attempts)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -232,3 +232,35 @@ def test_branch_chain_pinned_against_expiry(spark, seeded):
     assert _vals(sink.table_at_ref(spark, "audit"))[1] == "s1"
     sink.publish_branch("audit")
     assert sink.committed_snapshot() == 1
+
+
+def test_staged_cdc_pipeline_stream_to_branch(spark, tmp_path):
+    """A real Structured Streaming drain into a branch: the stream's
+    micro-batches stage invisibly, audit sees them on the branch, and
+    publish makes main jump to the drained state atomically."""
+    from lakehouse_cdc_spark.streaming import staged_cdc_pipeline
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    sink = _mk_sink()
+    sink.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(6)]), 0
+    )
+    sink.create_branch("drain")
+    _batch(
+        spark, [(2, "streamed2", "u", 1), (50, "new50", "c", 1)]
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "k long, val string, operation string, seq long"
+    ).parquet(str(src))
+    q = staged_cdc_pipeline(stream, sink, "drain", ckpt)
+    q.awaitTermination(120)
+    # staged only: main unchanged, branch drained
+    assert sink.committed_snapshot() == 0
+    assert _vals(sink.current_table(spark))[2] == "v2"
+    branch = _vals(sink.table_at_ref(spark, "drain"))
+    assert branch[2] == "streamed2" and branch[50] == "new50"
+    head = sink.publish_branch("drain")
+    after = _vals(sink.current_table(spark))
+    assert after[2] == "streamed2" and after[50] == "new50"
+    assert sink.committed_snapshot() == head
