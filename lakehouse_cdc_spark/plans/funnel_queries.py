@@ -1994,3 +1994,89 @@ def events_feature_snapshot_pit(spark, sf_dir):
         )
         .orderBy("label_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix (round 9)
+# ---------------------------------------------------------------------------
+
+_MK_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_markov_transition",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+      FROM events
+    ),
+    pairs AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) AS prev_t,
+             event_type AS next_t
+      FROM seq
+    ),
+    counts AS (
+      SELECT prev_t,
+             CAST(COUNT(*) AS BIGINT) AS n_out,
+             {", ".join(
+               f"CAST(SUM(CASE WHEN next_t = '{t}' THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS n_{t}" for t in _MK_TYPES)}
+      FROM pairs WHERE prev_t IS NOT NULL GROUP BY prev_t
+    )
+    SELECT prev_t, n_out,
+           {", ".join(
+             f"n_{t}, CAST(CAST(n_{t} AS HUGEINT) * 1000000 // n_out "
+             f"AS BIGINT) AS p_{t}_ppm" for t in _MK_TYPES)}
+    FROM counts ORDER BY prev_t
+    """,
+    tags=("events", "markov", "journey", "W-family"),
+)
+def events_markov_transition(spark, sf_dir):
+    """EVENT-TYPE MARKOV TRANSITION MATRIX — the user-journey model
+    behind "what happens after an error?": consecutive event pairs per
+    user (ONE user-keyed window pass, total order = (timestamp,
+    event_id) so ties can't flip a transition between engines) roll up
+    to the 5×5 transition-count matrix with exact row-stochastic
+    probabilities in integer ppm.  The matrix IS the first-order
+    journey model: error→churn reads straight off the error row, and
+    the same pairs table feeds any higher-order extension by widening
+    the lag.
+
+    Scale shape: one window exchange on the user hash (per-user
+    histories are the parallelism unit — the sessionization posture),
+    then a |types|-row aggregate whose columns, not rows, grow with
+    the alphabet.  At 100 TB the cost is the one exchange."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = seq.select(
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.col("event_type").alias("next_t"),
+    ).filter(F.col("prev_t").isNotNull())
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_out")]
+    for t in _MK_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("next_t") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+    counts = pairs.groupBy("prev_t").agg(*aggs)
+    out_cols = ["prev_t", "n_out"]
+    for t in _MK_TYPES:
+        out_cols.append(f"n_{t}")
+        counts = counts.withColumn(
+            f"p_{t}_ppm",
+            (
+                F.col(f"n_{t}").cast("decimal(38,0)")
+                * F.lit(1000000).cast("decimal(38,0)")
+                / F.col("n_out").cast("decimal(38,0)")
+            ).cast("bigint"),
+        )
+        out_cols.append(f"p_{t}_ppm")
+    return counts.select(*out_cols).orderBy("prev_t")

@@ -765,3 +765,122 @@ def experiment_uplift_by_segment(spark, sf_dir):
         rate_b.alias("rate_b_ppm"),
         (rate_b - rate_a).cast("bigint").alias("uplift_ppm"),
     ).orderBy("segment")
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    marg AS (
+      SELECT c.lang, c.source, c.o,
+             r.r, s.c AS cc, t.n
+      FROM cells c
+      JOIN (SELECT lang, CAST(SUM(o) AS HUGEINT) AS r FROM cells
+            GROUP BY lang) r USING (lang)
+      JOIN (SELECT source, CAST(SUM(o) AS HUGEINT) AS c FROM cells
+            GROUP BY source) s USING (source)
+      CROSS JOIN (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells) t
+    ),
+    contrib AS (
+      SELECT n,
+             CAST(FLOOR(
+               (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+               * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+               * 1000000.0
+               / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                  * CAST(cc AS DOUBLE))) AS BIGINT) AS cell_micro
+      FROM marg
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS l
+      FROM cells
+    )
+    SELECT CAST(MAX(c.n) AS BIGINT) AS n,
+           d.k AS n_langs, d.l AS n_sources,
+           (d.k - 1) * (d.l - 1) AS dof,
+           CAST(SUM(c.cell_micro) AS BIGINT) AS chi2_micro,
+           round(sqrt((CAST(SUM(c.cell_micro) AS DOUBLE) / 1000000.0)
+                      / (CAST(MAX(c.n) AS DOUBLE)
+                         * CAST(least(d.k, d.l) - 1 AS DOUBLE))),
+                 6) AS cramers_v
+    FROM contrib c, dims d
+    GROUP BY d.k, d.l
+    """,
+    tags=("stats", "hypothesis-test", "independence", "A-family"),
+)
+def stats_chi2_independence(spark, sf_dir):
+    """χ² TEST OF INDEPENDENCE (lang × source on the corpus) — the
+    categorical-association gate a curation pipeline runs before
+    stratifying on a column pair ("is language independent of source,
+    or will per-source sampling skew languages?").  Per-cell
+    contributions (oᵢⱼ·N − rᵢ·cⱼ)²/(N·rᵢ·cⱼ) are computed in doubles
+    FROM EXACT INTEGER margins with identical IEEE trees on both
+    engines, floored to integer micro-units, and summed as integers —
+    order-free summation, so the 80-cell reduce is deterministic where
+    a float Σ would depend on aggregation order.  (The all-integer
+    clearing used elsewhere would need N⁴ precision — past DECIMAL(38)
+    at corpus scale — so this is the deliberate exception documented
+    by the determinism contract: doubles only inside a single row,
+    integers across rows.)  Cramér's V rides the same exact sums.
+
+    Scale shape: ONE map-side-combined (lang, source) count aggregate,
+    two tiny margin rollups joined back on the |cells| table, a scalar
+    reduce.  Adding a dimension pair is another 3-aggregate pass."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("o")
+    )
+    r = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    s = cells.groupBy("source").agg(F.sum("o").alias("cc"))
+    t = cells.agg(F.sum("o").alias("n"))
+    marg = (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    contrib = marg.select(
+        "n",
+        F.expr(
+            """
+            CAST(FLOOR(
+              (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+              * 1000000.0
+              / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                 * CAST(cc AS DOUBLE))) AS BIGINT)
+            """
+        ).alias("cell_micro"),
+    )
+    dims = cells.agg(
+        F.count_distinct("lang").cast("bigint").alias("k"),
+        F.count_distinct("source").cast("bigint").alias("l"),
+    )
+    agg = contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("cell_micro").cast("bigint").alias("chi2_micro"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        F.col("k").alias("n_langs"),
+        F.col("l").alias("n_sources"),
+        ((F.col("k") - 1) * (F.col("l") - 1)).cast("bigint").alias("dof"),
+        "chi2_micro",
+        F.round(
+            F.expr(
+                """
+                sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+                     / (CAST(n AS DOUBLE)
+                        * CAST(least(k, l) - 1 AS DOUBLE)))
+                """
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
