@@ -884,3 +884,121 @@ def stats_chi2_independence(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH vals AS (
+      SELECT {_ARM_DUCK} AS arm,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    suff AS (
+      SELECT arm,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+      FROM vals GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+        MAX(CASE WHEN arm = 'A' THEN s END) AS s1,
+        MAX(CASE WHEN arm = 'A' THEN ss END) AS ss1,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+        MAX(CASE WHEN arm = 'B' THEN s END) AS s2,
+        MAX(CASE WHEN arm = 'B' THEN ss END) AS ss2
+      FROM suff
+    ),
+    terms AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(s1 AS BIGINT) AS sum1_cents,
+             CAST(s2 AS BIGINT) AS sum2_cents,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+                * CAST(n1 AS DOUBLE)) AS se1_sq,
+             (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)
+                * CAST(n2 AS DOUBLE)) AS se2_sq
+      FROM wide
+    )
+    SELECT n1, n2, sum1_cents, sum2_cents,
+           round(m1 - m2, 6) AS mean_diff_cents,
+           round((m1 - m2) / sqrt(se1_sq + se2_sq), 6) AS t_stat,
+           round((se1_sq + se2_sq) * (se1_sq + se2_sq)
+                 / (se1_sq * se1_sq / (CAST(n1 AS DOUBLE) - 1.0)
+                    + se2_sq * se2_sq / (CAST(n2 AS DOUBLE) - 1.0)),
+                 6) AS welch_df
+    FROM terms
+    """,
+    tags=("stats", "hypothesis-test", "ttest", "A-family"),
+)
+def stats_welch_ttest(spark, sf_dir):
+    """WELCH'S UNEQUAL-VARIANCE t-TEST — the default two-sample mean
+    test (pooled-variance Student's t silently assumes equal spread;
+    Welch is what every experimentation platform actually computes):
+    both arms reduce to exact integer sufficient statistics (n, Σx,
+    Σx² in HUGEINT/DECIMAL(38,0) — cents² sums clear int64 at scale),
+    and the t statistic plus the Welch–Satterthwaite effective degrees
+    of freedom apply identical IEEE expression trees to those integers
+    on both engines (round 6), the same doubles-only-inside-one-row
+    discipline as stats_anova_oneway.
+
+    Scale shape: ONE map-side-combined two-group aggregate over the
+    scan, a 1-row combine.  Adding arms or metrics adds columns."""
+    e = table(spark, sf_dir, "events")
+    vals = e.filter(F.col("event_type") == "purchase").select(
+        F.expr(_ARM_SQL).alias("arm"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+    )
+    suff = vals.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
+    )
+    wide = suff.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{i}")
+            for i, a in ((1, "A"), (2, "B"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    _se_sq = (
+        "(CAST(n{i} AS DOUBLE) * CAST(ss{i} AS DOUBLE)"
+        " - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        " / (CAST(n{i} AS DOUBLE) * (CAST(n{i} AS DOUBLE) - 1.0)"
+        " * CAST(n{i} AS DOUBLE))"
+    )
+    terms = wide.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("s1").cast("bigint").alias("sum1_cents"),
+        F.col("s2").cast("bigint").alias("sum2_cents"),
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias("m1"),
+        F.expr("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)").alias("m2"),
+        F.expr(_se_sq.format(i=1)).alias("se1_sq"),
+        F.expr(_se_sq.format(i=2)).alias("se2_sq"),
+    )
+    return terms.select(
+        "n1",
+        "n2",
+        "sum1_cents",
+        "sum2_cents",
+        F.round(F.expr("m1 - m2"), 6).alias("mean_diff_cents"),
+        F.round(
+            F.expr("(m1 - m2) / sqrt(se1_sq + se2_sq)"), 6
+        ).alias("t_stat"),
+        F.round(
+            F.expr(
+                "(se1_sq + se2_sq) * (se1_sq + se2_sq)"
+                " / (se1_sq * se1_sq / (CAST(n1 AS DOUBLE) - 1.0)"
+                "    + se2_sq * se2_sq / (CAST(n2 AS DOUBLE) - 1.0))"
+            ),
+            6,
+        ).alias("welch_df"),
+    )
