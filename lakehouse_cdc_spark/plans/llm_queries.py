@@ -3877,3 +3877,76 @@ def emb_ivf_probe_sweep(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out.orderBy("probes")
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration step: the spectral operator (round 9)
+# ---------------------------------------------------------------------------
+
+#: deterministic start direction for the power-iteration step:
+#: alternating ±1/8 (exactly representable; any fixed non-degenerate
+#: vector works — a production run would pass the previous iterate)
+_PI_V0 = "transform(sequence(0, 63), k -> IF(k % 2 = 0, 0.125D, -0.125D))"
+_PI_V0_DUCK = "CASE WHEN (i - 1) % 2 = 0 THEN 0.125 ELSE -0.125 END"
+
+
+@register(
+    "emb_power_iteration_step",
+    oracle=f"""
+    WITH dots AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE) * {_PI_V0_DUCK}))
+               AS dot_v0
+      FROM embeddings
+    ),
+    contrib AS (
+      SELECT j.j,
+             CAST(round(d.dot_v0 * CAST(d.embedding[j.j] AS DOUBLE)
+                        * 1000000) AS HUGEINT) AS y_micro
+      FROM dots d CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
+    )
+    SELECT CAST(j - 1 AS BIGINT) AS dim,
+           CAST(SUM(y_micro) AS BIGINT) AS y_micro
+    FROM contrib GROUP BY j ORDER BY dim
+    """,
+    tags=("llm", "embeddings", "spectral", "pca"),
+)
+def emb_power_iteration_step(spark, sf_dir):
+    """ONE POWER-ITERATION STEP toward the corpus's top principal
+    direction — y = Σ_docs (x·v₀)·x, i.e. one (XᵀX)·v matrix-vector
+    multiply WITHOUT materializing the 64×64 Gram matrix: the spectral
+    primitive under PCA whitening, spectral clustering, and the
+    top-eigenvector drift monitors an embedding pipeline runs.  Each
+    document contributes (dot·x_j) rounded to integer micro-units
+    per dimension, and the reduce is an INTEGER sum — order-free, so
+    the result is deterministic under any partitioning (the MaxSim
+    discipline applied to a spectral reduce).  Iterating = feeding y
+    back as v₀; the fixed ±1/8 start vector stands in for the prior
+    iterate so both engines see identical inputs.
+
+    Scale shape: one map-side pass (per-row fold + 64 contributions)
+    into a 64-row aggregate — mergeable partials, no shuffle of
+    vectors, no driver-side linear algebra.  At 100 TB a full PCA via
+    repeated steps costs k scans, each this cheap."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+    from lakehouse_cdc_spark.llm.similarity import dot
+
+    dots = emb.select(
+        "x", dot(F.col("x"), F.expr(_PI_V0)).alias("dot_v0")
+    )
+    contrib = dots.select(
+        F.posexplode(
+            F.expr(
+                "transform(x, xj -> CAST(round(dot_v0 * xj * 1000000)"
+                " AS DECIMAL(38,0)))"
+            )
+        ).alias("dim", "y_micro")
+    )
+    return (
+        contrib.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.sum("y_micro").cast("bigint").alias("y_micro"))
+        .orderBy("dim")
+    )

@@ -264,3 +264,36 @@ def test_staged_cdc_pipeline_stream_to_branch(spark, tmp_path):
     after = _vals(sink.current_table(spark))
     assert after[2] == "streamed2" and after[50] == "new50"
     assert sink.committed_snapshot() == head
+
+
+def test_feed_cursor_sees_publish_atomically(spark, seeded, tmp_path):
+    """A change-feed consumer's view of WAP: while staged, the cursor
+    has NOTHING to consume (main never moved); after publish, the
+    whole staged chain arrives as ordinary feed snapshots, exactly
+    once."""
+    from lakehouse_cdc_spark.streaming.feed import FeedCursor
+
+    sink = seeded
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"))
+    df, to_snap, ack = cur.next_batch(spark)
+    if df is not None:  # drain the seed commit
+        ack()
+    assert cur.acked() == 0
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    sink.stage_batch(
+        "audit", _batch(spark, [(2, "s2", "u", 2), (77, "n77", "c", 2)]), 2
+    )
+    # staged only: the feed has nothing for the consumer
+    df, _, _ = cur.next_batch(spark)
+    assert df is None
+    sink.publish_branch("audit")
+    df, to_snap, ack = cur.next_batch(spark)
+    rows = {(r.k): r for r in df.collect()}
+    assert rows[1].val == "s1" and rows[2].val == "s2"
+    assert rows[77].val == "n77"
+    ack()
+    assert cur.acked() == to_snap == 2
+    # exactly-once: nothing re-delivered
+    df, _, _ = cur.next_batch(spark)
+    assert df is None
