@@ -493,3 +493,61 @@ def scalar_url_functions(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+@register(
+    "scalar_bitwise_functions",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             bit_count(CAST(o_orderkey AS BIGINT)) AS pop,
+             xor(CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT))
+               AS kx,
+             (CAST(o_orderkey AS BIGINT) << 3) AS shl,
+             (CAST(o_orderkey AS BIGINT) >> 2) AS shr,
+             (CAST(o_orderkey AS BIGINT) & 255) AS lo_byte,
+             (CAST(o_orderkey AS BIGINT) | 1) AS set_lsb
+      FROM orders
+    )
+    SELECT CAST(SUM(pop) AS BIGINT) AS total_popcount,
+           CAST(bit_xor(kx) AS BIGINT) AS xor_fold,
+           CAST(SUM(shl) AS BIGINT) AS sum_shl,
+           CAST(SUM(shr) AS BIGINT) AS sum_shr,
+           CAST(SUM(lo_byte) AS BIGINT) AS sum_lo_byte,
+           CAST(SUM(CASE WHEN set_lsb % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd_after_set,
+           CAST(COUNT(DISTINCT pop) AS BIGINT) AS distinct_popcounts
+    FROM b
+    """,
+    tags=("scalar", "bitwise", "F-family"),
+)
+def scalar_bitwise_functions(spark, sf_dir):
+    """BITWISE surface contract — popcount (``bit_count``), XOR,
+    shifts, AND/OR masks executed over real keys and reduced to exact
+    totals (plus an XOR fold, the order-free membership digest this
+    repo's checksums already lean on).  Bit arithmetic underpins the
+    engine's own structures — bloom filter words, bitmap distinct
+    counts, SimHash bands — so the primitive semantics (arithmetic
+    shift, two's-complement AND, popcount width) get their own gate
+    row: one map-side codegen pass + a scalar aggregate at any
+    scale."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.bit_count(F.col("o_orderkey")).cast("bigint").alias("pop"),
+        F.expr("o_orderkey ^ o_custkey").alias("kx"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("shl"),
+        F.expr("shiftright(o_orderkey, 2)").alias("shr"),
+        F.expr("o_orderkey & 255").alias("lo_byte"),
+        F.expr("o_orderkey | 1").alias("set_lsb"),
+    )
+    return b.agg(
+        F.sum("pop").cast("bigint").alias("total_popcount"),
+        F.expr("bit_xor(kx)").cast("bigint").alias("xor_fold"),
+        F.sum("shl").cast("bigint").alias("sum_shl"),
+        F.sum("shr").cast("bigint").alias("sum_shr"),
+        F.sum("lo_byte").cast("bigint").alias("sum_lo_byte"),
+        F.sum(F.when(F.col("set_lsb") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_odd_after_set"),
+        F.count_distinct("pop").cast("bigint").alias("distinct_popcounts"),
+    )
