@@ -355,6 +355,19 @@ class SnapshotUpsertSink:
                 owner, owner_batch = None, None
             ours = f"{'' if batch_id is None else batch_id}"
             if (
+                branch is not None
+                and owner == f"@wap:{branch}"
+                and owner_batch == ""
+                and batch_id is not None
+            ):
+                # the branch's own lane RESERVATION (taken by
+                # create_branch so an empty branch still freezes the
+                # snapshot lane): upgrade it in place to this staged
+                # batch's claim
+                with open(self._claim_path(new_snap), "w") as f:
+                    f.write(f"{self._claim_owner(branch)}:{ours}")
+                return
+            if (
                 owner is not None
                 and owner == self._claim_owner(branch)
                 and owner_batch == ours
@@ -374,10 +387,15 @@ class SnapshotUpsertSink:
                 "base (or recover_interrupted_commit() if that writer died)"
             ) from None
         with os.fdopen(fd, "w") as f:
-            f.write(
-                f"{self._claim_owner(branch)}:"
-                f"{'' if batch_id is None else batch_id}"
+            # a lane RESERVATION (branch set, no batch) is written
+            # lineage-free: it may be upgraded/released by a writer
+            # whose checkpoint lineage differs from the creator's
+            owner_str = (
+                f"@wap:{branch}"
+                if branch is not None and batch_id is None
+                else self._claim_owner(branch)
             )
+            f.write(f"{owner_str}:{'' if batch_id is None else batch_id}")
         if branch is None:
             cur = self.committed_snapshot()
         else:
@@ -418,18 +436,31 @@ class SnapshotUpsertSink:
             claim_owner = ""
         if "@wap:" in claim_owner:
             # staged write-audit-publish claim, NOT a crashed main
-            # commit: if the branch ref records the snapshot it is a
-            # live unpublished branch (leave it alone); if the writer
-            # died between manifest and ref update, roll the stage back
+            # commit.  Three cases:
+            # - the branch ref records the snapshot: live unpublished
+            #   branch — leave it alone;
+            # - the branch exists but its head is below the claim: the
+            #   lane RESERVATION, possibly shadowing a stage that died
+            #   between manifest and ref update — roll back any
+            #   unrecorded data but KEEP the claim (the reservation is
+            #   what protects the lane while the branch lives);
+            # - the branch is gone: orphan claim — full cleanup.
             branch = claim_owner.rpartition("@wap:")[2]
-            head = (self.refs()["branches"].get(branch) or {}).get("snapshot")
-            if head is not None and head >= cand:
+            b = self.refs()["branches"].get(branch)
+            if b is not None and b.get("snapshot", -1) >= cand:
                 return None
+            had_debris = os.path.isdir(
+                self._snapshot_path(cand)
+            ) or os.path.exists(self._manifest_path(cand))
             shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
             try:
                 os.unlink(self._manifest_path(cand))
             except FileNotFoundError:
                 pass
+            if b is not None:
+                with open(self._claim_path(cand), "w") as f:
+                    f.write(f"@wap:{branch}:")
+                return "rolled_back" if had_debris else None
             os.unlink(self._claim_path(cand))
             return "rolled_back"
         manifest = self._read_manifest(cand)
@@ -983,8 +1014,26 @@ class SnapshotUpsertSink:
         refs = self.refs()
         if name in refs["branches"] or name in refs["tags"]:
             raise ValueError(f"ref {name!r} already exists")
+        if base != self.committed_snapshot():
+            raise ValueError(
+                f"can only branch from the committed snapshot "
+                f"({self.committed_snapshot()}), not {base}: the lane "
+                "reservation below is what keeps staging safe"
+            )
         refs["branches"][name] = {"base": base, "snapshot": base, "batch": None}
         self._write_refs(refs)
+        # RESERVE the snapshot lane immediately (claim at base+1 with
+        # an empty batch id): without this, a main commit could land
+        # base+1 between create_branch and the first stage_batch, and
+        # the stage's overwrite-mode write would then trample the
+        # committed snapshot's directory.  stage_batch upgrades the
+        # reservation in place; publish/abort release it.
+        try:
+            self._claim(base + 1, None, branch=name)
+        except ConcurrentCommitError:
+            del refs["branches"][name]
+            self._write_refs(refs)
+            raise
         return base
 
     def stage_batch(self, branch: str, batch_df: DataFrame, batch_id: int) -> None:
@@ -1057,9 +1106,33 @@ class SnapshotUpsertSink:
                 os.unlink(self._claim_path(s))
             except FileNotFoundError:
                 pass
+        # release the lane reservation / a crashed in-flight stage one
+        # past the head (its data was never recorded in any ref)
+        self._drop_branch_claim(branch, head + 1)
         del refs["branches"][branch]
         self._write_refs(refs)
         return head
+
+    def _drop_branch_claim(self, branch: str, snap: int) -> None:
+        """Remove the claim at ``snap`` iff this branch owns it (a lane
+        reservation or a stage that died before its ref update), along
+        with any unrecorded data/manifest it protected."""
+        path = self._claim_path(snap)
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                owner = f.read().rpartition(":")[0]
+        except FileNotFoundError:
+            return
+        if not owner.endswith(f"@wap:{branch}"):
+            return
+        shutil.rmtree(self._snapshot_path(snap), ignore_errors=True)
+        for p in (self._manifest_path(snap), path):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
 
     def abort_branch(self, branch: str) -> int:
         """The no-PUBLISH arm: drop every staged snapshot (data dirs,
@@ -1084,24 +1157,9 @@ class SnapshotUpsertSink:
                 except FileNotFoundError:
                     pass
             discarded += 1
-        # a stage that crashed between manifest and ref update left a
-        # claim one past the recorded head — clear it iff it is ours
-        nxt_claim = self._claim_path(head + 1)
-        if os.path.exists(nxt_claim):
-            try:
-                with open(nxt_claim) as f:
-                    owner = f.read().rpartition(":")[0]
-            except FileNotFoundError:
-                owner = ""
-            if owner == self._claim_owner(branch):
-                shutil.rmtree(
-                    self._snapshot_path(head + 1), ignore_errors=True
-                )
-                for p in (self._manifest_path(head + 1), nxt_claim):
-                    try:
-                        os.unlink(p)
-                    except FileNotFoundError:
-                        pass
+        # the lane reservation / a stage that crashed between manifest
+        # and ref update sits one past the recorded head — ours to drop
+        self._drop_branch_claim(branch, head + 1)
         del refs["branches"][branch]
         self._write_refs(refs)
         return discarded

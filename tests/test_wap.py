@@ -297,3 +297,110 @@ def test_feed_cursor_sees_publish_atomically(spark, seeded, tmp_path):
     # exactly-once: nothing re-delivered
     df, _, _ = cur.next_batch(spark)
     assert df is None
+
+
+# ---------------------------------------------------------------------------
+# Seeded randomized WAP lifecycle walk vs an in-memory model
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_random_wap_walk_matches_model(spark, seed):
+    """A random interleaving of main commits, branch stage/publish/
+    abort, tagging, and snapshot expiry, checked after every step
+    against a pure-Python model of the table: the main view must only
+    ever change at a main commit or a publish; the branch view must
+    track staged state exactly; expiry must never break a pinned tag.
+    Composition bugs (publish after expiry, abort after multi-stage,
+    tag on a staged-era snapshot) only show up under interleavings no
+    hand-written test enumerates."""
+    import random
+
+    rng = random.Random(seed)
+    sink = _mk_sink()
+    model_main: dict[int, str] = {}
+    model_branch: dict[int, str] | None = None
+    branch_open = False
+    batch_id = 0
+    tagged: dict[str, dict[int, str]] = {}
+
+    def commit_main(rows):
+        nonlocal batch_id
+        sink.process_batch(_batch(spark, rows), batch_id)
+        for k, v, op, _ in rows:
+            if op == "d":
+                model_main.pop(k, None)
+            else:
+                model_main[k] = v
+        batch_id += 1
+
+    def rand_rows():
+        nonlocal batch_id
+        rows = []
+        for _ in range(rng.randrange(1, 4)):
+            k = rng.randrange(0, 12)
+            if rng.random() < 0.2 and k in model_main:
+                rows.append((k, "x", "d", batch_id))
+            else:
+                rows.append((k, f"b{batch_id}k{k}", "u", batch_id))
+        # one op per key per batch: the model below applies ops in list
+        # order, but the sink compacts by (seq) — dedupe to the LAST op
+        last = {}
+        for r in rows:
+            last[r[0]] = r
+        return list(last.values())
+
+    commit_main([(i, f"v{i}", "c", 0) for i in range(6)])
+
+    for step in range(14):
+        ops = ["main", "tag", "expire"]
+        if branch_open:
+            ops += ["stage", "stage", "publish", "abort"]
+        else:
+            ops += ["open"]
+        op = rng.choice(ops)
+        if op == "main" and branch_open:
+            # lane frozen: the freeze itself is the invariant — a main
+            # commit must fail fast and change nothing
+            with pytest.raises(ConcurrentCommitError):
+                sink.process_batch(_batch(spark, rand_rows()), batch_id)
+            op = "noop"
+        if op == "main":
+            commit_main(rand_rows())
+        elif op == "open":
+            sink.create_branch("b")
+            model_branch = dict(model_main)
+            branch_open = True
+        elif op == "stage":
+            rows = rand_rows()
+            sink.stage_batch("b", _batch(spark, rows), batch_id)
+            for k, v, o, _ in rows:
+                if o == "d":
+                    model_branch.pop(k, None)
+                else:
+                    model_branch[k] = v
+            batch_id += 1
+        elif op == "publish":
+            sink.publish_branch("b")
+            model_main = dict(model_branch)
+            model_branch, branch_open = None, False
+        elif op == "abort":
+            sink.abort_branch("b")
+            model_branch, branch_open = None, False
+        elif op == "tag":
+            name = f"t{step}"
+            sink.create_tag(name)
+            tagged[name] = dict(model_main)
+        elif op == "expire":
+            expire_snapshots(sink.target_dir, retain_last=2)
+        # invariants after EVERY step
+        assert _vals(sink.current_table(spark)) == model_main
+        if branch_open:
+            assert _vals(sink.table_at_ref(spark, "b")) == model_branch
+        for name, snap_model in tagged.items():
+            got = _vals(
+                sink.state_at_ref(spark, name).filter(
+                    F.col("operation") != "d"
+                )
+            )
+            assert got == snap_model, f"tag {name} drifted"
