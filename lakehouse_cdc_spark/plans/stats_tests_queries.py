@@ -1002,3 +1002,128 @@ def stats_welch_ttest(spark, sf_dir):
             6,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS b
+      FROM events GROUP BY user_id
+    ),
+    ra AS (
+      SELECT a AS val,
+             CAST(2 * (SUM(cnt) OVER (ORDER BY a) - cnt) + cnt + 1
+                  AS HUGEINT) AS r2
+      FROM (SELECT a, COUNT(*) AS cnt FROM per_user GROUP BY a)
+    ),
+    rb AS (
+      SELECT b AS val,
+             CAST(2 * (SUM(cnt) OVER (ORDER BY b) - cnt) + cnt + 1
+                  AS HUGEINT) AS r2
+      FROM (SELECT b, COUNT(*) AS cnt FROM per_user GROUP BY b)
+    ),
+    ranked AS (
+      SELECT ra.r2 AS x, rb.r2 AS y
+      FROM per_user u JOIN ra ON ra.val = u.a JOIN rb ON rb.val = u.b
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM suff
+    """,
+    tags=("stats", "correlation", "rank", "A-family"),
+)
+def stats_spearman_rank_corr(spark, sf_dir):
+    """SPEARMAN RANK CORRELATION between per-user activity volume and
+    spend — the nonparametric monotone-association measure (robust to
+    the heavy-tailed spend distribution that wrecks Pearson): both
+    variables convert to EXACT tie-averaged ranks in doubled-integer
+    form (a tie group at rank [s, s+c−1] has 2·r̄ = 2·below + c + 1 —
+    the Mann–Whitney device), and ρ is Pearson on those integer ranks:
+    six exact DECIMAL(38,0) sufficient sums, one double expression
+    with identical IEEE trees both sides, round 6.
+
+    Scale shape: one user-keyed rollup, one value-count aggregate +
+    two-pass prefix scan PER VARIABLE for the rank maps (each
+    |distinct values|-sized, joined back by value — AQE broadcasts
+    them when small), one scalar combine.  No global window, no
+    sort of the full user table."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+
+    def rank_map(var):
+        counts = per_user.groupBy(F.col(var).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c1")
+        )
+        cum = _with_cumulative(counts, ["c1"])
+        return cum.select(
+            F.col("v").alias(f"{var}_val"),
+            (
+                F.lit(2).cast("decimal(38,0)")
+                * (
+                    F.col("cum_c1").cast("decimal(38,0)")
+                    - F.col("c1").cast("decimal(38,0)")
+                )
+                + F.col("c1").cast("decimal(38,0)")
+                + F.lit(1).cast("decimal(38,0)")
+            ).alias(f"{var}_r2"),
+        )
+
+    ranked = (
+        per_user.join(rank_map("a"), per_user["a"] == F.col("a_val"))
+        .join(rank_map("b"), per_user["b"] == F.col("b_val"))
+        .select(F.col("a_r2").alias("x"), F.col("b_r2").alias("y"))
+    )
+    suff = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return suff.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                """
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                """
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -353,7 +353,7 @@ def test_random_wap_walk_matches_model(spark, seed):
     commit_main([(i, f"v{i}", "c", 0) for i in range(6)])
 
     for step in range(14):
-        ops = ["main", "tag", "expire"]
+        ops = ["main", "tag", "expire", "recover"]
         if branch_open:
             ops += ["stage", "stage", "publish", "abort"]
         else:
@@ -393,6 +393,10 @@ def test_random_wap_walk_matches_model(spark, seed):
             tagged[name] = dict(model_main)
         elif op == "expire":
             expire_snapshots(sink.target_dir, retain_last=2)
+        elif op == "recover":
+            # recovery on a HEALTHY table (incl. one with a live staged
+            # branch) must change nothing observable
+            assert sink.recover_interrupted_commit() is None
         # invariants after EVERY step
         assert _vals(sink.current_table(spark)) == model_main
         if branch_open:
