@@ -1837,8 +1837,19 @@ class SnapshotUpsertSink:
         Iceberg's ``<table>.snapshots`` metadata table (the reference
         inspects ``.history``, validation.py:731-740).  Columns:
         (snapshot, is_committed, batch_id, n_buckets,
-        buckets_rewritten, gc_watermark)."""
+        buckets_rewritten, gc_watermark, refs) — ``refs`` lists the
+        named refs pointing at the snapshot (``tag:<name>``,
+        ``branch:<name>`` for a branch HEAD), comma-joined sorted, the
+        Iceberg refs-metadata parity surface."""
         committed_lineage, committed_batch, committed_snap = self.committed()
+        ref_doc = self.refs()
+        by_snap: dict[int, list[str]] = {}
+        for name, snap in ref_doc["tags"].items():
+            by_snap.setdefault(int(snap), []).append(f"tag:{name}")
+        for name, b in ref_doc["branches"].items():
+            by_snap.setdefault(int(b["snapshot"]), []).append(
+                f"branch:{name}"
+            )
         rows = []
         for d in sorted(os.listdir(self.target_dir)):
             if not (d.startswith("v=") and d.split("=", 1)[1].isdigit()):
@@ -1859,12 +1870,14 @@ class SnapshotUpsertSink:
                     # watermark type follows order_by[0] (int, str, …) —
                     # stringified so the metadata schema is stable
                     None if wm is None else str(wm),
+                    ",".join(sorted(by_snap.get(snap, []))) or None,
                 )
             )
         return spark.createDataFrame(
             rows,
             "snapshot int, is_committed boolean, batch_id long, "
-            "n_buckets int, buckets_rewritten int, gc_watermark string",
+            "n_buckets int, buckets_rewritten int, gc_watermark string, "
+            "refs string",
         )
 
     def ledger_table(self, spark: SparkSession) -> DataFrame:

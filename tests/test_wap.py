@@ -408,3 +408,17 @@ def test_random_wap_walk_matches_model(spark, seed):
                 )
             )
             assert got == snap_model, f"tag {name} drifted"
+
+
+def test_snapshots_table_lists_refs(spark, seeded):
+    sink = seeded
+    sink.create_tag("gold")
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    snaps = {r.snapshot: r for r in sink.snapshots_table(spark).collect()}
+    assert snaps[0].refs == "tag:gold"
+    assert snaps[1].refs == "branch:audit"
+    sink.publish_branch("audit")
+    snaps = {r.snapshot: r for r in sink.snapshots_table(spark).collect()}
+    assert snaps[1].refs is None  # branch gone after publish
+    assert snaps[0].refs == "tag:gold"
