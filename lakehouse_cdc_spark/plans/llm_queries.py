@@ -3950,3 +3950,103 @@ def emb_power_iteration_step(spark, sf_dir):
         .agg(F.sum("y_micro").cast("bigint").alias("y_micro"))
         .orderBy("dim")
     )
+
+
+@register(
+    "emb_cluster_label_purity",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NORM_SQ} AS norm_sq
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+          FROM n WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, label, cluster FROM (
+        SELECT t.vec_id, t.label, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                 round({_DOT_EQ.format(a='t.embedding', b='c.cemb')}
+                       / (sqrt(t.norm_sq) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM n t, c) WHERE rn = 1
+    ),
+    cl AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM assign GROUP BY cluster, label
+    ),
+    best AS (
+      SELECT cluster, label AS majority_label, cnt AS n_majority FROM (
+        SELECT cluster, label, cnt,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM cl) WHERE rn = 1
+    ),
+    sz AS (SELECT cluster, CAST(SUM(cnt) AS BIGINT) AS n_members,
+                  CAST(COUNT(*) AS BIGINT) AS n_labels
+           FROM cl GROUP BY cluster)
+    SELECT CAST(s.cluster AS BIGINT) AS cluster,
+           s.n_members, s.n_labels,
+           CAST(b.majority_label AS BIGINT) AS majority_label,
+           b.n_majority,
+           CAST(CAST(b.n_majority AS HUGEINT) * 1000000 // s.n_members
+                AS BIGINT) AS purity_ppm
+    FROM sz s JOIN best b USING (cluster) ORDER BY cluster
+    """,
+    tags=("llm", "embeddings", "clustering", "evaluation", "ivf"),
+)
+def emb_cluster_label_purity(spark, sf_dir):
+    """CLUSTER-LABEL PURITY — the clustering-evaluation readout (how
+    well do the IVF cells align with the ground-truth labels?) every
+    embedding-quality monitor reports alongside drift: all vectors
+    assign to the 8 fixed centroids (the deterministic max-cosine
+    assignment the ANN family shares), each cluster reports its size,
+    distinct-label count, majority label (ties broken by lowest label
+    — engine-neutral) and purity in exact integer ppm.  Purity needs
+    no logarithm (unlike NMI), so the whole evaluation is integer
+    arithmetic over one assignment pass.
+
+    Scale shape: the assignment is one broadcast-centroid map-side
+    pass (budget-enforced like every centroid closure here), then two
+    |clusters×labels|-row aggregates — evaluation cost is the
+    assignment scan, exactly the posture of emb_cluster_drift_tv."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assign = ivf_assign(emb, centroids).select("vec_id", "cluster")
+    labeled = assign.join(emb.select("vec_id", "label"), "vec_id")
+    cl = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    best = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.col("cnt").alias("n_majority"),
+        )
+    )
+    sz = cl.groupBy("cluster").agg(
+        F.sum("cnt").cast("bigint").alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    return (
+        sz.join(best, "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            "n_labels",
+            "majority_label",
+            "n_majority",
+            (
+                F.col("n_majority").cast("decimal(38,0)")
+                * F.lit(1000000).cast("decimal(38,0)")
+                / F.col("n_members").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("purity_ppm"),
+        )
+        .orderBy("cluster")
+    )
