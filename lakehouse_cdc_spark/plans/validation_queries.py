@@ -1048,3 +1048,113 @@ def validation_null_rate_budget(spark, sf_dir):
         .cast("bigint")
         .alias("within_budget"),
     ).orderBy("col")
+
+
+@register(
+    "validation_order_lineitem_reconcile",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey AS k,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_sum_c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+    ),
+    joined AS (
+      SELECT COALESCE(o.k, l.k) AS k, o.total_c, l.line_sum_c,
+             CASE
+               WHEN o.k IS NULL THEN 'orphan_lineitems'
+               WHEN l.k IS NULL THEN 'childless_order'
+               ELSE CASE
+                 WHEN ABS(l.line_sum_c - o.total_c) * 1000000
+                      // o.total_c < 10000 THEN 'delta_lt_1pct'
+                 WHEN ABS(l.line_sum_c - o.total_c) * 1000000
+                      // o.total_c < 100000 THEN 'delta_lt_10pct'
+                 WHEN ABS(l.line_sum_c - o.total_c) * 1000000
+                      // o.total_c < 1000000 THEN 'delta_lt_100pct'
+                 ELSE 'delta_ge_100pct'
+               END
+             END AS lane,
+             CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL
+                  THEN ABS(l.line_sum_c - o.total_c) ELSE 0 END AS abs_delta
+      FROM o FULL OUTER JOIN l ON o.k = l.k
+    )
+    SELECT lane,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(abs_delta) AS BIGINT) AS sum_abs_delta_cents,
+           CAST(bit_xor(k) AS BIGINT) AS keys_xor
+    FROM joined GROUP BY lane ORDER BY lane
+    """,
+    tags=("validation", "reconciliation", "cross-table", "A-family"),
+)
+def validation_order_lineitem_reconcile(spark, sf_dir):
+    """CROSS-TABLE RECONCILIATION REPORT — the accounting-style
+    source-vs-rollup audit (does the order header total match the sum
+    of its lines?) the reference's validation layer approximates with
+    row counts (src/validation/validation.py:221-227) generalized to
+    VALUE balance: per order, the exact cents delta between the header
+    total and the lineitem sum, bucketed by exact integer relative-
+    drift thresholds (1% / 10% / 100%), plus the two referential lanes (childless orders,
+    orphan lineitems) from one FULL OUTER JOIN.  Every lane carries an
+    exact sum and a key-XOR membership digest, so a downstream repair
+    job can verify it fixed EXACTLY the reported set.
+
+    Scale shape: one |orders|-keyed rollup of lineitem, one full outer
+    join on the order key (both sides hash-partitioned on it — at
+    scale a bucketed layout makes this co-located), a |lanes|-row
+    census."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    l_sum = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("line_sum_c")
+    )
+    o_tot = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("total_c"),
+    )
+    joined = o_tot.join(l_sum, "k", "full_outer").select(
+        "k",
+        "total_c",
+        "line_sum_c",
+        F.when(F.col("total_c").isNull(), "orphan_lineitems")
+        .when(F.col("line_sum_c").isNull(), "childless_order")
+        .otherwise(
+            # exact integer thresholds, no log10: CEIL(LOG10(x)) at an
+            # exact power of 10 is a cross-engine float boundary
+            F.expr(
+                """
+                CASE
+                  WHEN ABS(line_sum_c - total_c) * 1000000 div total_c
+                       < 10000 THEN 'delta_lt_1pct'
+                  WHEN ABS(line_sum_c - total_c) * 1000000 div total_c
+                       < 100000 THEN 'delta_lt_10pct'
+                  WHEN ABS(line_sum_c - total_c) * 1000000 div total_c
+                       < 1000000 THEN 'delta_lt_100pct'
+                  ELSE 'delta_ge_100pct'
+                END
+                """
+            )
+        )
+        .alias("lane"),
+        F.when(
+            F.col("total_c").isNotNull() & F.col("line_sum_c").isNotNull(),
+            F.abs(F.col("line_sum_c") - F.col("total_c")),
+        )
+        .otherwise(0)
+        .alias("abs_delta"),
+    )
+    return (
+        joined.groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("abs_delta").cast("bigint").alias("sum_abs_delta_cents"),
+            F.expr("bit_xor(k)").cast("bigint").alias("keys_xor"),
+        )
+        .orderBy("lane")
+    )
