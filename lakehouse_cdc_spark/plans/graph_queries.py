@@ -1133,3 +1133,111 @@ def graph_kcore_membership(spark, sf_dir):
         .select(F.col("src").alias("part_key"), "core_degree")
         .orderBy("part_key")
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_TRI_MIN_CO}
+    ),
+    sym AS (
+      SELECT p1 AS u FROM co UNION ALL SELECT p2 FROM co
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    hist AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_nodes) AS HUGEINT) AS n,
+             CAST(SUM(d * n_nodes) AS HUGEINT) AS sum_d,
+             CAST(MAX(d) AS BIGINT) AS max_d
+      FROM hist
+    )
+    SELECT h.d AS degree, h.n_nodes,
+           CAST(CAST(h.n_nodes AS HUGEINT) * 1000000 // t.n AS BIGINT)
+             AS frac_ppm,
+           CAST((SELECT SUM(n_nodes) FROM hist h2 WHERE h2.d >= h.d)
+                AS BIGINT) AS n_ccdf,
+           t.max_d,
+           CAST(t.sum_d // t.n AS BIGINT) AS mean_degree_floor
+    FROM hist h, tot t ORDER BY degree
+    """,
+    tags=("graph", "profiling", "degree", "A-family"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """DEGREE DISTRIBUTION of the co-purchase graph — the first chart
+    of any graph workload review (is this power-law? where do the hubs
+    start? what does the _LP_MAX_DEG hub cap actually cut?): per
+    distinct degree, the node count, exact ppm fraction, and the CCDF
+    (nodes with degree ≥ d — the straight line on a log-log plot that
+    diagnoses a heavy tail), plus corpus max and floor-mean degree.
+    The CCDF comes from the tiny |distinct degrees| histogram via the
+    broadcast lower-bucket carry idea in reverse (a theta self-
+    aggregate over ≤ a few hundred rows), never from a window over
+    nodes.
+
+    Scale shape: the same one co-pair shuffle every graph_* query
+    pays, then a |nodes|-keyed count and TWO tiny aggregates — the
+    distribution is a histogram of a histogram; at 100 TB its cost is
+    the edge build, shared with triangles/kcore."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _TRI_MIN_CO)
+    )
+    sym = co.select(F.col("p1").alias("u")).unionAll(
+        co.select(F.col("p2").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    hist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    tot = hist.agg(
+        F.sum("n_nodes").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("n_nodes")).alias(
+            "sum_d"
+        ),
+        F.max("d").cast("bigint").alias("max_d"),
+    )
+    h2 = hist.select(
+        F.col("d").alias("d2"), F.col("n_nodes").alias("n2")
+    )
+    ccdf = (
+        hist.join(F.broadcast(h2), F.col("d2") >= F.col("d"))
+        .groupBy("d", "n_nodes")
+        .agg(F.sum("n2").cast("bigint").alias("n_ccdf"))
+    )
+    return (
+        ccdf.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            (
+                F.col("n_nodes").cast("decimal(38,0)")
+                * F.lit(1000000).cast("decimal(38,0)")
+                / F.col("n")
+            )
+            .cast("bigint")
+            .alias("frac_ppm"),
+            "n_ccdf",
+            "max_d",
+            (F.col("sum_d") / F.col("n")).cast("bigint").alias(
+                "mean_degree_floor"
+            ),
+        )
+        .orderBy("degree")
+    )
