@@ -2080,3 +2080,113 @@ def events_markov_transition(spark, sf_dir):
         )
         out_cols.append(f"p_{t}_ppm")
     return counts.select(*out_cols).orderBy("prev_t")
+
+
+_CW_WINDOWS_H = (1, 6, 24, 72, 168)  # conversion-window sweep (hours)
+
+
+@register(
+    "events_conversion_window_sweep",
+    oracle=f"""
+    WITH signup AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, MIN(e.ts_us) - s.s_us AS delay_us
+      FROM signup s
+      JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase') e
+        ON e.user_id = s.user_id AND e.ts_us >= s.s_us
+      GROUP BY s.user_id, s.s_us
+    ),
+    wins AS (SELECT unnest(ARRAY{list(_CW_WINDOWS_H)}) AS w_hours),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_signed FROM signup)
+    SELECT w.w_hours,
+           CAST(t.n_signed AS BIGINT) AS n_signed_up,
+           CAST(COUNT(CASE WHEN c.delay_us
+                           < CAST(w.w_hours AS HUGEINT) * 3600000000
+                           THEN 1 END) AS BIGINT) AS n_converted,
+           CAST(CAST(COUNT(CASE WHEN c.delay_us
+                                < CAST(w.w_hours AS HUGEINT) * 3600000000
+                                THEN 1 END) AS HUGEINT)
+                * 1000000 // t.n_signed AS BIGINT) AS conversion_ppm
+    FROM wins w CROSS JOIN tot t LEFT JOIN conv c ON TRUE
+    GROUP BY w.w_hours, t.n_signed
+    ORDER BY w.w_hours
+    """,
+    tags=("events", "funnel", "conversion", "analytics", "A-family"),
+)
+def events_conversion_window_sweep(spark, sf_dir):
+    """CONVERSION-WINDOW OPERATING CURVE — what attribution window
+    should this funnel use?  The same first-signup→first-purchase
+    delays as events_funnel_time_to_convert, swept against five
+    candidate windows (1h … 7d) in ONE pass: each row reports the
+    window, converters inside it, and the exact ppm conversion rate
+    against ALL signed-up users — the saturating curve whose knee is
+    the defensible attribution-window choice (a rate that barely
+    moves from 24h to 72h says the 7-day default is vanity).  The
+    sweep is a tiny literal-array cross join over the |users|-row
+    delay table: adding windows costs nothing, the delays are
+    computed once.
+
+    Scale shape: two user-keyed aggregates (first signup, first
+    qualifying purchase via one join on the user hash), then a
+    5×|converters| broadcast expansion collapsed immediately — the
+    delay table is the only data-sized intermediate, built once."""
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    conv = (
+        signup.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.unix_micros("ts").alias("ts_us")
+            ),
+            "user_id",
+        )
+        .filter(F.col("ts_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg((F.min("ts_us") - F.col("s_us")).alias("delay_us"))
+        .select("delay_us")
+    )
+    tot = signup.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_signed")
+    )
+    # explode of the literal window array over the delay table: the
+    # 5× expansion collapses in the same stage's partial aggregate
+    expanded = conv.select(
+        "delay_us",
+        F.explode(F.array(*[F.lit(h) for h in _CW_WINDOWS_H])).alias(
+            "w_hours"
+        ),
+    )
+    counts = expanded.groupBy("w_hours").agg(
+        F.sum(
+            F.when(
+                F.col("delay_us")
+                < F.col("w_hours").cast("bigint") * F.lit(3600000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w_hours").cast("bigint").alias("w_hours"),
+            F.col("n_signed").cast("bigint").alias("n_signed_up"),
+            "n_converted",
+            (
+                F.col("n_converted").cast("decimal(38,0)")
+                * F.lit(1000000).cast("decimal(38,0)")
+                / F.col("n_signed")
+            )
+            .cast("bigint")
+            .alias("conversion_ppm"),
+        )
+        .orderBy("w_hours")
+    )
