@@ -353,7 +353,7 @@ def test_random_wap_walk_matches_model(spark, seed):
     commit_main([(i, f"v{i}", "c", 0) for i in range(6)])
 
     for step in range(14):
-        ops = ["main", "tag", "expire", "recover"]
+        ops = ["main", "tag", "expire", "recover", "compact"]
         if branch_open:
             ops += ["stage", "stage", "publish", "abort"]
         else:
@@ -397,6 +397,15 @@ def test_random_wap_walk_matches_model(spark, seed):
             # recovery on a HEALTHY table (incl. one with a live staged
             # branch) must change nothing observable
             assert sink.recover_interrupted_commit() is None
+        elif op == "compact":
+            if branch_open:
+                # maintenance is a writer too: the frozen lane must
+                # reject it exactly like a live batch
+                with pytest.raises(ConcurrentCommitError):
+                    sink.compact_buckets(spark, min_files=1)
+            else:
+                # compaction is state-preserving by contract
+                sink.compact_buckets(spark, min_files=1)
         # invariants after EVERY step
         assert _vals(sink.current_table(spark)) == model_main
         if branch_open:
