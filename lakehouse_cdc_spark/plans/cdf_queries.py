@@ -1210,7 +1210,12 @@ def _wap_demo_sink(spark, sf_dir):
     sink.create_branch("audit")
     sink.stage_batch("audit", staged, 1)
     sink.publish_branch("audit")
-    return _WAP_CACHE.setdefault(sf_dir, sink)
+    # explicit assign, NOT setdefault: a stale cached sink that failed
+    # the committed_snapshot()==1 health check above must be REPLACED
+    # by this rebuilt one (setdefault would return — and keep — the
+    # broken entry whenever the key already exists)
+    _WAP_CACHE[sf_dir] = sink
+    return sink
 
 
 @register(

@@ -2174,6 +2174,19 @@ def events_conversion_window_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("n_converted")
     )
+    # the window AXIS is a literal 5-row frame, independent of conv:
+    # on conversion-free data the exploded counts are EMPTY, but the
+    # sweep must still report every candidate window with 0 converters
+    # (the oracle's wins CROSS JOIN tot always yields 5 rows)
+    wins = spark.createDataFrame(
+        [(int(h),) for h in _CW_WINDOWS_H], "w_hours int"
+    )
+    counts = wins.join(F.broadcast(counts), "w_hours", "left").select(
+        "w_hours",
+        F.coalesce(F.col("n_converted"), F.lit(0).cast("bigint")).alias(
+            "n_converted"
+        ),
+    )
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(

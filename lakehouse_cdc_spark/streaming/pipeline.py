@@ -318,6 +318,27 @@ class SnapshotUpsertSink:
     def _claim_path(self, snapshot: int) -> str:
         return os.path.join(self.target_dir, f"v={snapshot}.claim")
 
+    def _upgrade_marker_path(self, snapshot: int) -> str:
+        """O_EXCL fence for upgrading a lane RESERVATION into a staged
+        batch's claim: the reservation rewrite is a read-then-rewrite
+        of an existing file, so without this marker two concurrent
+        first ``stage_batch`` calls could both observe the reservation
+        and interleave data under the same ``v=N`` dir.  Exactly one
+        upgrader can create the marker; it lives as long as the claim
+        and is released with it."""
+        return self._claim_path(snapshot) + ".upgrade"
+
+    def _release_claim(self, snapshot: int) -> None:
+        """Unlink a claim file and any upgrade marker riding it."""
+        for p in (
+            self._claim_path(snapshot),
+            self._upgrade_marker_path(snapshot),
+        ):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+
     def _claim_owner(self, branch: str | None) -> str:
         """Claim-file owner string: the checkpoint lineage, plus a
         ``@wap:<branch>`` marker for staged (write-audit-publish)
@@ -362,10 +383,41 @@ class SnapshotUpsertSink:
             ):
                 # the branch's own lane RESERVATION (taken by
                 # create_branch so an empty branch still freezes the
-                # snapshot lane): upgrade it in place to this staged
-                # batch's claim
+                # snapshot lane): upgrade it to this staged batch's
+                # claim.  The rewrite is fenced by an O_EXCL upgrade
+                # marker — without it two concurrent first stage_batch
+                # calls could both observe the reservation, both
+                # "upgrade", and interleave data under the same v=N
+                # dir (the exact multi-writer race the claim file
+                # exists to prevent).  Only one marker creator wins;
+                # the marker is released together with the claim.
+                mine = f"{self._claim_owner(branch)}:{ours}"
+                marker = self._upgrade_marker_path(new_snap)
+                try:
+                    mfd = os.open(
+                        marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                except FileExistsError:
+                    try:
+                        with open(marker) as f:
+                            holder = f.read()
+                    except FileNotFoundError:
+                        holder = None
+                    if holder != mine:
+                        raise ConcurrentCommitError(
+                            f"snapshot {new_snap} reservation of "
+                            f"{self.target_dir} is being upgraded by a "
+                            "concurrent staged writer; re-read the "
+                            "branch head and retry"
+                        ) from None
+                    # our own interrupted upgrade (crash between marker
+                    # and claim rewrite, or a replay of it): finishing
+                    # the rewrite is idempotent — same content
+                else:
+                    with os.fdopen(mfd, "w") as f:
+                        f.write(mine)
                 with open(self._claim_path(new_snap), "w") as f:
-                    f.write(f"{self._claim_owner(branch)}:{ours}")
+                    f.write(mine)
                 return
             if (
                 owner is not None
@@ -404,7 +456,7 @@ class SnapshotUpsertSink:
             cur = (self.refs()["branches"].get(branch) or {}).get("snapshot")
         base_ok = (cur is None and new_snap == 0) or cur == new_snap - 1
         if not base_ok:
-            os.unlink(self._claim_path(new_snap))
+            self._release_claim(new_snap)
             raise ConcurrentCommitError(
                 f"stale base: snapshot {new_snap} was already committed "
                 f"(pointer at {cur}) while this writer was planning; "
@@ -460,8 +512,14 @@ class SnapshotUpsertSink:
             if b is not None:
                 with open(self._claim_path(cand), "w") as f:
                     f.write(f"@wap:{branch}:")
+                try:
+                    # a dead upgrader's marker must not fence the next
+                    # stage off the freshly rolled-back reservation
+                    os.unlink(self._upgrade_marker_path(cand))
+                except FileNotFoundError:
+                    pass
                 return "rolled_back" if had_debris else None
-            os.unlink(self._claim_path(cand))
+            self._release_claim(cand)
             return "rolled_back"
         manifest = self._read_manifest(cand)
         if manifest is not None and "committed_batch" in manifest:
@@ -470,14 +528,14 @@ class SnapshotUpsertSink:
                 manifest["committed_batch"],
                 cand,
             )
-            os.unlink(self._claim_path(cand))
+            self._release_claim(cand)
             return "rolled_forward"
         shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
         try:
             os.unlink(self._manifest_path(cand))
         except FileNotFoundError:
             pass
-        os.unlink(self._claim_path(cand))
+        self._release_claim(cand)
         return "rolled_back"
 
     def _publish_pointer(self, lineage, batch_id, new_snap: int) -> None:
@@ -576,13 +634,16 @@ class SnapshotUpsertSink:
                 )
             refs["branches"][branch]["snapshot"] = new_snap
             refs["branches"][branch]["batch"] = batch_id
+            # record the STAGING LINEAGE alongside the batch id: the
+            # branch replay guard (stage_batch) must skip only replays
+            # of the same checkpoint lineage, exactly like the main
+            # pointer's guard — a fresh checkpoint draining onto this
+            # branch restarts batch ids at 0 and must not be dropped
+            refs["branches"][branch]["lineage"] = self.lineage or ""
             self._write_refs(refs)
             return
         self._publish_pointer(self.lineage, batch_id, new_snap)
-        try:
-            os.unlink(self._claim_path(new_snap))
-        except FileNotFoundError:
-            pass  # pre-claim-era caller
+        self._release_claim(new_snap)  # no-op for a pre-claim-era caller
 
     def _read_manifest(self, snapshot: int | None) -> dict | None:
         if snapshot is None:
@@ -1050,8 +1111,17 @@ class SnapshotUpsertSink:
         if branch not in refs["branches"]:
             raise KeyError(f"unknown branch {branch!r}")
         b = refs["branches"][branch]
-        if b["batch"] is not None and batch_id <= b["batch"]:
-            return  # replayed staged batch — already committed to the branch
+        if (
+            b["batch"] is not None
+            and batch_id <= b["batch"]
+            and b.get("lineage", "") == (self.lineage or "")
+        ):
+            # replayed staged batch of the SAME checkpoint lineage —
+            # already committed to the branch, skip.  A different
+            # lineage (fresh checkpoint, batch ids restart at 0) must
+            # stage regardless of batch numbering — identical rules to
+            # process_batch's main-pointer guard.
+            return
         head = b["snapshot"]
         spark = batch_df.sparkSession
         manifest = self._read_manifest(head)
@@ -1102,10 +1172,7 @@ class SnapshotUpsertSink:
                 m.get("committed_lineage") or None, m["committed_batch"], head
             )
         for s in range(base + 1, head + 1):
-            try:
-                os.unlink(self._claim_path(s))
-            except FileNotFoundError:
-                pass
+            self._release_claim(s)
         # release the lane reservation / a crashed in-flight stage one
         # past the head (its data was never recorded in any ref)
         self._drop_branch_claim(branch, head + 1)
@@ -1128,7 +1195,11 @@ class SnapshotUpsertSink:
         if not owner.endswith(f"@wap:{branch}"):
             return
         shutil.rmtree(self._snapshot_path(snap), ignore_errors=True)
-        for p in (self._manifest_path(snap), path):
+        for p in (
+            self._manifest_path(snap),
+            path,
+            self._upgrade_marker_path(snap),
+        ):
             try:
                 os.unlink(p)
             except FileNotFoundError:
@@ -1151,11 +1222,11 @@ class SnapshotUpsertSink:
         discarded = 0
         for s in range(base + 1, head + 1):
             shutil.rmtree(self._snapshot_path(s), ignore_errors=True)
-            for p in (self._manifest_path(s), self._claim_path(s)):
-                try:
-                    os.unlink(p)
-                except FileNotFoundError:
-                    pass
+            try:
+                os.unlink(self._manifest_path(s))
+            except FileNotFoundError:
+                pass
+            self._release_claim(s)
             discarded += 1
         # the lane reservation / a stage that crashed between manifest
         # and ref update sits one past the recorded head — ours to drop

@@ -431,3 +431,60 @@ def test_snapshots_table_lists_refs(spark, seeded):
     snaps = {r.snapshot: r for r in sink.snapshots_table(spark).collect()}
     assert snaps[1].refs is None  # branch gone after publish
     assert snaps[0].refs == "tag:gold"
+
+
+# --- round-10 review-fix regressions ---------------------------------
+
+
+def test_fresh_lineage_stage_is_not_dropped(spark, seeded):
+    """A fresh checkpoint (new lineage, batch ids restart at 0)
+    draining onto an existing branch must STAGE, not silently skip:
+    the branch replay guard compares lineage AND batch id, mirroring
+    process_batch's main-pointer guard."""
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "first", "u", 1)]), 5)
+    # reopen the sink under a NEW checkpoint lineage; its batch ids
+    # restart at 0 (below the branch's recorded batch 5)
+    sink2 = SnapshotUpsertSink(
+        sink.target_dir,
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+        lineage="ckpt2",
+    )
+    sink2.stage_batch("audit", _batch(spark, [(2, "fresh", "u", 2)]), 0)
+    branch = _vals(sink2.table_at_ref(spark, "audit"))
+    assert branch[1] == "first" and branch[2] == "fresh"
+    # ... while a SAME-lineage replay of that batch id is still skipped
+    head = sink2.refs()["branches"]["audit"]["snapshot"]
+    sink2.stage_batch("audit", _batch(spark, [(2, "replay", "u", 3)]), 0)
+    assert sink2.refs()["branches"]["audit"]["snapshot"] == head
+    assert _vals(sink2.table_at_ref(spark, "audit"))[2] == "fresh"
+
+
+def test_reservation_upgrade_fence_single_winner(spark, seeded):
+    """Upgrading the lane reservation into a staged claim is fenced by
+    an O_EXCL marker: a concurrent upgrader fails fast instead of
+    interleaving data under the same v=N dir; the writer's OWN
+    interrupted upgrade (marker content matches) completes
+    idempotently; publish releases the marker with the claims."""
+    sink = seeded
+    sink.create_branch("audit")
+    marker = sink._upgrade_marker_path(1)
+    # a concurrent first staged writer holds the upgrade marker
+    with open(marker, "w") as f:
+        f.write("other-ckpt@wap:audit:0")
+    with pytest.raises(ConcurrentCommitError, match="upgraded"):
+        sink.stage_batch("audit", _batch(spark, [(1, "x", "u", 1)]), 1)
+    # unchanged: reservation intact, nothing staged
+    assert sink.refs()["branches"]["audit"]["snapshot"] == 0
+    # our OWN interrupted upgrade (content matches what this writer
+    # would fence with) completes idempotently
+    with open(marker, "w") as f:
+        f.write("@wap:audit:1")
+    sink.stage_batch("audit", _batch(spark, [(1, "mine", "u", 1)]), 1)
+    assert _vals(sink.table_at_ref(spark, "audit"))[1] == "mine"
+    sink.publish_branch("audit")
+    assert not os.path.exists(marker)
+    assert _vals(sink.current_table(spark))[1] == "mine"
