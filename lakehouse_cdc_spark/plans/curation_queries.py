@@ -160,6 +160,7 @@ _CONTAM_MAX_DF = 3
 
 @register(
     "contamination_ngram_overlap",
+    bench=True,
     oracle=f"""
     WITH {_sh_cte_n(_CONTAM_N)},
     ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 1),

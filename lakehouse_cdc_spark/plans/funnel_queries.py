@@ -1860,6 +1860,7 @@ _FS_LOOKBACK_US = 7 * 86_400_000_000
 
 @register(
     "events_feature_snapshot_pit",
+    bench=True,
     oracle=f"""
     WITH seq AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,

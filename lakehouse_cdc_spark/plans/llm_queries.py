@@ -2670,6 +2670,7 @@ def _sweep_cfg_sql(tag: str, bands: int, rows: int) -> str:
 
 @register(
     "dedup_lsh_parameter_sweep",
+    bench=True,
     oracle=f"""
     WITH {_SH_CTE},
     sig AS (SELECT doc_id,

@@ -460,7 +460,6 @@ _BODY_SPARK = _body_sql("STRING")  # Spark form
 
 @register(
     "text_pii_redaction",
-    bench=True,
     oracle=f"""
     WITH body AS (SELECT doc_id, {_BODY_SQL} AS body FROM documents),
     red AS (SELECT doc_id, body,

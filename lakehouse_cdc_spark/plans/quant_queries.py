@@ -185,7 +185,6 @@ def _srp_oracle() -> str:
 
 @register(
     "emb_srp_signatures",
-    bench=True,
     oracle=_srp_oracle(),
     tags=("llm", "embedding", "lsh", "ann"),
 )

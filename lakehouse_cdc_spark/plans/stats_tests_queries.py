@@ -94,6 +94,7 @@ def _with_cumulative(counts, cols):
 
 @register(
     "stats_ks_two_sample",
+    bench=True,
     oracle=f"""
     WITH vals AS (
       SELECT {_ARM_DUCK} AS arm,

@@ -233,7 +233,6 @@ def cdc_incremental_agg(spark, sf_dir):
       ON abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
     GROUP BY 1
     """,
-    bench=True,
     tags=("join", "range", "temporal", "bucketed"),
 )
 def join_range_bucketed(spark, sf_dir):

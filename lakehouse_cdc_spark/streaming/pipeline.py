@@ -347,7 +347,11 @@ class SnapshotUpsertSink:
         return f"{self.lineage or ''}" + (f"@wap:{branch}" if branch else "")
 
     def _claim(
-        self, new_snap: int, batch_id: int | None, branch: str | None = None
+        self,
+        new_snap: int,
+        batch_id: int | None,
+        branch: str | None = None,
+        expected_head: int | None = None,
     ) -> None:
         """CAS-style writer fence: exclusively create ``v=N.claim``
         BEFORE any snapshot data is written.  Exactly one writer can
@@ -450,11 +454,18 @@ class SnapshotUpsertSink:
             f.write(f"{owner_str}:{'' if batch_id is None else batch_id}")
         if branch is None:
             cur = self.committed_snapshot()
+            base_ok = (cur is None and new_snap == 0) or cur == new_snap - 1
         else:
             # a staged commit's base is the BRANCH head, not the main
-            # pointer (which stays put until publish)
+            # pointer (which stays put until publish).  Staged numbers
+            # interleave across branches, so contiguity with the head
+            # is NOT required — what must still hold is that the head
+            # this writer merged from is still the head (per-branch
+            # single-writer sequencing), and that the number is new.
             cur = (self.refs()["branches"].get(branch) or {}).get("snapshot")
-        base_ok = (cur is None and new_snap == 0) or cur == new_snap - 1
+            base_ok = cur == expected_head and (
+                expected_head is None or new_snap > expected_head
+            )
         if not base_ok:
             self._release_claim(new_snap)
             raise ConcurrentCommitError(
@@ -499,7 +510,11 @@ class SnapshotUpsertSink:
             # - the branch is gone: orphan claim — full cleanup.
             branch = claim_owner.rpartition("@wap:")[2]
             b = self.refs()["branches"].get(branch)
-            if b is not None and b.get("snapshot", -1) >= cand:
+            if b is not None and cand in {
+                int(s) for s in (b.get("snaps") or [])
+            }:
+                # a RECORDED staged snapshot of a live unpublished
+                # branch — leave it alone
                 return None
             had_debris = os.path.isdir(
                 self._snapshot_path(cand)
@@ -608,13 +623,18 @@ class SnapshotUpsertSink:
             new_manifest["zones"] = zones
         # fence FIRST: if another writer already advanced the pointer,
         # fail before touching the manifest — replacing it afterwards
-        # would leave the committed pointer describing the loser's map
-        cur_snap = self.committed_snapshot()
-        if cur_snap is not None and cur_snap >= new_snap:
-            raise RuntimeError(
-                f"commit fence violated: pointer already at {cur_snap}, "
-                f"refusing to move it back to {new_snap}"
-            )
+        # would leave the committed pointer describing the loser's map.
+        # Staged (branch) commits skip this check: their numbers
+        # interleave with other branches', so a concurrent publish can
+        # legitimately move the main pointer past a staged number —
+        # the claim + expected-head verification already fenced them.
+        if branch is None:
+            cur_snap = self.committed_snapshot()
+            if cur_snap is not None and cur_snap >= new_snap:
+                raise RuntimeError(
+                    f"commit fence violated: pointer already at "
+                    f"{cur_snap}, refusing to move it back to {new_snap}"
+                )
         mtmp = self._manifest_path(new_snap) + ".tmp"
         with open(mtmp, "w") as f:
             json.dump(new_manifest, f)
@@ -634,6 +654,10 @@ class SnapshotUpsertSink:
                 )
             refs["branches"][branch]["snapshot"] = new_snap
             refs["branches"][branch]["batch"] = batch_id
+            refs["branches"][branch]["snaps"] = sorted(
+                set(refs["branches"][branch].get("snaps") or [])
+                | {new_snap}
+            )
             # record the STAGING LINEAGE alongside the batch id: the
             # branch replay guard (stage_batch) must skip only replays
             # of the same checkpoint lineage, exactly like the main
@@ -989,7 +1013,9 @@ class SnapshotUpsertSink:
     def refs(self) -> dict:
         """Named refs document: ``{"tags": {name: snapshot},
         "branches": {name: {"base": int, "snapshot": int (head),
-        "batch": int|None}}}``."""
+        "batch": int|None, "lineage": str, "snaps": [int] (staged
+        snapshot numbers, ascending — interleaved across branches),
+        "reserved": int (the lane number create_branch claimed)}}}``."""
         try:
             with open(self._refs_path()) as f:
                 doc = json.load(f)
@@ -997,6 +1023,15 @@ class SnapshotUpsertSink:
             doc = {}
         doc.setdefault("tags", {})
         doc.setdefault("branches", {})
+        for b in doc["branches"].values():
+            # legacy single-lane branch refs: staged snapshots were the
+            # contiguous base+1..head range and the reservation base+1
+            if "snaps" not in b:
+                b["snaps"] = list(
+                    range(int(b["base"]) + 1, int(b["snapshot"]) + 1)
+                )
+            if "reserved" not in b:
+                b["reserved"] = int(b["base"]) + 1
         return doc
 
     def _write_refs(self, doc: dict) -> None:
@@ -1058,14 +1093,40 @@ class SnapshotUpsertSink:
             F.col(self.op_col) != "d"
         )
 
+    def _next_lane_number(self, refs: dict) -> int:
+        """Deterministic allocator for the next free snapshot number,
+        computed ONLY from the committed pointer and the refs document
+        (every branch's head, staged list, and reservation).  Staged
+        snapshots of concurrent branches INTERLEAVE in one global
+        number sequence; determinism is what makes the allocation
+        safe: two allocators reading the same state compute the same
+        candidate, collide on the same O_EXCL claim file, and exactly
+        one proceeds — the loser retries after the winner's ref update
+        lands (Iceberg's optimistic commit-retry, file-system
+        edition)."""
+        cur = self.committed_snapshot()
+        top = -1 if cur is None else cur
+        for b in refs["branches"].values():
+            top = max(
+                top,
+                int(b["snapshot"]),
+                int(b.get("reserved") or -1),
+                *(int(s) for s in (b.get("snaps") or [-1])),
+            )
+        return top + 1
+
     def create_branch(self, name: str, from_snapshot: int | None = None) -> int:
         """Open a write-audit-publish branch at ``from_snapshot``
-        (default: the committed pointer).  While the branch holds
-        staged snapshots, the snapshot-number lane is reserved (claim
-        files), so a concurrent MAIN writer fails fast with
-        ConcurrentCommitError until publish/abort — the deliberate
-        freeze-lane semantics of this single-lane WAP (Iceberg's
-        multi-branch merge/rebase is out of scope)."""
+        (default: the committed pointer).  Any number of branches may
+        stage CONCURRENTLY: each stages durable snapshots at
+        interleaved lane numbers, invisible to main until its own
+        publish.  While the first branch's reservation sits at
+        main+1 the main lane is frozen (a concurrent main writer
+        fails fast); once publishes interleave, conflicts are resolved
+        optimistically at publish time — disjoint rewritten key-hash
+        buckets fast-forward or rebase cleanly, overlapping buckets
+        raise (abort and restage), Iceberg's file-level conflict
+        model applied to buckets."""
         base = self.committed_snapshot() if from_snapshot is None else from_snapshot
         if base is None or self._read_manifest(base) is None:
             raise ValueError(
@@ -1081,18 +1142,27 @@ class SnapshotUpsertSink:
                 f"({self.committed_snapshot()}), not {base}: the lane "
                 "reservation below is what keeps staging safe"
             )
-        refs["branches"][name] = {"base": base, "snapshot": base, "batch": None}
+        # RESERVE a snapshot-number lane immediately (claim with an
+        # empty batch id): without this, a main commit could land on
+        # the number between create_branch and the first stage_batch,
+        # and the stage's overwrite-mode write would then trample the
+        # committed snapshot's directory.  The first stage_batch
+        # upgrades the reservation in place; publish/abort release it.
+        refs["branches"][name] = {
+            "base": base,
+            "snapshot": base,
+            "batch": None,
+            "snaps": [],
+            "reserved": None,
+        }
+        reserved = self._next_lane_number(refs)
+        refs["branches"][name]["reserved"] = reserved
         self._write_refs(refs)
-        # RESERVE the snapshot lane immediately (claim at base+1 with
-        # an empty batch id): without this, a main commit could land
-        # base+1 between create_branch and the first stage_batch, and
-        # the stage's overwrite-mode write would then trample the
-        # committed snapshot's directory.  stage_batch upgrades the
-        # reservation in place; publish/abort release it.
         try:
-            self._claim(base + 1, None, branch=name)
+            self._claim(reserved, None, branch=name, expected_head=base)
         except ConcurrentCommitError:
-            del refs["branches"][name]
+            refs = self.refs()
+            refs["branches"].pop(name, None)
             self._write_refs(refs)
             raise
         return base
@@ -1145,65 +1215,289 @@ class SnapshotUpsertSink:
             branch=branch,
         )
 
+    @staticmethod
+    def _changed_buckets(m_from: dict, m_to: dict) -> set:
+        """Bucket ids whose manifest entry differs between two
+        snapshots — the conflict granularity of concurrent commits
+        (key-hash buckets partition the key space, so disjoint bucket
+        sets touch disjoint keys)."""
+        a, c = m_from["buckets"], m_to["buckets"]
+        return {k for k in set(a) | set(c) if a.get(k) != c.get(k)}
+
     def publish_branch(self, branch: str) -> int:
-        """The PUBLISH of write-audit-publish: fast-forward the main
-        pointer to the branch head in one atomic pointer rename — the
-        staged snapshots (already durable, manifest-complete history)
-        become the committed chain, the reserved claims release, and
-        the branch ref disappears.  Exactly-once carries over: the
-        pointer takes the head manifest's recorded lineage/batch, so
-        a replay of a published staged batch is skipped by the same
-        guard as any committed batch.  Idempotent after a crash
-        between pointer and ref cleanup."""
+        """The PUBLISH of write-audit-publish.  Three arms:
+
+        - main still at the branch's base → FAST-FORWARD the pointer to
+          the branch head in one atomic rename (the staged snapshots,
+          already durable manifest-complete history, become the
+          committed chain);
+        - main moved (a concurrent branch published, or the lane
+          unfroze and a main batch landed) → REBASE: if the buckets
+          this branch rewrote are disjoint from the buckets main
+          changed since the base, commit a manifest-only snapshot that
+          grafts the staged bucket files onto the current main
+          manifest — no data moves; overlapping buckets raise
+          ConcurrentCommitError (abort and restage) — Iceberg's
+          optimistic file-level conflict model at bucket granularity;
+        - crash-replay (pointer already carries the staged buckets) →
+          skip straight to cleanup.
+
+        Exactly-once carries over on every arm: the pointer takes the
+        branch head manifest's recorded lineage/batch, so a replay of
+        a published staged batch is skipped by the same guard as any
+        committed batch.  Idempotent after a crash between pointer and
+        ref cleanup."""
         refs = self.refs()
         b = refs["branches"].get(branch)
         if b is None:
             raise KeyError(f"unknown branch {branch!r}")
         head, base = b["snapshot"], b["base"]
+        snaps = [int(s) for s in (b.get("snaps") or [])]
         cur = self.committed_snapshot()
-        if head != base and cur not in (base, head):
-            raise ConcurrentCommitError(
-                f"branch {branch!r} staged from base {base} but main "
-                f"moved to {cur}; abort and restage"
-            )
-        if head != base and cur != head:  # not a crash-replay of publish
+        if head == base:
+            pass  # nothing staged: publishing just drops the ref
+        elif cur == head:
+            pass  # crash-replay of a completed fast-forward publish
+        elif cur == base:
             m = self._read_manifest(head)
             self._publish_pointer(
-                m.get("committed_lineage") or None, m["committed_batch"], head
+                m.get("committed_lineage") or None,
+                m["committed_batch"],
+                head,
             )
-        for s in range(base + 1, head + 1):
+        else:
+            main_m = self._read_manifest(cur)
+            nxt_m = self._read_manifest(cur + 1)
+
+            def _marked(m):
+                r = (m or {}).get("rebase_of") or {}
+                return r.get("branch") == branch and r.get("base") == base
+
+            if _marked(main_m) or (
+                main_m is not None
+                and set(snaps)
+                & {int(s) for s in main_m["buckets"].values()}
+            ):
+                # crash-replay of a completed REBASE publish: the
+                # committed manifest is (or references) our merged
+                # result — only the cleanup below remains
+                head = cur
+            elif _marked(nxt_m):
+                # the merged manifest landed but the pointer rename
+                # didn't: roll the rebase forward (the merge may have
+                # overwritten the branch-head manifest in place, so it
+                # must not be recomputed from the head)
+                self._publish_pointer(
+                    nxt_m.get("committed_lineage") or None,
+                    nxt_m["committed_batch"],
+                    cur + 1,
+                )
+                head = cur + 1
+            else:
+                head = self._rebase_publish(
+                    branch,
+                    base,
+                    self._read_manifest(base),
+                    self._read_manifest(head),
+                    main_m,
+                    cur,
+                    set(snaps),
+                )
+        for s in snaps:
             self._release_claim(s)
-        # release the lane reservation / a crashed in-flight stage one
-        # past the head (its data was never recorded in any ref)
-        self._drop_branch_claim(branch, head + 1)
-        del refs["branches"][branch]
+        # release the lane reservation and any stage that crashed
+        # before its ref update (data never recorded in any ref)
+        self._drop_branch_claim(branch, recorded=set(snaps))
+        refs = self.refs()
+        refs["branches"].pop(branch, None)
         self._write_refs(refs)
         return head
 
-    def _drop_branch_claim(self, branch: str, snap: int) -> None:
-        """Remove the claim at ``snap`` iff this branch owns it (a lane
-        reservation or a stage that died before its ref update), along
-        with any unrecorded data/manifest it protected."""
-        path = self._claim_path(snap)
-        if not os.path.exists(path):
-            return
-        try:
-            with open(path) as f:
-                owner = f.read().rpartition(":")[0]
-        except FileNotFoundError:
-            return
-        if not owner.endswith(f"@wap:{branch}"):
-            return
-        shutil.rmtree(self._snapshot_path(snap), ignore_errors=True)
-        for p in (
-            self._manifest_path(snap),
-            path,
-            self._upgrade_marker_path(snap),
-        ):
+    def _rebase_publish(
+        self,
+        branch: str,
+        base: int,
+        base_m,
+        head_m,
+        main_m,
+        cur: int,
+        snaps: set,
+    ) -> int:
+        """Graft a staged branch onto a moved main: verify the staged
+        bucket set is disjoint from what main changed since the base,
+        then commit a MANIFEST-ONLY snapshot at ``cur+1`` whose bucket
+        map is main's with the staged buckets' entries substituted in.
+        The staged data files stay where they were written — at 100 TB
+        a publish is a metadata operation, never a data copy."""
+        if base_m is None or head_m is None or main_m is None:
+            raise ConcurrentCommitError(
+                f"branch {branch!r} cannot rebase: a required manifest "
+                "(base/head/main) is missing — abort and restage"
+            )
+        if head_m["n_buckets"] != main_m["n_buckets"]:
+            raise ConcurrentCommitError(
+                f"branch {branch!r} staged under {head_m['n_buckets']} "
+                f"buckets but main now has {main_m['n_buckets']} "
+                "(rebucketed during staging); abort and restage"
+            )
+        if main_m.get("deltas"):
+            raise ConcurrentCommitError(
+                "main holds unfolded merge-on-read deltas (bucket "
+                "ownership of their rows is unresolved); fold_deltas() "
+                "before publishing a staged branch onto the moved base"
+            )
+        ours = self._changed_buckets(base_m, head_m)
+        theirs = self._changed_buckets(base_m, main_m)
+        clash = sorted(ours & theirs)
+        if clash:
+            raise ConcurrentCommitError(
+                f"branch {branch!r} staged buckets {clash} that main "
+                f"also rewrote since the branch base; abort and restage"
+            )
+        new_snap = cur + 1
+        # the number after main's head must be ours to commit.  If it
+        # is one of OUR staged snapshots we already hold its claim (its
+        # branch manifest is superseded by the merged one below); if a
+        # concurrent branch staged there, ITS publish will use it —
+        # retry after that branch publishes or aborts.
+        if new_snap not in snaps:
+            self._claim(new_snap, head_m["committed_batch"])
+        buckets = dict(main_m["buckets"])
+        for bk in ours:
+            if bk in head_m["buckets"]:
+                buckets[bk] = head_m["buckets"][bk]
+            else:
+                buckets.pop(bk, None)
+        merged = {
+            "n_buckets": main_m["n_buckets"],
+            "buckets": buckets,
+            "committed_lineage": head_m.get("committed_lineage") or "",
+            "committed_batch": head_m["committed_batch"],
+            # marks this manifest as a rebase merge so a crashed
+            # publish is detected by marker, not recomputation (the
+            # merge may overwrite the branch-head manifest in place
+            # when the lane number is reused)
+            "rebase_of": {"branch": branch, "base": base},
+        }
+        # watermark: GC only ever advances it — take the max (ISO
+        # strings of one format compare lexicographically); extra
+        # not-yet-GC'd tombstones in the staged buckets are harmless
+        wms = [
+            w
+            for w in (main_m.get("gc_watermark"), head_m.get("gc_watermark"))
+            if w is not None
+        ]
+        if wms:
+            merged["gc_watermark"] = max(wms)
+        schema = self._merge_schema_json(
+            main_m.get("schema"), head_m.get("schema")
+        )
+        if schema is not None:
+            merged["schema"] = schema
+        blooms = self._merge_bucket_stats(
+            main_m.get("blooms"), head_m.get("blooms"), ours, nested="cols"
+        )
+        if blooms is not None:
+            merged["blooms"] = blooms
+        zones = self._merge_bucket_stats(
+            main_m.get("zones"), head_m.get("zones"), ours
+        )
+        if zones is not None:
+            merged["zones"] = zones
+        mtmp = self._manifest_path(new_snap) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(merged, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, self._manifest_path(new_snap))
+        self._publish_pointer(
+            merged["committed_lineage"] or None,
+            merged["committed_batch"],
+            new_snap,
+        )
+        self._release_claim(new_snap)
+        return new_snap
+
+    @staticmethod
+    def _merge_schema_json(a: str | None, b: str | None) -> str | None:
+        """Union two tracked state schemas for a rebase publish; None
+        (fall back to mergeSchema reads) when either side is untracked
+        or a type collision isn't safely widenable."""
+        if a is None or b is None:
+            return None
+
+        from pyspark.sql import types as T
+
+        return _union_schema_json(a, T.StructType.fromJson(json.loads(b)))
+
+    @staticmethod
+    def _merge_bucket_stats(main_doc, head_doc, ours: set, nested=None):
+        """Per-bucket manifest statistics (blooms/zones) for a rebase:
+        main's entries for untouched buckets, the branch head's for the
+        staged buckets.  Bloom parameter mismatch drops the doc — the
+        stats are pruning hints, never correctness."""
+        if main_doc is None and head_doc is None:
+            return None
+        if nested == "cols":  # blooms: {"bits","hashes","cols":{...}}
+            if main_doc is None or head_doc is None:
+                return main_doc or head_doc
+            if main_doc.get("bits") != head_doc.get("bits") or main_doc.get(
+                "hashes"
+            ) != head_doc.get("hashes"):
+                return None
+            cols = {c: dict(m) for c, m in (main_doc.get("cols") or {}).items()}
+            for c, m in (head_doc.get("cols") or {}).items():
+                tgt = cols.setdefault(c, {})
+                for bk in ours:
+                    if bk in m:
+                        tgt[bk] = m[bk]
+                    else:
+                        tgt.pop(bk, None)
+            return dict(main_doc, cols={c: m for c, m in cols.items() if m})
+        # zones: {col: {bucket: [lo, hi]}}
+        cols = {c: dict(m) for c, m in (main_doc or {}).items()}
+        for c, m in (head_doc or {}).items():
+            tgt = cols.setdefault(c, {})
+            for bk in ours:
+                if bk in m:
+                    tgt[bk] = m[bk]
+                else:
+                    tgt.pop(bk, None)
+        return {c: m for c, m in cols.items() if m} or None
+
+    def _drop_branch_claim(
+        self, branch: str, recorded: set | None = None
+    ) -> None:
+        """Remove every claim this branch owns that is NOT a recorded
+        staged snapshot (the lane reservation, or a stage that died
+        before its ref update), along with any unrecorded
+        data/manifest the claim protected."""
+        recorded = recorded or set()
+        for fn in os.listdir(self.target_dir):
+            if not (fn.startswith("v=") and fn.endswith(".claim")):
+                continue
+            num = fn[2 : -len(".claim")]
+            if not num.isdigit() or int(num) in recorded:
+                continue
+            snap = int(num)
+            path = self._claim_path(snap)
             try:
-                os.unlink(p)
+                with open(path) as f:
+                    owner = f.read().rpartition(":")[0]
             except FileNotFoundError:
-                pass
+                continue
+            if not owner.endswith(f"@wap:{branch}"):
+                continue
+            shutil.rmtree(self._snapshot_path(snap), ignore_errors=True)
+            for p in (
+                self._manifest_path(snap),
+                path,
+                self._upgrade_marker_path(snap),
+            ):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
 
     def abort_branch(self, branch: str) -> int:
         """The no-PUBLISH arm: drop every staged snapshot (data dirs,
@@ -1214,13 +1508,28 @@ class SnapshotUpsertSink:
         if b is None:
             raise KeyError(f"unknown branch {branch!r}")
         head, base = b["snapshot"], b["base"]
-        if head != base and self.committed_snapshot() == head:
+        snaps = [int(s) for s in (b.get("snaps") or [])]
+        cur = self.committed_snapshot()
+        if head != base and cur == head:
             raise ValueError(
                 f"branch {branch!r} head {head} is the committed snapshot "
                 "(already published); refusing to delete committed data"
             )
+        # a crashed rebase publish may already have grafted the staged
+        # bucket files into the committed manifest — deleting them
+        # would corrupt main
+        cur_m = self._read_manifest(cur) if cur is not None else None
+        if cur_m is not None and set(snaps) & {
+            int(s) for s in cur_m["buckets"].values()
+        }:
+            raise ValueError(
+                f"branch {branch!r} staged files are referenced by the "
+                "committed manifest (published via rebase); refusing to "
+                "delete committed data — call publish_branch to finish "
+                "the cleanup"
+            )
         discarded = 0
-        for s in range(base + 1, head + 1):
+        for s in snaps:
             shutil.rmtree(self._snapshot_path(s), ignore_errors=True)
             try:
                 os.unlink(self._manifest_path(s))
@@ -1228,12 +1537,46 @@ class SnapshotUpsertSink:
                 pass
             self._release_claim(s)
             discarded += 1
-        # the lane reservation / a stage that crashed between manifest
-        # and ref update sits one past the recorded head — ours to drop
-        self._drop_branch_claim(branch, head + 1)
-        del refs["branches"][branch]
+        # the lane reservation and any stage that crashed before its
+        # ref update — ours to drop
+        self._drop_branch_claim(branch, recorded=set(snaps))
+        # a publish that crashed mid-REBASE may have left an unpointed
+        # merged manifest (+ a main-lane claim) for this branch; it
+        # must go with the staged data it references, or a later
+        # recover_interrupted_commit would roll the pointer forward
+        # onto deleted files
+        self._drop_crashed_rebase(branch)
+        refs = self.refs()
+        refs["branches"].pop(branch, None)
         self._write_refs(refs)
         return discarded
+
+    def _drop_crashed_rebase(self, branch: str) -> None:
+        """Delete any UNPOINTED rebase-merge manifest this branch left
+        behind (marker ``rebase_of.branch``), plus the main-lane claim
+        its crashed publish held."""
+        cur = self.committed_snapshot()
+        for fn in os.listdir(self.target_dir):
+            if not (fn.startswith("_MANIFEST_") and fn.endswith(".json")):
+                continue
+            num = fn[len("_MANIFEST_") : -len(".json")]
+            if not num.isdigit():
+                continue
+            snap = int(num)
+            if cur is not None and snap <= cur:
+                continue  # committed chain: never touch
+            try:
+                with open(os.path.join(self.target_dir, fn)) as f:
+                    m = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if ((m.get("rebase_of") or {}).get("branch")) != branch:
+                continue
+            try:
+                os.unlink(os.path.join(self.target_dir, fn))
+            except FileNotFoundError:
+                pass
+            self._release_claim(snap)
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
         """Full state incl. delete tombstones (one row per ever-seen key)
@@ -1677,10 +2020,30 @@ class SnapshotUpsertSink:
                     ]
                     merged = merged.observe(bloom_obs, *aggs)
 
-            new_snap = (committed_snap if committed_snap is not None else -1) + 1
+            if branch is None:
+                new_snap = (
+                    committed_snap if committed_snap is not None else -1
+                ) + 1
+            else:
+                # staged snapshots take interleaved lane numbers: the
+                # first stage consumes the branch's reservation (claim
+                # upgraded in place below); later stages take the next
+                # free number from the deterministic allocator
+                b_ref = self.refs()["branches"][branch]
+                new_snap = (
+                    int(b_ref["reserved"])
+                    if not b_ref.get("snaps")
+                    and b_ref.get("reserved") is not None
+                    else self._next_lane_number(self.refs())
+                )
             # writer fence, before data (branch stages fence on the
             # branch head instead of the pointer)
-            self._claim(new_snap, claim_batch_id, branch=branch)
+            self._claim(
+                new_snap,
+                claim_batch_id,
+                branch=branch,
+                expected_head=committed_snap if branch is not None else None,
+            )
             snap_dir = self._snapshot_path(new_snap)
             # data first (always a fresh directory — never one being
             # read); static overwrite truncates any orphan files a

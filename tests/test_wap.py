@@ -488,3 +488,269 @@ def test_reservation_upgrade_fence_single_winner(spark, seeded):
     sink.publish_branch("audit")
     assert not os.path.exists(marker)
     assert _vals(sink.current_table(spark))[1] == "mine"
+
+
+# --- multi-branch concurrent staging (round 10) -----------------------
+
+
+def _bucket_of(spark, k, n=4):
+    """Spark's key-hash bucket for key k — to build bucket-disjoint
+    staged batches deterministically."""
+    return spark.range(1).select(
+        F.pmod(F.hash(F.lit(k).cast("long")), F.lit(n))
+    ).collect()[0][0]
+
+
+def test_two_branches_stage_and_publish_disjoint_buckets(spark, seeded):
+    """Two branches stage CONCURRENTLY from the same base; each sees
+    only its own staged state; main sees neither.  The first publish
+    fast-forwards; the second lands via REBASE because its rewritten
+    key-hash buckets are disjoint from the first's — final main is
+    base + both branches' changes, and no staged data file moved."""
+    sink = seeded
+    buckets = {k: _bucket_of(spark, k) for k in range(10)}
+    lo = [k for k in range(10) if buckets[k] in (0, 1)]
+    hi = [k for k in range(10) if buckets[k] in (2, 3)]
+    assert lo and hi, "need keys on both bucket halves"
+    sink.create_branch("a")
+    sink.create_branch("b")
+    sink.stage_batch(
+        "a", _batch(spark, [(k, f"A{k}", "u", 1) for k in lo]), 1
+    )
+    sink.stage_batch(
+        "b", _batch(spark, [(k, f"B{k}", "u", 1) for k in hi]), 1
+    )
+    # isolation: each branch sees its own changes only; main sees none
+    va = _vals(sink.table_at_ref(spark, "a"))
+    vb = _vals(sink.table_at_ref(spark, "b"))
+    assert all(va[k] == f"A{k}" for k in lo)
+    assert all(va[k] == f"v{k}" for k in hi)
+    assert all(vb[k] == f"B{k}" for k in hi)
+    assert all(vb[k] == f"v{k}" for k in lo)
+    assert _vals(sink.current_table(spark)) == {
+        k: f"v{k}" for k in range(10)
+    }
+    # publish a: fast-forward (main still at the base)
+    sink.publish_branch("a")
+    got = _vals(sink.current_table(spark))
+    assert all(got[k] == f"A{k}" for k in lo)
+    # publish b: main moved, buckets disjoint → rebase (manifest-only)
+    sink.publish_branch("b")
+    got = _vals(sink.current_table(spark))
+    assert all(got[k] == f"A{k}" for k in lo)
+    assert all(got[k] == f"B{k}" for k in hi)
+    assert not sink.refs()["branches"]
+    # lane fully released: a fresh main batch commits
+    sink.process_batch(_batch(spark, [(0, "post", "u", 9)]), 9)
+    assert _vals(sink.current_table(spark))[0] == "post"
+
+
+def test_two_branches_overlapping_buckets_conflict(spark, seeded):
+    """Both branches rewrite the SAME key (same bucket): the second
+    publish must raise instead of silently dropping either change;
+    abort + restage from the new base resolves it."""
+    sink = seeded
+    sink.create_branch("a")
+    sink.create_branch("b")
+    sink.stage_batch("a", _batch(spark, [(3, "fromA", "u", 1)]), 1)
+    sink.stage_batch("b", _batch(spark, [(3, "fromB", "u", 1)]), 1)
+    sink.publish_branch("a")
+    with pytest.raises(ConcurrentCommitError, match="also rewrote"):
+        sink.publish_branch("b")
+    # conflict resolution: abort, restage on the new base, publish
+    sink.abort_branch("b")
+    sink.create_branch("b2")
+    sink.stage_batch("b2", _batch(spark, [(3, "fromB", "u", 2)]), 2)
+    sink.publish_branch("b2")
+    assert _vals(sink.current_table(spark))[3] == "fromB"
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_random_two_writer_wap_walk_matches_model(spark, seed):
+    """TWO staged writers walk random interleavings of stage, publish,
+    abort, and main commits, checked after every step against a pure
+    model.  Publishes may fast-forward or rebase; bucket-overlap
+    conflicts raise and must leave every lane's state unchanged; main
+    commits may be frozen (reservation at main+1) or succeed once the
+    lane unfroze — whichever happens, the observed tables must match
+    the model's account of it."""
+    import random
+
+    rng = random.Random(seed)
+    sink = _mk_sink()
+    model_main: dict[int, str] = {}
+    batch_id = 0
+    # per-branch: base snapshot's model + key-level delta since base
+    branches: dict[str, dict] = {}
+
+    def commit_main_attempt():
+        nonlocal batch_id
+        rows = []
+        for _ in range(rng.randrange(1, 3)):
+            k = rng.randrange(0, 12)
+            rows.append((k, f"m{batch_id}k{k}", "u", batch_id))
+        rows = list({r[0]: r for r in rows}.values())
+        try:
+            sink.process_batch(_batch(spark, rows), batch_id)
+        except ConcurrentCommitError:
+            return  # lane frozen: state must be unchanged
+        for k, v, _, _ in rows:
+            model_main[k] = v
+        batch_id += 1
+
+    sink.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(8)]), 0
+    )
+    model_main = {i: f"v{i}" for i in range(8)}
+    batch_id = 1
+
+    for step in range(18):
+        ops = ["main", "recover"]
+        for name in ("x", "y"):
+            if name in branches:
+                ops += [f"stage:{name}", f"publish:{name}", f"abort:{name}"]
+            else:
+                ops += [f"open:{name}"]
+        op = rng.choice(ops)
+        if op == "main":
+            commit_main_attempt()
+        elif op == "recover":
+            assert sink.recover_interrupted_commit() is None
+        elif op.startswith("open:"):
+            name = op[5:]
+            sink.create_branch(name)
+            branches[name] = {"base": dict(model_main), "delta": {}}
+        elif op.startswith("stage:"):
+            name = op[6:]
+            rows = []
+            for _ in range(rng.randrange(1, 3)):
+                k = rng.randrange(0, 12)
+                rows.append((k, f"{name}{batch_id}k{k}", "u", batch_id))
+            rows = list({r[0]: r for r in rows}.values())
+            sink.stage_batch(name, _batch(spark, rows), batch_id)
+            for k, v, _, _ in rows:
+                branches[name]["delta"][k] = v
+            batch_id += 1
+        elif op.startswith("publish:"):
+            name = op[8:]
+            try:
+                sink.publish_branch(name)
+            except ConcurrentCommitError:
+                pass  # bucket overlap with a concurrent commit: no-op
+            else:
+                model_main.update(branches[name]["delta"])
+                del branches[name]
+        elif op.startswith("abort:"):
+            name = op[6:]
+            sink.abort_branch(name)
+            del branches[name]
+        # invariants after EVERY step
+        assert _vals(sink.current_table(spark)) == model_main, op
+        for name, st in branches.items():
+            want = dict(st["base"])
+            want.update(st["delta"])
+            assert _vals(sink.table_at_ref(spark, name)) == want, (
+                f"{op}: branch {name} drifted"
+            )
+
+
+# --- torn-commit chaos: kill between manifest write and pointer move --
+
+
+def _crash_pointer_once(sink):
+    """Monkeypatch _publish_pointer to die on its next call — the
+    torn-commit window between the durable manifest and the pointer
+    rename that recovery must tolerate at every write site."""
+    real = sink._publish_pointer
+
+    def dying(*a, **kw):
+        sink._publish_pointer = real
+        raise RuntimeError("injected crash before pointer rename")
+
+    sink._publish_pointer = dying
+    return real
+
+
+def test_torn_main_commit_rolls_forward(spark, seeded):
+    """Main batch crash between manifest and pointer: the manifest is
+    complete and durable, so recovery ROLLS FORWARD — the batch is
+    committed exactly once, not lost and not doubled."""
+    sink = seeded
+    _crash_pointer_once(sink)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.process_batch(_batch(spark, [(3, "torn", "u", 1)]), 1)
+    assert sink.committed_snapshot() == 0  # pointer never moved
+    assert sink.recover_interrupted_commit() == "rolled_forward"
+    assert sink.committed_snapshot() == 1
+    got = _vals(sink.current_table(spark))
+    assert got[3] == "torn" and got[0] == "v0"
+    # the replay of the torn batch is skipped (exactly-once carried
+    # through the manifest's recorded lineage/batch)
+    sink.process_batch(_batch(spark, [(3, "replay", "u", 2)]), 1)
+    assert _vals(sink.current_table(spark))[3] == "torn"
+
+
+def test_torn_fastforward_publish_retries_cleanly(spark, seeded):
+    """publish_branch (fast-forward arm) crash before the pointer
+    rename: main is untouched, the branch is intact, and a retried
+    publish completes with the exact staged state."""
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(5, "staged", "u", 1)]), 1)
+    _crash_pointer_once(sink)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.publish_branch("audit")
+    assert sink.committed_snapshot() == 0
+    assert _vals(sink.current_table(spark))[5] == "v5"
+    assert "audit" in sink.refs()["branches"]
+    sink.publish_branch("audit")  # retry
+    assert _vals(sink.current_table(spark))[5] == "staged"
+    assert not sink.refs()["branches"]
+
+
+def test_torn_rebase_publish_retries_cleanly(spark, seeded):
+    """Rebase-arm crash windows: (a) after the merged manifest is
+    written but before the pointer rename — retry re-merges
+    idempotently; the published table carries BOTH the concurrent
+    main... (here: first branch) changes and the staged ones."""
+    sink = seeded
+    buckets = {k: _bucket_of(spark, k) for k in range(10)}
+    lo = [k for k in range(10) if buckets[k] in (0, 1)]
+    hi = [k for k in range(10) if buckets[k] in (2, 3)]
+    sink.create_branch("a")
+    sink.create_branch("b")
+    sink.stage_batch("a", _batch(spark, [(k, f"A{k}", "u", 1) for k in lo]), 1)
+    sink.stage_batch("b", _batch(spark, [(k, f"B{k}", "u", 1) for k in hi]), 1)
+    sink.publish_branch("a")
+    _crash_pointer_once(sink)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.publish_branch("b")  # rebase arm dies pre-pointer
+    # main still shows only a's changes; b's branch is intact
+    got = _vals(sink.current_table(spark))
+    assert all(got[k] == f"A{k}" for k in lo)
+    assert all(got[k] == f"v{k}" for k in hi)
+    assert "b" in sink.refs()["branches"]
+    sink.publish_branch("b")  # retry completes the rebase
+    got = _vals(sink.current_table(spark))
+    assert all(got[k] == f"A{k}" for k in lo)
+    assert all(got[k] == f"B{k}" for k in hi)
+    assert not sink.refs()["branches"]
+    # recovery on the now-healthy table is a no-op
+    assert sink.recover_interrupted_commit() is None
+
+
+def test_torn_gc_commit_rolls_forward(spark, seeded):
+    """Maintenance writers share the same commit protocol: a torn
+    tombstone-GC commit (manifest durable, pointer not moved) must
+    roll forward to a state-identical snapshot."""
+    sink = seeded
+    sink.process_batch(_batch(spark, [(1, "x", "d", 1)]), 1)
+    before = _vals(sink.current_table(spark))  # key 1 deleted
+    assert 1 not in before
+    _crash_pointer_once(sink)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.gc_tombstones(spark, 100)
+    assert sink.committed_snapshot() == 1
+    assert sink.recover_interrupted_commit() == "rolled_forward"
+    assert sink.committed_snapshot() == 2
+    assert _vals(sink.current_table(spark)) == before
