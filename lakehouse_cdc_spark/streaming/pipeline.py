@@ -1528,6 +1528,13 @@ class SnapshotUpsertSink:
                 "delete committed data — call publish_branch to finish "
                 "the cleanup"
             )
+        # a publish that crashed mid-REBASE may have left an unpointed
+        # merged manifest (+ a main-lane claim) for this branch.  Drop
+        # it FIRST — it references the staged data deleted below, and
+        # an abort that crashes in between must never leave a manifest
+        # that recover_interrupted_commit would roll the pointer
+        # forward onto with its files already gone.
+        self._drop_crashed_rebase(branch)
         discarded = 0
         for s in snaps:
             shutil.rmtree(self._snapshot_path(s), ignore_errors=True)
@@ -1540,12 +1547,6 @@ class SnapshotUpsertSink:
         # the lane reservation and any stage that crashed before its
         # ref update — ours to drop
         self._drop_branch_claim(branch, recorded=set(snaps))
-        # a publish that crashed mid-REBASE may have left an unpointed
-        # merged manifest (+ a main-lane claim) for this branch; it
-        # must go with the staged data it references, or a later
-        # recover_interrupted_commit would roll the pointer forward
-        # onto deleted files
-        self._drop_crashed_rebase(branch)
         refs = self.refs()
         refs["branches"].pop(branch, None)
         self._write_refs(refs)

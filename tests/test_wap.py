@@ -754,3 +754,37 @@ def test_torn_gc_commit_rolls_forward(spark, seeded):
     assert sink.recover_interrupted_commit() == "rolled_forward"
     assert sink.committed_snapshot() == 2
     assert _vals(sink.current_table(spark)) == before
+
+
+def test_abort_after_crashed_rebase_cleans_merge_manifest(spark, seeded):
+    """A publish that crashed mid-rebase leaves an unpointed merged
+    manifest; ABORTING the branch (instead of retrying) must remove it
+    together with the staged data — otherwise recovery would roll the
+    pointer forward onto deleted files."""
+    import json as _json
+
+    sink = seeded
+    buckets = {k: _bucket_of(spark, k) for k in range(10)}
+    lo = [k for k in range(10) if buckets[k] in (0, 1)]
+    hi = [k for k in range(10) if buckets[k] in (2, 3)]
+    sink.create_branch("a")
+    sink.create_branch("b")
+    sink.stage_batch("a", _batch(spark, [(k, f"A{k}", "u", 1) for k in lo]), 1)
+    sink.stage_batch("b", _batch(spark, [(k, f"B{k}", "u", 1) for k in hi]), 1)
+    sink.publish_branch("a")
+    main_before = _vals(sink.current_table(spark))
+    _crash_pointer_once(sink)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.publish_branch("b")
+    sink.abort_branch("b")
+    # no rebase-marked manifest survives anywhere
+    for fn in os.listdir(sink.target_dir):
+        if fn.startswith("_MANIFEST_") and fn.endswith(".json"):
+            with open(os.path.join(sink.target_dir, fn)) as f:
+                assert "rebase_of" not in _json.load(f), fn
+    # recovery finds nothing to do and main is exactly pre-abort
+    assert sink.recover_interrupted_commit() is None
+    assert _vals(sink.current_table(spark)) == main_before
+    # the lane is fully released: a fresh main batch commits
+    sink.process_batch(_batch(spark, [(0, "post", "u", 9)]), 9)
+    assert _vals(sink.current_table(spark))[0] == "post"
