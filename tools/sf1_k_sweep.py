@@ -26,7 +26,10 @@ from lakehouse_cdc_spark.plans.registry import table  # noqa: E402
 from lakehouse_cdc_spark.session import get_spark  # noqa: E402
 
 
-def run(spark, sf_dir: str, k: int):
+def build(spark, sf_dir: str, k: int):
+    """Build the probe pipeline fresh (a NEW DataFrame each call, so
+    timed passes cannot reuse the previous pass's shuffle outputs —
+    same protocol as tools/sf1_profile.py)."""
     emb = table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
@@ -61,12 +64,18 @@ def run(spark, sf_dir: str, k: int):
     out = hits.groupBy("eval_id").agg(
         F.count_if(F.col("cs") >= 0.5).alias("n")
     )
-    out.collect()  # warm
+    return cand, out
+
+
+def run(spark, sf_dir: str, k: int):
+    cand, out = build(spark, sf_dir, k)
+    out.collect()  # warm (codegen, footers)
     pairs = cand.count()
     best = float("inf")
     for _ in range(2):
+        _, fresh = build(spark, sf_dir, k)  # new plan: no shuffle reuse
         t0 = time.perf_counter()
-        out.collect()
+        fresh.collect()
         best = min(best, time.perf_counter() - t0)
     return pairs, round(best, 3)
 
