@@ -594,6 +594,20 @@ class SnapshotUpsertSink:
             "committed_lineage": self.lineage or "",
             "committed_batch": batch_id,
         }
+        # PARENT link: snapshot numbers interleave across concurrently
+        # staged branches, so the committed chain is no longer the
+        # integer sequence — chain walkers (change feed, ledger) follow
+        # parents instead.  Main commits always target committed+1;
+        # staged commits chain on the branch head they merged from.
+        if branch is None:
+            if new_snap > 0:
+                new_manifest["parent"] = new_snap - 1
+        else:
+            b_head = (self.refs()["branches"].get(branch) or {}).get(
+                "snapshot"
+            )
+            if b_head is not None:
+                new_manifest["parent"] = int(b_head)
         if watermark is not None:
             # event-time watermarks arrive as datetime/date: store the
             # ISO string (json-safe); process_batch's late-data filter
@@ -748,6 +762,36 @@ class SnapshotUpsertSink:
     #: additive over ranges: changes(a,c) == changes(a,b) ∪ changes(b,c).
     MAX_COW_DIFFS = 64
 
+    def _chain(self, from_snap: int, to_snap: int) -> list:
+        """COMMITTED-CHAIN snapshots in ``(from_snap, to_snap]`` as
+        ``[(snapshot, manifest), ...]`` ascending, walked by manifest
+        ``parent`` links — with concurrently staged branches the chain
+        is no longer the integer sequence (a fast-forward publish can
+        jump the pointer past another branch's staged numbers, and
+        those staged manifests must never be read as main history).
+        Pre-multi-branch manifests without a parent field fall back to
+        ``s-1`` (their layout was contiguous by construction)."""
+        chain = []
+        s = to_snap
+        while s > from_snap:
+            m = self._read_manifest(s)
+            if m is None:
+                raise ValueError(
+                    f"snapshot {s} has no retained manifest — the "
+                    "change feed for this range is no longer replayable"
+                )
+            chain.append((s, m))
+            p = m.get("parent")
+            s = int(p) if p is not None else s - 1
+        if s != from_snap:
+            raise ValueError(
+                f"snapshot {from_snap} is not an ancestor of {to_snap} "
+                "on the committed chain (it may be another branch's "
+                "staged snapshot); feed ranges must follow the chain"
+            )
+        chain.reverse()
+        return chain
+
     def changes_between(
         self, spark: SparkSession, from_snap: int, to_snap: int
     ) -> DataFrame | None:
@@ -825,16 +869,9 @@ class SnapshotUpsertSink:
                 "manifest — the change feed for this range is no longer "
                 "replayable"
             )
-        for s in range(from_snap + 1, to_snap + 1):
-            manifest = self._read_manifest(s)
-            if manifest is None:
-                raise ValueError(
-                    f"snapshot {s} has no retained manifest — the "
-                    "change feed for this range is no longer replayable"
-                )
-            # carry the previous iteration's manifest instead of
-            # re-reading s-1 from disk each round (halves manifest IO
-            # on long replay ranges)
+        for s, manifest in self._chain(from_snap, to_snap):
+            # the chain walk already read each manifest once; carry the
+            # previous iteration's instead of re-reading from disk
             prev_m, prev = prev, manifest
             deltas = manifest.get("deltas") or []
             prev_deltas = (prev_m or {}).get("deltas") or []
@@ -850,10 +887,17 @@ class SnapshotUpsertSink:
                 # fold commit: rows already emitted by delta commits
                 continue
             else:
+                # changed buckets = entries that differ from the chain
+                # PARENT's (not `at == s`): a normal COW commit rewrites
+                # its buckets under s, but a REBASE publish grafts
+                # buckets that still point at the branch's staged
+                # snapshot numbers — both are changes this commit made
+                # visible on main
+                prev_entries = (prev_m or {}).get("buckets") or {}
                 rewritten = [
                     int(b)
                     for b, at in manifest["buckets"].items()
-                    if at == s
+                    if prev_entries.get(b) != at
                 ]
                 if not rewritten:
                     continue  # watermark-only / empty commit
@@ -870,7 +914,12 @@ class SnapshotUpsertSink:
                     )
                 reader = self._state_reader(spark, manifest.get("schema"))
                 new_state = reader.parquet(
-                    *[self._bucket_path(s, b) for b in rewritten]
+                    *[
+                        self._bucket_path(
+                            int(manifest["buckets"][str(b)]), b
+                        )
+                        for b in rewritten
+                    ]
                 )
                 prev_buckets = (prev_m or {}).get("buckets") or {}
                 if prev_m is not None and prev_m.get(
@@ -1373,6 +1422,9 @@ class SnapshotUpsertSink:
             "buckets": buckets,
             "committed_lineage": head_m.get("committed_lineage") or "",
             "committed_batch": head_m["committed_batch"],
+            # the rebase grafts onto the CURRENT main head — that is
+            # its chain parent (not the branch head it merged in)
+            "parent": cur,
             # marks this manifest as a rebase merge so a crashed
             # publish is detected by marker, not recomputation (the
             # merge may overwrite the branch-head manifest in place
@@ -2339,18 +2391,40 @@ class SnapshotUpsertSink:
         auditing "did batch N land exactly once?" is a ledger filter,
         not a rescan."""
         _, _, committed_snap = self.committed()
+        # the ledger is COMMITTED history: walk the chain by parent
+        # links from the pointer (staged snapshots of live branches
+        # interleave numerically but are not commits).  Retained
+        # manifests below the chain walk's end (an expiry gap pinned
+        # by a tag) keep their legacy numeric-order listing.
+        on_chain: set[int] = set()
+        s = committed_snap
+        while s is not None and s >= 0:
+            m = self._read_manifest(s)
+            if m is None:
+                break  # expired ancestor: chain record ends here
+            on_chain.add(s)
+            p = m.get("parent")
+            s = int(p) if p is not None else s - 1
+        chain_floor = min(on_chain) if on_chain else None
         rows = []
         prev_batch: int | None = None
         prev_lineage: str | None = None
-        for d in sorted(
-            (x for x in os.listdir(self.target_dir)
-             if x.startswith("v=") and x.split("=", 1)[1].isdigit()),
-            key=lambda x: int(x.split("=", 1)[1]),
+        for snap in sorted(
+            int(x[len("_MANIFEST_") : -len(".json")])
+            for x in os.listdir(self.target_dir)
+            if x.startswith("_MANIFEST_")
+            and x.endswith(".json")
+            and x[len("_MANIFEST_") : -len(".json")].isdigit()
         ):
-            snap = int(d.split("=", 1)[1])
+            # manifests, not v= dirs: a REBASE publish is a
+            # manifest-only commit (no data dir of its own)
+            if chain_floor is not None and (
+                snap not in on_chain and snap >= chain_floor
+            ):
+                continue  # a live branch's staged snapshot, not a commit
             manifest = self._read_manifest(snap)
             if manifest is None:
-                continue  # uncommitted (crashed) or pre-manifest dir
+                continue  # raced expiry
             batch = manifest.get("committed_batch")
             lineage = manifest.get("committed_lineage") or ""
             # a maintenance commit re-records the previous data

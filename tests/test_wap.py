@@ -788,3 +788,42 @@ def test_abort_after_crashed_rebase_cleans_merge_manifest(spark, seeded):
     # the lane is fully released: a fresh main batch commits
     sink.process_batch(_batch(spark, [(0, "post", "u", 9)]), 9)
     assert _vals(sink.current_table(spark))[0] == "post"
+
+
+def test_change_feed_walks_committed_chain_past_staged_snapshots(
+    spark, seeded
+):
+    """A fast-forward publish jumps the pointer past another branch's
+    staged snapshot numbers: the change feed and the ledger must walk
+    the committed chain by manifest parent links — a foreign branch's
+    staged manifest must never be read as main history."""
+    sink = seeded
+    buckets = {k: _bucket_of(spark, k) for k in range(10)}
+    lo = [k for k in range(10) if buckets[k] in (0, 1)]
+    hi = [k for k in range(10) if buckets[k] in (2, 3)]
+    ka1, ka2, kb = lo[0], lo[-1], hi[0]
+    sink.create_branch("a")
+    sink.create_branch("b")
+    sink.stage_batch("a", _batch(spark, [(ka1, "A1", "u", 1)]), 1)  # v=1
+    sink.stage_batch("b", _batch(spark, [(kb, "B5", "u", 1)]), 1)  # v=2
+    sink.stage_batch("a", _batch(spark, [(ka2, "A2", "u", 2)]), 2)  # v=3
+    sink.publish_branch("a")  # pointer 0 -> 3; v=2 is b's staged
+    assert sink.committed_snapshot() == 3
+    feed = sink.changes_between(spark, 0, 3).collect()
+    changed = {(r.k, r.val) for r in feed}
+    assert (ka1, "A1") in changed and (ka2, "A2") in changed
+    assert all(k != kb for k, _ in changed), "staged rows leaked into feed"
+    # a range base that is another branch's staged snapshot is refused
+    with pytest.raises(ValueError, match="not an ancestor"):
+        sink.changes_between(spark, 2, 3)
+    # the ledger lists only committed-chain snapshots
+    snaps = {r.snapshot for r in sink.ledger_table(spark).collect()}
+    assert snaps == {0, 1, 3}
+    # the rebase publish chains onto the new main head; its feed leg
+    # is exactly the second branch's change set
+    sink.publish_branch("b")
+    cur = sink.committed_snapshot()
+    feed2 = sink.changes_between(spark, 3, cur).collect()
+    assert {(r.k, r.val) for r in feed2} == {(kb, "B5")}
+    snaps = {r.snapshot for r in sink.ledger_table(spark).collect()}
+    assert snaps == {0, 1, 3, cur}
