@@ -1273,8 +1273,20 @@ class SnapshotUpsertSink:
         a, c = m_from["buckets"], m_to["buckets"]
         return {k for k in set(a) | set(c) if a.get(k) != c.get(k)}
 
-    def publish_branch(self, branch: str) -> int:
-        """The PUBLISH of write-audit-publish.  Three arms:
+    def publish_branch(self, branch: str, up_to: int | None = None) -> int:
+        """The PUBLISH of write-audit-publish.  With ``up_to`` set to a
+        staged snapshot, publishes only the chain PREFIX through it
+        (Iceberg cherry-pick adapted to chained bucket merges — only a
+        prefix is independently publishable, since later staged
+        snapshots' buckets compound earlier ones): the pointer
+        fast-forwards to ``up_to``, its claims release, and the branch
+        ref re-bases onto it with the remaining suffix still staged —
+        publish the audited first K batches, keep auditing the rest.
+        Prefix publish requires main at the branch base (a moved main
+        needs the full-publish rebase arm, whose conflict algebra only
+        composes over the whole chain).
+
+        The full publish (``up_to`` omitted) has three arms:
 
         - main still at the branch's base → FAST-FORWARD the pointer to
           the branch head in one atomic rename (the staged snapshots,
@@ -1303,10 +1315,50 @@ class SnapshotUpsertSink:
         head, base = b["snapshot"], b["base"]
         snaps = [int(s) for s in (b.get("snaps") or [])]
         cur = self.committed_snapshot()
+        if up_to is not None and up_to != head:
+            if up_to not in snaps:
+                raise ValueError(
+                    f"up_to={up_to} is not a staged snapshot of branch "
+                    f"{branch!r} (staged: {snaps})"
+                )
+            if cur not in (base, up_to):
+                raise ConcurrentCommitError(
+                    f"prefix publish of branch {branch!r} requires main "
+                    f"at the branch base {base} (or replaying at "
+                    f"{up_to}); main is at {cur} — publish the whole "
+                    "branch (rebase) or abort"
+                )
+            if cur == base:  # not a crash-replay of this prefix
+                m = self._read_manifest(up_to)
+                self._publish_pointer(
+                    m.get("committed_lineage") or None,
+                    m["committed_batch"],
+                    up_to,
+                )
+            for s in (x for x in snaps if x <= up_to):
+                self._release_claim(s)
+            refs = self.refs()
+            b2 = refs["branches"][branch]
+            b2["base"] = up_to
+            b2["snaps"] = [x for x in snaps if x > up_to]
+            self._write_refs(refs)
+            return up_to
         if head == base:
             pass  # nothing staged: publishing just drops the ref
         elif cur == head:
             pass  # crash-replay of a completed fast-forward publish
+        elif cur in set(snaps):
+            # main sits on a MID-CHAIN staged snapshot: a prefix
+            # publish (possibly crashed before its ref update) put it
+            # there.  Finishing "the whole branch" here would silently
+            # discard the staged suffix — make the caller finish the
+            # prefix first, then publish or abort the remainder.
+            raise ConcurrentCommitError(
+                f"main is at this branch's staged snapshot {cur} (a "
+                f"prefix publish); re-run publish_branch({branch!r}, "
+                f"up_to={cur}) to finish it, then publish or abort the "
+                "remainder"
+            )
         elif cur == base:
             m = self._read_manifest(head)
             self._publish_pointer(

@@ -827,3 +827,68 @@ def test_change_feed_walks_committed_chain_past_staged_snapshots(
     assert {(r.k, r.val) for r in feed2} == {(kb, "B5")}
     snaps = {r.snapshot for r in sink.ledger_table(spark).collect()}
     assert snaps == {0, 1, 3, cur}
+
+
+# --- prefix (cherry-pick) publish -------------------------------------
+
+
+def test_prefix_publish_then_continue_staging(spark, seeded):
+    """publish_branch(up_to=...) releases an audited PREFIX of the
+    staged chain to main while the suffix stays staged: readers see
+    exactly the prefix, the branch keeps auditing, and the remainder
+    publishes (or aborts) later."""
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    sink.stage_batch("audit", _batch(spark, [(2, "s2", "u", 2)]), 2)
+    sink.stage_batch("audit", _batch(spark, [(3, "s3", "u", 3)]), 3)
+    snaps = [int(s) for s in sink.refs()["branches"]["audit"]["snaps"]]
+    mid = snaps[1]
+    got = sink.publish_branch("audit", up_to=mid)
+    assert got == mid == sink.committed_snapshot()
+    main = _vals(sink.current_table(spark))
+    assert main[1] == "s1" and main[2] == "s2" and main[3] == "v3"
+    b = sink.refs()["branches"]["audit"]
+    assert b["base"] == mid and b["snaps"] == [snaps[2]]
+    # the suffix is still staged and visible on the branch
+    assert _vals(sink.table_at_ref(spark, "audit"))[3] == "s3"
+    # keep auditing: stage one more, then publish the remainder
+    sink.stage_batch("audit", _batch(spark, [(4, "s4", "u", 4)]), 4)
+    sink.publish_branch("audit")
+    main = _vals(sink.current_table(spark))
+    assert main[3] == "s3" and main[4] == "s4"
+    assert not sink.refs()["branches"]
+    # feed across the whole publish sequence is exactly the changes
+    feed = sink.changes_between(spark, 0, sink.committed_snapshot())
+    assert {(r.k, r.val) for r in feed.collect()} == {
+        (1, "s1"), (2, "s2"), (3, "s3"), (4, "s4"),
+    }
+
+
+def test_prefix_publish_crash_replay_and_abort_guard(spark, seeded):
+    """Crash between the prefix pointer move and the ref update: a
+    full publish must refuse (it would silently drop the suffix);
+    replaying the SAME prefix publish finishes the ref update; abort
+    of the remainder then leaves exactly the prefix on main."""
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    sink.stage_batch("audit", _batch(spark, [(2, "s2", "u", 2)]), 2)
+    snaps = [int(s) for s in sink.refs()["branches"]["audit"]["snaps"]]
+    first = snaps[0]
+    # simulate the crash: pointer moved, ref NOT updated
+    m = sink._read_manifest(first)
+    sink._publish_pointer(
+        m.get("committed_lineage") or None, m["committed_batch"], first
+    )
+    with pytest.raises(ConcurrentCommitError, match="prefix publish"):
+        sink.publish_branch("audit")  # full publish refuses
+    assert sink.publish_branch("audit", up_to=first) == first  # replay
+    b = sink.refs()["branches"]["audit"]
+    assert b["base"] == first and b["snaps"] == [snaps[1]]
+    sink.abort_branch("audit")
+    main = _vals(sink.current_table(spark))
+    assert main[1] == "s1" and main[2] == "v2"
+    # lane free again
+    sink.process_batch(_batch(spark, [(9, "post", "c", 9)]), 9)
+    assert _vals(sink.current_table(spark))[9] == "post"
