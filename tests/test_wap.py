@@ -580,8 +580,15 @@ def test_random_two_writer_wap_walk_matches_model(spark, seed):
     sink = _mk_sink()
     model_main: dict[int, str] = {}
     batch_id = 0
-    # per-branch: base snapshot's model + key-level delta since base
+    # per-branch: base snapshot's model + one key-level delta PER STAGE
+    # (so a prefix publish can apply exactly the published stages)
     branches: dict[str, dict] = {}
+
+    def _merge(stages):
+        out: dict[int, str] = {}
+        for d in stages:
+            out.update(d)
+        return out
 
     def commit_main_attempt():
         nonlocal batch_id
@@ -619,7 +626,7 @@ def test_random_two_writer_wap_walk_matches_model(spark, seed):
         elif op.startswith("open:"):
             name = op[5:]
             sink.create_branch(name)
-            branches[name] = {"base": dict(model_main), "delta": {}}
+            branches[name] = {"base": dict(model_main), "stages": []}
         elif op.startswith("stage:"):
             name = op[6:]
             rows = []
@@ -628,18 +635,35 @@ def test_random_two_writer_wap_walk_matches_model(spark, seed):
                 rows.append((k, f"{name}{batch_id}k{k}", "u", batch_id))
             rows = list({r[0]: r for r in rows}.values())
             sink.stage_batch(name, _batch(spark, rows), batch_id)
-            for k, v, _, _ in rows:
-                branches[name]["delta"][k] = v
+            branches[name]["stages"].append(
+                {k: v for k, v, _, _ in rows}
+            )
             batch_id += 1
         elif op.startswith("publish:"):
             name = op[8:]
-            try:
-                sink.publish_branch(name)
-            except ConcurrentCommitError:
-                pass  # bucket overlap with a concurrent commit: no-op
+            st = branches[name]
+            snaps = [
+                int(x) for x in sink.refs()["branches"][name]["snaps"]
+            ]
+            if len(snaps) >= 2 and rng.random() < 0.4:
+                # PREFIX publish: release the first j+1 audited stages
+                j = rng.randrange(len(snaps) - 1)
+                try:
+                    sink.publish_branch(name, up_to=snaps[j])
+                except ConcurrentCommitError:
+                    pass  # main moved since the base: prefix refused
+                else:
+                    model_main.update(_merge(st["stages"][: j + 1]))
+                    st["base"] = dict(model_main)
+                    st["stages"] = st["stages"][j + 1 :]
             else:
-                model_main.update(branches[name]["delta"])
-                del branches[name]
+                try:
+                    sink.publish_branch(name)
+                except ConcurrentCommitError:
+                    pass  # bucket overlap with a concurrent commit
+                else:
+                    model_main.update(_merge(st["stages"]))
+                    del branches[name]
         elif op.startswith("abort:"):
             name = op[6:]
             sink.abort_branch(name)
@@ -648,7 +672,7 @@ def test_random_two_writer_wap_walk_matches_model(spark, seed):
         assert _vals(sink.current_table(spark)) == model_main, op
         for name, st in branches.items():
             want = dict(st["base"])
-            want.update(st["delta"])
+            want.update(_merge(st["stages"]))
             assert _vals(sink.table_at_ref(spark, name)) == want, (
                 f"{op}: branch {name} drifted"
             )
@@ -892,3 +916,59 @@ def test_prefix_publish_crash_replay_and_abort_guard(spark, seeded):
     # lane free again
     sink.process_batch(_batch(spark, [(9, "post", "c", 9)]), 9)
     assert _vals(sink.current_table(spark))[9] == "post"
+
+
+def test_two_streams_drain_into_two_branches(spark, tmp_path):
+    """Two Structured Streaming drains land in two CONCURRENT branches
+    of the same table (separate sink handles + checkpoints, the
+    multi-process posture): both stage invisibly, the first publish
+    fast-forwards, the second rebases or conflict-restages — main ends
+    with both drains' changes exactly once."""
+    from lakehouse_cdc_spark.streaming import staged_cdc_pipeline
+
+    target = tempfile.mkdtemp(prefix="wap_2s_")
+
+    def handle():
+        return SnapshotUpsertSink(
+            target, keys=["k"], order_by=["seq"], n_buckets=4
+        )
+
+    seed = handle()
+    seed.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(6)]), 0
+    )
+    seed.create_branch("x")
+    seed.create_branch("y")
+    schema = "k long, val string, operation string, seq long"
+    for name, rows in (
+        ("x", [(1, "X1", "u", 1), (70, "X70", "c", 1)]),
+        ("y", [(2, "Y2", "u", 1), (80, "Y80", "c", 1)]),
+    ):
+        src = tmp_path / f"src_{name}"
+        _batch(spark, rows).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = staged_cdc_pipeline(
+            stream, handle(), name, str(tmp_path / f"ckpt_{name}")
+        )
+        q.awaitTermination(120)
+    reader = handle()
+    assert reader.committed_snapshot() == 0  # both invisible
+    bx = _vals(reader.table_at_ref(spark, "x"))
+    by = _vals(reader.table_at_ref(spark, "y"))
+    assert bx[1] == "X1" and bx[70] == "X70" and 80 not in bx
+    assert by[2] == "Y2" and by[80] == "Y80" and 70 not in by
+    reader.publish_branch("x")
+    try:
+        reader.publish_branch("y")
+    except ConcurrentCommitError:
+        # bucket overlap with x's published rewrite: restage on new base
+        reader.abort_branch("y")
+        reader.create_branch("y")
+        reader.stage_batch(
+            "y", _batch(spark, [(2, "Y2", "u", 2), (80, "Y80", "c", 2)]), 0
+        )
+        reader.publish_branch("y")
+    main = _vals(reader.current_table(spark))
+    assert main[1] == "X1" and main[70] == "X70"
+    assert main[2] == "Y2" and main[80] == "Y80"
+    assert not reader.refs()["branches"]
