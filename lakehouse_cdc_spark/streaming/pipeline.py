@@ -1022,20 +1022,38 @@ class SnapshotUpsertSink:
             raise ValueError(
                 "cannot roll back: target has no committed pointer"
             )
+        ref_doc = self.refs()
+        if ref_doc["branches"]:
+            # the cleanup below deletes manifests and claims above the
+            # target — a live staged branch's chain AND its lane fence
+            # would be destroyed while its ref still advertises it
+            raise ValueError(
+                "cannot roll back while write-audit-publish branches "
+                f"are staged ({sorted(ref_doc['branches'])}); publish "
+                "or abort them first"
+            )
+        tagged = {int(s) for s in ref_doc["tags"].values()}
         # preserve the POINTER's lineage (a maintenance sink rolling
         # back a stream's target must not hijack its replay guard) and
         # reuse the one pointer writer so format/fsync stay in one place
         self._publish_pointer(cur_lineage, committed_batch, snapshot)
         # later snapshots are now rolled back: drop their manifests and
         # any stale claim so recover_interrupted_commit cannot re-roll
-        # them forward and fresh writers aren't wedged by dead claims
+        # them forward and fresh writers aren't wedged by dead claims.
+        # TAG-pinned manifests above the target survive (a tag is a
+        # promise of time travel; with its claim gone it can never be
+        # rolled forward onto main)
         for d in os.listdir(self.target_dir):
             name = os.path.basename(d)
             snap_s = None
             if name.startswith("_MANIFEST_") and name.endswith(".json"):
                 snap_s = name[len("_MANIFEST_"):-len(".json")]
-            elif name.startswith("v=") and name.endswith(".claim"):
-                snap_s = name[len("v="):-len(".claim")]
+                if snap_s.isdigit() and int(snap_s) in tagged:
+                    continue
+            elif name.startswith("v=") and name.endswith(
+                (".claim", ".claim.upgrade")
+            ):
+                snap_s = name[len("v="):].split(".", 1)[0]
             if snap_s is not None and snap_s.isdigit() and int(snap_s) > snapshot:
                 try:
                     os.unlink(os.path.join(self.target_dir, name))

@@ -972,3 +972,28 @@ def test_two_streams_drain_into_two_branches(spark, tmp_path):
     assert main[1] == "X1" and main[70] == "X70"
     assert main[2] == "Y2" and main[80] == "Y80"
     assert not reader.refs()["branches"]
+
+
+def test_rollback_refuses_with_live_branch_and_keeps_tags(spark, seeded):
+    """rollback_to deletes manifests/claims above the target, so it
+    must refuse while a staged branch lives (its chain and lane fence
+    would be destroyed under a live ref), and it must preserve
+    TAG-pinned manifests above the target (tags promise time travel)."""
+    sink = seeded
+    sink.create_branch("audit")
+    with pytest.raises(ValueError, match="publish or abort"):
+        sink.rollback_to(0)
+    sink.abort_branch("audit")
+    sink.process_batch(_batch(spark, [(1, "b1", "u", 1)]), 1)
+    sink.create_tag("keep")  # pins snapshot 1
+    sink.process_batch(_batch(spark, [(2, "b2", "u", 2)]), 2)
+    sink.rollback_to(0)
+    assert sink.committed_snapshot() == 0
+    assert _vals(sink.current_table(spark))[1] == "v1"
+    # the tagged snapshot is still fully time-travelable
+    tag_view = _vals(
+        sink.state_at_ref(spark, "keep").filter(F.col("operation") != "d")
+    )
+    assert tag_view[1] == "b1" and tag_view[2] == "v2"
+    # the untagged rolled-back snapshot 2 is gone from the manifest set
+    assert sink._read_manifest(2) is None
