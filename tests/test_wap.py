@@ -997,3 +997,58 @@ def test_rollback_refuses_with_live_branch_and_keeps_tags(spark, seeded):
     assert tag_view[1] == "b1" and tag_view[2] == "v2"
     # the untagged rolled-back snapshot 2 is gone from the manifest set
     assert sink._read_manifest(2) is None
+
+
+def test_sigkill_between_manifest_and_pointer_rolls_forward(
+    spark, tmp_path
+):
+    """REAL process death (SIGKILL — no interpreter cleanup, no atexit,
+    no exception unwinding) in the torn-commit window between manifest
+    write and pointer rename: a fresh process recovers the table to
+    the committed batch exactly once."""
+    import subprocess
+    import sys
+
+    target = str(tmp_path / "tbl")
+    script = f"""
+import os, signal, sys
+sys.path.insert(0, "/root/repo")
+from lakehouse_cdc_spark.session import get_spark
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+
+spark = get_spark("kill-child")
+spark.sparkContext.setLogLevel("ERROR")
+sink = SnapshotUpsertSink({target!r}, keys=["k"], order_by=["seq"], n_buckets=2)
+
+def batch(rows):
+    return spark.createDataFrame(rows, "k long, val string, operation string, seq long")
+
+sink.process_batch(batch([(1, "a", "c", 0), (2, "b", "c", 0)]), 0)
+# arm the kill INSIDE the commit protocol: manifest durable, pointer not
+real = sink._publish_pointer
+def dying(*a, **kw):
+    os.kill(os.getpid(), signal.SIGKILL)
+sink._publish_pointer = dying
+sink.process_batch(batch([(1, "torn", "u", 1)]), 1)
+print("UNREACHABLE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == -9, proc.stderr[-800:]
+    assert "UNREACHABLE" not in proc.stdout
+    # fresh handle in THIS process: pointer still at snapshot 0
+    sink = SnapshotUpsertSink(
+        target, keys=["k"], order_by=["seq"], n_buckets=2
+    )
+    assert sink.committed_snapshot() == 0
+    assert sink.recover_interrupted_commit() == "rolled_forward"
+    assert sink.committed_snapshot() == 1
+    got = _vals(sink.current_table(spark))
+    assert got[1] == "torn" and got[2] == "b"
+    # the killed batch replays as a no-op (exactly-once)
+    sink.process_batch(
+        _batch(spark, [(1, "replay", "u", 2)]), 1
+    )
+    assert _vals(sink.current_table(spark))[1] == "torn"
