@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import base64
 import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -440,7 +441,10 @@ class SnapshotUpsertSink:
             raise ConcurrentCommitError(
                 f"snapshot {new_snap} of {self.target_dir} is claimed by "
                 "another writer; re-read committed() and retry on the new "
-                "base (or recover_interrupted_commit() if that writer died)"
+                "base.  If that writer died: recover_interrupted_commit() "
+                "resolves dead main commits and unrecorded staged claims; "
+                "a RECORDED staged snapshot needs publish_branch/"
+                "abort_branch of its owning branch"
             ) from None
         with os.fdopen(fd, "w") as f:
             # a lane RESERVATION (branch set, no batch) is written
@@ -486,72 +490,122 @@ class SnapshotUpsertSink:
         - claim exists with no manifest: the data write never finished;
           ROLL BACK — delete the orphan snapshot dir and the claim.
 
+        Staged (write-audit-publish) claims live at ARBITRARY
+        interleaved lane numbers, not just committed+1 — a staged
+        writer that died holding a higher-numbered claim would block
+        other branches' allocation at that number forever — so EVERY
+        ``v=*.claim`` file is scanned, not only the main candidate.
+
         Returns "rolled_forward", "rolled_back", or None (nothing to
         recover)."""
         cur = self.committed_snapshot()
         cand = (cur if cur is not None else -1) + 1
-        if not os.path.exists(self._claim_path(cand)):
-            return None
-        try:
-            with open(self._claim_path(cand)) as f:
-                claim_owner = f.read().rpartition(":")[0]
-        except FileNotFoundError:
-            claim_owner = ""
-        if "@wap:" in claim_owner:
-            # staged write-audit-publish claim, NOT a crashed main
-            # commit.  Three cases:
-            # - the branch ref records the snapshot: live unpublished
-            #   branch — leave it alone;
-            # - the branch exists but its head is below the claim: the
-            #   lane RESERVATION, possibly shadowing a stage that died
-            #   between manifest and ref update — roll back any
-            #   unrecorded data but KEEP the claim (the reservation is
-            #   what protects the lane while the branch lives);
-            # - the branch is gone: orphan claim — full cleanup.
-            branch = claim_owner.rpartition("@wap:")[2]
-            b = self.refs()["branches"].get(branch)
-            if b is not None and cand in {
-                int(s) for s in (b.get("snaps") or [])
-            }:
-                # a RECORDED staged snapshot of a live unpublished
-                # branch — leave it alone
-                return None
-            had_debris = os.path.isdir(
-                self._snapshot_path(cand)
-            ) or os.path.exists(self._manifest_path(cand))
-            shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
+        primary = None
+        if os.path.exists(self._claim_path(cand)):
             try:
-                os.unlink(self._manifest_path(cand))
+                with open(self._claim_path(cand)) as f:
+                    claim_owner = f.read().rpartition(":")[0]
             except FileNotFoundError:
-                pass
-            if b is not None:
-                with open(self._claim_path(cand), "w") as f:
-                    f.write(f"@wap:{branch}:")
-                try:
-                    # a dead upgrader's marker must not fence the next
-                    # stage off the freshly rolled-back reservation
-                    os.unlink(self._upgrade_marker_path(cand))
-                except FileNotFoundError:
-                    pass
-                return "rolled_back" if had_debris else None
-            self._release_claim(cand)
-            return "rolled_back"
-        manifest = self._read_manifest(cand)
-        if manifest is not None and "committed_batch" in manifest:
-            self._publish_pointer(
-                manifest.get("committed_lineage") or None,
-                manifest["committed_batch"],
-                cand,
-            )
-            self._release_claim(cand)
-            return "rolled_forward"
-        shutil.rmtree(self._snapshot_path(cand), ignore_errors=True)
+                claim_owner = ""
+            if "@wap:" in claim_owner:
+                primary = (
+                    "rolled_back"
+                    if self._recover_wap_claim(cand, claim_owner)
+                    else None
+                )
+            else:
+                manifest = self._read_manifest(cand)
+                if manifest is not None and "committed_batch" in manifest:
+                    self._publish_pointer(
+                        manifest.get("committed_lineage") or None,
+                        manifest["committed_batch"],
+                        cand,
+                    )
+                    self._release_claim(cand)
+                    primary = "rolled_forward"
+                else:
+                    shutil.rmtree(
+                        self._snapshot_path(cand), ignore_errors=True
+                    )
+                    try:
+                        os.unlink(self._manifest_path(cand))
+                    except FileNotFoundError:
+                        pass
+                    self._release_claim(cand)
+                    primary = "rolled_back"
+            if primary == "rolled_forward":
+                # the pointer moved: re-read it so the sweep below
+                # classifies spent fences against the NEW head
+                cur = self.committed_snapshot()
+        # sweep the remaining claim files
+        swept = False
+        for fn in sorted(os.listdir(self.target_dir)):
+            if not (fn.startswith("v=") and fn.endswith(".claim")):
+                continue
+            num = fn[2 : -len(".claim")]
+            if not num.isdigit() or int(num) == cand:
+                continue
+            snap = int(num)
+            try:
+                with open(self._claim_path(snap)) as f:
+                    owner = f.read().rpartition(":")[0]
+            except FileNotFoundError:
+                continue
+            if "@wap:" in owner:
+                swept = self._recover_wap_claim(snap, owner) or swept
+            elif cur is not None and snap <= cur:
+                # spent main/maintenance fence: the pointer already
+                # moved past it (crash between _publish_pointer and
+                # _release_claim) — the fence did its job, drop it
+                self._release_claim(snap)
+                swept = True
+            # a non-wap claim ABOVE the candidate cannot arise from
+            # this protocol (main writers only ever claim committed+1);
+            # leave anything unrecognized alone rather than guess
+        if primary is not None:
+            return primary
+        return "rolled_back" if swept else None
+
+    def _recover_wap_claim(self, snap: int, owner: str) -> bool:
+        """Resolve one dead staged (``@wap``) claim.  Three cases:
+
+        - the branch ref RECORDS the snapshot: live unpublished branch
+          — leave it alone;
+        - the branch lives and the claim is its lane RESERVATION
+          (possibly upgraded by a first stage that died between
+          manifest and ref update): roll back any unrecorded data but
+          KEEP the claim — the reservation is what protects the lane
+          while the branch lives;
+        - the branch lives but the claim is an UNRECORDED later stage,
+          or the branch is gone: full cleanup (data, manifest, claim) —
+          a dead unrecorded stage must not block other branches'
+          allocation at that number.
+
+        Returns True iff anything was cleaned up."""
+        branch = owner.rpartition("@wap:")[2]
+        b = self.refs()["branches"].get(branch)
+        if b is not None and snap in {int(s) for s in (b.get("snaps") or [])}:
+            return False
+        had_debris = os.path.isdir(
+            self._snapshot_path(snap)
+        ) or os.path.exists(self._manifest_path(snap))
+        shutil.rmtree(self._snapshot_path(snap), ignore_errors=True)
         try:
-            os.unlink(self._manifest_path(cand))
+            os.unlink(self._manifest_path(snap))
         except FileNotFoundError:
             pass
-        self._release_claim(cand)
-        return "rolled_back"
+        if b is not None and int(b.get("reserved") or -1) == snap:
+            with open(self._claim_path(snap), "w") as f:
+                f.write(f"@wap:{branch}:")
+            try:
+                # a dead upgrader's marker must not fence the next
+                # stage off the freshly rolled-back reservation
+                os.unlink(self._upgrade_marker_path(snap))
+            except FileNotFoundError:
+                pass
+            return had_debris
+        self._release_claim(snap)
+        return True
 
     def _publish_pointer(self, lineage, batch_id, new_snap: int) -> None:
         tmp = self._pointer + ".tmp"
@@ -661,24 +715,24 @@ class SnapshotUpsertSink:
             # not the pointer.  The claim file is deliberately retained:
             # it reserves the snapshot-number lane against main writers
             # until publish_branch / abort_branch releases it.
-            refs = self.refs()
-            if branch not in refs["branches"]:
-                raise RuntimeError(
-                    f"staged commit for unknown branch {branch!r}"
-                )
-            refs["branches"][branch]["snapshot"] = new_snap
-            refs["branches"][branch]["batch"] = batch_id
-            refs["branches"][branch]["snaps"] = sorted(
-                set(refs["branches"][branch].get("snaps") or [])
-                | {new_snap}
-            )
-            # record the STAGING LINEAGE alongside the batch id: the
-            # branch replay guard (stage_batch) must skip only replays
-            # of the same checkpoint lineage, exactly like the main
-            # pointer's guard — a fresh checkpoint draining onto this
-            # branch restarts batch ids at 0 and must not be dropped
-            refs["branches"][branch]["lineage"] = self.lineage or ""
-            self._write_refs(refs)
+            def _advance(refs):
+                if branch not in refs["branches"]:
+                    raise RuntimeError(
+                        f"staged commit for unknown branch {branch!r}"
+                    )
+                b = refs["branches"][branch]
+                b["snapshot"] = new_snap
+                b["batch"] = batch_id
+                b["snaps"] = sorted(set(b.get("snaps") or []) | {new_snap})
+                # record the STAGING LINEAGE alongside the batch id:
+                # the branch replay guard (stage_batch) must skip only
+                # replays of the same checkpoint lineage, exactly like
+                # the main pointer's guard — a fresh checkpoint
+                # draining onto this branch restarts batch ids at 0
+                # and must not be dropped
+                b["lineage"] = self.lineage or ""
+
+            self._refs_update(_advance)
             return
         self._publish_pointer(self.lineage, batch_id, new_snap)
         self._release_claim(new_snap)  # no-op for a pre-claim-era caller
@@ -1032,24 +1086,40 @@ class SnapshotUpsertSink:
                 f"are staged ({sorted(ref_doc['branches'])}); publish "
                 "or abort them first"
             )
-        tagged = {int(s) for s in ref_doc["tags"].values()}
+        tags_above = sorted(
+            (n, int(s))
+            for n, s in ref_doc["tags"].items()
+            if int(s) > snapshot
+        )
+        if tags_above:
+            # a tag pins a snapshot NUMBER, and the main lane reuses
+            # numbers after a rollback: the cleanup below deletes the
+            # claim at the tagged number, so a later process_batch
+            # would re-claim it, overwrite the v=N bucket dirs, and
+            # os.replace the tagged manifest — the tag would silently
+            # resolve to the NEW timeline's data.  Refuse (mirroring
+            # the live-branch guard): the caller must delete_tag first,
+            # making the loss of the pinned history explicit.
+            raise ValueError(
+                f"cannot roll back to snapshot {snapshot} below "
+                f"tagged snapshot(s) {tags_above}: the main lane would "
+                "re-advance onto the tagged number and silently repoint "
+                "the tag at new data; delete_tag first"
+            )
         # preserve the POINTER's lineage (a maintenance sink rolling
         # back a stream's target must not hijack its replay guard) and
         # reuse the one pointer writer so format/fsync stay in one place
         self._publish_pointer(cur_lineage, committed_batch, snapshot)
         # later snapshots are now rolled back: drop their manifests and
         # any stale claim so recover_interrupted_commit cannot re-roll
-        # them forward and fresh writers aren't wedged by dead claims.
-        # TAG-pinned manifests above the target survive (a tag is a
-        # promise of time travel; with its claim gone it can never be
-        # rolled forward onto main)
+        # them forward and fresh writers aren't wedged by dead claims
+        # (tags above the target were refused above, so nothing here
+        # can be tag-pinned)
         for d in os.listdir(self.target_dir):
             name = os.path.basename(d)
             snap_s = None
             if name.startswith("_MANIFEST_") and name.endswith(".json"):
                 snap_s = name[len("_MANIFEST_"):-len(".json")]
-                if snap_s.isdigit() and int(snap_s) in tagged:
-                    continue
             elif name.startswith("v=") and name.endswith(
                 (".claim", ".claim.upgrade")
             ):
@@ -1109,6 +1179,48 @@ class SnapshotUpsertSink:
             os.fsync(f.fileno())
         os.replace(tmp, self._refs_path())
 
+    @contextlib.contextmanager
+    def _refs_lock(self):
+        """Exclusive advisory lock serializing every read-modify-write
+        of the refs document.  ``_REFS.json`` is one whole-document
+        file, so two concurrent unlocked updates (two branches'
+        ``_commit`` ref advances, two ``create_branch`` calls, a
+        publish racing a stage) would lose one writer's change — and a
+        lost ``snaps`` entry later makes publish/abort's
+        ``_drop_branch_claim`` treat that recorded staged snapshot as a
+        crashed stage and delete its data.  The O_EXCL claim files
+        fence the DATA directories; this lock fences the refs document
+        those claims are reconciled against.
+
+        ``flock`` rather than an O_EXCL lock file: the kernel releases
+        it on ANY process death (SIGKILL included), so a killed staged
+        writer can never wedge the table the way a leftover lock file
+        would — no staleness heuristics, no breakable-lock races.  The
+        sink already assumes a POSIX filesystem for O_EXCL claims and
+        atomic renames; flock holds on the same class of filesystems.
+        """
+        fd = os.open(self._refs_path() + ".lock", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            finally:
+                os.close(fd)
+
+    def _refs_update(self, mutate):
+        """Apply ``mutate(doc)`` to the refs document atomically under
+        the refs lock: re-READ inside the critical section (never trust
+        a copy read before the lock), mutate, write.  ``mutate`` may
+        raise to abort — nothing is written.  Returns ``mutate``'s
+        return value."""
+        with self._refs_lock():
+            doc = self.refs()
+            result = mutate(doc)
+            self._write_refs(doc)
+            return result
+
     def create_tag(self, name: str, snapshot: int | None = None) -> int:
         """Pin ``snapshot`` (default: the committed one) under an
         immutable name.  A tagged snapshot never expires
@@ -1118,23 +1230,26 @@ class SnapshotUpsertSink:
         snap = self.committed_snapshot() if snapshot is None else snapshot
         if snap is None or self._read_manifest(snap) is None:
             raise ValueError(f"cannot tag snapshot {snap}: no manifest")
-        refs = self.refs()
-        existing = refs["tags"].get(name)
-        if existing is not None and existing != snap:
-            raise ValueError(
-                f"tag {name!r} already pins snapshot {existing}; "
-                "tags are immutable (delete_tag first)"
-            )
-        refs["tags"][name] = snap
-        self._write_refs(refs)
+
+        def _set(refs):
+            existing = refs["tags"].get(name)
+            if existing is not None and existing != snap:
+                raise ValueError(
+                    f"tag {name!r} already pins snapshot {existing}; "
+                    "tags are immutable (delete_tag first)"
+                )
+            refs["tags"][name] = snap
+
+        self._refs_update(_set)
         return snap
 
     def delete_tag(self, name: str) -> None:
-        refs = self.refs()
-        if name not in refs["tags"]:
-            raise KeyError(f"unknown tag {name!r}")
-        del refs["tags"][name]
-        self._write_refs(refs)
+        def _drop(refs):
+            if name not in refs["tags"]:
+                raise KeyError(f"unknown tag {name!r}")
+            del refs["tags"][name]
+
+        self._refs_update(_drop)
 
     def resolve_ref(self, name: str) -> int | None:
         """Snapshot a ref name points at: ``"main"`` → the committed
@@ -1200,37 +1315,42 @@ class SnapshotUpsertSink:
                 f"cannot branch from snapshot {base}: no manifest "
                 "(commit at least one batch first)"
             )
-        refs = self.refs()
-        if name in refs["branches"] or name in refs["tags"]:
-            raise ValueError(f"ref {name!r} already exists")
         if base != self.committed_snapshot():
             raise ValueError(
                 f"can only branch from the committed snapshot "
                 f"({self.committed_snapshot()}), not {base}: the lane "
                 "reservation below is what keeps staging safe"
             )
+
         # RESERVE a snapshot-number lane immediately (claim with an
         # empty batch id): without this, a main commit could land on
         # the number between create_branch and the first stage_batch,
         # and the stage's overwrite-mode write would then trample the
         # committed snapshot's directory.  The first stage_batch
         # upgrades the reservation in place; publish/abort release it.
-        refs["branches"][name] = {
-            "base": base,
-            "snapshot": base,
-            "batch": None,
-            "snaps": [],
-            "reserved": None,
-        }
-        reserved = self._next_lane_number(refs)
-        refs["branches"][name]["reserved"] = reserved
-        self._write_refs(refs)
+        # Name-check, insert, and lane allocation happen as ONE locked
+        # refs update: two concurrent create_branch calls serialize
+        # here, so they get distinct reservations and neither branch
+        # entry is lost to a read-modify-write race.
+        def _insert(refs):
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(f"ref {name!r} already exists")
+            refs["branches"][name] = {
+                "base": base,
+                "snapshot": base,
+                "batch": None,
+                "snaps": [],
+                "reserved": None,
+            }
+            reserved = self._next_lane_number(refs)
+            refs["branches"][name]["reserved"] = reserved
+            return reserved
+
+        reserved = self._refs_update(_insert)
         try:
             self._claim(reserved, None, branch=name, expected_head=base)
         except ConcurrentCommitError:
-            refs = self.refs()
-            refs["branches"].pop(name, None)
-            self._write_refs(refs)
+            self._refs_update(lambda refs: refs["branches"].pop(name, None))
             raise
         return base
 
@@ -1355,11 +1475,13 @@ class SnapshotUpsertSink:
                 )
             for s in (x for x in snaps if x <= up_to):
                 self._release_claim(s)
-            refs = self.refs()
-            b2 = refs["branches"][branch]
-            b2["base"] = up_to
-            b2["snaps"] = [x for x in snaps if x > up_to]
-            self._write_refs(refs)
+
+            def _rebase_ref(refs):
+                b2 = refs["branches"][branch]
+                b2["base"] = up_to
+                b2["snaps"] = [x for x in snaps if x > up_to]
+
+            self._refs_update(_rebase_ref)
             return up_to
         if head == base:
             pass  # nothing staged: publishing just drops the ref
@@ -1427,9 +1549,7 @@ class SnapshotUpsertSink:
         # release the lane reservation and any stage that crashed
         # before its ref update (data never recorded in any ref)
         self._drop_branch_claim(branch, recorded=set(snaps))
-        refs = self.refs()
-        refs["branches"].pop(branch, None)
-        self._write_refs(refs)
+        self._refs_update(lambda refs: refs["branches"].pop(branch, None))
         return head
 
     def _rebase_publish(
@@ -1637,6 +1757,20 @@ class SnapshotUpsertSink:
                 f"branch {branch!r} head {head} is the committed snapshot "
                 "(already published); refusing to delete committed data"
             )
+        if cur is not None and cur in set(snaps):
+            # main sits on a MID-CHAIN staged snapshot: a prefix publish
+            # crashed before its ref update (or a full rebase publish
+            # landed the pointer on a reused lane number).  The
+            # bucket-intersection check below cannot be the only guard —
+            # a staged commit that rewrote no buckets (empty or
+            # watermark-only batch) has no self-referencing entries, and
+            # abort would delete the committed pointer's manifest and
+            # data dir.  Mirror publish_branch's cur-in-snaps arm.
+            raise ValueError(
+                f"main is at this branch's staged snapshot {cur}; re-run "
+                f"publish_branch({branch!r}, up_to={cur}) to finish the "
+                "interrupted publish, then abort the remainder"
+            )
         # a crashed rebase publish may already have grafted the staged
         # bucket files into the committed manifest — deleting them
         # would corrupt main
@@ -1669,9 +1803,7 @@ class SnapshotUpsertSink:
         # the lane reservation and any stage that crashed before its
         # ref update — ours to drop
         self._drop_branch_claim(branch, recorded=set(snaps))
-        refs = self.refs()
-        refs["branches"].pop(branch, None)
-        self._write_refs(refs)
+        self._refs_update(lambda refs: refs["branches"].pop(branch, None))
         return discarded
 
     def _drop_crashed_rebase(self, branch: str) -> None:

@@ -974,11 +974,13 @@ def test_two_streams_drain_into_two_branches(spark, tmp_path):
     assert not reader.refs()["branches"]
 
 
-def test_rollback_refuses_with_live_branch_and_keeps_tags(spark, seeded):
+def test_rollback_refuses_with_live_branch_and_below_tags(spark, seeded):
     """rollback_to deletes manifests/claims above the target, so it
     must refuse while a staged branch lives (its chain and lane fence
-    would be destroyed under a live ref), and it must preserve
-    TAG-pinned manifests above the target (tags promise time travel)."""
+    would be destroyed under a live ref) AND while a tag pins a
+    snapshot above the target: the main lane reuses snapshot numbers
+    after a rollback, so the next process_batch would re-claim the
+    tagged number and silently repoint the tag at new data."""
     sink = seeded
     sink.create_branch("audit")
     with pytest.raises(ValueError, match="publish or abort"):
@@ -987,16 +989,41 @@ def test_rollback_refuses_with_live_branch_and_keeps_tags(spark, seeded):
     sink.process_batch(_batch(spark, [(1, "b1", "u", 1)]), 1)
     sink.create_tag("keep")  # pins snapshot 1
     sink.process_batch(_batch(spark, [(2, "b2", "u", 2)]), 2)
+    # tag above the target: refused, nothing changed
+    with pytest.raises(ValueError, match="delete_tag first"):
+        sink.rollback_to(0)
+    assert sink.committed_snapshot() == 2
+    assert sink._read_manifest(2) is not None
+    # rollback TO the tagged snapshot (tag not below target): allowed,
+    # tag still resolves to its pinned history
+    sink.rollback_to(1)
+    assert sink.committed_snapshot() == 1
+    assert _vals(sink.table_at_ref(spark, "keep"))[1] == "b1"
+    # with the tag deleted the deeper rollback proceeds, and the lane
+    # can re-advance onto the formerly tagged number safely
+    sink.delete_tag("keep")
     sink.rollback_to(0)
     assert sink.committed_snapshot() == 0
     assert _vals(sink.current_table(spark))[1] == "v1"
-    # the tagged snapshot is still fully time-travelable
-    tag_view = _vals(
-        sink.state_at_ref(spark, "keep").filter(F.col("operation") != "d")
-    )
-    assert tag_view[1] == "b1" and tag_view[2] == "v2"
-    # the untagged rolled-back snapshot 2 is gone from the manifest set
-    assert sink._read_manifest(2) is None
+    assert sink._read_manifest(1) is None
+    sink.process_batch(_batch(spark, [(1, "new1", "u", 3)]), 3)
+    assert sink.committed_snapshot() == 1
+    assert _vals(sink.current_table(spark))[1] == "new1"
+
+
+def test_rollback_below_tag_would_have_repointed_it(spark, seeded):
+    """The exact silent-corruption scenario the tag guard closes: with
+    a tag at snapshot 1, rolling back to 0 and committing two fresh
+    batches would re-claim number 1 and os.replace its manifest — the
+    tag would resolve to the NEW timeline.  The guard makes the caller
+    delete the tag first, so a tag can never silently change data."""
+    sink = seeded
+    sink.process_batch(_batch(spark, [(5, "pinned", "u", 1)]), 1)
+    sink.create_tag("audit2026")  # pins snapshot 1 (k5 == "pinned")
+    with pytest.raises(ValueError, match="tagged snapshot"):
+        sink.rollback_to(0)
+    # the pinned view is intact and still serves the pinned data
+    assert _vals(sink.table_at_ref(spark, "audit2026"))[5] == "pinned"
 
 
 def test_sigkill_between_manifest_and_pointer_rolls_forward(
@@ -1052,3 +1079,143 @@ print("UNREACHABLE")
         _batch(spark, [(1, "replay", "u", 2)]), 1
     )
     assert _vals(sink.current_table(spark))[1] == "torn"
+
+
+def test_concurrent_refs_updates_lose_nothing(spark, seeded):
+    """_REFS.json updates are whole-document replaces; without the
+    refs lock, concurrent read-modify-writes lose one writer's update
+    — and a lost 'snaps' entry later makes publish/abort treat that
+    recorded staged snapshot as a crashed stage and DELETE its data.
+    Hammer the document from many threads and assert every update
+    survived."""
+    import threading
+
+    sink = seeded
+    errs = []
+
+    def tagger(i):
+        try:
+            sink.create_tag(f"t{i}", 0)
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    threads = [threading.Thread(target=tagger, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    tags = sink.refs()["tags"]
+    assert {f"t{i}" for i in range(16)} <= set(tags)
+    # branches created concurrently with tag churn: all present, all
+    # with DISTINCT lane reservations (allocation is serialized by the
+    # same lock)
+    errs.clear()
+
+    def brancher(i):
+        try:
+            sink.create_branch(f"b{i}")
+        except Exception as e:
+            errs.append(e)
+
+    def tag_churn(i):
+        try:
+            sink.create_tag(f"c{i}", 0)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=brancher, args=(i,)) for i in range(4)
+    ] + [threading.Thread(target=tag_churn, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    refs = sink.refs()
+    assert {f"b{i}" for i in range(4)} <= set(refs["branches"])
+    assert {f"c{i}" for i in range(8)} <= set(refs["tags"])
+    reserved = [refs["branches"][f"b{i}"]["reserved"] for i in range(4)]
+    assert len(set(reserved)) == 4
+    for i in range(4):
+        sink.abort_branch(f"b{i}")
+
+
+def test_abort_refuses_when_main_on_bucketless_staged_snapshot(
+    spark, seeded
+):
+    """A staged commit that rewrote NO buckets (empty batch) has no
+    self-referencing manifest entries, so abort_branch's
+    bucket-intersection guard alone would let it delete the committed
+    pointer's manifest after a prefix publish crashed before its ref
+    update.  The cur-in-snaps guard must refuse."""
+    sink = seeded
+    sink.create_branch("audit")
+    # staged snapshot 1: EMPTY batch — manifest buckets all point at 0
+    sink.stage_batch("audit", _batch(spark, []), 1)
+    snaps = sink.refs()["branches"]["audit"]["snaps"]
+    assert snaps == [1]
+    m1 = sink._read_manifest(1)
+    assert 1 not in {int(s) for s in m1["buckets"].values()}
+    # staged snapshot 2 with data, so 1 is MID-CHAIN (cur != head)
+    sink.stage_batch("audit", _batch(spark, [(1, "s2", "u", 2)]), 2)
+    # simulate a prefix publish of snapshot 1 that crashed before its
+    # ref update: pointer moved, branch ref still records [1, 2]
+    sink._publish_pointer(
+        m1.get("committed_lineage") or None, m1["committed_batch"], 1
+    )
+    with pytest.raises(ValueError, match="staged snapshot 1"):
+        sink.abort_branch("audit")
+    # the committed manifest and the guard's suggested path both work
+    assert sink._read_manifest(1) is not None
+    sink.publish_branch("audit", up_to=1)
+    assert sink.abort_branch("audit") == 1  # drops only the suffix
+    assert sink.committed_snapshot() == 1
+    assert _vals(sink.current_table(spark))[1] == "v1"
+
+
+def test_recover_sweeps_dead_staged_claim_at_high_lane(spark, seeded):
+    """A staged writer that dies holding a HIGHER-numbered claim (not
+    committed+1) used to be invisible to recover_interrupted_commit,
+    blocking other branches' allocation at that number forever.  The
+    claim sweep must roll back the unrecorded stage and free the
+    lane."""
+    sink = seeded
+    sink.create_branch("a")
+    sink.stage_batch("a", _batch(spark, [(1, "a1", "u", 1)]), 1)
+    # second stage at lane 2 dies between manifest and ref update:
+    # stage it for real, then rewind the ref record by hand
+    sink.stage_batch("a", _batch(spark, [(2, "a2", "u", 2)]), 2)
+    refs = sink.refs()
+    refs["branches"]["a"]["snapshot"] = 1
+    refs["branches"]["a"]["snaps"] = [1]
+    refs["branches"]["a"]["batch"] = 1
+    sink._write_refs(refs)
+    assert os.path.exists(sink._claim_path(2))
+    # committed+1 == 1 is a RECORDED staged snapshot (left alone), but
+    # the sweep must still find and resolve the dead claim at 2
+    assert sink.recover_interrupted_commit() == "rolled_back"
+    assert not os.path.exists(sink._claim_path(2))
+    assert not os.path.isdir(sink._snapshot_path(2))
+    assert sink._read_manifest(2) is None
+    # the recorded stage is untouched and the branch keeps working
+    assert _vals(sink.table_at_ref(spark, "a"))[1] == "a1"
+    sink.stage_batch("a", _batch(spark, [(3, "a3", "u", 3)]), 3)
+    sink.publish_branch("a")
+    got = _vals(sink.current_table(spark))
+    assert got[1] == "a1" and got[3] == "a3" and got[2] == "v2"
+
+
+def test_recover_sweeps_spent_main_fence_below_pointer(spark, seeded):
+    """A crash between _publish_pointer and _release_claim leaves a
+    spent claim at the COMMITTED snapshot; the sweep drops it (the
+    fence did its job) without touching anything else."""
+    sink = seeded
+    sink.process_batch(_batch(spark, [(1, "b1", "u", 1)]), 1)
+    # recreate the spent fence by hand
+    with open(sink._claim_path(1), "w") as f:
+        f.write(f"{sink.lineage or ''}:1")
+    assert sink.recover_interrupted_commit() == "rolled_back"
+    assert not os.path.exists(sink._claim_path(1))
+    assert sink.committed_snapshot() == 1
+    assert _vals(sink.current_table(spark))[1] == "b1"
