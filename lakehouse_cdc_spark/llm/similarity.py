@@ -25,6 +25,33 @@ from pyspark.sql import functions as F
 _CENTROID_ELEM_BUDGET = 32 * 1024 * 1024
 
 
+def auto_k(n: int, dim: int, c: float = 1.0, min_k: int = 8) -> int:
+    """Scale-aware IVF centroid count: ``K = max(min_k, ⌊c·√N + 0.5⌋)``
+    clamped by the centroid broadcast byte budget.
+
+    The √N rule keeps per-bucket work flat as the corpus grows — with
+    K ∝ √N and nprobe fixed, a bucketed pair query's candidate space is
+    O(N²·probes²/K) = O(N^1.5), and a probe query scans
+    O(nprobe·N/K) = O(√N) vectors.  A FIXED demo K leaves a quadratic
+    residue that the measured sf0.1→sf1 profile showed as 9–14× wall
+    for 10× data; the K∝√N sweep at sf1 restored ≤4× (SCALE.md, "The K
+    lever, measured").
+
+    Deterministic and ORACLE-REPLICABLE by construction: ``⌊x + 0.5⌋``
+    over IEEE ``sqrt`` is bit-identical in any engine, so a DuckDB
+    oracle can recompute the same K from ``COUNT(*)`` —
+    ``LEAST(GREATEST(min_k, CAST(floor(c*sqrt(cnt)+0.5) AS BIGINT)),
+    budget)`` — and a query parameterized by auto_k stays exactly
+    checkable at every scale factor."""
+    import math
+
+    if n <= 0:
+        return min_k
+    k = int(math.floor(c * math.sqrt(float(n)) + 0.5))
+    k = max(min_k, k)
+    return min(k, _CENTROID_ELEM_BUDGET // max(1, dim))
+
+
 def _fold_sum(arr: Column) -> Column:
     """Left-fold sum of an array<double> — deterministic order."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)

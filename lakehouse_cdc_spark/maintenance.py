@@ -41,9 +41,14 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None
 def _ref_roots(target_dir: str) -> set[int]:
     """Snapshots pinned by named refs (_REFS.json): every tag, plus a
     WAP branch's whole base..head chain (staged history must stay
-    time-travelable until published or aborted).  Ref roots join the
-    keep set of expire_snapshots/expiry_safety before the manifest
-    reference closure."""
+    time-travelable until published or aborted), plus — for every
+    REGISTERED feed cursor — every snapshot at or above its acked
+    floor: the cursor's next ``changes_between(acked, head)`` needs
+    the base manifest AND every manifest in the range, so retention
+    must never delete above a lagging consumer's acknowledgement
+    (a cursor that never consumed, acked = -1, pins everything).
+    Ref roots join the keep set of expire_snapshots/expiry_safety
+    before the manifest reference closure."""
     import json
 
     refs_file = os.path.join(target_dir, "_REFS.json")
@@ -54,6 +59,18 @@ def _ref_roots(target_dir: str) -> set[int]:
     roots: set[int] = {int(s) for s in (refs.get("tags") or {}).values()}
     for b in (refs.get("branches") or {}).values():
         roots.update(range(int(b["base"]), int(b["snapshot"]) + 1))
+    cursors = refs.get("cursors") or {}
+    if cursors:
+        floor = min(int(a) for a in cursors.values())
+        roots.update(
+            v
+            for v in (
+                int(d.split("=", 1)[1])
+                for d in os.listdir(target_dir)
+                if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+            )
+            if v >= floor
+        )
     return roots
 
 

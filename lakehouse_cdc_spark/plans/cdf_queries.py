@@ -1412,3 +1412,124 @@ def sink_wap_multibranch(spark, sf_dir):
         .orderBy("lane")
     )
 
+
+
+_CURSOR_CACHE: dict[str, object] = {}
+
+
+def _cursor_demo_sink(spark, sf_dir):
+    """Sink taken through the cursor-pinned retention lifecycle: all
+    orders committed (snapshot 0), a NAMED feed cursor registered and
+    acked at 0, two more batches committed (updates +70 cents on
+    key%7 → snapshot 1, deletes on key%11 → snapshot 2), then an
+    aggressive ``expire_snapshots(retain_last=1)`` — which must keep
+    everything ≥ the cursor's acked floor — cached per sf_dir."""
+    import os
+
+    from lakehouse_cdc_spark.maintenance import expire_snapshots
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.feed import FeedCursor
+
+    cached = _CURSOR_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 2:
+        return cached
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_point(F.col("o_totalprice"), 2).alias("cents"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (fixed_point(F.col("o_totalprice"), 2) + 70).alias("cents"),
+        F.lit("u").alias("operation"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        fixed_point(F.col("o_totalprice"), 2).alias("cents"),
+        F.lit("d").alias("operation"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    sink = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="cdf_cursor_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    sink.process_batch(base, 0)
+    cur = FeedCursor(
+        sink,
+        os.path.join(sink.target_dir, "_analytics.cursor"),
+        name="analytics",
+    )
+    df, _, ack = cur.next_batch(spark)
+    df.collect()
+    ack()  # acked floor = 0; the consumer now lags
+    sink.process_batch(upd, 1)
+    sink.process_batch(dels, 2)
+    # aggressive retention: without the registered cursor this would
+    # delete manifest 1 and strand the (0, 2] range
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    if expired:
+        raise RuntimeError(
+            f"cursor pin failed: expiry removed {expired} above the "
+            "acked floor"
+        )
+    _CURSOR_CACHE[sf_dir] = sink
+    return sink
+
+
+@register(
+    "feed_cursor_pinned_drain",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, {_FP} AS cents FROM orders
+    ),
+    lanes AS (
+      SELECT 'u' AS op, k, cents + 70 AS cents FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT 'd', k, cents FROM base WHERE k % 11 = 0
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(bit_xor(k) AS BIGINT) AS keys_xor
+    FROM lanes GROUP BY op ORDER BY op
+    """,
+    tags=("cdc", "sink", "feed", "cursor", "retention", "S12", "M2"),
+)
+def feed_cursor_pinned_drain(spark, sf_dir):
+    """RETENTION-SAFE FEED CONSUMPTION — the cursor-vs-expiry race on
+    the oracle gate: a NAMED ``FeedCursor`` (registered in the sink's
+    refs as a retention pin) acknowledges snapshot 0, falls two
+    commits behind (updates +70 cents on key%7, deletes on key%11),
+    and an aggressive ``expire_snapshots(retain_last=1)`` runs — which
+    must keep every snapshot ≥ the acked floor (the builder raises if
+    anything above the floor expired).  The declared result is the
+    POST-EXPIRY drained backlog, the exact range
+    ``changes_between(0, 2]`` the cursor's next drain reads: per
+    change op, the row count / cents sum / key XOR.  The oracle
+    re-derives the same backlog from the change algebra — a hash
+    match proves retention stranded nothing.  Reference anchor: the
+    reference has no changelog retention contract at all (its
+    validation rescans the base table, validation.py:236); Kafka
+    consumer-group offsets vs ``log.retention`` is the race this
+    solves, Iceberg-ref style.
+
+    Scale shape: the feed read is O(changed buckets) COW diffs; the
+    pin is O(1) refs metadata per ack — retention safety costs
+    nothing at 100 TB."""
+    sink = _cursor_demo_sink(spark, sf_dir)
+    feed = sink.changes_between(spark, 0, 2)
+    return (
+        feed.select(F.col("operation").alias("op"), "k", "cents")
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.expr("bit_xor(k)").cast("bigint").alias("keys_xor"),
+        )
+        .orderBy("op")
+    )

@@ -22,6 +22,7 @@ from lakehouse_cdc_spark.llm.dedup import (
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
+    auto_k,
     bucketed_cosine_pairs,
     bucketed_cosine_pairs_blocked,
     cosine_pairs,
@@ -64,6 +65,16 @@ _NORM_SQ = (
 _DOT_AB = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+#: scale-aware IVF centroid count, oracle side — the exact arithmetic
+#: of ``similarity.auto_k`` (K = max(min_k, ⌊√N + 0.5⌋), clamped by the
+#: 32M-element broadcast budget at dim=64): ⌊x+0.5⌋ over IEEE sqrt is
+#: bit-identical across engines, so a query parameterized by auto_k
+#: stays exactly oracle-checkable at EVERY scale factor.
+_AUTO_K_SQL = (
+    "LEAST(GREATEST({min_k}, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) "
+    "+ 0.5) AS BIGINT)), 524288)"
 )
 
 
@@ -870,8 +881,9 @@ def emb_late_interaction_maxsim(spark, sf_dir):
     bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    kk AS (SELECT {_AUTO_K_SQL.format(min_k=8)} AS k FROM n),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
-          FROM n WHERE vec_id < 8),
+          FROM n WHERE vec_id < (SELECT k FROM kk)),
     train AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
     eval_set AS (SELECT vec_id AS eval_id, embedding AS eemb,
                         norm_sq AS enorm
@@ -925,9 +937,17 @@ def contamination_embedding_overlap(spark, sf_dir):
     per eval item, how many training docs are contaminated and the
     exact id-sum of the hits (the removal worklist's checksum).  Same
     report a frontier-model data pipeline runs before training; the
-    oracle composes the identical probe pipeline."""
+    oracle composes the identical probe pipeline.
+
+    K is SCALE-AWARE (``similarity.auto_k``: max(8, ⌊√N+0.5⌋)): the
+    fixed demo K=8 left a quadratic candidate-pair residue that the
+    measured sf1 profile showed as 14.2× wall for 10× data; K ∝ √N
+    keeps buckets constant-size (SCALE.md "The K lever, measured").
+    The oracle recomputes the same K from COUNT(*) — exact at every
+    scale factor."""
     emb = table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    k = auto_k(emb.count(), 64, min_k=8)
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
     train = emb.filter(F.col("vec_id") % 97 != 0)
@@ -970,6 +990,167 @@ def contamination_embedding_overlap(spark, sf_dir):
             .alias("sum_train_ids"),
         )
         .orderBy("eval_id")
+    )
+
+
+@register(
+    "emb_ivf_auto_k",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    kk AS (SELECT {_AUTO_K_SQL.format(min_k=8)} AS k FROM n),
+    q AS (SELECT vec_id AS qid, embedding AS qemb, norm_sq AS qnorm
+          FROM n WHERE vec_id % 101 = 3),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({_DOT_EQ.format(a='e.embedding', b='q.qemb')}
+                       / (sqrt(e.norm_sq) * sqrt(q.qnorm)), 6) DESC,
+                 e.vec_id ASC) AS rn
+        FROM n e, q) WHERE rn <= 10
+    ),
+    cf AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+           FROM n WHERE vec_id < 8),
+    ca AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
+           FROM n WHERE vec_id < (SELECT k FROM kk)),
+    af AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_DOT_EQ.format(a='e.embedding', b='c.cemb')}
+                       / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM n e, cf c) WHERE rn = 1
+    ),
+    aa AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_DOT_EQ.format(a='e.embedding', b='c.cemb')}
+                       / (sqrt(e.norm_sq) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM n e, ca c) WHERE rn = 1
+    ),
+    pf AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({_DOT_EQ.format(a='q.qemb', b='c.cemb')}
+                       / (sqrt(q.qnorm) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM q, cf c) WHERE rn <= 2
+    ),
+    pa AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, c.cid AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 round({_DOT_EQ.format(a='q.qemb', b='c.cemb')}
+                       / (sqrt(q.qnorm) * sqrt(c.cnorm)), 6) DESC,
+                 c.cid ASC) AS rn
+        FROM q, ca c) WHERE rn <= 2
+    ),
+    candf AS (SELECT DISTINCT p.qid, a.vec_id
+              FROM pf p JOIN af a USING (cluster)),
+    canda AS (SELECT DISTINCT p.qid, a.vec_id
+              FROM pa p JOIN aa a USING (cluster)),
+    hf AS (SELECT t.qid, COUNT(*) AS h FROM truth t
+           JOIN candf c ON c.qid = t.qid AND c.vec_id = t.vec_id
+           GROUP BY t.qid),
+    ha AS (SELECT t.qid, COUNT(*) AS h FROM truth t
+           JOIN canda c ON c.qid = t.qid AND c.vec_id = t.vec_id
+           GROUP BY t.qid)
+    SELECT q.qid,
+           CAST((SELECT k FROM kk) AS BIGINT) AS k_auto,
+           CAST(COALESCE(hf.h, 0) AS BIGINT) AS hits_fixed,
+           CAST(COALESCE(ha.h, 0) AS BIGINT) AS hits_auto
+    FROM q LEFT JOIN hf ON hf.qid = q.qid
+           LEFT JOIN ha ON ha.qid = q.qid
+    ORDER BY q.qid
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "auto-k", "recall"),
+)
+def emb_ivf_auto_k(spark, sf_dir):
+    """RECALL PARITY of the scale-aware auto-K IVF policy against the
+    fixed demo K: for every probe query (``vec_id % 101 = 3``), count
+    how many of the brute-force top-10 neighbors survive the 2-probe
+    candidate restriction under K=8 (demo) vs K=auto_k(N) (≈√N,
+    byte-budget-clamped) — recall@10 as exact hit COUNTS, never
+    ratios, so the row is integer-stable in any engine.
+
+    Why this row exists: the sf1 K-sweep proved K ∝ √N restores
+    sub-linear scaling of the bucketed ANN family (3.7× wall for 10×
+    data vs 14.2× at fixed K=8 — SCALE.md), but a bigger K with fixed
+    nprobe probes a SMALLER corpus fraction, so recall must be shown,
+    not assumed.  The oracle recomputes the identical auto K from
+    COUNT(*) (⌊√N+0.5⌋ is bit-deterministic over IEEE sqrt) and
+    replays both probe pipelines — green means the engines agree on
+    the POLICY, and the hits_auto column itself is the recall
+    evidence (``tests/test_llm.py`` asserts parity at the gate SFs).
+
+    Scale shape: ground truth is one broadcast-query sweep (O(N·Q),
+    the evaluation cost any ANN recall probe pays on a sampled Q);
+    both candidate pipelines are broadcast-assign + cluster-keyed
+    joins — probes/K of the corpus each, never all-pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    k_auto_val = auto_k(emb.count(), 64, min_k=8)
+    probes_df = emb.filter(F.col("vec_id") % 101 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    scored = emb.crossJoin(F.broadcast(probes_df)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            cosine_sim(
+                F.col("embedding").cast("array<double>"),
+                F.col("qemb").cast("array<double>"),
+            ),
+            6,
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    def cand_for(k):
+        cen = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+        assign = ivf_assign(emb, cen).select("vec_id", "cluster")
+        qprobe = ivf_assign(
+            probes_df.select(
+                F.col("qid").alias("vec_id"), F.col("qemb").alias("embedding")
+            ),
+            cen,
+            probes=2,
+        ).select(F.col("vec_id").alias("qid"), "cluster")
+        return (
+            F.broadcast(qprobe)
+            .join(assign, on="cluster")
+            .select("qid", "vec_id")
+            .distinct()
+        )
+
+    def hits(cand, name):
+        return (
+            truth.join(cand, on=["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        probes_df.select("qid")
+        .join(hits(cand_for(8), "hf"), on="qid", how="left")
+        .join(hits(cand_for(k_auto_val), "ha"), on="qid", how="left")
+        .select(
+            "qid",
+            F.lit(k_auto_val).cast("bigint").alias("k_auto"),
+            F.coalesce(F.col("hf"), F.lit(0)).cast("bigint").alias("hits_fixed"),
+            F.coalesce(F.col("ha"), F.lit(0)).cast("bigint").alias("hits_auto"),
+        )
+        .orderBy("qid")
     )
 
 
@@ -2724,8 +2905,9 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
     oracle=f"""
     WITH RECURSIVE
     n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    kk AS (SELECT {_AUTO_K_SQL.format(min_k=32)} AS k FROM n),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
-          FROM n WHERE vec_id < 32),
+          FROM n WHERE vec_id < (SELECT k FROM kk)),
     scored AS (
       SELECT e.vec_id, c.cid,
              round(list_sum(list_transform(generate_series(1, 64),
@@ -2786,9 +2968,15 @@ def emb_semantic_dedup(spark, sf_dir):
     propagation — so the pair space is O(Σ bucket²) and the closure
     shuffles |edges| per round, never all-pairs.  The oracle replays
     assignment, scoring, AND the transitive closure (recursive CTE)
-    — a green row proves the full decision, not just the pair list."""
+    — a green row proves the full decision, not just the pair list.
+
+    K is SCALE-AWARE (``similarity.auto_k``: max(32, ⌊√N+0.5⌋) — the
+    demo floor keeps the sf0.01 result identical): fixed K=32 was
+    9.3× wall for 10× data at sf1; K ∝ √N keeps buckets constant-size
+    and the oracle recomputes the same K from COUNT(*)."""
     emb = table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 32).select(
+    k = auto_k(emb.count(), 64, min_k=32)
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
     pairs = bucketed_cosine_pairs_blocked(

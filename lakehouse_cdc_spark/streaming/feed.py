@@ -34,12 +34,27 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 
 class FeedCursor:
-    """Durable, exactly-once cursor over a sink's change feed."""
+    """Durable, exactly-once cursor over a sink's change feed.
 
-    def __init__(self, sink, cursor_path: str):
+    Pass ``name`` to REGISTER the cursor in the sink's refs document
+    (``_REFS.json`` → ``cursors``): a registered cursor is a retention
+    PIN — ``maintenance.expire_snapshots`` keeps every snapshot ≥ its
+    acked floor, so a lagging consumer can never be stranded by expiry
+    deleting a manifest its next ``changes_between`` range needs (the
+    Kafka-consumer-group / Iceberg-ref answer to the retention-vs-lag
+    race).  The pin advances with every ack, so a caught-up cursor
+    pins nothing but the head.  Unregistered (name=None) cursors are
+    invisible to retention — expiry below them fails LOUDLY on the
+    next read (the ``_chain`` retained-manifest check), never
+    silently; that is the documented opt-out, not a gap."""
+
+    def __init__(self, sink, cursor_path: str, name: str | None = None):
         self.sink = sink
         self.cursor_path = cursor_path
+        self.name = name
         os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+        if name is not None:
+            self._pin(self.acked())
 
     def acked(self) -> int:
         """Last acknowledged snapshot (-1 = nothing consumed yet)."""
@@ -49,6 +64,28 @@ class FeedCursor:
         except FileNotFoundError:
             return -1
 
+    def _pin(self, snapshot: int) -> None:
+        """Record the acked floor in the sink's refs doc (locked RMW).
+        Only ever ADVANCES the shared pin: two handles on the same
+        named cursor must not let a stale one rewind retention."""
+
+        def _set(refs):
+            cur = refs["cursors"].get(self.name)
+            if cur is None or int(cur) < snapshot:
+                refs["cursors"][self.name] = snapshot
+
+        self.sink._refs_update(_set)
+
+    def unregister(self) -> None:
+        """Drop the retention pin (consumer decommissioned)."""
+        if self.name is None:
+            return
+
+        def _drop(refs):
+            refs["cursors"].pop(self.name, None)
+
+        self.sink._refs_update(_drop)
+
     def _write(self, snapshot: int) -> None:
         tmp = self.cursor_path + ".tmp"
         with open(tmp, "w") as f:
@@ -56,6 +93,8 @@ class FeedCursor:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)
+        if self.name is not None:
+            self._pin(snapshot)
 
     def next_batch(
         self, spark: SparkSession, max_snapshots: int | None = None

@@ -1152,7 +1152,9 @@ class SnapshotUpsertSink:
         "branches": {name: {"base": int, "snapshot": int (head),
         "batch": int|None, "lineage": str, "snaps": [int] (staged
         snapshot numbers, ascending — interleaved across branches),
-        "reserved": int (the lane number create_branch claimed)}}}``."""
+        "reserved": int (the lane number create_branch claimed)}},
+        "cursors": {name: acked_snapshot (a registered FeedCursor's
+        retention floor — expiry keeps every snapshot ≥ it)}}``."""
         try:
             with open(self._refs_path()) as f:
                 doc = json.load(f)
@@ -1160,6 +1162,7 @@ class SnapshotUpsertSink:
             doc = {}
         doc.setdefault("tags", {})
         doc.setdefault("branches", {})
+        doc.setdefault("cursors", {})
         for b in doc["branches"].values():
             # legacy single-lane branch refs: staged snapshots were the
             # contiguous base+1..head range and the reservation base+1

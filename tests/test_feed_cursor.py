@@ -172,3 +172,119 @@ def test_cursor_detects_sink_rollback(spark, tmp_path):
     sink.rollback_to(0)
     with pytest.raises(ValueError, match="rolled back"):
         cur.next_batch(spark)
+
+
+def test_registered_cursor_pins_snapshots_against_expiry(spark, tmp_path):
+    """A NAMED cursor is a retention pin: expiry keeps every snapshot
+    at or above its acked floor, so a lagging consumer drains to head
+    with zero loss after an aggressive expire_snapshots — while an
+    unregistered cursor in the same position is stranded (loudly)."""
+    import pytest
+
+    from lakehouse_cdc_spark.maintenance import expire_snapshots
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=2
+    )
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"), name="analytics")
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0), (2, "b", "c", 0)]), 0)
+    df, _, ack = cur.next_batch(spark)
+    assert df is not None
+    df.collect()
+    ack()  # cursor acked snapshot 0, then falls behind
+    assert sink.refs()["cursors"]["analytics"] == 0
+    for i in range(1, 6):
+        sink.process_batch(_batch(spark, [(i + 10, f"v{i}", "c", i)]), i)
+
+    # aggressive retention: without the pin this would delete the
+    # manifests the cursor's (0, 5] ranges need
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    assert expired == []  # everything >= the acked floor survives
+
+    seen = []
+    while True:
+        df, _, ack = cur.next_batch(spark, max_snapshots=2)
+        if df is None:
+            break
+        seen += [(r.id, r._change_snapshot) for r in df.collect()]
+        ack()
+    assert sorted(seen) == [(i + 10, i) for i in range(1, 6)]  # zero loss
+    assert sink.refs()["cursors"]["analytics"] == 5  # pin advanced
+
+    # caught up: the pin no longer blocks retention of old history
+    sink.process_batch(_batch(spark, [(99, "z", "c", 6)]), 6)
+    df, _, ack = cur.next_batch(spark)
+    df.collect()
+    ack()
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    assert expired != []
+
+    # decommission drops the pin entirely
+    cur.unregister()
+    assert "analytics" not in sink.refs()["cursors"]
+
+
+def test_unregistered_cursor_is_stranded_loudly_by_expiry(spark, tmp_path):
+    """The opt-out documented on FeedCursor: an UNREGISTERED lagging
+    cursor fails loudly (never silently skips) when expiry removed a
+    manifest its next range needs."""
+    import pytest
+
+    from lakehouse_cdc_spark.maintenance import expire_snapshots
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    cur = FeedCursor(sink, str(tmp_path / "cursor.json"))
+    sink.process_batch(_batch(spark, [(1, "a", "c", 0)]), 0)
+    df, _, ack = cur.next_batch(spark)
+    df.collect()
+    ack()
+    for i in range(1, 6):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "u", i)]), i)
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    assert expired  # nothing pinned: history below head-1 is gone
+    with pytest.raises(ValueError):
+        cur.next_batch(spark)
+
+
+def test_two_named_cursors_min_floor_wins(spark, tmp_path):
+    """Retention honors the LAGGIEST registered cursor: the min acked
+    floor across all cursors pins, and unpinning one cursor does not
+    release history the other still needs."""
+    from lakehouse_cdc_spark.maintenance import expire_snapshots, expiry_safety
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    fast = FeedCursor(sink, str(tmp_path / "fast.json"), name="fast")
+    slow = FeedCursor(sink, str(tmp_path / "slow.json"), name="slow")
+    for i in range(5):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+    # fast drains fully; slow consumes nothing (floor -1 pins all)
+    while True:
+        df, _, ack = fast.next_batch(spark)
+        if df is None:
+            break
+        df.collect()
+        ack()
+    assert expire_snapshots(sink.target_dir, retain_last=1) == []
+    # slow advances to 2: snapshots 0-1 become expirable, 2+ pinned
+    while slow.acked() < 2:
+        df, _, ack = slow.next_batch(spark, max_snapshots=1)
+        df.collect()
+        ack()
+    rows = {r["snapshot"]: r for r in expiry_safety(sink.target_dir, 1)}
+    assert rows[2]["would_expire"] is False  # slow's range base
+    assert rows[3]["would_expire"] is False
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    assert all(v < 2 for v in expired)
+    # slow still drains to head with zero loss
+    seen = []
+    while True:
+        df, _, ack = slow.next_batch(spark)
+        if df is None:
+            break
+        seen += [r.id for r in df.collect()]
+        ack()
+    assert sorted(seen) == [3, 4]

@@ -706,3 +706,85 @@ def test_audio_vad_segments_hand_checkable(spark):
     s = got[3]
     # sub-block clip: the all-zero row, not a ZeroDivisionError
     assert (s.n_blocks, s.n_active, s.n_segments, s.max_run) == (0, 0, 0, 0)
+
+
+def test_auto_k_policy_arithmetic():
+    """auto_k = max(min_k, floor(sqrt(N)+0.5)) clamped by the centroid
+    broadcast budget — the exact arithmetic the DuckDB oracles
+    recompute from COUNT(*), so these pins are cross-engine pins."""
+    from lakehouse_cdc_spark.llm.similarity import (
+        _CENTROID_ELEM_BUDGET,
+        auto_k,
+    )
+
+    assert auto_k(500, 64) == 22       # sf0.01 embeddings
+    assert auto_k(2000, 64) == 45      # sf0.1
+    assert auto_k(20000, 64) == 141    # sf1
+    assert auto_k(10, 64) == 8         # min_k floor
+    assert auto_k(0, 64) == 8
+    assert auto_k(16, 64, min_k=32) == 32
+    # byte-budget clamp: K*dim never exceeds the broadcast budget
+    huge = auto_k(10**18, 64)
+    assert huge * 64 <= _CENTROID_ELEM_BUDGET
+
+
+def test_auto_k_clustered_recall_parity(spark):
+    """On a corpus with planted near-duplicate clusters, the
+    √N-appropriate auto-K bucketing recovers EVERY pair the exact
+    all-pairs baseline finds — the recall-parity claim behind making
+    K scale-aware (emb_ivf_auto_k is the oracle-checked twin of this
+    on the shared testdata)."""
+    import math
+
+    from lakehouse_cdc_spark.llm.similarity import (
+        auto_k,
+        bucketed_cosine_pairs,
+    )
+
+    # 16 well-separated base directions in 16-d; 16 vectors per
+    # cluster with tiny perturbations -> dense within-cluster pairs
+    rows = []
+    for c in range(16):
+        base = [0.0] * 16
+        base[c] = 1.0
+        base[(c + 1) % 16] = 0.25
+        for j in range(16):
+            eps = 0.005 * j
+            vec = [v + eps * math.sin(i + 3 * c + j) for i, v in enumerate(base)]
+            rows.append((c * 16 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    k = auto_k(emb.count(), 16)
+    assert k == 16  # sqrt(256)
+    centroids = emb.filter(F.col("vec_id") % 16 == 0).limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    exact = {
+        (r.ia, r.ib): r.cos_sim
+        for r in cosine_pairs(emb, threshold=0.95).collect()
+    }
+    auto = {
+        (r.ia, r.ib): r.cos_sim
+        for r in bucketed_cosine_pairs(
+            emb, centroids, threshold=0.95, probes=2
+        ).collect()
+    }
+    assert len(exact) >= 16 * 120 * 0.8  # clusters genuinely dense
+    assert set(auto) == set(exact)       # full recall, no extras
+    assert all(auto[p] == exact[p] for p in exact)
+
+
+def test_emb_ivf_auto_k_row_invariants(spark, sf_dir):
+    """The declared recall-parity row: every probe finds at least
+    itself under BOTH parameterizations, k_auto follows the policy,
+    and hit counts are bounded by the truth size (10)."""
+    from lakehouse_cdc_spark.llm.similarity import auto_k
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    rows = REGISTRY["emb_ivf_auto_k"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 4
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    expect_k = auto_k(n, 64, min_k=8)
+    for r in rows:
+        assert r.k_auto == expect_k
+        assert 1 <= r.hits_fixed <= 10  # self is always recovered
+        assert 1 <= r.hits_auto <= 10
