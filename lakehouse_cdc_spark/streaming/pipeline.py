@@ -2282,26 +2282,73 @@ class SnapshotUpsertSink:
                 new_snap = (
                     committed_snap if committed_snap is not None else -1
                 ) + 1
+                # writer fence, before data
+                self._claim(new_snap, claim_batch_id)
             else:
                 # staged snapshots take interleaved lane numbers: the
                 # first stage consumes the branch's reservation (claim
                 # upgraded in place below); later stages take the next
-                # free number from the deterministic allocator
+                # free number from the deterministic allocator.  Two
+                # branches staging CONCURRENTLY can read the same refs
+                # state and compute the same candidate — the O_EXCL
+                # claim makes exactly one proceed, and the loser's
+                # correct move is to RE-ALLOCATE on the refreshed refs
+                # (the winner's claim is durable even before its ref
+                # update lands, so the allocator must skip past it by
+                # probing, Iceberg's commit-retry loop), not to
+                # surface a spurious conflict for a legal concurrent
+                # stage.  Only allocator-chosen numbers retry; a
+                # conflict on the branch's own RESERVATION is a real
+                # double-writer on one branch and still raises.
                 b_ref = self.refs()["branches"][branch]
-                new_snap = (
-                    int(b_ref["reserved"])
-                    if not b_ref.get("snaps")
+                use_reservation = (
+                    not b_ref.get("snaps")
                     and b_ref.get("reserved") is not None
-                    else self._next_lane_number(self.refs())
                 )
-            # writer fence, before data (branch stages fence on the
-            # branch head instead of the pointer)
-            self._claim(
-                new_snap,
-                claim_batch_id,
-                branch=branch,
-                expected_head=committed_snap if branch is not None else None,
-            )
+                if use_reservation:
+                    new_snap = int(b_ref["reserved"])
+                    self._claim(
+                        new_snap,
+                        claim_batch_id,
+                        branch=branch,
+                        expected_head=committed_snap,
+                    )
+                else:
+                    new_snap = self._next_lane_number(self.refs())
+                    for _ in range(64):
+                        try:
+                            self._claim(
+                                new_snap,
+                                claim_batch_id,
+                                branch=branch,
+                                expected_head=committed_snap,
+                            )
+                            break
+                        except ConcurrentCommitError:
+                            b_now = self.refs()["branches"].get(branch)
+                            if (
+                                b_now is None
+                                or b_now.get("snapshot") != committed_snap
+                            ):
+                                # OUR branch moved (or vanished) — a
+                                # real same-branch conflict, not a lane
+                                # collision: surface it
+                                raise
+                            # a concurrent BRANCH holds this number:
+                            # probe upward past every durable claim —
+                            # refs alone can lag a winner's ref update
+                            probe = max(
+                                new_snap + 1,
+                                self._next_lane_number(self.refs()),
+                            )
+                            while os.path.exists(self._claim_path(probe)):
+                                probe += 1
+                            new_snap = probe
+                    else:
+                        raise ConcurrentCommitError(
+                            f"could not allocate a staged snapshot lane "
+                            f"for branch {branch!r} after 64 attempts"
+                        )
             snap_dir = self._snapshot_path(new_snap)
             # data first (always a fresh directory — never one being
             # read); static overwrite truncates any orphan files a

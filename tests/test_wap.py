@@ -1219,3 +1219,123 @@ def test_recover_sweeps_spent_main_fence_below_pointer(spark, seeded):
     assert not os.path.exists(sink._claim_path(1))
     assert sink.committed_snapshot() == 1
     assert _vals(sink.current_table(spark))[1] == "b1"
+
+
+def test_multiprocess_concurrent_staging_and_kill(spark, tmp_path):
+    """REAL OS-level concurrency on the WAP surface: two separate
+    processes (own JVMs, no shared Python state) create branches and
+    stage onto the SAME sink concurrently — rendezvous-synchronized so
+    the stages genuinely overlap — while a third process is SIGKILLed
+    inside the staged-commit window (manifest durable, ref update
+    never ran).  Asserts the O_EXCL claim/upgrade fences and the
+    flock'd refs document hold under true parallelism: both live
+    branches publish, the dead stage is swept by recovery, no torn
+    refs or leftover claims, and the final table matches the model."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    target = str(tmp_path / "tbl")
+    sync = str(tmp_path / "sync")
+    os.makedirs(sync)
+    sink = _mk_sink()
+    # use a fixed dir instead of _mk_sink's tempdir so children share it
+    sink = type(sink)(target, keys=["k"], order_by=["seq"], n_buckets=4)
+    sink.process_batch(
+        _batch(spark, [(i, f"v{i}", "c", 0) for i in range(12)]), 0
+    )
+
+    def child_script(name, lo, kill):
+        return f"""
+import os, signal, sys, time
+sys.path.insert(0, "/root/repo")
+from lakehouse_cdc_spark.session import get_spark
+from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+from lakehouse_cdc_spark.streaming.pipeline import ConcurrentCommitError
+
+spark = get_spark("wap-child-{name}")
+spark.sparkContext.setLogLevel("ERROR")
+sink = SnapshotUpsertSink({target!r}, keys=["k"], order_by=["seq"], n_buckets=4)
+
+def batch(rows):
+    return spark.createDataFrame(rows, "k long, val string, operation string, seq long")
+
+open({sync!r} + "/ready_{name}", "w").close()
+while not os.path.exists({sync!r} + "/go"):
+    time.sleep(0.05)
+
+sink.create_branch("{name}")
+if {kill}:
+    # die INSIDE the staged-commit window: claim upgraded, data and
+    # manifest durable, ref update never runs
+    real = sink._refs_update
+    def dying(*a, **kw):
+        os.kill(os.getpid(), signal.SIGKILL)
+    sink._refs_update = dying
+    sink.stage_batch("{name}", batch([({lo}, "dead", "u", 1)]), 1)
+    print("UNREACHABLE")
+    sys.exit(3)
+sink.stage_batch("{name}", batch([({lo}, "s{name}1", "u", 1)]), 1)
+sink.stage_batch("{name}", batch([({lo} + 1, "s{name}2", "u", 2)]), 2)
+for attempt in range(6):
+    try:
+        sink.publish_branch("{name}")
+        break
+    except ConcurrentCommitError:
+        # optimistic-concurrency loser: restage on the new base
+        sink.abort_branch("{name}")
+        sink.create_branch("{name}")
+        sink.stage_batch("{name}", batch([({lo}, "s{name}1", "u", 3 + 2 * attempt)]), 3 + 2 * attempt)
+        sink.stage_batch("{name}", batch([({lo} + 1, "s{name}2", "u", 4 + 2 * attempt)]), 4 + 2 * attempt)
+else:
+    sys.exit(4)
+print("PUBLISHED")
+"""
+
+    procs = {
+        name: subprocess.Popen(
+            [sys.executable, "-c", child_script(name, lo, kill)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for name, lo, kill in (("wa", 0, False), ("wb", 4, False), ("wc", 8, True))
+    }
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        os.path.exists(os.path.join(sync, f"ready_{n}")) for n in procs
+    ):
+        time.sleep(0.1)
+    open(os.path.join(sync, "go"), "w").close()
+    outs = {n: p.communicate(timeout=300) for n, p in procs.items()}
+    assert procs["wa"].returncode == 0, outs["wa"][1][-800:]
+    assert procs["wb"].returncode == 0, outs["wb"][1][-800:]
+    assert "PUBLISHED" in outs["wa"][0] and "PUBLISHED" in outs["wb"][0]
+    assert procs["wc"].returncode == -9  # really died mid-commit
+    assert "UNREACHABLE" not in outs["wc"][0]
+
+    # fresh handle: the dead stage is an unrecorded claim; recovery
+    # sweeps it, abort drops the dead branch's ref + reservation
+    sink = type(sink)(target, keys=["k"], order_by=["seq"], n_buckets=4)
+    sink.recover_interrupted_commit()
+    assert "wc" in sink.refs()["branches"]
+    sink.abort_branch("wc")
+    refs = sink.refs()
+    assert refs["branches"] == {}
+    # no torn refs document (json loads cleanly via refs()) and no
+    # leftover claim fences
+    assert not [
+        f for f in os.listdir(target) if ".claim" in f
+    ], os.listdir(target)
+    # final state: both published branches' updates landed exactly
+    # once; the dead branch's update never surfaced
+    got = _vals(sink.current_table(spark))
+    assert got[0] == "swa1" and got[1] == "swa2"
+    assert got[4] == "swb1" and got[5] == "swb2"
+    assert got[8] == "v8" and got[9] == "v9"
+    for i in (2, 3, 6, 7, 10, 11):
+        assert got[i] == f"v{i}"
+    # the committed chain replays cleanly end to end
+    assert sink.committed_snapshot() is not None
+    assert sink.changes_between(spark, 0, sink.committed_snapshot()) is not None
