@@ -40,75 +40,72 @@ from lakehouse_cdc_spark.plans import stats_tests_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness snapshot samples the FIRST
 # 50 entries, so the head of the registry is a curated showcase.  The
-# head ROTATES each round: entries the driver has never sampled move
-# in, driver-confirmed entries move out (they stay registered and
-# local-gated — the full registry is checked by tools/check_oracle.py
-# every session).  Round-10 head: the 29 never-driver-sampled entries
-# (round-8 cumulative 331/360 — this closes the sweep at 360/360),
-# the round-10 addition (sink_wap_multibranch), and 20 held-over
-# driver-confirmed engine rows keeping one representative per family.
+# head ROTATES each round.  Cumulative driver coverage closed at
+# 361/361 in round 10, so from round 11 the rotation is
+# STALENESS-BASED: the head is the never-sampled newcomers plus the
+# rows with the OLDEST last-green driver sample (computed from the
+# CORRECTNESS_r*.json history) — the engine underneath a row keeps
+# changing, so old green samples decay.  Round-11 head: the 2 new
+# rows (emb_ivf_auto_k, feed_cursor_pinned_drain) + all rows last
+# sampled in r1-r3 (33) + the 15 alphabetically-first r4 rows; after
+# this snapshot the minimum last-sampled round advances to r4.
 # Every entry is local-gate green at sf0.01 AND sf0.1 and
 # dtype-prescreened (COVERAGE.md records the per-round rotation plan).
 _SHOWCASE_HEAD = [
-    # --- the 29 never-driver-sampled entries (closing the sweep:
-    # after this snapshot every registry entry has been driver-checked
-    # at least once) ---
-    # round-9-deferred plain-SQL shapes
-    "subquery_above_avg",
-    "subquery_exists_sql",
-    "customer_rfm_segments",
-    "customer_abc_pareto",
-    "orders_seasonal_index",
-    "profile_table_summary",
-    "topk_skyline_suppliers",
-    "text_vocab_growth",
-    # round-9 statistical-QA battery
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "stats_anova_oneway",
-    "stats_cohens_kappa",
-    "stats_calibration_ece",
-    "stats_chi2_independence",
-    "stats_welch_ttest",
-    "stats_spearman_rank_corr",
-    # round-9 engine/analytics additions
-    "experiment_uplift_by_segment",
-    "events_markov_transition",
-    "events_conversion_window_sweep",
-    "sink_wap_publish",
-    "text_repetition_profile",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "scalar_url_functions",
-    "scalar_bitwise_functions",
-    "emb_power_iteration_step",
-    "emb_cluster_label_purity",
-    "graph_degree_distribution",
-    "validation_order_lineitem_reconcile",
-    # --- new this round ---
-    "sink_wap_multibranch",
-    # --- 20 held-over driver-confirmed engine rows (one per family,
-    # keeping the head representative while the sweep closes) ---
-    "flagship_cdc_compaction",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "checksum_stats_lineitem",
-    "cdc_apply_changes",
-    "join_asof_prior_view",
-    "join_skewed_salted",
-    "window_session_islands",
-    "graph_pagerank_purchases",
-    "dedup_ngram_jaccard",
-    "emb_semantic_dedup",
-    "emb_ivf_recall_probe",
-    "multimodal_ahash_signatures",
-    "llm_curation_pipeline",
-    "ledger_exactly_once_replay",
-    "source_python_cdclog_latest",
-    "ts_anomaly_zscore",
-    "er_blocked_fuzzy_match",
-    "sketch_kmv_jaccard",
-    "events_sessionize_batch",
+    # --- never driver-sampled (new this round) ---
+    "emb_ivf_auto_k",
+    "feed_cursor_pinned_drain",
+    # --- last sampled r1-r2 (6) ---
+    "emb_topk_batch",
+    "multimodal_binary_metadata",
+    "sample_hash_deterministic",
+    "sample_stratified",
+    "emb_ann_query_ivf",
+    "emb_ivf_assign",
+    # --- last sampled r3 (27) ---
+    "agg_counts_distinct",
+    "agg_cube_part",
+    "agg_group_stats",
+    "cdc_classify_operations",
+    "cdc_latest_state",
+    "cdc_snapshot_diff",
+    "checksum_ordered_nation",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "emb_cosine_topk",
+    "emb_neardup_pairs",
+    "join_anti_customers_without_orders",
+    "join_left_customer_orders",
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "scalar_date_parts",
+    "scalar_string_functions",
+    "set_except_viewers_not_big_buyers",
+    "set_union_event_sources",
+    "sort_recent_events",
+    "text_quality_scores",
+    "text_token_stats",
+    "window_lag_event_gap",
+    "window_latest_offsets_sql",
+    "window_range_30d_peak",
+    "window_running_total",
+    "window_sliding_2d",
+    # --- last sampled r4, oldest 15 ---
+    "agg_approx_distinct",
+    "agg_approx_percentile_dual",
+    "agg_bitmap_exact_distinct",
+    "agg_exact_percentiles",
+    "agg_hll_mergeable_rollup",
+    "agg_rollup_orders",
+    "cdc_debezium_decode",
+    "cdc_lateness_audit",
+    "cdc_scd2_point_in_time",
+    "dedup_exact_documents",
+    "dedup_exact_substring_spans",
+    "dedup_minhash_lsh",
+    "events_activity_gini",
+    "filter_null_semantics",
+    "join_broadcast_nation_region",
 ]
 
 
