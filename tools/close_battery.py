@@ -1,0 +1,106 @@
+"""Round-closing verification battery — one command, every gate.
+
+Runs, in order, each in its own subprocess (fresh JVM, no session
+accretion), continuing past failures and summarizing at the end:
+
+1. full strict oracle gate at sf0.01 (the driver's correctness gate);
+2. full registry sweep at sf0.1 (10x the gate — catches scale cliffs,
+   skip with --skip-sweep);
+3. bench.py (writes BENCH_DETAIL.json / BENCH_HISTORY.jsonl);
+4. stream_bench.py (streaming ingest throughput, verified);
+5. sf1_profile.py (the 10x-scale wall-time ratios) — appended to
+   SF1_HISTORY.jsonl with a ratio-vs-last-round comparison so scale
+   regressions are caught PER ROUND, not rediscovered later: any
+   query whose sf1/sf0.1 ratio degrades >25% against the previous
+   battery is flagged in the summary.
+
+Usage: python tools/close_battery.py [--skip-sweep] [--round N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_HISTORY = os.path.join(REPO, "SF1_HISTORY.jsonl")
+
+
+def _run(label: str, cmd: list[str], timeout: int) -> tuple[bool, str]:
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        )
+        ok, out = proc.returncode == 0, proc.stdout
+        tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-3:])
+    except subprocess.TimeoutExpired:
+        ok, out, tail = False, "", f"TIMEOUT after {timeout}s"
+    print(f"[battery] {label}: {'OK' if ok else 'FAIL'} "
+          f"({time.time() - t0:.0f}s)\n  {tail}", file=sys.stderr)
+    return ok, out
+
+
+def main() -> int:
+    skip_sweep = "--skip-sweep" in sys.argv
+    round_tag = None
+    if "--round" in sys.argv:
+        round_tag = int(sys.argv[sys.argv.index("--round") + 1])
+    py = sys.executable
+    results = {}
+
+    results["gate_sf0.01"], _ = _run(
+        "oracle gate sf0.01",
+        [py, "tools/check_oracle.py", "/root/testdata/sf0.01"],
+        3600,
+    )
+    if not skip_sweep:
+        results["sweep_sf0.1"], _ = _run(
+            "registry sweep sf0.1",
+            [py, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+            5400,
+        )
+    results["bench"], _ = _run("bench", [py, "bench.py"], 3600)
+    results["stream_bench"], _ = _run(
+        "stream bench", [py, "tools/stream_bench.py"], 1800
+    )
+
+    ok, out = _run("sf1 profile", [py, "tools/sf1_profile.py"], 3600)
+    results["sf1_profile"] = ok
+    degraded = []
+    if ok:
+        line = next(
+            (ln for ln in out.splitlines() if ln.startswith("{")), None
+        )
+        if line:
+            entry = json.loads(line)
+            prev = None
+            if os.path.exists(SF1_HISTORY):
+                with open(SF1_HISTORY) as f:
+                    lines = [ln for ln in f if ln.strip()]
+                if lines:
+                    prev = json.loads(lines[-1])
+            for q, cur in entry["queries"].items():
+                p = (prev or {}).get("queries", {}).get(q)
+                if p and p.get("ratio") and cur.get("ratio"):
+                    if cur["ratio"] > p["ratio"] * 1.25:
+                        degraded.append(
+                            f"{q}: ratio {p['ratio']} -> {cur['ratio']}"
+                        )
+            entry["round"] = round_tag
+            with open(SF1_HISTORY, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
+    print(json.dumps({
+        "steps": results,
+        "sf1_ratio_degradations": degraded,
+        "all_green": all(results.values()) and not degraded,
+    }))
+    return 0 if all(results.values()) else 1
+
+
+if __name__ == "__main__":
+    main()
