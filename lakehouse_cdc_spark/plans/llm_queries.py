@@ -1159,8 +1159,9 @@ def emb_ivf_auto_k(spark, sf_dir):
     bench=True,
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQ} AS norm_sq FROM embeddings),
+    kk AS (SELECT {_AUTO_K_SQL.format(min_k=32)} AS k FROM n),
     c AS (SELECT vec_id AS cid, embedding AS cemb, norm_sq AS cnorm
-          FROM n WHERE vec_id < 32),
+          FROM n WHERE vec_id < (SELECT k FROM kk)),
     scored AS (
       SELECT e.vec_id, c.cid,
              round(list_sum(list_transform(generate_series(1, 64),
@@ -1193,15 +1194,19 @@ def emb_ivf_auto_k(spark, sf_dir):
 )
 def emb_neardup_bucketed(spark, sf_dir):
     """The scale path for embedding near-dup: IVF assignment (2-probe,
-    32 centroids = vec_id < 32) → cosine pairs WITHIN buckets only.
+    scale-aware centroid count) → cosine pairs WITHIN buckets only.
     Shuffle is keyed by cluster; pair space is O(Σ bucket²), never
     all-pairs — and K must GROW with N (K ≈ √N keeps per-bucket work
     flat; 8 centroids over 2k vectors left a quadratic residue that
-    was 4× slower).  Same output contract as emb_neardup_pairs
-    restricted to bucket-cohabiting pairs — on clustered near-dups
-    recall ≈ 1 (see tests/test_llm.py recall test)."""
+    was 4× slower).  K is ``similarity.auto_k`` (max(32, ⌊√N+0.5⌋),
+    byte-budget-clamped; the demo floor keeps the sf0.01 result
+    identical) and the oracle recomputes the same K from COUNT(*).
+    Same output contract as emb_neardup_pairs restricted to
+    bucket-cohabiting pairs — on clustered near-dups recall ≈ 1 (see
+    tests/test_llm.py recall test)."""
     emb = table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 32).select(
+    k = auto_k(emb.count(), 64, min_k=32)
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
     return bucketed_cosine_pairs_blocked(emb, centroids, threshold=0.4, probes=2)
