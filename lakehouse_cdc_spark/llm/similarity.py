@@ -52,6 +52,42 @@ def auto_k(n: int, dim: int, c: float = 1.0, min_k: int = 8) -> int:
     return min(k, _CENTROID_ELEM_BUDGET // max(1, dim))
 
 
+def ivf_auto_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    dim: int = 64,
+    min_k: int = 8,
+    c: float = 1.0,
+) -> tuple[DataFrame, int]:
+    """Scale-aware IVF index fit: pick ``K = auto_k(N)`` and seed the
+    centroid table with the first K vectors by id — the deterministic,
+    oracle-replicable seeding every declared row uses (ids are assumed
+    dense from 0, true of any row-numbered corpus; ``kmeans_refine``
+    upgrades seeds to true Lloyd centroids when quality matters more
+    than oracle determinism).  Returns ``(centroids, K)``.
+
+    This is the DEFAULT entry point for building an IVF index: callers
+    that pin K explicitly are demo/oracle parameterizations, not the
+    scale path."""
+    k = auto_k(_count_rows(embeddings), dim, c=c, min_k=min_k)
+    return (
+        embeddings.filter(F.col(id_col) < k).select(
+            F.col(id_col).alias(centroid_id_col),
+            F.col(vec_col).alias(centroid_vec_col),
+        ),
+        k,
+    )
+
+
+def _count_rows(df: DataFrame) -> int:
+    """O(1)-result corpus count (parquet footer metadata when the
+    source allows; never a data materialization)."""
+    return df.count()
+
+
 def _fold_sum(arr: Column) -> Column:
     """Left-fold sum of an array<double> — deterministic order."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)

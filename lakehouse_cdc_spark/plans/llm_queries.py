@@ -30,6 +30,7 @@ from lakehouse_cdc_spark.llm.similarity import (
     cosine_topk,
     dot,
     ivf_assign,
+    ivf_auto_centroids,
     ivf_topk,
     with_norm,
 )
@@ -946,10 +947,7 @@ def contamination_embedding_overlap(spark, sf_dir):
     The oracle recomputes the same K from COUNT(*) — exact at every
     scale factor."""
     emb = table(spark, sf_dir, "embeddings")
-    k = auto_k(emb.count(), 64, min_k=8)
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
+    centroids, _ = ivf_auto_centroids(emb, min_k=8)
     train = emb.filter(F.col("vec_id") % 97 != 0)
     eval_rows = emb.filter(F.col("vec_id") % 97 == 0)
     assign = ivf_assign(train, centroids).select("vec_id", "cluster")
@@ -1205,10 +1203,7 @@ def emb_neardup_bucketed(spark, sf_dir):
     bucket-cohabiting pairs — on clustered near-dups recall ≈ 1 (see
     tests/test_llm.py recall test)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = auto_k(emb.count(), 64, min_k=32)
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
+    centroids, _ = ivf_auto_centroids(emb, min_k=32)
     return bucketed_cosine_pairs_blocked(emb, centroids, threshold=0.4, probes=2)
 
 
@@ -2980,10 +2975,7 @@ def emb_semantic_dedup(spark, sf_dir):
     9.3× wall for 10× data at sf1; K ∝ √N keeps buckets constant-size
     and the oracle recomputes the same K from COUNT(*)."""
     emb = table(spark, sf_dir, "embeddings")
-    k = auto_k(emb.count(), 64, min_k=32)
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
+    centroids, _ = ivf_auto_centroids(emb, min_k=32)
     pairs = bucketed_cosine_pairs_blocked(
         emb, centroids, threshold=0.4, probes=2
     )
