@@ -32,6 +32,10 @@ TOP = [
     "sketch_kmv_jaccard",
     "contamination_embedding_overlap",
     "sketch_histogram_quantiles",
+    # round 11: the third quadratic-class ANN row (now auto-K) and the
+    # heaviest map-side bench row join the per-round scale watch
+    "emb_neardup_bucketed",
+    "dedup_lsh_parameter_sweep",
 ]
 
 
