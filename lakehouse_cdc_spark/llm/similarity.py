@@ -72,7 +72,10 @@ def ivf_auto_centroids(
     This is the DEFAULT entry point for building an IVF index: callers
     that pin K explicitly are demo/oracle parameterizations, not the
     scale path."""
-    k = auto_k(_count_rows(embeddings), dim, c=c, min_k=min_k)
+    # one column-pruned count job (O(1) RESULT, not O(1) cost — Spark
+    # still scans row-group counts); callers fitting many indexes over
+    # the same corpus should count once and pass explicit centroids
+    k = auto_k(embeddings.count(), dim, c=c, min_k=min_k)
     return (
         embeddings.filter(F.col(id_col) < k).select(
             F.col(id_col).alias(centroid_id_col),
@@ -80,12 +83,6 @@ def ivf_auto_centroids(
         ),
         k,
     )
-
-
-def _count_rows(df: DataFrame) -> int:
-    """O(1)-result corpus count (parquet footer metadata when the
-    source allows; never a data materialization)."""
-    return df.count()
 
 
 def _fold_sum(arr: Column) -> Column:

@@ -38,7 +38,18 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None
 
 
 
-def _ref_roots(target_dir: str) -> set[int]:
+def _snapshot_versions(target_dir: str) -> list[int]:
+    """Ascending snapshot numbers with a ``v=N`` directory — THE
+    parsing rule for the sink's layout, kept in one place so retention
+    and the pin logic can never disagree about what a snapshot is."""
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(target_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def _ref_roots(target_dir: str, versions: list[int]) -> set[int]:
     """Snapshots pinned by named refs (_REFS.json): every tag, plus a
     WAP branch's whole base..head chain (staged history must stay
     time-travelable until published or aborted), plus — for every
@@ -62,15 +73,7 @@ def _ref_roots(target_dir: str) -> set[int]:
     cursors = refs.get("cursors") or {}
     if cursors:
         floor = min(int(a) for a in cursors.values())
-        roots.update(
-            v
-            for v in (
-                int(d.split("=", 1)[1])
-                for d in os.listdir(target_dir)
-                if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-            )
-            if v >= floor
-        )
+        roots.update(v for v in versions if v >= floor)
     return roots
 
 
@@ -80,53 +83,59 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     Never removes the committed snapshot, NOR any snapshot directory
     the committed manifest still references for an untouched bucket
     (the bucketed layout reuses old snapshots' files, Iceberg-manifest
-    style).  Returns expired snapshot numbers."""
+    style).  Returns expired snapshot numbers.
+
+    The whole pass runs under the sink's refs flock: the keep set is
+    computed FROM the refs document (tags, branches, cursor pins), so
+    a cursor registering or a branch staging concurrently with an
+    unlocked expiry could register against a refs state the expiry no
+    longer honors and have its history deleted in the same pass —
+    under the lock, registration orders strictly before or after the
+    deletion."""
     import json
 
     from lakehouse_cdc_spark.streaming.pipeline import (
         manifest_path,
         parse_version_pointer,
+        refs_lock,
     )
 
-    versions = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(target_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    )
-    committed_snap = parse_version_pointer(target_dir)[2]
-    keep = set(versions[-retain_last:])
-    if committed_snap is not None:
-        keep.add(committed_snap)
-    keep |= _ref_roots(target_dir)
-    # every RETAINED snapshot must stay fully readable (time travel):
-    # union in the bucket dirs each retained manifest references —
-    # keeping only the committed manifest's references would leave
-    # retained history pointing at deleted directories.  Iterate to a
-    # fixed point (a kept referenced snapshot's manifest may reference
-    # further snapshots).
-    while True:
-        referenced = set()
-        for v in keep:
-            manifest_file = manifest_path(target_dir, v)
-            if os.path.exists(manifest_file):
-                with open(manifest_file) as f:
-                    m = json.load(f)
-                referenced.update(int(s) for s in m["buckets"].values())
-                # merge-on-read: unfolded delta dirs are live state of
-                # the retained snapshot — keep their v= dirs too
-                referenced.update(int(s) for s in m.get("deltas") or [])
-        if referenced <= keep:
-            break
-        keep |= referenced
-    expired = []
-    for v in versions:
-        if v not in keep:
-            shutil.rmtree(os.path.join(target_dir, f"v={v}"))
-            stale_manifest = manifest_path(target_dir, v)
-            if os.path.exists(stale_manifest):
-                os.remove(stale_manifest)
-            expired.append(v)
-    return expired
+    with refs_lock(target_dir):
+        versions = _snapshot_versions(target_dir)
+        committed_snap = parse_version_pointer(target_dir)[2]
+        keep = set(versions[-retain_last:])
+        if committed_snap is not None:
+            keep.add(committed_snap)
+        keep |= _ref_roots(target_dir, versions)
+        # every RETAINED snapshot must stay fully readable (time
+        # travel): union in the bucket dirs each retained manifest
+        # references — keeping only the committed manifest's
+        # references would leave retained history pointing at deleted
+        # directories.  Iterate to a fixed point (a kept referenced
+        # snapshot's manifest may reference further snapshots).
+        while True:
+            referenced = set()
+            for v in keep:
+                manifest_file = manifest_path(target_dir, v)
+                if os.path.exists(manifest_file):
+                    with open(manifest_file) as f:
+                        m = json.load(f)
+                    referenced.update(int(s) for s in m["buckets"].values())
+                    # merge-on-read: unfolded delta dirs are live state
+                    # of the retained snapshot — keep their v= dirs too
+                    referenced.update(int(s) for s in m.get("deltas") or [])
+            if referenced <= keep:
+                break
+            keep |= referenced
+        expired = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(os.path.join(target_dir, f"v={v}"))
+                stale_manifest = manifest_path(target_dir, v)
+                if os.path.exists(stale_manifest):
+                    os.remove(stale_manifest)
+                expired.append(v)
+        return expired
 
 
 def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
@@ -165,16 +174,12 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
         parse_version_pointer,
     )
 
-    versions = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(target_dir)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    )
+    versions = _snapshot_versions(target_dir)
     committed_snap = parse_version_pointer(target_dir)[2]
     base_keep = set(versions[-retain_last:])
     if committed_snap is not None:
         base_keep.add(committed_snap)
-    base_keep |= _ref_roots(target_dir)
+    base_keep |= _ref_roots(target_dir, versions)
     keep = set(base_keep)
     while True:  # same reference closure as expire_snapshots
         referenced = set()

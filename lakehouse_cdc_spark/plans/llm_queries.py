@@ -22,7 +22,6 @@ from lakehouse_cdc_spark.llm.dedup import (
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
-    auto_k,
     bucketed_cosine_pairs,
     bucketed_cosine_pairs_blocked,
     cosine_pairs,
@@ -1090,7 +1089,10 @@ def emb_ivf_auto_k(spark, sf_dir):
     both candidate pipelines are broadcast-assign + cluster-keyed
     joins — probes/K of the corpus each, never all-pairs."""
     emb = table(spark, sf_dir, "embeddings")
-    k_auto_val = auto_k(emb.count(), 64, min_k=8)
+    cen_auto, k_auto_val = ivf_auto_centroids(emb, min_k=8)
+    cen_fixed = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
     probes_df = emb.filter(F.col("vec_id") % 101 == 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
@@ -1112,10 +1114,7 @@ def emb_ivf_auto_k(spark, sf_dir):
         .select("qid", "vec_id")
     )
 
-    def cand_for(k):
-        cen = emb.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-        )
+    def cand_for(cen):
         assign = ivf_assign(emb, cen).select("vec_id", "cluster")
         qprobe = ivf_assign(
             probes_df.select(
@@ -1140,8 +1139,8 @@ def emb_ivf_auto_k(spark, sf_dir):
 
     return (
         probes_df.select("qid")
-        .join(hits(cand_for(8), "hf"), on="qid", how="left")
-        .join(hits(cand_for(k_auto_val), "ha"), on="qid", how="left")
+        .join(hits(cand_for(cen_fixed), "hf"), on="qid", how="left")
+        .join(hits(cand_for(cen_auto), "ha"), on="qid", how="left")
         .select(
             "qid",
             F.lit(k_auto_val).cast("bigint").alias("k_auto"),

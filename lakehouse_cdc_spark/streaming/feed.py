@@ -86,13 +86,36 @@ class FeedCursor:
 
         self.sink._refs_update(_drop)
 
-    def _write(self, snapshot: int) -> None:
+    def reset(self, snapshot: int = -1) -> None:
+        """Deliberately REWIND the cursor (full redelivery, or recovery
+        after the sink was rolled back below it — the loud stop in
+        ``next_batch`` points here).  Unlike ack, this force-writes the
+        retention pin DOWNWARD too: the advance-only guard in ``_pin``
+        exists to stop a stale concurrent handle from rewinding
+        retention, but an explicit operator reset must not leave the
+        old high floor pinned — a reset named cursor with a stale pin
+        would be unprotected below it, the exact stranding registration
+        exists to prevent.  Rewinding cannot resurrect history already
+        expired: if manifests below the old floor are gone, the next
+        ``next_batch`` fails loudly on the expired chain."""
+        self._write_file_only(snapshot)
+        if self.name is not None:
+
+            def _force(refs):
+                refs["cursors"][self.name] = snapshot
+
+            self.sink._refs_update(_force)
+
+    def _write_file_only(self, snapshot: int) -> None:
         tmp = self.cursor_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"acked": snapshot}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)
+
+    def _write(self, snapshot: int) -> None:
+        self._write_file_only(snapshot)
         if self.name is not None:
             self._pin(snapshot)
 
@@ -133,7 +156,8 @@ class FeedCursor:
                 raise ValueError(
                     f"sink rolled back below the cursor (committed="
                     f"{committed} < acked={start}): feed history "
-                    "diverged — reset the cursor file explicitly"
+                    "diverged — call cursor.reset() explicitly (it "
+                    "also rewinds a named cursor's retention pin)"
                 )
             if committed is None or committed <= start:
                 return None, start, lambda: None

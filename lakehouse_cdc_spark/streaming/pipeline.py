@@ -465,10 +465,19 @@ class SnapshotUpsertSink:
             # interleave across branches, so contiguity with the head
             # is NOT required — what must still hold is that the head
             # this writer merged from is still the head (per-branch
-            # single-writer sequencing), and that the number is new.
+            # single-writer sequencing), and that the number is new
+            # BOTH against the branch head AND against the main
+            # pointer: a racing main writer that claimed, committed,
+            # and RELEASED this number between our allocation and our
+            # O_EXCL create would otherwise hand us a recycled claim
+            # on a COMMITTED snapshot, and the first stage's
+            # overwrite-mode write would trample its data files.
             cur = (self.refs()["branches"].get(branch) or {}).get("snapshot")
-            base_ok = cur == expected_head and (
-                expected_head is None or new_snap > expected_head
+            cur_main = self.committed_snapshot()
+            base_ok = (
+                cur == expected_head
+                and (expected_head is None or new_snap > expected_head)
+                and (cur_main is None or new_snap > cur_main)
             )
         if not base_ok:
             self._release_claim(new_snap)
@@ -1201,16 +1210,11 @@ class SnapshotUpsertSink:
         would — no staleness heuristics, no breakable-lock races.  The
         sink already assumes a POSIX filesystem for O_EXCL claims and
         atomic renames; flock holds on the same class of filesystems.
+        The module-level :func:`refs_lock` is the same lock, takeable
+        without a sink instance (maintenance uses it).
         """
-        fd = os.open(self._refs_path() + ".lock", os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with refs_lock(self.target_dir):
             yield
-        finally:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-            finally:
-                os.close(fd)
 
     def _refs_update(self, mutate):
         """Apply ``mutate(doc)`` to the refs document atomically under
@@ -2334,9 +2338,30 @@ class SnapshotUpsertSink:
                                 # real same-branch conflict, not a lane
                                 # collision: surface it
                                 raise
-                            # a concurrent BRANCH holds this number:
-                            # probe upward past every durable claim —
-                            # refs alone can lag a winner's ref update
+                            try:
+                                with open(self._claim_path(new_snap)) as cf:
+                                    holder = cf.read().rpartition(":")[0]
+                            except FileNotFoundError:
+                                holder = ""
+                            if holder.endswith(f"@wap:{branch}"):
+                                # the colliding claim is OUR OWN
+                                # branch's: a concurrent second writer
+                                # on this branch (its ref update just
+                                # hasn't landed yet).  Probing past it
+                                # would let both batches stage against
+                                # the SAME head — two diverging diffs
+                                # recorded as one chain.  Per-branch
+                                # single-writer is the contract: raise.
+                                raise ConcurrentCommitError(
+                                    f"branch {branch!r} has a concurrent "
+                                    f"staged writer (claim at {new_snap}); "
+                                    "one writer per branch — re-read the "
+                                    "branch head and retry"
+                                ) from None
+                            # a concurrent OTHER branch holds this
+                            # number: probe upward past every durable
+                            # claim — refs alone can lag a winner's
+                            # ref update
                             probe = max(
                                 new_snap + 1,
                                 self._next_lane_number(self.refs()),
@@ -3261,6 +3286,26 @@ def parse_version_pointer(target_dir: str) -> tuple[str | None, int | None, int 
     sink = SnapshotUpsertSink.__new__(SnapshotUpsertSink)
     sink.target_dir = target_dir
     return SnapshotUpsertSink.committed(sink)
+
+
+@contextlib.contextmanager
+def refs_lock(target_dir: str):
+    """The sink's refs flock, takeable without constructing the sink —
+    shared with maintenance.expire_snapshots so retention computes its
+    keep set against a refs document no concurrent writer (a cursor
+    registering, a branch staging) can change mid-expiry.  Same
+    kernel-released flock as ``SnapshotUpsertSink._refs_lock``."""
+    fd = os.open(
+        os.path.join(target_dir, "_REFS.json.lock"), os.O_CREAT | os.O_RDWR
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
 
 def _checkpoint_lineage(checkpoint_dir: str) -> str:

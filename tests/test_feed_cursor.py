@@ -288,3 +288,37 @@ def test_two_named_cursors_min_floor_wins(spark, tmp_path):
         seen += [r.id for r in df.collect()]
         ack()
     assert sorted(seen) == [3, 4]
+
+
+def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
+    """reset() is the operator's deliberate rewind: unlike ack's
+    advance-only pin, it force-writes the refs pin DOWNWARD so a reset
+    named cursor is protected below its old floor again."""
+    from lakehouse_cdc_spark.maintenance import expire_snapshots
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    cur = FeedCursor(sink, str(tmp_path / "c.json"), name="analytics")
+    for i in range(4):
+        sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+    while True:
+        df, _, ack = cur.next_batch(spark)
+        if df is None:
+            break
+        df.collect()
+        ack()
+    assert sink.refs()["cursors"]["analytics"] == 3
+    cur.reset()  # full redelivery requested
+    assert cur.acked() == -1
+    assert sink.refs()["cursors"]["analytics"] == -1
+    # the rewound pin blocks retention again
+    assert expire_snapshots(sink.target_dir, retain_last=1) == []
+    seen = []
+    while True:
+        df, _, ack = cur.next_batch(spark)
+        if df is None:
+            break
+        seen += [r.id for r in df.collect()]
+        ack()
+    assert sorted(seen) == [0, 1, 2, 3]  # full redelivery, zero loss

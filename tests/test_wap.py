@@ -1339,3 +1339,56 @@ print("PUBLISHED")
     # the committed chain replays cleanly end to end
     assert sink.committed_snapshot() is not None
     assert sink.changes_between(spark, 0, sink.committed_snapshot()) is not None
+
+
+def test_same_branch_concurrent_stager_raises_not_forks(spark, seeded):
+    """Two concurrent writers on the SAME branch must conflict, not
+    silently stage divergent diffs against one head: when the lane
+    allocator collides with a claim owned by OUR OWN branch, stage
+    raises instead of probing past it (probing is only correct for a
+    cross-branch collision)."""
+    sink = seeded
+    sink.create_branch("audit")
+    sink.stage_batch("audit", _batch(spark, [(1, "s1", "u", 1)]), 1)
+    # a concurrent second writer of THIS branch holds the next lane
+    # (its ref update hasn't landed): simulate its durable claim
+    nxt = sink._next_lane_number(sink.refs())
+    with open(sink._claim_path(nxt), "w") as f:
+        f.write("@wap:audit:77")
+    with pytest.raises(ConcurrentCommitError, match="concurrent staged"):
+        sink.stage_batch("audit", _batch(spark, [(2, "s2", "u", 2)]), 2)
+    os.unlink(sink._claim_path(nxt))
+    # with the foreign claim gone the branch stages normally again
+    sink.stage_batch("audit", _batch(spark, [(2, "s2", "u", 2)]), 2)
+    assert _vals(sink.table_at_ref(spark, "audit"))[2] == "s2"
+
+
+def test_branch_claim_rejects_number_main_already_committed(spark, seeded):
+    """The recycled-claim race: a racing main writer claims, commits,
+    and RELEASES snapshot N between a branch's lane allocation and its
+    O_EXCL create — the branch claim must re-verify against the MAIN
+    pointer and refuse, or the first stage would overwrite committed
+    data files."""
+    sink = seeded
+    sink.process_batch(_batch(spark, [(1, "m1", "u", 1)]), 1)
+    assert sink.committed_snapshot() == 1  # claim for 1 released
+
+    # simulate the stale allocation: a branch that computed reserved=1
+    # while the pointer was still at 0
+    def _insert(refs):
+        refs["branches"]["b"] = {
+            "base": 0,
+            "snapshot": 0,
+            "batch": None,
+            "snaps": [],
+            "reserved": 1,
+        }
+
+    sink._refs_update(_insert)
+    with pytest.raises(ConcurrentCommitError, match="stale base"):
+        sink._claim(1, None, branch="b", expected_head=0)
+    # the refused claim must not leave a fence behind
+    assert not os.path.exists(sink._claim_path(1))
+    # committed data untouched
+    assert _vals(sink.current_table(spark))[1] == "m1"
+    sink._refs_update(lambda refs: refs["branches"].pop("b", None))

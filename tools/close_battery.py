@@ -94,12 +94,16 @@ def main() -> int:
             with open(SF1_HISTORY, "a") as f:
                 f.write(json.dumps(entry) + "\n")
 
+    all_green = all(results.values()) and not degraded
     print(json.dumps({
         "steps": results,
         "sf1_ratio_degradations": degraded,
-        "all_green": all(results.values()) and not degraded,
+        "all_green": all_green,
     }))
-    return 0 if all(results.values()) else 1
+    # a >25% scale-ratio degradation fails the battery — catching it
+    # per round is the tool's reason to exist; a named-cause exception
+    # is the operator's call to make AFTER seeing a red exit
+    return 0 if all_green else 1
 
 
 if __name__ == "__main__":
