@@ -193,7 +193,7 @@ def test_registered_cursor_pins_snapshots_against_expiry(spark, tmp_path):
     df.collect()
     ack()  # cursor acked snapshot 0, then falls behind
     assert sink.refs()["cursors"]["analytics"] == 0
-    for i in range(1, 6):
+    for i in range(1, 4):
         sink.process_batch(_batch(spark, [(i + 10, f"v{i}", "c", i)]), i)
 
     # aggressive retention: without the pin this would delete the
@@ -208,11 +208,11 @@ def test_registered_cursor_pins_snapshots_against_expiry(spark, tmp_path):
             break
         seen += [(r.id, r._change_snapshot) for r in df.collect()]
         ack()
-    assert sorted(seen) == [(i + 10, i) for i in range(1, 6)]  # zero loss
-    assert sink.refs()["cursors"]["analytics"] == 5  # pin advanced
+    assert sorted(seen) == [(i + 10, i) for i in range(1, 4)]  # zero loss
+    assert sink.refs()["cursors"]["analytics"] == 3  # pin advanced
 
     # caught up: the pin no longer blocks retention of old history
-    sink.process_batch(_batch(spark, [(99, "z", "c", 6)]), 6)
+    sink.process_batch(_batch(spark, [(99, "z", "c", 4)]), 4)
     df, _, ack = cur.next_batch(spark)
     df.collect()
     ack()
@@ -240,7 +240,7 @@ def test_unregistered_cursor_is_stranded_loudly_by_expiry(spark, tmp_path):
     df, _, ack = cur.next_batch(spark)
     df.collect()
     ack()
-    for i in range(1, 6):
+    for i in range(1, 4):
         sink.process_batch(_batch(spark, [(i, f"v{i}", "u", i)]), i)
     expired = expire_snapshots(sink.target_dir, retain_last=1)
     assert expired  # nothing pinned: history below head-1 is gone
@@ -259,7 +259,7 @@ def test_two_named_cursors_min_floor_wins(spark, tmp_path):
     )
     fast = FeedCursor(sink, str(tmp_path / "fast.json"), name="fast")
     slow = FeedCursor(sink, str(tmp_path / "slow.json"), name="slow")
-    for i in range(5):
+    for i in range(4):
         sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
     # fast drains fully; slow consumes nothing (floor -1 pins all)
     while True:
@@ -287,7 +287,7 @@ def test_two_named_cursors_min_floor_wins(spark, tmp_path):
             break
         seen += [r.id for r in df.collect()]
         ack()
-    assert sorted(seen) == [3, 4]
+    assert sorted(seen) == [3]
 
 
 def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
@@ -300,7 +300,7 @@ def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
         str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
     )
     cur = FeedCursor(sink, str(tmp_path / "c.json"), name="analytics")
-    for i in range(4):
+    for i in range(3):
         sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
     while True:
         df, _, ack = cur.next_batch(spark)
@@ -308,7 +308,7 @@ def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
             break
         df.collect()
         ack()
-    assert sink.refs()["cursors"]["analytics"] == 3
+    assert sink.refs()["cursors"]["analytics"] == 2
     cur.reset()  # full redelivery requested
     assert cur.acked() == -1
     assert sink.refs()["cursors"]["analytics"] == -1
@@ -321,4 +321,4 @@ def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
             break
         seen += [r.id for r in df.collect()]
         ack()
-    assert sorted(seen) == [0, 1, 2, 3]  # full redelivery, zero loss
+    assert sorted(seen) == [0, 1, 2]  # full redelivery, zero loss

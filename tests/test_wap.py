@@ -352,7 +352,10 @@ def test_random_wap_walk_matches_model(spark, seed):
 
     commit_main([(i, f"v{i}", "c", 0) for i in range(6)])
 
-    for step in range(14):
+    # 10 steps per seed (was 14): the r11 wall-time budget trim the
+    # round-10 verdict asked for — seeds kept, coverage per step
+    # unchanged, two seeds still cross the publish/abort/expire space
+    for step in range(10):
         ops = ["main", "tag", "expire", "recover", "compact"]
         if branch_open:
             ops += ["stage", "stage", "publish", "abort"]
@@ -611,7 +614,8 @@ def test_random_two_writer_wap_walk_matches_model(spark, seed):
     model_main = {i: f"v{i}" for i in range(8)}
     batch_id = 1
 
-    for step in range(18):
+    # 13 steps per seed (was 18): r11 wall-time budget trim, seeds kept
+    for step in range(13):
         ops = ["main", "recover"]
         for name in ("x", "y"):
             if name in branches:
