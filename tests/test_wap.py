@@ -199,7 +199,7 @@ def test_publish_idempotent_after_crash_between_pointer_and_refs(
 def test_tags_pin_snapshots_against_expiry(spark, seeded):
     sink = seeded
     sink.create_tag("baseline")  # pins snapshot 0
-    for i in range(1, 8):
+    for i in range(1, 6):
         sink.process_batch(
             _batch(spark, [(i % 10, f"r{i}", "u", i)]), i
         )
