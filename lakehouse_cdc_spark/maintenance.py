@@ -107,6 +107,15 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
         if committed_snap is not None:
             keep.add(committed_snap)
         keep |= _ref_roots(target_dir, versions)
+        # a live v=N.claim marks an IN-FLIGHT writer's directory (data
+        # lands before its manifest/ref record exists anywhere expiry
+        # can see) — never delete under it; a CRASHED writer's claim
+        # is recover_interrupted_commit's to resolve, not expiry's
+        keep |= {
+            v
+            for v in versions
+            if os.path.exists(os.path.join(target_dir, f"v={v}.claim"))
+        }
         # every RETAINED snapshot must stay fully readable (time
         # travel): union in the bucket dirs each retained manifest
         # references — keeping only the committed manifest's
@@ -127,15 +136,24 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
             if referenced <= keep:
                 break
             keep |= referenced
+        # under the lock only the METADATA deletions happen (manifest
+        # unlink — fast, what readers/refs actually resolve against);
+        # the data-directory rmtrees run after release so a large
+        # expiry never stalls concurrent commits, stages, or cursor
+        # acks on the refs lock.  Post-release the doomed dirs are
+        # unreachable: no retained manifest references them, and a
+        # ref registered after release resolves against the already-
+        # shrunk manifest set.
         expired = []
         for v in versions:
             if v not in keep:
-                shutil.rmtree(os.path.join(target_dir, f"v={v}"))
                 stale_manifest = manifest_path(target_dir, v)
                 if os.path.exists(stale_manifest):
                     os.remove(stale_manifest)
                 expired.append(v)
-        return expired
+    for v in expired:
+        shutil.rmtree(os.path.join(target_dir, f"v={v}"), ignore_errors=True)
+    return expired
 
 
 def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
@@ -180,6 +198,11 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
     if committed_snap is not None:
         base_keep.add(committed_snap)
     base_keep |= _ref_roots(target_dir, versions)
+    base_keep |= {  # same in-flight-writer keep as expire_snapshots
+        v
+        for v in versions
+        if os.path.exists(os.path.join(target_dir, f"v={v}.claim"))
+    }
     keep = set(base_keep)
     while True:  # same reference closure as expire_snapshots
         referenced = set()

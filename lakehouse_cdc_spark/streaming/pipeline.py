@@ -481,9 +481,15 @@ class SnapshotUpsertSink:
             )
         if not base_ok:
             self._release_claim(new_snap)
+            where = (
+                f"pointer at {cur}"
+                if branch is None
+                else f"branch head at {cur}, main pointer at "
+                f"{self.committed_snapshot()}"
+            )
             raise ConcurrentCommitError(
                 f"stale base: snapshot {new_snap} was already committed "
-                f"(pointer at {cur}) while this writer was planning; "
+                f"({where}) while this writer was planning; "
                 "re-read committed() and retry on the new base"
             )
 
@@ -2355,8 +2361,11 @@ class SnapshotUpsertSink:
                                 raise ConcurrentCommitError(
                                     f"branch {branch!r} has a concurrent "
                                     f"staged writer (claim at {new_snap}); "
-                                    "one writer per branch — re-read the "
-                                    "branch head and retry"
+                                    "one writer per branch — if it is "
+                                    "live, wait and retry on the new "
+                                    "head; if it died, "
+                                    "recover_interrupted_commit() sweeps "
+                                    "its unrecorded claim"
                                 ) from None
                             # a concurrent OTHER branch holds this
                             # number: probe upward past every durable

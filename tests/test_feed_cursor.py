@@ -71,7 +71,7 @@ def test_cursor_drains_backlog_in_bounded_chunks(spark, tmp_path):
         ack()
         rounds += 1
     assert rounds == 3  # 7 snapshots in chunks of 3: 3 + 3 + 1
-    assert sorted(seen) == [(i, i) for i in range(5)]
+    assert sorted(seen) == [(i, i) for i in range(7)]
 
 
 def test_cursor_skips_feed_silent_commits_without_stalling(spark, tmp_path):

@@ -48,7 +48,12 @@ def main() -> int:
     skip_sweep = "--skip-sweep" in sys.argv
     round_tag = None
     if "--round" in sys.argv:
-        round_tag = int(sys.argv[sys.argv.index("--round") + 1])
+        idx = sys.argv.index("--round") + 1
+        if idx >= len(sys.argv):
+            print("usage: close_battery.py [--skip-sweep] [--round N]",
+                  file=sys.stderr)
+            return 2
+        round_tag = int(sys.argv[idx])
     py = sys.executable
     results = {}
 
@@ -75,7 +80,14 @@ def main() -> int:
         line = next(
             (ln for ln in out.splitlines() if ln.startswith("{")), None
         )
-        if line:
+        if line is None:
+            # exit 0 with no parseable result line means the
+            # degradation check DID NOT RUN — that must read as red,
+            # not as silently green
+            results["sf1_profile"] = False
+            print("[battery] sf1 profile: no JSON line in output — "
+                  "degradation check skipped", file=sys.stderr)
+        else:
             entry = json.loads(line)
             prev = None
             if os.path.exists(SF1_HISTORY):
@@ -107,4 +119,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
