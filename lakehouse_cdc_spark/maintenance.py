@@ -10,10 +10,13 @@ snapshot sink: version expiry = the same retention semantics
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
 
 
 def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> None:
@@ -49,6 +52,24 @@ def _snapshot_versions(target_dir: str) -> list[int]:
     )
 
 
+def _load_refs(target_dir: str) -> dict:
+    """The sink's named-refs document (empty categories when absent) —
+    tags / branches / cursors / cursors_meta, same shape
+    SnapshotUpsertSink.refs() normalizes to."""
+    import json
+
+    refs_file = os.path.join(target_dir, "_REFS.json")
+    refs: dict = {}
+    if os.path.exists(refs_file):
+        with open(refs_file) as f:
+            refs = json.load(f)
+    refs.setdefault("tags", {})
+    refs.setdefault("branches", {})
+    refs.setdefault("cursors", {})
+    refs.setdefault("cursors_meta", {})
+    return refs
+
+
 def _ref_roots(target_dir: str, versions: list[int]) -> set[int]:
     """Snapshots pinned by named refs (_REFS.json): every tag, plus a
     WAP branch's whole base..head chain (staged history must stay
@@ -60,21 +81,52 @@ def _ref_roots(target_dir: str, versions: list[int]) -> set[int]:
     (a cursor that never consumed, acked = -1, pins everything).
     Ref roots join the keep set of expire_snapshots/expiry_safety
     before the manifest reference closure."""
+    refs = _load_refs(target_dir)
+    return _named_ref_roots(refs) | _cursor_pins(refs, versions)
+
+
+def _named_ref_roots(refs: dict) -> set[int]:
+    """Tag + branch pins only (no cursor floors)."""
+    roots: set[int] = {int(s) for s in refs["tags"].values()}
+    for b in refs["branches"].values():
+        roots.update(range(int(b["base"]), int(b["snapshot"]) + 1))
+    return roots
+
+
+def _cursor_pins(refs: dict, versions: list[int]) -> set[int]:
+    """Snapshots pinned by registered feed cursors: everything at or
+    above the minimum acked floor (a never-acked cursor, acked=-1,
+    pins all of ``versions``)."""
+    cursors = refs["cursors"]
+    if not cursors:
+        return set()
+    floor = min(int(a) for a in cursors.values())
+    return {v for v in versions if v >= floor}
+
+
+def _manifest_closure(target_dir: str, seed: set[int]) -> set[int]:
+    """Close a keep set over manifest references: every retained
+    snapshot must stay fully readable (time travel), so the bucket
+    dirs (and MOR delta dirs) each retained manifest references join
+    the set, iterated to a fixed point — a kept referenced snapshot's
+    manifest may reference further snapshots."""
     import json
 
-    refs_file = os.path.join(target_dir, "_REFS.json")
-    if not os.path.exists(refs_file):
-        return set()
-    with open(refs_file) as f:
-        refs = json.load(f)
-    roots: set[int] = {int(s) for s in (refs.get("tags") or {}).values()}
-    for b in (refs.get("branches") or {}).values():
-        roots.update(range(int(b["base"]), int(b["snapshot"]) + 1))
-    cursors = refs.get("cursors") or {}
-    if cursors:
-        floor = min(int(a) for a in cursors.values())
-        roots.update(v for v in versions if v >= floor)
-    return roots
+    from lakehouse_cdc_spark.streaming.pipeline import manifest_path
+
+    keep = set(seed)
+    while True:
+        referenced = set()
+        for v in keep:
+            manifest_file = manifest_path(target_dir, v)
+            if os.path.exists(manifest_file):
+                with open(manifest_file) as f:
+                    m = json.load(f)
+                referenced.update(int(s) for s in m["buckets"].values())
+                referenced.update(int(s) for s in m.get("deltas") or [])
+        if referenced <= keep:
+            return keep
+        keep |= referenced
 
 
 def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
@@ -92,8 +144,6 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     longer honors and have its history deleted in the same pass —
     under the lock, registration orders strictly before or after the
     deletion."""
-    import json
-
     from lakehouse_cdc_spark.streaming.pipeline import (
         manifest_path,
         parse_version_pointer,
@@ -103,39 +153,59 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
     with refs_lock(target_dir):
         versions = _snapshot_versions(target_dir)
         committed_snap = parse_version_pointer(target_dir)[2]
-        keep = set(versions[-retain_last:])
+        refs = _load_refs(target_dir)
+        base = set(versions[-retain_last:])
         if committed_snap is not None:
-            keep.add(committed_snap)
-        keep |= _ref_roots(target_dir, versions)
+            base.add(committed_snap)
+        base |= _named_ref_roots(refs)
         # a live v=N.claim marks an IN-FLIGHT writer's directory (data
         # lands before its manifest/ref record exists anywhere expiry
         # can see) — never delete under it; a CRASHED writer's claim
         # is recover_interrupted_commit's to resolve, not expiry's
-        keep |= {
+        base |= {
             v
             for v in versions
             if os.path.exists(os.path.join(target_dir, f"v={v}.claim"))
         }
         # every RETAINED snapshot must stay fully readable (time
-        # travel): union in the bucket dirs each retained manifest
-        # references — keeping only the committed manifest's
-        # references would leave retained history pointing at deleted
-        # directories.  Iterate to a fixed point (a kept referenced
-        # snapshot's manifest may reference further snapshots).
-        while True:
-            referenced = set()
-            for v in keep:
-                manifest_file = manifest_path(target_dir, v)
-                if os.path.exists(manifest_file):
-                    with open(manifest_file) as f:
-                        m = json.load(f)
-                    referenced.update(int(s) for s in m["buckets"].values())
-                    # merge-on-read: unfolded delta dirs are live state
-                    # of the retained snapshot — keep their v= dirs too
-                    referenced.update(int(s) for s in m.get("deltas") or [])
-            if referenced <= keep:
-                break
-            keep |= referenced
+        # travel): close over manifest references — keeping only the
+        # committed manifest's references would leave retained history
+        # pointing at deleted directories
+        keep = _manifest_closure(target_dir, base | _cursor_pins(refs, versions))
+        # observability: when a cursor's acked floor is the BINDING
+        # constraint (snapshots survive that every other rule would
+        # drop), say which cursor and how stale — a registered
+        # consumer that never acks (acked=-1) silently disables
+        # retention otherwise (retention_report gives the full view)
+        if refs["cursors"]:
+            only_cursor = sorted(keep - _manifest_closure(target_dir, base))
+            if only_cursor:
+                floor = min(int(a) for a in refs["cursors"].values())
+                binding = sorted(
+                    n for n, a in refs["cursors"].items() if int(a) == floor
+                )
+                import time as _time
+
+                ages = {
+                    n: (
+                        round(_time.time() - refs["cursors_meta"][n], 1)
+                        if n in refs["cursors_meta"]
+                        else None
+                    )
+                    for n in binding
+                }
+                logger.warning(
+                    "expire_snapshots(%s): cursor pin is the binding "
+                    "retention constraint — cursors %s (acked floor "
+                    "%d, last-touch age seconds %s) keep snapshots %s "
+                    "that would otherwise expire; unregister abandoned "
+                    "consumers or advance their acks",
+                    target_dir,
+                    binding,
+                    floor,
+                    ages,
+                    only_cursor,
+                )
         # under the lock only the METADATA deletions happen (manifest
         # unlink — fast, what readers/refs actually resolve against);
         # the data-directory rmtrees run after release so a large
@@ -184,13 +254,10 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
 
     A feed consumer's safety contract is one query away: expiry is
     safe iff no cursor/stream offset lies below the oldest surviving
-    ``cdf_base_usable_after`` snapshot."""
-    import json
-
-    from lakehouse_cdc_spark.streaming.pipeline import (
-        manifest_path,
-        parse_version_pointer,
-    )
+    ``cdf_base_usable_after`` snapshot.  :func:`retention_report` is
+    the per-PIN dual of this per-SNAPSHOT view: it names which
+    tag/branch/cursor/claim is holding each survivor."""
+    from lakehouse_cdc_spark.streaming.pipeline import parse_version_pointer
 
     versions = _snapshot_versions(target_dir)
     committed_snap = parse_version_pointer(target_dir)[2]
@@ -203,19 +270,7 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
         for v in versions
         if os.path.exists(os.path.join(target_dir, f"v={v}.claim"))
     }
-    keep = set(base_keep)
-    while True:  # same reference closure as expire_snapshots
-        referenced = set()
-        for v in keep:
-            mf = manifest_path(target_dir, v)
-            if os.path.exists(mf):
-                with open(mf) as f:
-                    m = json.load(f)
-                referenced.update(int(s) for s in m["buckets"].values())
-                referenced.update(int(s) for s in m.get("deltas") or [])
-        if referenced <= keep:
-            break
-        keep |= referenced
+    keep = _manifest_closure(target_dir, base_keep)
     return [
         {
             "snapshot": v,
@@ -227,6 +282,123 @@ def expiry_safety(target_dir: str, retain_last: int = 5) -> list[dict]:
         }
         for v in versions
     ]
+
+
+def retention_report(target_dir: str, retain_last: int = 5) -> list[dict]:
+    """Per-PIN retention visibility — the operator's answer to "what
+    is holding my snapshots, and is it dead?".  The pin rules that
+    make retention SAFE (tag/branch refs, registered cursor floors,
+    live writer-claim files) can also make it SILENT: a crashed
+    writer's claim or an abandoned named cursor (acked=-1) pins
+    snapshots forever with nothing in ``expire_snapshots``'s return
+    value saying why.  This report names every pin, what it holds,
+    and how stale it is.  Nothing is deleted or locked.
+
+    Returns one dict per pin, sorted by (kind, name):
+
+    - ``kind`` — ``"tag"`` | ``"branch"`` | ``"cursor"`` |
+      ``"claim"`` (a live ``v=N.claim`` file: in-flight or crashed
+      writer);
+    - ``name`` — ref/cursor name; for claims the owner string from
+      the claim file (lineage[@wap:branch]);
+    - ``floor`` — lowest snapshot the pin holds (a cursor's acked
+      floor, may be -1 = never acked = pins everything; a tag's
+      snapshot; a branch's base; a claim's snapshot number);
+    - ``lag`` — committed_snapshot - floor: how far behind the live
+      pointer the pin sits (0 for a caught-up cursor; None when
+      nothing is committed yet);
+    - ``extra_kept`` — how many snapshot dirs survive ONLY because of
+      this pin, vs. this run's baseline policy (retain_last + the
+      committed pointer + manifest closure, no pins at all).  The
+      cost of the pin in snapshots; 0 = currently free;
+    - ``age_seconds`` — staleness signal: for cursors, seconds since
+      the cursor last touched its registration (ack/register/reset —
+      ``cursors_meta``; None for registrations written before the
+      timestamp existed); for claims, seconds since the claim file's
+      mtime (a large value = crashed writer, recover it); None for
+      tags/branches (immutable by design, age is not a health
+      signal)."""
+    import time
+
+    from lakehouse_cdc_spark.streaming.pipeline import parse_version_pointer
+
+    versions = _snapshot_versions(target_dir)
+    committed_snap = parse_version_pointer(target_dir)[2]
+    refs = _load_refs(target_dir)
+    baseline = set(versions[-retain_last:])
+    if committed_snap is not None:
+        baseline.add(committed_snap)
+    baseline_closed = _manifest_closure(target_dir, baseline)
+    now = time.time()
+
+    def _extra(pinned: set[int]) -> int:
+        return len(
+            _manifest_closure(target_dir, baseline | pinned) - baseline_closed
+        )
+
+    def _lag(floor: int):
+        return None if committed_snap is None else committed_snap - floor
+
+    rows: list[dict] = []
+    for name, snap in refs["tags"].items():
+        rows.append(
+            {
+                "kind": "tag",
+                "name": name,
+                "floor": int(snap),
+                "lag": _lag(int(snap)),
+                "extra_kept": _extra({int(snap)}),
+                "age_seconds": None,
+            }
+        )
+    for name, b in refs["branches"].items():
+        held = set(range(int(b["base"]), int(b["snapshot"]) + 1))
+        rows.append(
+            {
+                "kind": "branch",
+                "name": name,
+                "floor": int(b["base"]),
+                "lag": _lag(int(b["base"])),
+                "extra_kept": _extra(held),
+                "age_seconds": None,
+            }
+        )
+    for name, acked in refs["cursors"].items():
+        floor = int(acked)
+        held = {v for v in versions if v >= floor}
+        touched = refs["cursors_meta"].get(name)
+        rows.append(
+            {
+                "kind": "cursor",
+                "name": name,
+                "floor": floor,
+                "lag": _lag(floor),
+                "extra_kept": _extra(held),
+                "age_seconds": (
+                    None if touched is None else max(0.0, now - float(touched))
+                ),
+            }
+        )
+    for v in versions:
+        claim = os.path.join(target_dir, f"v={v}.claim")
+        try:
+            with open(claim) as f:
+                owner = f.read().rpartition(":")[0]
+            mtime = os.path.getmtime(claim)
+        except FileNotFoundError:
+            continue
+        rows.append(
+            {
+                "kind": "claim",
+                "name": owner,
+                "floor": v,
+                "lag": _lag(v),
+                "extra_kept": _extra({v}),
+                "age_seconds": max(0.0, now - mtime),
+            }
+        )
+    rows.sort(key=lambda r: (r["kind"], r["name"]))
+    return rows
 
 
 def remove_orphan_files(target_dir: str) -> list[str]:

@@ -1533,3 +1533,169 @@ def feed_cursor_pinned_drain(spark, sf_dir):
         )
         .orderBy("op")
     )
+
+
+_RETENTION_CACHE: dict[str, object] = {}
+
+
+def _retention_demo_sink(spark, sf_dir):
+    """Sink exhibiting every retention-PIN kind at once, cached per
+    sf_dir: four commits (all orders inserted → snapshot 0, +70 cents
+    on key%7 → 1, deletes on key%11 → 2, +50 cents on key%5 → 3), a
+    tag at snapshot 1, a lagging NAMED cursor acked at 0, an ABANDONED
+    named cursor that never acked (floor -1 — pins everything), and a
+    crashed writer's leftover claim file on snapshot 2.  An aggressive
+    ``expire_snapshots(retain_last=1)`` then runs and must delete
+    nothing (the builder raises otherwise) — the silent-retention
+    state ``retention_report`` exists to make visible."""
+    import os
+
+    from lakehouse_cdc_spark.maintenance import expire_snapshots
+    from lakehouse_cdc_spark.streaming import SnapshotUpsertSink
+    from lakehouse_cdc_spark.streaming.feed import FeedCursor
+
+    cached = _RETENTION_CACHE.get(sf_dir)
+    if cached is not None and cached.committed_snapshot() == 3:
+        return cached
+    o = table(spark, sf_dir, "orders")
+    cents = fixed_point(F.col("o_totalprice"), 2)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.lit("c").alias("operation"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    upd1 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents + 70).alias("cents"),
+        F.lit("u").alias("operation"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.lit("d").alias("operation"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    upd2 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents + 50).alias("cents"),
+        F.lit("u").alias("operation"),
+        F.lit(3).cast("bigint").alias("seq"),
+    )
+    sink = SnapshotUpsertSink(
+        tempfile.mkdtemp(prefix="retention_pins_"),
+        keys=["k"],
+        order_by=["seq"],
+        n_buckets=4,
+    )
+    for i, b in enumerate((base, upd1, dels, upd2)):
+        sink.process_batch(b, i)
+    sink.create_tag("audit", snapshot=1)
+    # lagging-but-live consumer: drains ONLY snapshot 0, acks, stops
+    live = FeedCursor(
+        sink, os.path.join(sink.target_dir, "_analytics.cursor"),
+        name="analytics",
+    )
+    df, _, ack = live.next_batch(spark, max_snapshots=1)
+    df.collect()
+    ack()  # acked floor = 0
+    # abandoned consumer: registered, never acks — floor -1
+    FeedCursor(
+        sink, os.path.join(sink.target_dir, "_abandoned.cursor"),
+        name="abandoned",
+    )
+    # crashed writer's leftover claim on snapshot 2 (recovery not run)
+    with open(os.path.join(sink.target_dir, "v=2.claim"), "w") as f:
+        f.write("crashed_writer:42")
+    expired = expire_snapshots(sink.target_dir, retain_last=1)
+    if expired:
+        raise RuntimeError(
+            f"retention pins failed: expiry removed {expired}"
+        )
+    _RETENTION_CACHE[sf_dir] = sink
+    return sink
+
+
+@register(
+    "maintenance_retention_pins",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT) AS n7,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 11 = 0) AS BIGINT) AS n11,
+             CAST(COUNT(*) FILTER (WHERE o_orderkey % 5 = 0) AS BIGINT) AS n5
+      FROM orders
+    )
+    SELECT kind, name, floor, lag, backlog_rows FROM (
+      SELECT 'claim' AS kind, 'crashed_writer' AS name,
+             CAST(2 AS BIGINT) AS floor, CAST(1 AS BIGINT) AS lag,
+             CAST(NULL AS BIGINT) AS backlog_rows FROM n
+      UNION ALL
+      SELECT 'cursor', 'abandoned', CAST(-1 AS BIGINT), CAST(4 AS BIGINT),
+             n_all + n7 + n11 + n5 FROM n
+      UNION ALL
+      SELECT 'cursor', 'analytics', CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+             n7 + n11 + n5 FROM n
+      UNION ALL
+      SELECT 'tag', 'audit', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+             CAST(NULL AS BIGINT) FROM n
+    ) ORDER BY kind, name
+    """,
+    tags=("maintenance", "sink", "retention", "cursor", "M2", "S12"),
+)
+def maintenance_retention_pins(spark, sf_dir):
+    """RETENTION-PIN VISIBILITY (round-12 ADVICE): the pin rules that
+    make retention safe — tags, registered cursor floors, writer-claim
+    files — can also make it SILENT: an abandoned named cursor
+    (acked=-1) or a crashed writer's claim pins snapshots forever with
+    nothing in ``expire_snapshots``'s return saying why.
+    ``maintenance.retention_report`` names every pin; this query puts
+    it on the oracle gate.  The demo sink carries all four pin kinds
+    (tag@1, cursor acked@0, never-acked cursor, dead claim@2) through
+    an aggressive retain_last=1 expiry that must delete nothing.
+
+    Declared columns per pin: kind, name, floor (lowest snapshot
+    held; -1 = everything), lag (committed head − floor), and — for
+    cursors — ``backlog_rows``, the change-feed rows the cursor's
+    next full drain delivers (``changes_between(floor, head)``),
+    computed distributed from the feed itself.  The oracle re-derives
+    floors/lags from the construction and the backlogs from the change
+    algebra over ``orders`` (full history n_all+n7+n11+n5 for the
+    never-acked cursor; n7+n11+n5 above the acked floor).  Age and
+    extra-kept columns exist in the report but are excluded here:
+    wall-clock age is nondeterministic and extra-kept depends on
+    which hash buckets each commit rewrote (asserted in
+    tests/test_retention_report.py instead).
+
+    Scale shape: the report is O(pins) pure metadata (refs document +
+    manifest closure — no data files touched); the backlog counts are
+    O(changed buckets) feed scans.  At 100 TB this is the operator
+    dashboard that says WHICH dead consumer is holding a petabyte of
+    expired history."""
+    from lakehouse_cdc_spark.maintenance import retention_report
+
+    sink = _retention_demo_sink(spark, sf_dir)
+    head = sink.committed_snapshot()
+    rep = spark.createDataFrame(
+        [
+            (r["kind"], r["name"], int(r["floor"]), int(r["lag"]))
+            for r in retention_report(sink.target_dir, retain_last=1)
+        ],
+        "kind string, name string, floor bigint, lag bigint",
+    )
+    backlogs = None
+    for r in retention_report(sink.target_dir, retain_last=1):
+        if r["kind"] != "cursor":
+            continue
+        leg = (
+            sink.changes_between(spark, r["floor"], head)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("backlog_rows"))
+            .withColumn("name", F.lit(r["name"]))
+        )
+        backlogs = leg if backlogs is None else backlogs.unionByName(leg)
+    return (
+        rep.join(F.broadcast(backlogs), "name", "left")
+        .select("kind", "name", "floor", "lag", "backlog_rows")
+        .orderBy("kind", "name")
+    )

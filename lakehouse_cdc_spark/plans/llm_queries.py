@@ -22,6 +22,7 @@ from lakehouse_cdc_spark.llm.dedup import (
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
+    _CENTROID_ELEM_BUDGET,
     bucketed_cosine_pairs,
     bucketed_cosine_pairs_blocked,
     cosine_pairs,
@@ -74,7 +75,7 @@ _DOT_AB = (
 #: stays exactly oracle-checkable at EVERY scale factor.
 _AUTO_K_SQL = (
     "LEAST(GREATEST({min_k}, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) "
-    "+ 0.5) AS BIGINT)), 524288)"
+    f"+ 0.5) AS BIGINT)), {_CENTROID_ELEM_BUDGET // 64})"
 )
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -73,6 +74,11 @@ class FeedCursor:
             cur = refs["cursors"].get(self.name)
             if cur is None or int(cur) < snapshot:
                 refs["cursors"][self.name] = snapshot
+            # last-touch timestamp (observability only): lets
+            # maintenance.retention_report age an abandoned cursor so
+            # a never-acking registration (acked=-1, pins everything)
+            # is findable instead of silently disabling retention
+            refs.setdefault("cursors_meta", {})[self.name] = time.time()
 
         self.sink._refs_update(_set)
 
@@ -83,6 +89,7 @@ class FeedCursor:
 
         def _drop(refs):
             refs["cursors"].pop(self.name, None)
+            refs.setdefault("cursors_meta", {}).pop(self.name, None)
 
         self.sink._refs_update(_drop)
 
@@ -103,6 +110,7 @@ class FeedCursor:
 
             def _force(refs):
                 refs["cursors"][self.name] = snapshot
+                refs.setdefault("cursors_meta", {})[self.name] = time.time()
 
             self.sink._refs_update(_force)
 

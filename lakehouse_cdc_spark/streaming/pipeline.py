@@ -340,6 +340,27 @@ class SnapshotUpsertSink:
             except FileNotFoundError:
                 pass
 
+    @staticmethod
+    def _validate_ref_name(name: str, kind: str) -> None:
+        """Reject ref names the string-encoded claim protocol cannot
+        represent unambiguously.  Claim owners are
+        ``<lineage>@wap:<branch>:<batch>`` parsed with
+        ``rpartition(':')`` / ``rpartition('@wap:')`` and suffix
+        checks like ``owner.endswith(f"@wap:{branch}")`` — a ref name
+        containing ``:`` (which covers ``@wap:``) would misparse the
+        owner/batch split and could make publish-time collision
+        detection misclassify a cross-branch collision as a
+        same-branch double-writer (or vice versa)."""
+        if not name:
+            raise ValueError(f"{kind} name must be non-empty")
+        if ":" in name:
+            raise ValueError(
+                f"{kind} name {name!r} may not contain ':' — ref names "
+                "are embedded in ':'-delimited claim-owner strings"
+            )
+        if "/" in name or name in (".", ".."):
+            raise ValueError(f"{kind} name {name!r} is not a valid name")
+
     def _claim_owner(self, branch: str | None) -> str:
         """Claim-file owner string: the checkpoint lineage, plus a
         ``@wap:<branch>`` marker for staged (write-audit-publish)
@@ -1169,7 +1190,10 @@ class SnapshotUpsertSink:
         snapshot numbers, ascending — interleaved across branches),
         "reserved": int (the lane number create_branch claimed)}},
         "cursors": {name: acked_snapshot (a registered FeedCursor's
-        retention floor — expiry keeps every snapshot ≥ it)}}``."""
+        retention floor — expiry keeps every snapshot ≥ it)},
+        "cursors_meta": {name: last_ack_epoch_seconds (observability
+        only — lets maintenance.retention_report age an abandoned
+        cursor; never read by retention decisions)}}``."""
         try:
             with open(self._refs_path()) as f:
                 doc = json.load(f)
@@ -1178,6 +1202,7 @@ class SnapshotUpsertSink:
         doc.setdefault("tags", {})
         doc.setdefault("branches", {})
         doc.setdefault("cursors", {})
+        doc.setdefault("cursors_meta", {})
         for b in doc["branches"].values():
             # legacy single-lane branch refs: staged snapshots were the
             # contiguous base+1..head range and the reservation base+1
@@ -1240,6 +1265,7 @@ class SnapshotUpsertSink:
         (maintenance.expire_snapshots keeps every ref root and its
         manifest closure).  Idempotent on the same snapshot; retagging
         a different one raises — tags are immutable by contract."""
+        self._validate_ref_name(name, "tag")
         snap = self.committed_snapshot() if snapshot is None else snapshot
         if snap is None or self._read_manifest(snap) is None:
             raise ValueError(f"cannot tag snapshot {snap}: no manifest")
@@ -1322,6 +1348,7 @@ class SnapshotUpsertSink:
         buckets fast-forward or rebase cleanly, overlapping buckets
         raise (abort and restage), Iceberg's file-level conflict
         model applied to buckets."""
+        self._validate_ref_name(name, "branch")
         base = self.committed_snapshot() if from_snapshot is None else from_snapshot
         if base is None or self._read_manifest(base) is None:
             raise ValueError(
