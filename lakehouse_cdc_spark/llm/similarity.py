@@ -286,6 +286,127 @@ def bucketed_cosine_pairs(
     )
 
 
+def _centroid_block(centroids, centroid_id_col="cid", centroid_vec_col="cemb"):
+    """MLlib-style "fit" materialization shared by every blocked ANN
+    path: collect the centroid table ONCE on the driver (tiny by
+    contract, K ≈ √N — budget-ENFORCED below, not assumed: at N=1e12,
+    K≈1e6 × 512 dims × 8 B ≈ 4 GB stops being an executor-friendly
+    broadcast and the caller must coarsen K or switch to a join-based
+    assignment) as ``(cids asc, float64 matrix, fold-left norms)``
+    ready for TorrentBroadcast."""
+    import numpy as np
+
+    cen_rows = sorted(
+        (
+            (r[0], r[1])
+            for r in centroids.select(
+                F.col(centroid_id_col),
+                F.col(centroid_vec_col).cast("array<double>"),
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if not cen_rows:
+        raise ValueError(
+            "centroid table is empty — fit centroids first "
+            "(ivf_centroids / ivf_auto_centroids / kmeans_refine)"
+        )
+    cids = np.array([t[0] for t in cen_rows], dtype=np.int64)
+    cmat = np.vstack([t[1] for t in cen_rows]).astype(np.float64, copy=False)
+    n_cen, dim = cmat.shape
+    if n_cen * dim > _CENTROID_ELEM_BUDGET:
+        raise ValueError(
+            f"centroid table too large to broadcast: K={n_cen} x "
+            f"dim={dim} = {n_cen * dim} float64 elements exceeds the "
+            f"{_CENTROID_ELEM_BUDGET}-element budget (~"
+            f"{_CENTROID_ELEM_BUDGET * 8 >> 20} MB). Coarsen K toward "
+            "sqrt(N) or assign clusters with a broadcast JOIN instead."
+        )
+    cnrm = np.zeros(n_cen)
+    for k in range(dim):  # fold-left, matches l2_norm_sq exactly
+        cnrm += cmat[:, k] * cmat[:, k]
+    return cids, cmat, cnrm
+
+
+def ivf_assign_blocked(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cemb",
+    round_digits: int = 6,
+    probes: int = 1,
+    block: tuple | None = None,
+) -> DataFrame:
+    """:func:`ivf_assign` as MAP-SIDE blocked numpy (``mapInPandas``)
+    instead of crossJoin + window: the N×K scored-candidate
+    materialization and the per-vector window shuffle disappear —
+    each Arrow batch is scored against the broadcast centroid block
+    with vectorized C loops and emits its ``probes`` best cluster ids
+    directly.  Returns ``(id_col, cluster)`` — one row per (vector,
+    probe), zero exchanges.
+
+    Same decision, bit-identical: dimension-at-a-time fold-left
+    accumulation (the exact ``aggregate(zip_with(...))`` order),
+    HALF_UP rounding via ``_round_half_up``, then (cs desc, cid asc)
+    lexsort — the tuple ``ivf_assign``'s window ranks by.  The K ≈ √N
+    broadcast-budget contract is enforced by :func:`_centroid_block`.
+
+    This is the assignment shape that survives 100 TB: at K=√N the
+    crossJoin form materializes N·√N rows and shuffles them through a
+    window; this form streams N rows through an Arrow kernel with an
+    O(K·dim) per-executor broadcast.
+
+    ``block`` accepts a pre-collected ``_centroid_block`` result so a
+    query assigning several sides against the SAME fit (train +
+    probes), or a process fitting the same corpus repeatedly, pays
+    the centroid-materialization job once — the stored-index shape of
+    a production ANN service."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat, cnrm = block if block is not None else _centroid_block(
+        centroids, centroid_id_col, centroid_vec_col
+    )
+    n_cen, dim = cmat.shape
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, cmat, cnrm))
+    n_probe = min(probes, n_cen)
+
+    def _assign(batches):
+        cids, cmat, cnrm = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf["__vec"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            nrm = np.zeros(n)
+            for k in range(dim):  # fold-left, matches l2_norm_sq
+                nrm += mat[:, k] * mat[:, k]
+            acc = np.zeros((n, n_cen))
+            for k in range(dim):  # fold-left per (vector, centroid)
+                acc += mat[:, k, None] * cmat[None, :, k]
+            cs = _round_half_up(
+                acc / (np.sqrt(nrm)[:, None] * np.sqrt(cnrm)[None, :]),
+                round_digits,
+            )
+            out_id = np.empty(n * n_probe, dtype=np.int64)
+            out_cluster = np.empty(n * n_probe, dtype=np.int64)
+            for i in range(n):
+                top = np.lexsort((cids, -cs[i]))[:n_probe]  # desc, cid asc
+                out_id[i * n_probe : (i + 1) * n_probe] = ids[i]
+                out_cluster[i * n_probe : (i + 1) * n_probe] = cids[top]
+            yield pd.DataFrame({id_col: out_id, "cluster": out_cluster})
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    return vecs.mapInPandas(_assign, f"{id_col} bigint, cluster bigint")
+
+
 def bucketed_cosine_pairs_blocked(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -296,6 +417,7 @@ def bucketed_cosine_pairs_blocked(
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cemb",
     round_digits: int = 6,
+    block: tuple | None = None,
 ) -> DataFrame:
     """:func:`bucketed_cosine_pairs` with the within-bucket scoring
     done as BLOCKED numpy arithmetic per cluster (``applyInPandas``)
@@ -318,47 +440,17 @@ def bucketed_cosine_pairs_blocked(
     and thresholding stay in Spark (same ``F.round`` as the
     expression path).  numpy float64 ≡ JVM double, so every emitted
     cos_sim is bit-identical to the unblocked plan's.
+
+    ``block`` accepts a pre-collected ``_centroid_block`` result (the
+    cached stored-index shape — see ivf_assign_blocked).
     """
     import numpy as np
     import pandas as pd
 
-    # MLlib-style "fit" step: the centroid table is tiny by contract
-    # (K ≈ √N, budget-enforced below), so materialize it ONCE on the
-    # driver and BROADCAST it — assignment then needs no join and no
-    # shuffle at all.
-    cen_rows = sorted(
-        (
-            (r[0], r[1])
-            for r in centroids.select(
-                F.col(centroid_id_col),
-                F.col(centroid_vec_col).cast("array<double>"),
-            ).collect()
-        ),
-        key=lambda t: t[0],
+    cids, cmat, cnrm = block if block is not None else _centroid_block(
+        centroids, centroid_id_col, centroid_vec_col
     )
-    if not cen_rows:
-        raise ValueError(
-            "bucketed_cosine_pairs_blocked: centroid table is empty — "
-            "fit centroids first (ivf_centroids / kmeans_refine)"
-        )
-    cids = np.array([t[0] for t in cen_rows], dtype=np.int64)
-    cmat = np.vstack([t[1] for t in cen_rows]).astype(np.float64, copy=False)
     n_cen, dim = cmat.shape
-    # "tiny by contract" (K ≈ √N) is ENFORCED, not assumed: above this
-    # budget the centroid block stops being an executor-friendly
-    # broadcast (at N=1e12, K≈1e6 × 512 dims × 8 B ≈ 4 GB) and the
-    # caller must coarsen K or switch to a join-based assignment.
-    if n_cen * dim > _CENTROID_ELEM_BUDGET:
-        raise ValueError(
-            f"centroid table too large to broadcast: K={n_cen} x "
-            f"dim={dim} = {n_cen * dim} float64 elements exceeds the "
-            f"{_CENTROID_ELEM_BUDGET}-element budget (~"
-            f"{_CENTROID_ELEM_BUDGET * 8 >> 20} MB). Coarsen K toward "
-            "sqrt(N) or assign clusters with a broadcast JOIN instead."
-        )
-    cnrm = np.zeros(n_cen)
-    for k in range(dim):  # fold-left, matches l2_norm_sq exactly
-        cnrm += cmat[:, k] * cmat[:, k]
 
     # one copy per EXECUTOR via TorrentBroadcast, not one per task in
     # the pickled UDF closure (round-5 verdict nit: closure shipping
