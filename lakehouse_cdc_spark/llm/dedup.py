@@ -261,6 +261,60 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def band_table(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Long-format banded LSH index: one row ``(id_col, band,
+    band_key)`` per (document, band), with the same band-key formula
+    as :func:`lsh_candidate_pairs` (md5 over the band's signature
+    rows) and the streaming maintainer
+    (streaming/indexing.py:lsh_index_changes).
+
+    This is the STORED-INDEX shape: persist it once for the deduped
+    corpus and every future shard joins against it on (band,
+    band_key) — per-shard cost is O(|shard|·k) signature work plus
+    |bands| equi-joins, never a recompute of the corpus side.
+    ``max_bucket_size`` applies index-build hygiene: degenerate
+    buckets (template-identical documents) are dropped AT WRITE TIME,
+    so no future reader ever pays their quadratic join — oversized
+    buckets mean exact duplicates, which the hash-groupBy exact pass
+    catches for free."""
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"h{b * rows_per_band + r}"
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    idx = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "band_key")
+        idx = (
+            idx.withColumn("__bs", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    return idx
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

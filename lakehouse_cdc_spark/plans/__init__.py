@@ -45,67 +45,66 @@ from lakehouse_cdc_spark.plans import stats_tests_queries  # noqa: E402,F401
 # STALENESS-BASED: the head is the never-sampled newcomers plus the
 # rows with the OLDEST last-green driver sample (computed from the
 # CORRECTNESS_r*.json history) — the engine underneath a row keeps
-# changing, so old green samples decay.  Round-11 head: the 2 new
-# rows (emb_ivf_auto_k, feed_cursor_pinned_drain) + all rows last
-# sampled in r1-r3 (33) + the 15 alphabetically-first r4 rows; after
-# this snapshot the minimum last-sampled round advances to r4.
+# changing, so old green samples decay.  Round-12 head: the 1 new row
+# (maintenance_retention_pins) + all 19 rows last sampled in r4 + the
+# 30 alphabetically-first r5 rows; after this snapshot the minimum
+# last-sampled round advances to r5 (17 r5 rows remain).
 # Every entry is local-gate green at sf0.01 AND sf0.1 and
 # dtype-prescreened (COVERAGE.md records the per-round rotation plan).
 _SHOWCASE_HEAD = [
     # --- never driver-sampled (new this round) ---
-    "emb_ivf_auto_k",
-    "feed_cursor_pinned_drain",
-    # --- last sampled r1-r2 (6) ---
-    "emb_topk_batch",
-    "multimodal_binary_metadata",
-    "sample_hash_deterministic",
-    "sample_stratified",
-    "emb_ann_query_ivf",
-    "emb_ivf_assign",
-    # --- last sampled r3 (27) ---
-    "agg_counts_distinct",
-    "agg_cube_part",
-    "agg_group_stats",
-    "cdc_classify_operations",
-    "cdc_latest_state",
-    "cdc_snapshot_diff",
-    "checksum_ordered_nation",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "emb_cosine_topk",
-    "emb_neardup_pairs",
-    "join_anti_customers_without_orders",
-    "join_left_customer_orders",
-    "q10_returned_items",
-    "q6_forecast_revenue",
-    "scalar_date_parts",
-    "scalar_string_functions",
-    "set_except_viewers_not_big_buyers",
-    "set_union_event_sources",
-    "sort_recent_events",
-    "text_quality_scores",
-    "text_token_stats",
-    "window_lag_event_gap",
-    "window_latest_offsets_sql",
-    "window_range_30d_peak",
-    "window_running_total",
-    "window_sliding_2d",
-    # --- last sampled r4, oldest 15 ---
-    "agg_approx_distinct",
-    "agg_approx_percentile_dual",
-    "agg_bitmap_exact_distinct",
-    "agg_exact_percentiles",
-    "agg_hll_mergeable_rollup",
-    "agg_rollup_orders",
-    "cdc_debezium_decode",
-    "cdc_lateness_audit",
-    "cdc_scd2_point_in_time",
-    "dedup_exact_documents",
-    "dedup_exact_substring_spans",
-    "dedup_minhash_lsh",
-    "events_activity_gini",
-    "filter_null_semantics",
-    "join_broadcast_nation_region",
+    "maintenance_retention_pins",
+    # --- last sampled r4 (19) ---
+    "join_inner_orders_nation",
+    "join_lateral_topn",
+    "join_range_bucketed",
+    "join_semi_customers_with_urgent_orders",
+    "join_skewed_aqe",
+    "multimodal_decode_real",
+    "q3_shipping_priority",
+    "sample_deterministic_shuffle",
+    "scalar_json_extract",
+    "scalar_variant_semistructured",
+    "set_intersect_purchasers_errorers",
+    "spatial_grid_join",
+    "text_bpe_pair_merge",
+    "text_chunk_udtf",
+    "text_lang_id",
+    "topk_orders_global",
+    "window_ntile_quartiles",
+    "window_rank_orders_per_customer",
+    "window_tumbling_daily",
+    # --- last sampled r5, alphabetically first 30 ---
+    "agg_grouping_sets",
+    "agg_stats_functions",
+    "cdc_bitemporal_asof",
+    "cdc_guarded_merge",
+    "curation_dsir_weights",
+    "dedup_bloom_prefilter",
+    "dedup_connected_components",
+    "dedup_containment_pairs",
+    "dedup_lsh_verified",
+    "dedup_prefix_filter_join",
+    "emb_hard_negative_mining",
+    "emb_int8_quantize_topk",
+    "emb_kmeans_refine",
+    "emb_matryoshka_truncation",
+    "er_em_weight_estimation",
+    "events_funnel_ordered",
+    "explode_posexplode_arrays",
+    "gdpr_delete_propagation",
+    "graph_pagerank_converged",
+    "join_asof_nearest_purchase",
+    "join_interval_overlap",
+    "join_relational_division",
+    "llm_sequence_packing",
+    "maintenance_compaction_planner",
+    "multimodal_scene_cuts",
+    "mv_incremental_join",
+    "q12_status_bands",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "recursive_referral_rollup",
 ]
 
 

@@ -579,6 +579,43 @@ def test_incremental_shard_dedup_only_cross_pairs(spark, sf_dir):
         assert (r.jac_ppm >= 500_000) == bool(r.is_dup)
 
 
+def test_band_table_matches_pair_generator_and_caps_buckets(spark, sf_dir):
+    """band_table (the stored-index shape) must induce EXACTLY the
+    pairs lsh_candidate_pairs generates for the same parameters, and
+    its write-time bucket cap must drop the same degenerate buckets."""
+    from lakehouse_cdc_spark.llm.dedup import (
+        band_table,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from lakehouse_cdc_spark.plans.registry import table
+
+    import pyspark.sql.functions as F
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8)
+    direct = {
+        (r.da, r.db)
+        for r in lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=2, max_bucket_size=10
+        ).collect()
+    }
+    idx = band_table(sigs, bands=4, rows_per_band=2, max_bucket_size=10)
+    a = idx.select(F.col("doc_id").alias("da"), "band", "band_key")
+    b = idx.select(F.col("doc_id").alias("db"), "band", "band_key")
+    via_index = {
+        (r.da, r.db)
+        for r in a.join(b, on=["band", "band_key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .collect()
+    }
+    assert via_index == direct and direct  # nonempty equivalence
+    # the cap acts per (band, band_key)
+    sizes = idx.groupBy("band", "band_key").count().agg(F.max("count")).first()[0]
+    assert sizes <= 10
+
+
 def test_canonical_dedup_merges_reformatted_docs(spark, tmp_path):
     from lakehouse_cdc_spark.plans import REGISTRY
 
