@@ -36,6 +36,19 @@ TOP = [
     # heaviest map-side bench row join the per-round scale watch
     "emb_neardup_bucketed",
     "dedup_lsh_parameter_sweep",
+    # round 12: one row per remaining heavy family, so the scale watch
+    # covers entity resolution, graph, time series, LM scoring, text
+    # retrieval, lexical contamination, and the multimodal Arrow
+    # kernels — not just dedup/ANN
+    "er_blocked_fuzzy_match",
+    "er_sorted_neighborhood",
+    "graph_triangle_count",
+    "ts_anomaly_zscore",
+    "text_bigram_lm_score",
+    "text_bm25_search",
+    "contamination_ngram_overlap",
+    "multimodal_decode_real",
+    "multimodal_scene_cuts",
 ]
 
 
@@ -65,7 +78,53 @@ def main():
         }
         print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={out[name]['ratio']}x",
               file=sys.stderr)
+    out["stream_ingest"] = _stream_row(sf1_dir)
     print(json.dumps({"queries": out, "replicas": 10}))
+
+
+def _stream_row(sf1_dir: str) -> dict:
+    """Streaming ingest at both SFs (round-12 verdict ask): run
+    tools/stream_bench.py — the full file-source → classify →
+    compact → snapshot-upsert path — against sf0.1 and the sf1 set in
+    fresh subprocess JVMs, and report the same wall-ratio contract as
+    the query rows plus absolute rows/sec at sf1.  Ratio uses
+    ``ingest_sec`` (10x the rows through the same 8 micro-batches), so
+    ≈10 is linear scaling; the >25% round-over-round degradation flag
+    in close_battery applies to it like any other row."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    walls, rps = {}, {}
+    for label, d in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "stream_bench.py")],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(f"stream_bench {label} failed:\n"
+                  + "\n".join(proc.stderr.splitlines()[-5:]), file=sys.stderr)
+            return {"sf0.1": None, "sf1": None, "ratio": None}
+        rec = json.loads(line)
+        walls[label] = rec["ingest_sec"]
+        rps[label] = rec["value"]
+        print(f"stream_ingest {label}: {rec['ingest_sec']}s "
+              f"({rec['value']} rows/s)", file=sys.stderr)
+    return {
+        "sf0.1": walls["sf0.1"],
+        "sf1": walls["sf1"],
+        # rows grow 10x between the SFs: normalize the wall ratio per
+        # unit of data so the flag contract (ratio ~ constant when
+        # scaling is linear, >25% drift round-over-round = red) matches
+        # the query rows'
+        "ratio": round(walls["sf1"] / walls["sf0.1"] / 10.0, 2),
+        "rows_per_sec_sf1": rps["sf1"],
+        "rows_per_sec_sf0.1": rps["sf0.1"],
+    }
 
 
 if __name__ == "__main__":
