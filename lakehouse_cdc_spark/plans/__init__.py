@@ -45,15 +45,17 @@ from lakehouse_cdc_spark.plans import stats_tests_queries  # noqa: E402,F401
 # STALENESS-BASED: the head is the never-sampled newcomers plus the
 # rows with the OLDEST last-green driver sample (computed from the
 # CORRECTNESS_r*.json history) — the engine underneath a row keeps
-# changing, so old green samples decay.  Round-12 head: the 1 new row
-# (maintenance_retention_pins) + all 19 rows last sampled in r4 + the
-# 30 alphabetically-first r5 rows; after this snapshot the minimum
-# last-sampled round advances to r5 (17 r5 rows remain).
+# changing, so old green samples decay.  Round-12 head: the 2 new
+# rows (maintenance_retention_pins, dedup_simhash_hamming) + all 19
+# rows last sampled in r4 + the 29 alphabetically-first r5 rows; after
+# this snapshot the minimum last-sampled round advances to r5 (18 r5
+# rows remain).
 # Every entry is local-gate green at sf0.01 AND sf0.1 and
 # dtype-prescreened (COVERAGE.md records the per-round rotation plan).
 _SHOWCASE_HEAD = [
     # --- never driver-sampled (new this round) ---
     "maintenance_retention_pins",
+    "dedup_simhash_hamming",
     # --- last sampled r4 (19) ---
     "join_inner_orders_nation",
     "join_lateral_topn",
@@ -104,7 +106,6 @@ _SHOWCASE_HEAD = [
     "q12_status_bands",
     "q2_min_cost_supplier",
     "q8_market_share",
-    "recursive_referral_rollup",
 ]
 
 

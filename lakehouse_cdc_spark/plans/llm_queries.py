@@ -19,6 +19,7 @@ from lakehouse_cdc_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash16,
+    simhash_hamming_pairs,
 )
 from lakehouse_cdc_spark.llm.multimodal import attach_binary
 from lakehouse_cdc_spark.llm.similarity import (
@@ -442,6 +443,70 @@ def dedup_simhash(spark, sf_dir):
     md5-derived bits) — near-identical docs land within small Hamming
     distance; one groupBy, no joins."""
     return simhash16(table(spark, sf_dir, "documents"))
+
+
+#: 60-bit simhash oracle fragments (same ±1 md5-nibble votes as the
+#: 16-bit demo — _bit_vote_sql is shared verbatim with the engine)
+_SIMHASH60_VOTES = ",\n             ".join(
+    f"SUM({_bit_vote_sql(p)}) AS s{p}" for p in range(60)
+)
+_SIMHASH60_VALUE = " + ".join(
+    f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(60)
+)
+#: pigeonhole block joins: 4 blocks x 15 bits — Hamming <= 3 pairs
+#: must share >= 1 exact block value
+_SIMHASH_BLOCK_UNION = "\n      UNION\n".join(
+    f"      SELECT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb\n"
+    f"      FROM sig a JOIN sig b\n"
+    f"        ON ((a.sh >> {b * 15}) & 32767) = ((b.sh >> {b * 15}) & 32767)\n"
+    f"       AND a.doc_id < b.doc_id"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    agg AS (SELECT doc_id,
+             {_SIMHASH60_VOTES}
+            FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH60_VALUE} AS BIGINT) AS sh FROM agg),
+    cand AS (
+{_SIMHASH_BLOCK_UNION}
+    )
+    SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY da, db
+    """,
+    tags=("llm", "dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash HAMMING-BALL near-dup pairs — the Manku/Jain/Sarma
+    (WWW'07) web-crawl dedup operator the 16-bit demo fingerprint
+    can't support: a 60-bit simhash split into 4 pigeonhole blocks of
+    15 bits; any pair within Hamming distance 3 must agree on >= 1
+    whole block, so candidates are 4 equi-joins on (block, value) and
+    the exact ``bit_count(xor)`` filter loses nothing — blocked ≡
+    brute force BY CONSTRUCTION (pytest asserts the equivalence),
+    unlike probabilistic MinHash banding.
+
+    Scale shape: block keys have 2^15 values, so bucket sizes are
+    ~N/32768 for well-mixed fingerprints and the pair space is
+    O(Σ bucket²), never all-pairs; the operator takes the same
+    write-time bucket cap as the LSH index for degenerate template
+    buckets.  Output: (da, db, hamming) per near-dup pair — the
+    removal worklist a crawl-dedup pass feeds to keep-best."""
+    return simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"),
+        bits=60,
+        blocks=4,
+        max_distance=3,
+    ).orderBy("da", "db")
 
 
 @register(

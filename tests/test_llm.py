@@ -616,6 +616,55 @@ def test_band_table_matches_pair_generator_and_caps_buckets(spark, sf_dir):
     assert sizes <= 10
 
 
+def test_simhash_hamming_blocked_equals_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: with blocks > max_distance, the blocked
+    Hamming join must equal the all-pairs scan EXACTLY — flipping <=3
+    of 60 bits leaves one of 4 blocks untouched, so no recall loss
+    (unlike probabilistic MinHash banding)."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_cdc_spark.llm.dedup import (
+        simhash_bits,
+        simhash_hamming_pairs,
+    )
+    from lakehouse_cdc_spark.plans.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    blocked = {
+        (r.da, r.db, r.hamming)
+        for r in simhash_hamming_pairs(
+            docs, bits=60, blocks=4, max_distance=3
+        ).collect()
+    }
+    sigs = simhash_bits(docs, bits=60)
+    a = sigs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.da, r.db, r.hamming)
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute and brute  # exact, and fixture has pairs
+    # exact duplicates sit at distance 0
+    assert min(h for _, _, h in brute) == 0
+
+
+def test_simhash_hamming_rejects_bad_block_split(spark):
+    import pytest as _pytest
+
+    from lakehouse_cdc_spark.llm.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(df, bits=60, blocks=3, max_distance=3)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_hamming_pairs(df, bits=60, blocks=7, max_distance=3)
+
+
 def test_canonical_dedup_merges_reformatted_docs(spark, tmp_path):
     from lakehouse_cdc_spark.plans import REGISTRY
 
