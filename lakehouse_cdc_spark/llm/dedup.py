@@ -261,6 +261,21 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def band_key(b: int, rows_per_band: int = 2):
+    """THE band-key derivation (md5 over the band's '|'-joined
+    signature rows) — single source of truth shared by
+    :func:`band_table`, :func:`lsh_candidate_pairs`, and the streaming
+    index maintainer (streaming/indexing.py:lsh_index_changes); the
+    DuckDB oracles mirror it as ``md5(h{i} || '|' || h{j})``.
+    Changing it in one place keeps stored indexes, ad-hoc pair
+    generation, and feed-maintained indexes join-compatible."""
+    return F.md5(
+        F.concat_ws(
+            "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )
+    )
+
+
 def band_table(
     signatures: DataFrame,
     bands: int = 4,
@@ -286,15 +301,7 @@ def band_table(
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        f"h{b * rows_per_band + r}"
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
+            band_key(b, rows_per_band).alias("band_key"),
         )
         for b in range(bands)
     ]
@@ -334,10 +341,7 @@ def lsh_candidate_pairs(
     handles — LSH only needs to catch the near-misses."""
     banded = signatures
     for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        banded = banded.withColumn(
-            f"band{b}", F.md5(F.concat_ws("|", *cols))
-        )
+        banded = banded.withColumn(f"band{b}", band_key(b, rows_per_band))
     pair_sets = []
     for b in range(bands):
         side = banded.select(F.col(id_col), F.col(f"band{b}").alias("bk"))

@@ -171,14 +171,22 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
         # travel): close over manifest references — keeping only the
         # committed manifest's references would leave retained history
         # pointing at deleted directories
-        keep = _manifest_closure(target_dir, base | _cursor_pins(refs, versions))
+        # close the NO-CURSOR base first, then seed the full keep set
+        # with it (closure is monotone, so this is the same fixed
+        # point) — the binding-cursor diagnostic below gets its
+        # baseline for free instead of a second full closure pass
+        # while holding the refs lock
+        closed_base = _manifest_closure(target_dir, base)
+        keep = _manifest_closure(
+            target_dir, closed_base | _cursor_pins(refs, versions)
+        )
         # observability: when a cursor's acked floor is the BINDING
         # constraint (snapshots survive that every other rule would
         # drop), say which cursor and how stale — a registered
         # consumer that never acks (acked=-1) silently disables
         # retention otherwise (retention_report gives the full view)
         if refs["cursors"]:
-            only_cursor = sorted(keep - _manifest_closure(target_dir, base))
+            only_cursor = sorted(keep - closed_base)
             if only_cursor:
                 floor = min(int(a) for a in refs["cursors"].values())
                 binding = sorted(
@@ -379,21 +387,32 @@ def retention_report(target_dir: str, retain_last: int = 5) -> list[dict]:
                 ),
             }
         )
-    for v in versions:
-        claim = os.path.join(target_dir, f"v={v}.claim")
+    # scan claim FILES, not v= directories: a writer claims the lane
+    # BEFORE any data lands (and create_branch takes a reservation
+    # claim for a not-yet-staged snapshot), so a crash can leave a
+    # claim with no v=N dir — the exact dead-writer pin this report
+    # exists to surface; recover_interrupted_commit scans the same way
+    for fname in sorted(os.listdir(target_dir)):
+        if not (fname.startswith("v=") and fname.endswith(".claim")):
+            continue
+        num = fname[len("v=") : -len(".claim")]
+        if not num.isdigit():
+            continue
+        v = int(num)
+        claim = os.path.join(target_dir, fname)
         try:
             with open(claim) as f:
                 owner = f.read().rpartition(":")[0]
             mtime = os.path.getmtime(claim)
         except FileNotFoundError:
-            continue
+            continue  # released between listdir and open
         rows.append(
             {
                 "kind": "claim",
                 "name": owner,
                 "floor": v,
                 "lag": _lag(v),
-                "extra_kept": _extra({v}),
+                "extra_kept": _extra({v}) if v in set(versions) else 0,
                 "age_seconds": max(0.0, now - mtime),
             }
         )

@@ -76,7 +76,7 @@ _SHOWCASE_HEAD = [
     "window_ntile_quartiles",
     "window_rank_orders_per_customer",
     "window_tumbling_daily",
-    # --- last sampled r5, alphabetically first 30 ---
+    # --- last sampled r5, alphabetically first 29 ---
     "agg_grouping_sets",
     "agg_stats_functions",
     "cdc_bitemporal_asof",

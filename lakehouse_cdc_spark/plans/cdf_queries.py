@@ -1677,15 +1677,16 @@ def maintenance_retention_pins(spark, sf_dir):
 
     sink = _retention_demo_sink(spark, sf_dir)
     head = sink.committed_snapshot()
+    report = retention_report(sink.target_dir, retain_last=1)
     rep = spark.createDataFrame(
         [
             (r["kind"], r["name"], int(r["floor"]), int(r["lag"]))
-            for r in retention_report(sink.target_dir, retain_last=1)
+            for r in report
         ],
         "kind string, name string, floor bigint, lag bigint",
     )
     backlogs = None
-    for r in retention_report(sink.target_dir, retain_last=1):
+    for r in report:
         if r["kind"] != "cursor":
             continue
         leg = (

@@ -219,7 +219,7 @@ def lsh_index_changes(
     new_shard``: the maintained index IS the "old side" that query
     joins new shards against, and this consumer is what keeps it
     current from the change feed alone."""
-    from lakehouse_cdc_spark.llm.dedup import minhash_signatures
+    from lakehouse_cdc_spark.llm.dedup import band_key, minhash_signatures
 
     # a NULL-text live row must count as unsigned (tombstoned below),
     # not hash to md5('') bands: null shingles vanish inside concat_ws,
@@ -233,12 +233,7 @@ def lsh_index_changes(
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
-                )
-            ).alias("band_key"),
+            band_key(b, rows_per_band).alias("band_key"),
         )
         for b in range(bands)
     ]

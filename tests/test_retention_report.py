@@ -87,6 +87,24 @@ def test_report_names_dead_claim_and_stale_cursor(spark, tmp_path):
     assert caught_up[("cursor", "analytics")]["extra_kept"] == 0
 
 
+def test_report_includes_claim_without_data_dir(spark, tmp_path):
+    """A writer claims its lane BEFORE any data lands (and
+    create_branch reserves a lane the same way), so a crash can leave
+    a claim file with NO v=N directory — the report must scan claim
+    FILES like recover_interrupted_commit does, not just snapshot
+    dirs (round-12 review finding)."""
+    sink = _sink_with_history(spark, tmp_path, n_commits=2)
+    claim = os.path.join(sink.target_dir, "v=7.claim")
+    with open(claim, "w") as f:
+        f.write("crashed-before-first-write:5")
+    rows = retention_report(sink.target_dir, retain_last=1)
+    by_key = {(r["kind"], r["name"]): r for r in rows}
+    orphan = by_key[("claim", "crashed-before-first-write")]
+    assert orphan["floor"] == 7
+    assert orphan["extra_kept"] == 0  # no dir to keep — pure lane block
+    assert orphan["age_seconds"] is not None
+
+
 def test_expire_warns_when_cursor_pin_is_binding(spark, tmp_path, caplog):
     """expire_snapshots must SAY when a cursor floor is the reason
     nothing expires — naming the cursor and its last-touch age — and

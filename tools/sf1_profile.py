@@ -78,19 +78,28 @@ def main():
         }
         print(f"{name}: sf0.1={t01}s sf1={t1}s ratio={out[name]['ratio']}x",
               file=sys.stderr)
-    out["stream_ingest"] = _stream_row(sf1_dir)
+    stream_row = _stream_row(sf1_dir)
+    out["stream_ingest"] = stream_row
     print(json.dumps({"queries": out, "replicas": 10}))
+    if stream_row["ratio"] is None:
+        # a failed stream measurement must read as a RED battery step,
+        # not as a permanently-skipped row (the >25% comparator skips
+        # None ratios, so exit code is the only enforcement point)
+        sys.exit(1)
 
 
 def _stream_row(sf1_dir: str) -> dict:
     """Streaming ingest at both SFs (round-12 verdict ask): run
     tools/stream_bench.py — the full file-source → classify →
     compact → snapshot-upsert path — against sf0.1 and the sf1 set in
-    fresh subprocess JVMs, and report the same wall-ratio contract as
-    the query rows plus absolute rows/sec at sf1.  Ratio uses
-    ``ingest_sec`` (10x the rows through the same 8 micro-batches), so
-    ≈10 is linear scaling; the >25% round-over-round degradation flag
-    in close_battery applies to it like any other row."""
+    fresh subprocess JVMs, and report absolute rows/sec at both SFs
+    plus a PER-REPLICA wall ratio: ``ingest_sec`` covers 10x the rows
+    through the same 8 micro-batches, so the raw wall ratio is
+    divided by 10 — **1.0 = perfectly linear throughput**, above 1
+    means per-row cost grew with scale.  NOTE this is a different
+    scale from the query rows' raw sf1/sf0.1 ratios (where ≤4x for
+    10x data is the target); the >25% ROUND-OVER-ROUND drift flag in
+    close_battery applies uniformly to both."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -117,10 +126,10 @@ def _stream_row(sf1_dir: str) -> dict:
     return {
         "sf0.1": walls["sf0.1"],
         "sf1": walls["sf1"],
-        # rows grow 10x between the SFs: normalize the wall ratio per
-        # unit of data so the flag contract (ratio ~ constant when
-        # scaling is linear, >25% drift round-over-round = red) matches
-        # the query rows'
+        # rows grow 10x between the SFs: normalize the wall ratio PER
+        # REPLICA so 1.0 = linear throughput (see docstring — this row
+        # is on a different scale from the query rows' raw ratios; the
+        # round-over-round >25% drift flag applies to both the same)
         "ratio": round(walls["sf1"] / walls["sf0.1"] / 10.0, 2),
         "rows_per_sec_sf1": rps["sf1"],
         "rows_per_sec_sf0.1": rps["sf0.1"],
