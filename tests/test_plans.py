@@ -200,8 +200,9 @@ def test_all_plans_have_no_cartesian_row_udfs_or_global_windows(spark):
     jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     formatted = jvm.fromString("formatted")
     simple = jvm.fromString("simple")
-    offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
+
+    def _check(item):
+        name, spec = item
         df = spec.fn(spark, sf)
         plan = df._jdf.queryExecution().explainString(formatted)
         bad = [
@@ -227,8 +228,20 @@ def test_all_plans_have_no_cartesian_row_udfs_or_global_windows(spark):
                 for f in df.schema.fields
                 if f.dataType.typeName() in ("array", "map", "struct")
             ]
-        if bad:
-            offenders[name] = bad
+        return name, bad
+
+    # the loop is driver-bound Catalyst analysis through py4j (which
+    # releases the GIL) plus the queries' documented O(1) probe jobs —
+    # a thread pool cuts the ~140 s serial registry walk to ~¼ with
+    # identical coverage; fixture-cache check-then-build races are
+    # benign (two threads build, one wins the dict slot)
+    from concurrent.futures import ThreadPoolExecutor
+
+    offenders = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, bad in pool.map(_check, sorted(REGISTRY.items())):
+            if bad:
+                offenders[name] = bad
     assert not offenders, offenders
 
 

@@ -54,7 +54,7 @@ def model_apply(base: list, changes: list) -> dict:
 
 @pytest.mark.slow
 @settings(
-    max_examples=25,
+    max_examples=16,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -125,7 +125,7 @@ def model_merge(base: list, changes: list) -> dict:
 
 @pytest.mark.slow
 @settings(
-    max_examples=30,
+    max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
@@ -179,11 +179,11 @@ def test_merge_into_sql_parses_in_spark(spark):
 
 
 @pytest.mark.slow
-# 10 examples (was 20): each example runs TWO full Spark jobs, and
-# partition-dependence is a structural property — it breaks on nearly
-# any example, not on adversarial shapes, so halving examples trades
-# ~50 s of suite wall for no real coverage
-@settings(max_examples=10, deadline=None,
+# 6 examples (was 20, then 10): each example runs TWO full Spark
+# jobs, and partition-dependence is a structural property — it breaks
+# on nearly any example, not on adversarial shapes, so fewer examples
+# trade suite wall for no real coverage
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(changes=changes_strategy)
 def test_latest_per_key_is_partition_invariant(spark, changes):

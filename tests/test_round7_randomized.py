@@ -35,6 +35,7 @@ def _vec(rng):
     return [float(x) for x in v]
 
 
+@pytest.mark.chaos
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_random_stream_keeps_index_and_expiry_predictions_exact(
     spark, tmp_path, seed
@@ -140,6 +141,7 @@ def _text(rng):
     return " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(3, 9)))
 
 
+@pytest.mark.chaos
 @pytest.mark.parametrize("seed", [5, 31])
 def test_random_stream_keeps_lsh_index_exact(spark, tmp_path, seed):
     """Same co-stress shape for the round-7 LSH band index: a random

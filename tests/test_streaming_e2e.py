@@ -164,24 +164,53 @@ def test_watermark_drop_matrix_matches_lateness_audit(spark, tmp_path):
     late_us > delay, strictness included.  (The reference consumer
     keyed everything on processing time, spark_batch.py:221, so late
     data silently rewrote state; this engine's event-time watermarking
-    is the fix, quantified here.)"""
+    is the fix, quantified here.)
+
+    Fixture (round 12): the raw events table is ts-monotone in
+    event_id, so replaying it verified a TRIVIAL 0==0 matrix for
+    eleven rounds — and hid a real mechanism detail: under
+    availableNow one-file triggers, the watermark a batch FILTERS
+    with is computed from event times through batch i−2, one batch
+    older than the i−1 the progress log displays.  The crafted
+    arrival sequence below controls both: 10-minute carrier steps
+    establish the high-water mark, each late row trails the mark by
+    an EXPLICIT magnitude (3 min / 30 min / 3 h — three per
+    magnitude), and every late row arrives ≥2 batches after the mark
+    was set, so the audit's prefix-max prediction and Spark's lagged
+    watermark agree EXACTLY and the expected matrix is the
+    discriminating 9 / 6 / 3, asserted below so it can never go
+    trivial again.  A 1-second-late filler before each late row keeps
+    the i−1 and i−2 maxima equal (it never raises the mark) and
+    additionally pins the audit's strictness (late but over no
+    threshold)."""
+    import datetime
     import os
 
-    from pyspark.sql import functions as F
-
     from lakehouse_cdc_spark.plans import REGISTRY
-    from lakehouse_cdc_spark.plans.registry import table
     from lakehouse_cdc_spark.streaming.sources import file_cdc_source
 
-    K = 80
-    sub = (
-        table(spark, "/root/testdata/sf0.001", "events")
-        .orderBy("event_id")
-        .limit(K)
-        .select("event_id", "ts")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    step = datetime.timedelta(minutes=10)
+    lates = [
+        datetime.timedelta(minutes=3),
+        datetime.timedelta(minutes=30),
+        datetime.timedelta(hours=3),
+    ]
+    seq: list[datetime.datetime] = [t0, t0 + step, t0 + 2 * step]
+    hwm = seq[-1]
+    for g in range(9):
+        for _ in range(2):  # carriers: advance the high-water mark
+            hwm += step
+            seq.append(hwm)
+        seq.append(hwm - datetime.timedelta(seconds=1))  # filler
+        seq.append(hwm - lates[g % 3])  # the controlled-late row
+    K = len(seq)  # 3 lead carriers + 9 groups x 4 slots
+    assert K == 39
+    sub = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(seq)], "event_id long, ts timestamp"
     )
     # the audit's own prediction, computed by the REGISTERED query on
-    # exactly the replayed subset
+    # exactly the replayed table (arrival order = event_id)
     subset_dir = str(tmp_path / "subset")
     os.makedirs(subset_dir)
     sub.coalesce(1).write.parquet(os.path.join(subset_dir, "events.parquet"))
@@ -192,7 +221,11 @@ def test_watermark_drop_matrix_matches_lateness_audit(spark, tmp_path):
         "10 minutes": audit.late_over_10m,
         "1 hours": audit.late_over_1h,
     }
-    assert audit.n_late >= audit.late_over_1m >= audit.late_over_1h
+    # NON-TRIVIAL and discriminating by construction: 9 fillers are
+    # late-but-over-nothing, the magnitudes split the thresholds
+    assert audit.n_late == 18
+    assert (audit.late_over_1m, audit.late_over_10m, audit.late_over_1h) \
+        == (9, 6, 3)
 
     # one parquet file per event, hardlinked in arrival order with
     # strictly increasing mtimes so the file source replays event_id

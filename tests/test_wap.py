@@ -568,6 +568,7 @@ def test_two_branches_overlapping_buckets_conflict(spark, seeded):
     assert _vals(sink.current_table(spark))[3] == "fromB"
 
 
+@pytest.mark.chaos
 @pytest.mark.parametrize("seed", [11, 47])
 def test_random_two_writer_wap_walk_matches_model(spark, seed):
     """TWO staged writers walk random interleavings of stage, publish,
@@ -1225,6 +1226,7 @@ def test_recover_sweeps_spent_main_fence_below_pointer(spark, seeded):
     assert _vals(sink.current_table(spark))[1] == "b1"
 
 
+@pytest.mark.chaos
 def test_multiprocess_concurrent_staging_and_kill(spark, tmp_path):
     """REAL OS-level concurrency on the WAP surface: two separate
     processes (own JVMs, no shared Python state) create branches and

@@ -16,7 +16,11 @@ accretion), continuing past failures and summarizing at the end:
 3. full strict oracle gate at sf0.01 (the driver's correctness gate);
 4. full registry sweep at sf0.1 (10x the gate — catches scale cliffs,
    skip with --skip-sweep);
-5. sf1_profile.py (the 10x-scale wall-time ratios) — appended to
+5. the chaos suite (pytest -m chaos): the randomized/multiprocess
+   walks default-deselected by pytest.ini to hold the quiet-suite
+   wall-time line — run here EVERY round; pytest's exit-5 on an empty
+   marker selection turns marker drift into a red step;
+6. sf1_profile.py (the 10x-scale wall-time ratios) — appended to
    SF1_HISTORY.jsonl with a ratio-vs-last-round comparison so scale
    regressions are caught PER ROUND, not rediscovered later: any
    query whose sf1/sf0.1 ratio degrades >25% against the previous
@@ -92,6 +96,16 @@ def main() -> int:
             [py, "tools/check_oracle.py", "/root/testdata/sf0.1"],
             5400,
         )
+    # the chaos walks (randomized stream/index walks, multiprocess
+    # SIGKILL staging) are default-deselected via pytest.ini to hold
+    # the quiet-suite wall-time line — the battery ALWAYS runs them;
+    # pytest exits 5 when the marker selects nothing, so marker drift
+    # reads as a red step, never as silent coverage loss
+    results["chaos_suite"], _ = _run(
+        "chaos suite (-m chaos)",
+        [py, "-m", "pytest", "tests/", "-m", "chaos", "-q"],
+        1800,
+    )
 
     ok, out = _run("sf1 profile", [py, "tools/sf1_profile.py"], 3600)
     results["sf1_profile"] = ok
