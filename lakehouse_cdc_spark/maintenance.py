@@ -129,13 +129,71 @@ def _manifest_closure(target_dir: str, seed: set[int]) -> set[int]:
         keep |= referenced
 
 
-def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
+def _evict_stale_cursors(
+    target_dir: str, refs: dict, ttl_seconds: float
+) -> list[str]:
+    """Drop registered cursors whose last touch (ack/register/reset —
+    ``cursors_meta``) is older than ``ttl_seconds``, the
+    ``offsets.retention`` contract of Kafka consumer groups: an
+    abandoned consumer must not pin history forever.  An evicted
+    consumer that later wakes finds its pin gone; if retention has
+    deleted manifests its next range needs, the read FAILS LOUDLY on
+    the retained-manifest check (the same documented contract as an
+    unregistered cursor), and its next ack re-registers it.  Cursors
+    with no recorded timestamp (registered before cursors_meta
+    existed) are NEVER evicted — unknown age is not proof of
+    abandonment — but are warned about so operators can reset or
+    unregister them.  Mutates ``refs``; returns evicted names."""
+    import time
+
+    evicted = []
+    for name in sorted(refs["cursors"]):
+        touched = refs["cursors_meta"].get(name)
+        if touched is None:
+            logger.warning(
+                "expire_snapshots(%s): cursor %r has no last-touch "
+                "timestamp (legacy registration) — cannot apply "
+                "cursor_ttl; ack, reset, or unregister it",
+                target_dir,
+                name,
+            )
+            continue
+        age = time.time() - float(touched)
+        if age > ttl_seconds:
+            refs["cursors"].pop(name)
+            refs["cursors_meta"].pop(name, None)
+            evicted.append(name)
+            logger.warning(
+                "expire_snapshots(%s): evicted cursor %r (last touch "
+                "%.0fs ago > ttl %.0fs) — its retention pin is gone; "
+                "a late consumer will fail loudly on expired history",
+                target_dir,
+                name,
+                age,
+                ttl_seconds,
+            )
+    return evicted
+
+
+def expire_snapshots(
+    target_dir: str,
+    retain_last: int = 5,
+    cursor_ttl_seconds: float | None = None,
+) -> list[int]:
     """Snapshot expiry for a SnapshotUpsertSink directory (M2,
     expire_snapshots(retain_last=5) semantics — spark_batch.py:424).
     Never removes the committed snapshot, NOR any snapshot directory
     the committed manifest still references for an untouched bucket
     (the bucketed layout reuses old snapshots' files, Iceberg-manifest
     style).  Returns expired snapshot numbers.
+
+    ``cursor_ttl_seconds`` opts into the Kafka ``offsets.retention``
+    contract: registered cursors whose last ack/register/reset is
+    older than the TTL are UNREGISTERED (under the same refs lock)
+    before pins are computed, so an abandoned consumer cannot disable
+    retention forever — see :func:`_evict_stale_cursors` for the
+    loud-failure contract its owner inherits.  Default None keeps
+    pins unconditional.
 
     The whole pass runs under the sink's refs flock: the keep set is
     computed FROM the refs document (tags, branches, cursor pins), so
@@ -154,6 +212,20 @@ def expire_snapshots(target_dir: str, retain_last: int = 5) -> list[int]:
         versions = _snapshot_versions(target_dir)
         committed_snap = parse_version_pointer(target_dir)[2]
         refs = _load_refs(target_dir)
+        if cursor_ttl_seconds is not None:
+            import json
+
+            if _evict_stale_cursors(target_dir, refs, cursor_ttl_seconds):
+                # persist the eviction atomically BEFORE computing
+                # pins, inside the same critical section — a crash
+                # between eviction and deletion just re-evicts next run
+                refs_file = os.path.join(target_dir, "_REFS.json")
+                tmp = refs_file + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(refs, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, refs_file)
         base = set(versions[-retain_last:])
         if committed_snap is not None:
             base.add(committed_snap)

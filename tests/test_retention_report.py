@@ -135,6 +135,49 @@ def test_expire_warns_when_cursor_pin_is_binding(spark, tmp_path, caplog):
     assert not caplog.records
 
 
+def test_cursor_ttl_evicts_abandoned_pin_but_keeps_live_and_legacy(
+    spark, tmp_path, caplog
+):
+    """The Kafka offsets.retention contract: expire_snapshots with
+    cursor_ttl_seconds unregisters cursors whose last touch is older
+    than the TTL (retention then proceeds), keeps a fresh cursor's
+    pin, and NEVER evicts a legacy registration with no timestamp —
+    unknown age is not proof of abandonment."""
+    sink = _sink_with_history(spark, tmp_path)  # snapshots 0..3
+
+    FeedCursor(sink, str(tmp_path / "a.cursor"), name="abandoned")
+    FeedCursor(sink, str(tmp_path / "f.cursor"), name="fresh")
+
+    def _age_and_legacy(refs):
+        refs["cursors_meta"]["abandoned"] = time.time() - 7200  # 2h old
+        refs["cursors"]["legacy"] = -1  # registered pre-cursors_meta
+        refs["cursors_meta"].pop("legacy", None)
+
+    sink._refs_update(_age_and_legacy)
+
+    with caplog.at_level(logging.WARNING, "lakehouse_cdc_spark.maintenance"):
+        expired = expire_snapshots(
+            sink.target_dir, retain_last=1, cursor_ttl_seconds=3600
+        )
+    refs = sink.refs()
+    assert "abandoned" not in refs["cursors"]  # evicted
+    assert "fresh" in refs["cursors"]  # age ~0, survives
+    assert "legacy" in refs["cursors"]  # no timestamp: never evicted
+    assert expired == []  # fresh + legacy floors (-1) still pin all
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("evicted cursor 'abandoned'" in m for m in msgs)
+    assert any("legacy" in m and "no last-touch" in m for m in msgs)
+
+    # drop the remaining pins: eviction + retention then reclaims
+    def _drop_rest(refs):
+        refs["cursors"].pop("legacy")
+        refs["cursors"].pop("fresh")
+        refs["cursors_meta"].pop("fresh", None)
+
+    sink._refs_update(_drop_rest)
+    assert expire_snapshots(sink.target_dir, retain_last=1)
+
+
 def test_ref_names_with_colon_are_rejected(spark, tmp_path):
     """Round-12 ADVICE: a branch/tag name containing ':' (which covers
     '@wap:') would misparse the ':'-delimited claim-owner protocol —
