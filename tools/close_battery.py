@@ -59,12 +59,17 @@ def _run(label: str, cmd: list[str], timeout: int) -> tuple[bool, str]:
 
 def main() -> int:
     skip_sweep = "--skip-sweep" in sys.argv
+    # --skip-bench: resume a battery whose quiet-first bench already
+    # completed and was recorded (e.g. the runner died mid-battery) —
+    # the record stands, re-running it on a now-warm machine would
+    # only overwrite a quiet number with a hot one
+    skip_bench = "--skip-bench" in sys.argv
     round_tag = None
     if "--round" in sys.argv:
         idx = sys.argv.index("--round") + 1
         if idx >= len(sys.argv):
-            print("usage: close_battery.py [--skip-sweep] [--round N]",
-                  file=sys.stderr)
+            print("usage: close_battery.py [--skip-sweep] "
+                  "[--skip-bench] [--round N]", file=sys.stderr)
             return 2
         round_tag = int(sys.argv[idx])
     py = sys.executable
@@ -81,7 +86,12 @@ def main() -> int:
         print(f"[battery] WARNING: loadavg {load1:.1f} on {ncpu} cpus "
               "at bench start — record will be flagged "
               "load-contaminated", file=sys.stderr)
-    results["bench"], _ = _run("bench", [py, "bench.py"], 3600)
+    if skip_bench:
+        results["bench"] = True
+        print("[battery] bench: SKIPPED (--skip-bench: prior quiet "
+              "record stands)", file=sys.stderr)
+    else:
+        results["bench"], _ = _run("bench", [py, "bench.py"], 3600)
     results["stream_bench"], _ = _run(
         "stream bench", [py, "tools/stream_bench.py"], 1800
     )
