@@ -338,29 +338,29 @@ def lsh_candidate_pairs(
     that bucket's self-join quadratic).  With the cap, worst-case
     pair count is O(|buckets|·cap²); an oversized bucket signals
     *exact* duplicates, which the cheap hash-groupBy exact-dedup pass
-    handles — LSH only needs to catch the near-misses."""
-    banded = signatures
-    for b in range(bands):
-        banded = banded.withColumn(f"band{b}", band_key(b, rows_per_band))
-    pair_sets = []
-    for b in range(bands):
-        side = banded.select(F.col(id_col), F.col(f"band{b}").alias("bk"))
-        if max_bucket_size is not None:
-            bw = Window.partitionBy("bk")
-            side = (
-                side.withColumn("__bs", F.count(F.lit(1)).over(bw))
-                .filter(F.col("__bs") <= max_bucket_size)
-                .drop("__bs")
-            )
-        left = side.select(F.col(id_col).alias("da"), "bk")
-        right = side.select(F.col(id_col).alias("db"), "bk")
-        pair_sets.append(
-            left.join(right, on=["bk"]).filter(F.col("da") < F.col("db")).select("da", "db")
-        )
-    out = pair_sets[0]
-    for p in pair_sets[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    handles — LSH only needs to catch the near-misses.
+
+    Implemented as ONE self-join of the :func:`band_table` long-format
+    index on (band, band_key) — a single exchange of the bands×N-row
+    index (Spark's ReuseExchange shares the identical child between
+    the two join sides) instead of |bands| separate full-table
+    self-joins unioned together, which at 100 TB is 2·|bands| full
+    shuffles of the signature table versus one."""
+    idx = band_table(
+        signatures,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    left = idx.select(F.col(id_col).alias("da"), "band", "band_key")
+    right = idx.select(F.col(id_col).alias("db"), "band", "band_key")
+    return (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
 
 
 def simhash_bits(

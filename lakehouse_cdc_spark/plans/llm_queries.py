@@ -3003,20 +3003,44 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
     computed ONCE and reused by all three configs; each config costs
     only its band hashing and bucket joins, which is how a real sweep
     amortizes at 100 TB.  Counts are exact; the irrational s-curve
-    thresholds stay in the docstring, off the oracle surface."""
-    from lakehouse_cdc_spark.llm.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    thresholds stay in the docstring, off the oracle surface.
+
+    ONE job for the whole sweep: every config's band keys come out of
+    a single explode over the persisted signature table (one struct
+    per (config, band) — 8+4+2 = 14 index rows per document),
+    candidate pairs from a single self-join on (config, band,
+    band_key), and the per-config counts from one aggregation —
+    versus three serial count() actions each paying its own banding
+    joins.  The persisted signatures are the miniature of the stored
+    band index a production sweep reads (llm/dedup.band_table)."""
+    from lakehouse_cdc_spark.llm.dedup import band_key, minhash_signatures
 
     sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8).persist()
-    rows = []
-    for bands, rpb in ((8, 1), (4, 2), (2, 4)):
-        n = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb).count()
-        rows.append((bands, rpb, n))
-    return spark.createDataFrame(
-        rows, "n_bands long, rows_per_band long, n_candidates long"
-    ).orderBy(F.desc("n_bands"))
+    structs = [
+        F.struct(
+            F.lit(bands).cast("long").alias("n_bands"),
+            F.lit(rpb).cast("long").alias("rows_per_band"),
+            F.lit(b).cast("int").alias("band"),
+            band_key(b, rpb).alias("band_key"),
+        )
+        for bands, rpb in ((8, 1), (4, 2), (2, 4))
+        for b in range(bands)
+    ]
+    idx = sigs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc_id", "bb.*")
+    on = ["n_bands", "rows_per_band", "band", "band_key"]
+    left = idx.select(*on, F.col("doc_id").alias("da"))
+    right = idx.select(*on, F.col("doc_id").alias("db"))
+    return (
+        left.join(right, on=on)
+        .filter(F.col("da") < F.col("db"))
+        .select("n_bands", "rows_per_band", "da", "db")
+        .distinct()
+        .groupBy("n_bands", "rows_per_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .orderBy(F.desc("n_bands"))
+    )
 
 
 # ---------------------------------------------------------------------------
