@@ -1,0 +1,156 @@
+"""Bounded-frame windows over LOW-CARDINALITY partition keys.
+
+``Window.partitionBy(key)`` parallelizes exactly ``|distinct key|``
+ways: with 5 event types, the per-key sort behind a rolling frame runs
+as 5 tasks no matter how many executors exist, and each task's sort
+grows super-linearly with data volume (the round-12 sf1 profile
+measured ts_anomaly_zscore at 3.03x wall for 10x data for exactly
+this reason — at 100 TB one task would sort 20 TB).
+
+For TRAILING frames bounded by R rows (``ROWS BETWEEN R PRECEDING AND
+x``), the fix is the classic chunk-with-carry scan:
+
+1. assign each row a coarse bucket MONOTONE in the order key within
+   its partition key (e.g. ``date_trunc('day', ts)`` when ordering by
+   ts) — parallelism becomes |key| x |buckets|;
+2. from a tiny per-(key, bucket) row-count table, derive which
+   trailing rows of which earlier buckets each bucket needs so every
+   row still sees its full R preceding rows: bucket p contributes to
+   bucket b iff fewer than R rows lie strictly between them, and then
+   exactly its last ``R - rows_between(p, b)`` rows (this walks back
+   across sparse and empty buckets until R rows are covered, so
+   bucket sizing never affects correctness, only efficiency);
+3. duplicate those carry rows into their target bucket, flagged;
+4. run the SAME window frame partitioned by (key, bucket) and drop
+   the flagged rows — their own frames are incomplete, but they are
+   present only to complete the frames of the real rows.
+
+Cost: two full-data hash exchanges on (key, bucket) (the carry
+row_number and the final window) plus two tiny metadata shuffles,
+versus ONE exchange for the naive form — but every stage runs at
+|key| x |buckets| parallelism instead of |key|, which is the
+difference between a 30-second job and a dead executor at 100 TB.
+Carry overhead is <= R duplicated rows per (key, bucket).
+
+A LOOKAHEAD frame bounded by R rows (lead(), ``ROWS BETWEEN x AND
+R FOLLOWING``) is the same problem under the reversed order: pass the
+descending order columns and the frame's following bound as R.
+
+RANGE frames bounded by time (e.g. a trailing 30-day sum) need a
+time-based carry rule instead of a row-count one — not implemented
+here; pick bucket >> range and carry rows within the range of the
+bucket boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_trailing_carry(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str | Column],
+    max_preceding: int,
+    bucket: Column,
+    bucket_col: str = "__b",
+    carry_col: str = "__carry",
+) -> DataFrame:
+    """Return ``df`` plus carry duplicates so that trailing ROWS
+    frames up to ``max_preceding`` rows deep, windowed by
+    ``(key_cols..., bucket_col)`` and ordered by ``order_cols``, equal
+    the same frames windowed by ``key_cols`` alone.
+
+    ``bucket`` must be monotone non-decreasing in the ``order_cols``
+    ordering within each key (a truncation of the leading order column
+    — ``date_trunc('day', ts)`` — is the usual choice); rows that
+    compare equal on the full order key must land in the same bucket,
+    which any deterministic function of the order columns guarantees.
+
+    Output columns: ``df``'s columns + ``bucket_col`` + ``carry_col``
+    (1 on duplicated carry rows).  The caller applies its window
+    aggregates with ``Window.partitionBy(*key_cols, bucket_col)`` and
+    then filters ``carry_col == 0``; frames must not reach further
+    back than ``max_preceding`` rows or further forward than row 0.
+    """
+    if max_preceding < 1:
+        raise ValueError(f"max_preceding must be >= 1, got {max_preceding}")
+    for reserved in (bucket_col, carry_col):
+        if reserved in df.columns:
+            raise ValueError(f"column {reserved!r} already present")
+    d = df.withColumn(bucket_col, bucket)
+
+    # tiny metadata: rows per (key, bucket), cumulative within key
+    meta = (
+        d.groupBy(*key_cols, bucket_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__cum",
+            F.sum("__cnt").over(
+                Window.partitionBy(*key_cols).orderBy(bucket_col)
+            ),
+        )
+    )
+    # (source bucket p -> target bucket b) pairs: p contributes carry
+    # to b iff rows strictly between them number < max_preceding;
+    # quota = how many of p's trailing rows b still needs.  Bucket-
+    # level theta join over the tiny metadata table — driver-free.
+    src = meta.select(
+        *[F.col(k).alias(f"__pk{i}") for i, k in enumerate(key_cols)],
+        F.col(bucket_col).alias("__p_src"),
+        F.col("__cum").alias("__cum_src"),
+    )
+    tgt = meta.select(
+        *key_cols,
+        F.col(bucket_col).alias("__p_tgt"),
+        (F.col("__cum") - F.col("__cnt")).alias("__cum_before_tgt"),
+    )
+    between = F.col("__cum_before_tgt") - F.col("__cum_src")
+    pairs = (
+        tgt.join(
+            src,
+            [tgt[k] == src[f"__pk{i}"] for i, k in enumerate(key_cols)]
+            + [src["__p_src"] < tgt["__p_tgt"]],
+        )
+        .filter(between < max_preceding)
+        .select(
+            *[F.col(f"__pk{i}") for i in range(len(key_cols))],
+            "__p_src",
+            "__p_tgt",
+            (F.lit(max_preceding) - between).alias("__quota"),
+        )
+    )
+
+    # position-from-end within each (key, bucket) — the rows eligible
+    # to be carried forward.  Partitioned by (key, bucket): parallel.
+    rev = [
+        F.desc(c) if isinstance(c, str) else _reversed(c) for c in order_cols
+    ]
+    rn_desc = F.row_number().over(
+        Window.partitionBy(*key_cols, bucket_col).orderBy(*rev)
+    )
+    d_rn = d.withColumn("__rnd", rn_desc)
+    carried = (
+        d_rn.join(
+            F.broadcast(pairs),
+            [d_rn[k] == pairs[f"__pk{i}"] for i, k in enumerate(key_cols)]
+            + [d_rn[bucket_col] == pairs["__p_src"]],
+        )
+        .filter(F.col("__rnd") <= F.col("__quota"))
+        .select(
+            *df.columns,
+            F.col("__p_tgt").alias(bucket_col),
+            F.lit(1).alias(carry_col),
+        )
+    )
+    base = d.select(*df.columns, bucket_col, F.lit(0).alias(carry_col))
+    return base.unionByName(carried)
+
+
+def _reversed(c: Column) -> Column:
+    """Best-effort direction flip for a Column order expression."""
+    # Column sort expressions don't expose their direction; callers
+    # passing Columns should pass the ASCENDING expression and let
+    # this helper flip it.
+    return c.desc()

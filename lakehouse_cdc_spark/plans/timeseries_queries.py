@@ -150,31 +150,42 @@ def ts_anomaly_zscore(spark, sf_dir):
     an exact BIGINT, ``|v - mean| > z*stddev`` is algebraically
     equivalent to ``(n-1)(nv - s)^2 > z^2 * n * (n*s2 - s^2)`` over
     the frame sums (s, s2) — pure integer arithmetic, bit-identical in
-    any engine (max magnitude ~3e15, well inside int64).  One window
-    pass (three frame aggregates share one sort) + one tiny groupBy;
-    at 100 TB the frame never crosses the event_type hash partition,
-    so the whole scorer is a single shuffle."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-50, -1)
-    )
-    scored = (
-        table(spark, sf_dir, "events")
-        .select(
+    any engine (max magnitude ~3e15, well inside int64).
+
+    There are only ~5 event types, so a window partitioned by
+    event_type alone runs 5 tasks forever (the r12 sf1 profile's worst
+    ratio, 3.03x for 10x data: each task's sort grows super-linearly).
+    The frame is bounded (50 trailing rows), so the scorer chunks by
+    day with a 50-row carry across bucket boundaries
+    (operators/chunked.with_trailing_carry): identical frame contents,
+    |event_type| x |days| parallelism, then one tiny groupBy."""
+    from lakehouse_cdc_spark.operators.chunked import with_trailing_carry
+
+    aug = with_trailing_carry(
+        table(spark, sf_dir, "events").select(
             "event_type",
             "ts",
             "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("v"),
-        )
-        .select(
-            "event_type",
-            "v",
-            F.count("v").over(w).alias("n"),
-            F.sum("v").over(w).alias("s"),
-            F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
-        )
+        ),
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        max_preceding=50,
+        bucket=F.date_trunc("day", F.col("ts")),
     )
+    w = (
+        Window.partitionBy("event_type", "__b")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = aug.select(
+        "event_type",
+        "v",
+        "__carry",
+        F.count("v").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    ).filter(F.col("__carry") == 0)
     # explicit bigint self-multiply: Column ** 2 compiles to pow() and
     # silently promotes the whole comparison to DOUBLE
     d = F.col("n") * F.col("v") - F.col("s")
@@ -273,23 +284,36 @@ def ts_breakout_channel(spark, sf_dir):
     """DONCHIAN CHANNEL BREAKOUTS: an observation breaking above the
     rolling 20-observation high (or below the rolling low) of its own
     series — the classic channel/regime-change detector (and the
-    windowed complement of ts_mad_anomalies' global robust-z).  Pure
-    bounded-frame window aggregates partitioned by series: one shuffle
-    on the series key, O(1) state per row in frame execution, exact
-    integer cents so the strict > / < comparisons are engine-identical
-    (the (ts, event_id) order key makes duplicate timestamps
-    deterministic).  Output: per-series breakout census with the
-    id-sum of flagged events."""
+    windowed complement of ts_mad_anomalies' global robust-z).
+    Bounded-frame window aggregates with exact integer cents, so the
+    strict > / < comparisons are engine-identical (the (ts, event_id)
+    order key makes duplicate timestamps deterministic).
+
+    Like ts_anomaly_zscore, the ~5-value series key would cap the
+    window at 5-task parallelism forever; the 20-row trailing frame
+    chunks by day with a 20-row carry
+    (operators/chunked.with_trailing_carry) for |series| x |days|
+    parallelism with identical frame contents."""
+    from lakehouse_cdc_spark.operators.chunked import with_trailing_carry
+
     e = table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ch = e.select(
+    aug = with_trailing_carry(
+        e.select("event_type", "ts", "event_id", v.alias("v")),
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        max_preceding=20,
+        bucket=F.date_trunc("day", F.col("ts")),
+    )
+    w = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
+    ch = aug.select(
         "event_type",
         "event_id",
-        v.alias("v"),
-        F.max(v).over(w.rowsBetween(-20, -1)).alias("hi"),
-        F.min(v).over(w.rowsBetween(-20, -1)).alias("lo"),
-    )
+        "v",
+        "__carry",
+        F.max("v").over(w.rowsBetween(-20, -1)).alias("hi"),
+        F.min("v").over(w.rowsBetween(-20, -1)).alias("lo"),
+    ).filter(F.col("__carry") == 0)
     up = F.col("v") > F.col("hi")
     down = F.col("v") < F.col("lo")
     return (

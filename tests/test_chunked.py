@@ -1,0 +1,120 @@
+"""operators/chunked.py — the chunk-with-carry trailing-frame window
+must agree BIT-FOR-BIT with the naive key-partitioned global window it
+replaces (fine as a test oracle at test scale), including across
+sparse buckets, empty buckets, and keys with fewer rows than the
+frame is deep."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_cdc_spark.operators.chunked import with_trailing_carry
+
+
+def _events(spark):
+    """3 keys x uneven buckets: key 'a' dense, 'b' sparse (1-2 rows in
+    most buckets, several empty buckets — carry must walk back through
+    multiple buckets), 'c' has fewer total rows than the frame."""
+    rows = []
+    sid = 0
+    for b in range(12):
+        for i in range(17):  # dense key: 17 rows/bucket
+            rows.append(("a", b * 100 + i, sid, (sid * 37) % 101))
+            sid += 1
+        if b % 3 == 0:  # sparse key: 2 rows in every third bucket
+            for i in range(2):
+                rows.append(("b", b * 100 + i, sid, (sid * 59) % 83))
+                sid += 1
+    for i in range(3):  # tiny key: 3 rows total
+        rows.append(("c", 400 + i, sid, sid % 7))
+        sid += 1
+    return spark.createDataFrame(rows, "k string, t long, sid long, v long")
+
+
+def _naive(df, frame):
+    w = Window.partitionBy("k").orderBy("t", "sid").rowsBetween(*frame)
+    return df.select(
+        "k",
+        "sid",
+        F.count("v").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+    )
+
+
+def _chunked(df, frame, max_preceding):
+    aug = with_trailing_carry(
+        df,
+        key_cols=["k"],
+        order_cols=["t", "sid"],
+        max_preceding=max_preceding,
+        bucket=(F.col("t") / 100).cast("int").cast("long"),
+    )
+    w = Window.partitionBy("k", "__b").orderBy("t", "sid").rowsBetween(*frame)
+    return (
+        aug.select(
+            "k",
+            "sid",
+            "__carry",
+            F.count("v").over(w).alias("n"),
+            F.sum("v").over(w).alias("s"),
+        )
+        .filter(F.col("__carry") == 0)
+        .drop("__carry")
+    )
+
+
+@pytest.mark.parametrize(
+    "frame,depth",
+    [((-5, -1), 5), ((-40, -1), 40), ((-5, 0), 5), ((-1, -1), 1)],
+)
+def test_chunked_equals_naive(spark, frame, depth):
+    df = _events(spark)
+    exp = {(r.k, r.sid): (r.n, r.s) for r in _naive(df, frame).collect()}
+    got = {(r.k, r.sid): (r.n, r.s) for r in _chunked(df, frame, depth).collect()}
+    assert got == exp
+
+
+def test_no_single_key_exchange_in_plan(spark):
+    """The point of the operator: every window in the chunked plan
+    partitions on (key, bucket), never on the low-cardinality key
+    alone (metadata windows over the tiny per-bucket count table are
+    the allowed exception — they carry __cnt/__cum columns)."""
+    df = _events(spark)
+    plan = _chunked(df, (-40, -1), 40)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line and "__cum" not in line:
+            # physical Window spec prints as [... windowspecdefinition(k, __b, ...)]
+            if "windowspecdefinition(k#" in line:
+                assert "__b#" in line, line
+
+
+def test_carry_rows_flagged_and_bounded(spark):
+    df = _events(spark)
+    aug = with_trailing_carry(
+        df,
+        key_cols=["k"],
+        order_cols=["t", "sid"],
+        max_preceding=7,
+        bucket=(F.col("t") / 100).cast("int").cast("long"),
+    )
+    base = aug.filter(F.col("__carry") == 0)
+    assert base.count() == df.count()  # base rows preserved exactly
+    per_bucket = (
+        aug.filter(F.col("__carry") == 1)
+        .groupBy("k", "__b")
+        .count()
+        .collect()
+    )
+    assert per_bucket  # carries exist
+    for r in per_bucket:
+        assert r["count"] <= 7  # never more than max_preceding per bucket
+
+
+def test_rejects_bad_args(spark):
+    df = _events(spark)
+    with pytest.raises(ValueError):
+        with_trailing_carry(df, ["k"], ["t"], 0, F.col("t"))
+    with pytest.raises(ValueError):
+        with_trailing_carry(
+            df.withColumn("__b", F.lit(1)), ["k"], ["t"], 5, F.col("t")
+        )
