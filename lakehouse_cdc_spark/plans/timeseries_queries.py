@@ -1002,15 +1002,49 @@ def ts_time_weighted_average(spark, sf_dir):
     DECIMAL(38,0)/HUGEINT — cents × µs products overflow int64 at any
     real span (the overflow-cliff class, pre-empted) — and the floor
     quotient is exact while the 6-dp double rides an identical IEEE
-    tree.  One series-keyed window (lead) + one aggregate; same
-    single-exchange shape as the OHLC downsampler."""
+    tree.
+
+    The ~5-value series key again (see ts_anomaly_zscore): a lead()
+    window partitioned by event_type alone is a 5-task sort forever.
+    lead is a 1-row LOOKAHEAD frame, so the chunked form is even
+    simpler than a carry: lead within (key, day-bucket), then patch
+    each bucket's LAST row (its in-bucket lead is NULL) with the next
+    non-empty bucket's first timestamp from a |key|x|buckets|-row
+    metadata table (bucket heads via lexicographic struct-min, next
+    head via a metadata-level lead, broadcast back).  The global last
+    row of a key keeps NULL and stays the open final sample."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = e.select(
+    e2 = e.select(
         "event_type",
+        "ts",
+        "event_id",
         F.unix_micros("ts").alias("tus"),
         F.expr(_V100).alias("v"),
-        F.lead(F.unix_micros("ts")).over(w).alias("next_tus"),
+        F.date_trunc("day", F.col("ts")).alias("__b"),
+    )
+    wb = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
+    heads = e2.groupBy("event_type", "__b").agg(
+        F.min(F.struct("ts", "event_id", "tus")).getField("tus").alias("first_tus")
+    )
+    wk = Window.partitionBy("event_type").orderBy("__b")
+    nh = heads.select(
+        "event_type", "__b", F.lead("first_tus").over(wk).alias("next_head")
+    )
+    seq = (
+        e2.select(
+            "event_type",
+            "__b",
+            "tus",
+            "v",
+            F.lead("tus").over(wb).alias("next_in_bucket"),
+        )
+        .join(F.broadcast(nh), ["event_type", "__b"], "left")
+        .select(
+            "event_type",
+            "v",
+            "tus",
+            F.coalesce("next_in_bucket", "next_head").alias("next_tus"),
+        )
     )
     seg = seq.filter(F.col("next_tus").isNotNull()).select(
         "event_type",

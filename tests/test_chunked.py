@@ -110,6 +110,37 @@ def test_carry_rows_flagged_and_bounded(spark):
         assert r["count"] <= 7  # never more than max_preceding per bucket
 
 
+def test_bucketed_lead_with_head_patch_equals_global_lead(spark):
+    """The 1-row LOOKAHEAD counterpart (ts_time_weighted_average's
+    shape): lead() within (key, bucket) patched at bucket boundaries
+    with the next non-empty bucket's first order value must equal the
+    global per-key lead — including single-row buckets, empty buckets,
+    and each key's open last row (stays NULL)."""
+    df = _events(spark)
+    w = Window.partitionBy("k").orderBy("t", "sid")
+    exp = {
+        (r.k, r.sid): r.nxt
+        for r in df.select("k", "sid", F.lead("t").over(w).alias("nxt")).collect()
+    }
+
+    d = df.withColumn("__b", (F.col("t") / 100).cast("int"))
+    wb = Window.partitionBy("k", "__b").orderBy("t", "sid")
+    heads = d.groupBy("k", "__b").agg(
+        F.min(F.struct("t", "sid")).getField("t").alias("first_t")
+    )
+    wk = Window.partitionBy("k").orderBy("__b")
+    nh = heads.select("k", "__b", F.lead("first_t").over(wk).alias("next_head"))
+    got = {
+        (r.k, r.sid): r.nxt
+        for r in (
+            d.select("k", "__b", "sid", F.lead("t").over(wb).alias("nib"))
+            .join(F.broadcast(nh), ["k", "__b"], "left")
+            .select("k", "sid", F.coalesce("nib", "next_head").alias("nxt"))
+        ).collect()
+    }
+    assert got == exp
+
+
 def test_rejects_bad_args(spark):
     df = _events(spark)
     with pytest.raises(ValueError):
