@@ -40,6 +40,13 @@ RANGE frames bounded by time (e.g. a trailing 30-day sum) need a
 time-based carry rule instead of a row-count one — not implemented
 here; pick bucket >> range and carry rows within the range of the
 bucket boundary.
+
+Rank-arithmetic windows (ntile) over low-cardinality keys don't need
+a carry at all: :func:`ntile_keyed_two_pass` is the keyed counterpart
+of ``operators/prefix.ntile_two_pass`` — per-key quantile range
+buckets, within-(key, bucket) row_number, per-key lower-bucket
+offsets from a tiny metadata table, then NTILE's exact integer
+arithmetic against the per-key total.
 """
 
 from __future__ import annotations
@@ -146,6 +153,88 @@ def with_trailing_carry(
     )
     base = d.select(*df.columns, bucket_col, F.lit(0).alias(carry_col))
     return base.unionByName(carried)
+
+
+def ntile_keyed_two_pass(
+    df: DataFrame,
+    n: int,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    ascending: bool = True,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``NTILE(n) OVER (PARTITION BY keys ORDER BY order_col [DESC],
+    tiebreak_col)`` without a |keys|-task window: per-key position =
+    within-(key, range-bucket) row_number + the count of the key's
+    strictly-lower buckets, then NTILE's exact arithmetic — the first
+    ``total % n`` tiles take ``ceil(total/n)`` rows, the rest
+    ``floor(total/n)`` — against the key's broadcast total.  Integer
+    math only: assignments are bit-identical to NTILE in any engine.
+
+    Range-bucket boundaries are PER-KEY sampled quantiles (a tiny
+    groupBy-percentile_approx aggregate broadcast back), so each key's
+    rows spread across ~n_buckets buckets even when keys have disjoint
+    value ranges; correctness never depends on where boundaries fall,
+    only balance does.  ``order_col`` must be numeric and non-null
+    (descending order buckets on the negated value).
+    """
+    key = F.col(order_col) if ascending else -F.col(order_col)
+    d = df.withColumn("__nt_key", key)
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = d.groupBy(*key_cols).agg(
+        F.percentile_approx(
+            F.col("__nt_key").cast("double"), probs, F.lit(10_000)
+        ).alias("__rb_bounds")
+    )
+    rank = F.aggregate(
+        F.col("__rb_bounds"),
+        F.lit(0),
+        lambda acc, bnd: acc
+        + F.when(F.col("__nt_key").cast("double") > bnd, 1).otherwise(0),
+    )
+    b = (
+        d.join(F.broadcast(bounds), key_cols)
+        .withColumn("__bkt", F.coalesce(rank, F.lit(0)).cast("int"))
+        .drop("__rb_bounds")
+    )
+    counts = b.groupBy(*key_cols, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("__bkt")
+    offsets = counts.select(
+        *key_cols,
+        "__bkt",
+        (F.sum("__cnt").over(wk) - F.col("__cnt")).alias("__off"),
+    )
+    totals = counts.groupBy(*key_cols).agg(F.sum("__cnt").alias("__n"))
+    pos = (
+        F.row_number().over(
+            Window.partitionBy(*key_cols, "__bkt").orderBy(
+                "__nt_key", tiebreak_col
+            )
+        )
+        + F.col("__off")
+    )
+    base = F.floor(F.col("__n") / n)
+    rem = F.col("__n") % n
+    big_span = rem * (base + 1)
+    tile = (
+        F.when(
+            F.col("__pos") <= big_span,
+            F.floor((F.col("__pos") - 1) / (base + 1)) + 1,
+        )
+        .otherwise(rem + F.floor((F.col("__pos") - big_span - 1) / base) + 1)
+        .cast("int")
+    )
+    return (
+        b.join(F.broadcast(offsets), [*key_cols, "__bkt"])
+        .withColumn("__pos", pos)
+        .join(F.broadcast(totals), key_cols)
+        .withColumn(out_col, tile)
+        .drop("__nt_key", "__bkt", "__off", "__pos", "__n")
+    )
 
 
 def _reversed(c: Column) -> Column:

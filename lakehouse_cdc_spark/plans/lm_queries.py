@@ -189,10 +189,14 @@ def text_perplexity_tertiles(spark, sf_dir):
     bucket table a mixing stage consumes.
 
     Scale shape: the LM shuffles are |bigram-vocab|-sized; the tertile
-    window is PARTITIONED by source (never a SinglePartition global
-    window), so each source ranks independently across the cluster.
+    split uses the keyed two-pass NTILE
+    (operators/chunked.ntile_keyed_two_pass) — ~20 sources would cap a
+    source-partitioned window at 20 tasks each sorting its whole
+    stratum, while the two-pass form ranks within (source,
+    per-source-quantile bucket) and adds tiny broadcast offsets:
+    bit-identical tiles, |source| x |buckets| parallelism.
     """
-    from pyspark.sql import Window
+    from lakehouse_cdc_spark.operators.chunked import ntile_keyed_two_pass
 
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens("text").alias("t"))
@@ -229,17 +233,15 @@ def text_perplexity_tertiles(spark, sf_dir):
             F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb")
         )
     )
-    bucketed = per_doc.join(d.select("doc_id", "source"), "doc_id").select(
-        "source",
-        "avg_p_ppb",
-        F.ntile(3)
-        .over(
-            Window.partitionBy("source").orderBy(
-                F.desc("avg_p_ppb"), F.asc("doc_id")
-            )
-        )
-        .alias("tertile"),
-    )
+    bucketed = ntile_keyed_two_pass(
+        per_doc.join(d.select("doc_id", "source"), "doc_id"),
+        n=3,
+        key_cols=["source"],
+        order_col="avg_p_ppb",
+        tiebreak_col="doc_id",
+        out_col="tertile",
+        ascending=False,
+    ).select("source", "avg_p_ppb", "tertile")
     return (
         bucketed.groupBy("source", "tertile")
         .agg(

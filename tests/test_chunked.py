@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from lakehouse_cdc_spark.operators.chunked import with_trailing_carry
+from lakehouse_cdc_spark.operators.chunked import (
+    ntile_keyed_two_pass,
+    with_trailing_carry,
+)
 
 
 def _events(spark):
@@ -139,6 +142,42 @@ def test_bucketed_lead_with_head_patch_equals_global_lead(spark):
         ).collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("n,ascending", [(3, False), (3, True), (4, True)])
+def test_ntile_keyed_equals_global_window(spark, n, ascending):
+    """Keys with DISJOINT value ranges (per-key quantile boundaries
+    must cope), heavy ties, a key smaller than n, and sizes not
+    divisible by n — tiles must match NTILE bit-for-bit."""
+    rows = []
+    sid = 0
+    for k, base, cnt in (("a", 0, 50), ("b", 100000, 37), ("c", 5, 2)):
+        for i in range(cnt):
+            rows.append((k, base + (i * 7) % 13, sid))  # ~13 tied values
+            sid += 1
+    df = spark.createDataFrame(rows, "k string, v long, sid long")
+    order = F.desc("v") if not ascending else F.asc("v")
+    w = Window.partitionBy("k").orderBy(order, F.asc("sid"))
+    exp = {
+        (r.k, r.sid): r.t
+        for r in df.select("k", "sid", F.ntile(n).over(w).alias("t")).collect()
+    }
+    got = {
+        (r.k, r.sid): r.t
+        for r in ntile_keyed_two_pass(
+            df, n, ["k"], "v", "sid", "t", ascending=ascending, n_buckets=8
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ntile_keyed_preserves_schema_and_rowcount(spark):
+    df = spark.createDataFrame(
+        [("a", i, i) for i in range(10)], "k string, v long, sid long"
+    )
+    out = ntile_keyed_two_pass(df, 3, ["k"], "v", "sid", "t")
+    assert out.columns == ["k", "v", "sid", "t"]
+    assert out.count() == 10
 
 
 def test_rejects_bad_args(spark):
