@@ -36,10 +36,13 @@ A LOOKAHEAD frame bounded by R rows (lead(), ``ROWS BETWEEN x AND
 R FOLLOWING``) is the same problem under the reversed order: pass the
 descending order columns and the frame's following bound as R.
 
-RANGE frames bounded by time (e.g. a trailing 30-day sum) need a
-time-based carry rule instead of a row-count one — not implemented
-here; pick bucket >> range and carry rows within the range of the
-bucket boundary.
+RANGE frames bounded by the order VALUE (e.g. a trailing 30-day sum)
+use :func:`with_trailing_range_carry` — the carry rule is value-based
+and needs NO metadata table: each row knows from its own order value
+which later buckets' frames can still reach it (any bucket starting
+within ``range_width`` of the row), so the carry is a pure map-side
+explode.  Pick ``bucket_span >= range_width`` to bound the
+duplication factor at 2x.
 
 Rank-arithmetic windows (ntile) over low-cardinality keys don't need
 a carry at all: :func:`ntile_keyed_two_pass` is the keyed counterpart
@@ -153,6 +156,65 @@ def with_trailing_carry(
     )
     base = d.select(*df.columns, bucket_col, F.lit(0).alias(carry_col))
     return base.unionByName(carried)
+
+
+def with_trailing_range_carry(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    range_width: int,
+    bucket_span: int,
+    bucket_col: str = "__b",
+    carry_col: str = "__carry",
+) -> DataFrame:
+    """Return ``df`` plus carry duplicates so that trailing RANGE
+    frames up to ``range_width`` deep on the NUMERIC ``order_col``
+    (``RANGE BETWEEN range_width PRECEDING AND CURRENT ROW`` or
+    shallower), windowed by ``(key_cols..., bucket_col)``, equal the
+    same frames windowed by ``key_cols`` alone.
+
+    Bucket = ``floor(order_col / bucket_span)``.  Unlike the ROWS-
+    frame carry, no metadata pass is needed: a row at order value o
+    can still be reached by frames of rows in any bucket whose span
+    starts at most ``range_width`` after o, so the row is exploded
+    into buckets ``bucket(o)+1 .. bucket(o + range_width)`` — a pure
+    map-side operation.  Duplication factor is
+    ``1 + ceil(range_width / bucket_span)``; choose
+    ``bucket_span >= range_width`` to keep it <= 2x (parallelism vs
+    duplication is the only trade, never correctness — sparse or
+    empty buckets just waste a few carried rows).
+
+    Output columns: ``df``'s + ``bucket_col`` (long) + ``carry_col``
+    (1 on duplicates).  The caller windows by
+    ``(*key_cols, bucket_col)`` with its RANGE frame over
+    ``order_col`` and then filters ``carry_col == 0``.
+    """
+    if range_width < 0:
+        raise ValueError(f"range_width must be >= 0, got {range_width}")
+    if bucket_span < 1:
+        raise ValueError(f"bucket_span must be >= 1, got {bucket_span}")
+    for reserved in (bucket_col, carry_col):
+        if reserved in df.columns:
+            raise ValueError(f"column {reserved!r} already present")
+    o = F.col(order_col)
+    own = F.floor(o / bucket_span).cast("long")
+    last = F.floor((o + range_width) / bucket_span).cast("long")
+    base = df.withColumn(bucket_col, own).withColumn(
+        carry_col, F.lit(0)
+    )
+    # guard: sequence(a, b) with a > b generates a DESCENDING range in
+    # Spark — rows whose reach ends in their own bucket must carry
+    # nowhere (empty array -> explode drops them)
+    targets = F.when(last > own, F.sequence(own + 1, last)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+    carried = (
+        df.withColumn("__tgt", F.explode(targets))
+        .withColumn(bucket_col, F.col("__tgt").cast("long"))
+        .withColumn(carry_col, F.lit(1))
+        .drop("__tgt")
+    )
+    return base.unionByName(carried.select(*base.columns))
 
 
 def ntile_keyed_two_pass(

@@ -330,18 +330,44 @@ def window_range_30d_peak(spark, sf_dir):
     event type's historical peak.  RANGE frames bound by the ORDER
     value (epoch seconds) — ties all enter the frame together, so the
     rolling sum is a pure function of the data, partition-layout-free.
-    The summand is fixed-point bigint → exact, order-independent."""
+    The summand is fixed-point bigint → exact, order-independent.
+
+    The ~5-value series key would cap the window at 5 tasks (see
+    ts_anomaly_zscore); the frame is bounded by VALUE (30 days), so it
+    chunks with the map-side value-based carry
+    (operators/chunked.with_trailing_range_carry): 30-day buckets with
+    each row exploded into the later buckets whose frames can still
+    reach it (≤2x duplication), identical frame contents, parallelism
+    |key| x |span/30d| instead of |key|."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-30 * 86400, 0)
+    from lakehouse_cdc_spark.operators.chunked import (
+        with_trailing_range_carry,
     )
-    roll = F.sum(fixed_point(F.col("value"))).over(w)
+
+    width = 30 * 86400
+    e = table(spark, sf_dir, "events")
+    aug = with_trailing_range_carry(
+        e.select(
+            "event_type",
+            F.col("ts").cast("long").alias("tsec"),
+            fixed_point(F.col("value")).alias("v_fp"),
+        ),
+        key_cols=["event_type"],
+        order_col="tsec",
+        range_width=width,
+        bucket_span=width,
+    )
+    w = (
+        Window.partitionBy("event_type", "__b")
+        .orderBy("tsec")
+        .rangeBetween(-width, 0)
+    )
     return (
-        e.select("event_type", roll.alias("roll_fp"))
+        aug.select(
+            "event_type", "__carry", F.sum("v_fp").over(w).alias("roll_fp")
+        )
+        .filter(F.col("__carry") == 0)
         .groupBy("event_type")
         .agg((F.max("roll_fp").cast("double") / 10000.0).alias("peak_30d_sum"))
     )

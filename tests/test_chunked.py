@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from lakehouse_cdc_spark.operators.chunked import (
     ntile_keyed_two_pass,
     with_trailing_carry,
+    with_trailing_range_carry,
 )
 
 
@@ -142,6 +143,57 @@ def test_bucketed_lead_with_head_patch_equals_global_lead(spark):
         ).collect()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize(
+    "width,span",
+    [(40, 40), (40, 100), (0, 50), (40, 25)],  # incl. span < width
+)
+def test_range_carry_equals_naive_range_window(spark, width, span):
+    """Value-based carry vs the naive key-partitioned RANGE window:
+    ties exactly on bucket boundaries, a gap wider than the frame
+    (empty buckets), and span < width (multi-bucket reach)."""
+    rows = []
+    sid = 0
+    for k in ("a", "b"):
+        # clustered values incl. exact boundary multiples and a long
+        # empty-bucket gap (700..1000)
+        for t in [0, 1, 39, 40, 40, 41, 99, 100, 101, 200, 200, 250,
+                  699, 700, 1400, 1401, 1440, 1441]:
+            rows.append((k, t, sid, (sid * 13) % 29))
+            sid += 1
+    df = spark.createDataFrame(rows, "k string, t long, sid long, v long")
+
+    wn = Window.partitionBy("k").orderBy("t").rangeBetween(-width, 0)
+    exp = {
+        (r.k, r.sid): (r.s, r.c)
+        for r in df.select(
+            "k", "sid",
+            F.sum("v").over(wn).alias("s"),
+            F.count("v").over(wn).alias("c"),
+        ).collect()
+    }
+    aug = with_trailing_range_carry(df, ["k"], "t", width, span)
+    wc = Window.partitionBy("k", "__b").orderBy("t").rangeBetween(-width, 0)
+    got = {
+        (r.k, r.sid): (r.s, r.c)
+        for r in aug.select(
+            "k", "sid", "__carry",
+            F.sum("v").over(wc).alias("s"),
+            F.count("v").over(wc).alias("c"),
+        ).filter(F.col("__carry") == 0).collect()
+    }
+    assert got == exp
+
+
+def test_range_carry_duplication_bounded(spark):
+    df = spark.createDataFrame(
+        [("a", t, t, 1) for t in range(200)], "k string, t long, sid long, v long"
+    )
+    aug = with_trailing_range_carry(df, ["k"], "t", 50, 50)
+    # duplication factor <= 1 + ceil(width/span) = 2
+    assert aug.count() <= 2 * df.count()
+    assert aug.filter(F.col("__carry") == 0).count() == df.count()
 
 
 @pytest.mark.parametrize("n,ascending", [(3, False), (3, True), (4, True)])
