@@ -83,6 +83,11 @@ def with_trailing_carry(
     aggregates with ``Window.partitionBy(*key_cols, bucket_col)`` and
     then filters ``carry_col == 0``; frames must not reach further
     back than ``max_preceding`` rows or further forward than row 0.
+
+    NULL keys are supported (the metadata joins are null-safe);
+    ``bucket`` / the order columns must be NON-NULL — a NULL bucket
+    would silently opt its rows out of the carry protocol and their
+    neighbors' frames.
     """
     if max_preceding < 1:
         raise ValueError(f"max_preceding must be >= 1, got {max_preceding}")
@@ -120,7 +125,7 @@ def with_trailing_carry(
     pairs = (
         tgt.join(
             src,
-            [tgt[k] == src[f"__pk{i}"] for i, k in enumerate(key_cols)]
+            [tgt[k].eqNullSafe(src[f"__pk{i}"]) for i, k in enumerate(key_cols)]
             + [src["__p_src"] < tgt["__p_tgt"]],
         )
         .filter(between < max_preceding)
@@ -144,7 +149,7 @@ def with_trailing_carry(
     carried = (
         d_rn.join(
             F.broadcast(pairs),
-            [d_rn[k] == pairs[f"__pk{i}"] for i, k in enumerate(key_cols)]
+            [d_rn[k].eqNullSafe(pairs[f"__pk{i}"]) for i, k in enumerate(key_cols)]
             + [d_rn[bucket_col] == pairs["__p_src"]],
         )
         .filter(F.col("__rnd") <= F.col("__quota"))
@@ -173,8 +178,10 @@ def with_trailing_range_carry(
     shallower), windowed by ``(key_cols..., bucket_col)``, equal the
     same frames windowed by ``key_cols`` alone.
 
-    Bucket = ``floor(order_col / bucket_span)``.  Unlike the ROWS-
-    frame carry, no metadata pass is needed: a row at order value o
+    Bucket = ``floor(order_col / bucket_span)``; ``order_col`` must be
+    numeric and NON-NULL (a NULL value would opt the row out of the
+    carry protocol).  Unlike the ROWS-frame carry, no metadata pass is
+    needed: a row at order value o
     can still be reached by frames of rows in any bucket whose span
     starts at most ``range_width`` after o, so the row is exploded
     into buckets ``bucket(o)+1 .. bucket(o + range_width)`` — a pure
@@ -240,7 +247,9 @@ def ntile_keyed_two_pass(
     rows spread across ~n_buckets buckets even when keys have disjoint
     value ranges; correctness never depends on where boundaries fall,
     only balance does.  ``order_col`` must be numeric and non-null
-    (descending order buckets on the negated value).
+    (descending order buckets on the negated value); ``key_cols``
+    must be non-null too — the metadata joins are by-name equi-joins,
+    so NULL-keyed rows would silently drop from the output.
     """
     key = F.col(order_col) if ascending else -F.col(order_col)
     d = df.withColumn("__nt_key", key)

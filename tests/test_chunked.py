@@ -92,6 +92,22 @@ def test_no_single_key_exchange_in_plan(spark):
                 assert "__b#" in line, line
 
 
+def test_null_key_group_carries_correctly(spark):
+    """A NULL partition key is a legitimate group (SQL window
+    semantics group NULLs together) — the null-safe metadata joins
+    must carry its rows like any other key's."""
+    rows = [(None if k == "n" else k, b * 100 + i, b * 100 + i, i)
+            for k in ("a", "n")
+            for b in range(4)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, sid long, v long")
+    exp = {(r.k, r.sid): (r.n, r.s) for r in _naive(df, (-10, -1)).collect()}
+    got = {(r.k, r.sid): (r.n, r.s)
+           for r in _chunked(df, (-10, -1), 10).collect()}
+    assert got == exp
+    assert any(k is None for k, _ in got)  # the null group was exercised
+
+
 def test_carry_rows_flagged_and_bounded(spark):
     df = _events(spark)
     aug = with_trailing_carry(
