@@ -248,6 +248,74 @@ def test_ntile_keyed_preserves_schema_and_rowcount(spark):
     assert out.count() == 10
 
 
+_CONVERTED = [
+    "ts_anomaly_zscore",
+    "ts_breakout_channel",
+    "ts_time_weighted_average",
+    "window_range_30d_peak",
+    "text_perplexity_tertiles",
+]
+
+
+def _window_partition_specs(plan: str):
+    """Partition-column name lists of every windowspecdefinition in a
+    physical plan string (args up to the first ASC/DESC sort spec)."""
+    import re
+
+    specs = []
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        depth, j = 1, i + len(marker)
+        start, args = j, []
+        while j < len(plan) and depth:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[start:j])
+            elif ch == "," and depth == 1:
+                args.append(plan[start:j])
+                start = j + 1
+            j += 1
+        part, order = [], []
+        for a in args:
+            if "specifiedwindowframe" in a:
+                break
+            m = re.match(r"\s*(?:.*?\()?([A-Za-z_][A-Za-z0-9_]*)#\d+", a)
+            name = m.group(1) if m else a.strip()
+            if " ASC" in a or " DESC" in a:
+                order.append(name)
+            else:
+                part.append(name)
+        specs.append((part, order))
+        i = plan.find(marker, i + 1)
+    return specs
+
+
+@pytest.mark.parametrize("name", _CONVERTED)
+def test_converted_queries_never_window_on_bare_series_key(spark, name):
+    """Regression guard for the chunked-window conversions: none of
+    these queries may ever again plan a row-level window partitioned
+    SOLELY by its ~5-20-value series/stratum key — every window spec
+    must carry the chunk bucket (or operate on metadata columns)."""
+    from lakehouse_cdc_spark.plans import REGISTRY
+
+    df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = _window_partition_specs(plan)
+    assert specs, name  # the queries do use windows
+    for part, order in specs:
+        if part in (["event_type"], ["source"]):
+            # bare-key windows are allowed ONLY over per-bucket
+            # metadata (ordered by the chunk bucket), never row-level
+            assert order and order[0] in ("__b", "__bkt"), (
+                name, part, order,
+            )
+
+
 def test_rejects_bad_args(spark):
     df = _events(spark)
     with pytest.raises(ValueError):
