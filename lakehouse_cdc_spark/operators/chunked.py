@@ -163,6 +163,65 @@ def with_trailing_carry(
     return base.unionByName(carried)
 
 
+def lead_one_bucketed(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    lead_col: str,
+    bucket: Column,
+    out_col: str,
+    bucket_col: str = "__b",
+) -> DataFrame:
+    """``LEAD(lead_col, 1) OVER (PARTITION BY keys ORDER BY
+    order_cols)`` without a |keys|-task window: lead within
+    ``(keys..., bucket)``, then patch each bucket's LAST row (whose
+    in-bucket lead is NULL) with the next non-empty bucket's first
+    ``lead_col`` from a tiny |keys|x|buckets| metadata table (bucket
+    heads via lexicographic struct-min, next head via a metadata-level
+    lead, broadcast back with a null-safe key join — a NULL key is a
+    legitimate window group).  Each key's global last row keeps NULL.
+
+    ``bucket`` must be monotone non-decreasing in the ``order_cols``
+    ordering within each key and non-null; ``order_cols`` must be
+    plain column names (they index into a struct-min).  Returns
+    ``df``'s columns + ``bucket_col`` + ``out_col``.
+    """
+    if bucket_col in df.columns or out_col in df.columns:
+        raise ValueError(f"column {bucket_col!r}/{out_col!r} already present")
+    d = df.withColumn(bucket_col, bucket)
+    wb = Window.partitionBy(*key_cols, bucket_col).orderBy(*order_cols)
+    # alias every struct field: lead_col may itself be an order column
+    # (e.g. lead over the ordering timestamp), and duplicate field
+    # names make getField ambiguous
+    heads = d.groupBy(*key_cols, bucket_col).agg(
+        F.min(
+            F.struct(
+                *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+                F.col(lead_col).alias("__lead"),
+            )
+        )
+        .getField("__lead")
+        .alias("__first")
+    )
+    wk = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    nh = heads.select(
+        *[F.col(k).alias(f"__hk{i}") for i, k in enumerate(key_cols)],
+        F.col(bucket_col).alias("__hb"),
+        F.lead("__first").over(wk).alias("__next_head"),
+    )
+    d2 = d.withColumn("__nib", F.lead(lead_col).over(wb))
+    return d2.join(
+        F.broadcast(nh),
+        [d2[k].eqNullSafe(nh[f"__hk{i}"]) for i, k in enumerate(key_cols)]
+        + [d2[bucket_col] == nh["__hb"]],
+        "left",
+    ).select(
+        *df.columns,
+        bucket_col,
+        F.coalesce("__nib", "__next_head").alias(out_col),
+    )
+
+
 def with_trailing_range_carry(
     df: DataFrame,
     key_cols: list[str],

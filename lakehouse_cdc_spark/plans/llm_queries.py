@@ -3032,13 +3032,29 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
     on = ["n_bands", "rows_per_band", "band", "band_key"]
     left = idx.select(*on, F.col("doc_id").alias("da"))
     right = idx.select(*on, F.col("doc_id").alias("db"))
-    return (
+    counts = (
         left.join(right, on=on)
         .filter(F.col("da") < F.col("db"))
         .select("n_bands", "rows_per_band", "da", "db")
         .distinct()
         .groupBy("n_bands", "rows_per_band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    # a config with ZERO candidate pairs must still report its row
+    # (the oracle's per-config COUNT(*) always emits one) — left-join
+    # the aggregated counts back onto the literal config table
+    cfg = spark.createDataFrame(
+        [(8, 1), (4, 2), (2, 4)], "n_bands long, rows_per_band long"
+    )
+    return (
+        cfg.join(counts, ["n_bands", "rows_per_band"], "left")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+        )
         .orderBy(F.desc("n_bands"))
     )
 

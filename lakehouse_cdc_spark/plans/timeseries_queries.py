@@ -1007,44 +1007,27 @@ def ts_time_weighted_average(spark, sf_dir):
     The ~5-value series key again (see ts_anomaly_zscore): a lead()
     window partitioned by event_type alone is a 5-task sort forever.
     lead is a 1-row LOOKAHEAD frame, so the chunked form is even
-    simpler than a carry: lead within (key, day-bucket), then patch
-    each bucket's LAST row (its in-bucket lead is NULL) with the next
-    non-empty bucket's first timestamp from a |key|x|buckets|-row
-    metadata table (bucket heads via lexicographic struct-min, next
-    head via a metadata-level lead, broadcast back).  The global last
-    row of a key keeps NULL and stays the open final sample."""
+    simpler than a carry: operators/chunked.lead_one_bucketed — lead
+    within (key, day-bucket) patched at bucket boundaries with the
+    next non-empty bucket's first timestamp from a tiny metadata
+    table.  The global last row of a key keeps NULL and stays the
+    open final sample."""
+    from lakehouse_cdc_spark.operators.chunked import lead_one_bucketed
+
     e = table(spark, sf_dir, "events")
-    e2 = e.select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.unix_micros("ts").alias("tus"),
-        F.expr(_V100).alias("v"),
-        F.date_trunc("day", F.col("ts")).alias("__b"),
-    )
-    wb = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
-    heads = e2.groupBy("event_type", "__b").agg(
-        F.min(F.struct("ts", "event_id", "tus")).getField("tus").alias("first_tus")
-    )
-    wk = Window.partitionBy("event_type").orderBy("__b")
-    nh = heads.select(
-        "event_type", "__b", F.lead("first_tus").over(wk).alias("next_head")
-    )
-    seq = (
-        e2.select(
+    seq = lead_one_bucketed(
+        e.select(
             "event_type",
-            "__b",
-            "tus",
-            "v",
-            F.lead("tus").over(wb).alias("next_in_bucket"),
-        )
-        .join(F.broadcast(nh), ["event_type", "__b"], "left")
-        .select(
-            "event_type",
-            "v",
-            "tus",
-            F.coalesce("next_in_bucket", "next_head").alias("next_tus"),
-        )
+            "ts",
+            "event_id",
+            F.unix_micros("ts").alias("tus"),
+            F.expr(_V100).alias("v"),
+        ),
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        lead_col="tus",
+        bucket=F.date_trunc("day", F.col("ts")),
+        out_col="next_tus",
     )
     seg = seq.filter(F.col("next_tus").isNotNull()).select(
         "event_type",

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_cdc_spark.operators.chunked import (
+    lead_one_bucketed,
     ntile_keyed_two_pass,
     with_trailing_carry,
     with_trailing_range_carry,
@@ -132,33 +133,31 @@ def test_carry_rows_flagged_and_bounded(spark):
 
 def test_bucketed_lead_with_head_patch_equals_global_lead(spark):
     """The 1-row LOOKAHEAD counterpart (ts_time_weighted_average's
-    shape): lead() within (key, bucket) patched at bucket boundaries
-    with the next non-empty bucket's first order value must equal the
-    global per-key lead — including single-row buckets, empty buckets,
-    and each key's open last row (stays NULL)."""
-    df = _events(spark)
+    shape), via the SHARED lead_one_bucketed helper the query calls:
+    must equal the global per-key lead — including single-row buckets,
+    empty buckets, each key's open last row (stays NULL), and a NULL
+    key (null-safe metadata join)."""
+    df = _events(spark).union(
+        _events(spark).filter(F.col("k") == "b").withColumn("k", F.lit(None).cast("string"))
+    )
     w = Window.partitionBy("k").orderBy("t", "sid")
     exp = {
         (r.k, r.sid): r.nxt
         for r in df.select("k", "sid", F.lead("t").over(w).alias("nxt")).collect()
     }
-
-    d = df.withColumn("__b", (F.col("t") / 100).cast("int"))
-    wb = Window.partitionBy("k", "__b").orderBy("t", "sid")
-    heads = d.groupBy("k", "__b").agg(
-        F.min(F.struct("t", "sid")).getField("t").alias("first_t")
-    )
-    wk = Window.partitionBy("k").orderBy("__b")
-    nh = heads.select("k", "__b", F.lead("first_t").over(wk).alias("next_head"))
     got = {
         (r.k, r.sid): r.nxt
-        for r in (
-            d.select("k", "__b", "sid", F.lead("t").over(wb).alias("nib"))
-            .join(F.broadcast(nh), ["k", "__b"], "left")
-            .select("k", "sid", F.coalesce("nib", "next_head").alias("nxt"))
+        for r in lead_one_bucketed(
+            df,
+            key_cols=["k"],
+            order_cols=["t", "sid"],
+            lead_col="t",
+            bucket=(F.col("t") / 100).cast("int").cast("long"),
+            out_col="nxt",
         ).collect()
     }
     assert got == exp
+    assert any(k is None for k, _ in got)  # the NULL group was exercised
 
 
 @pytest.mark.parametrize(

@@ -874,3 +874,27 @@ def test_emb_ivf_auto_k_row_invariants(spark, sf_dir):
         assert r.k_auto == expect_k
         assert 1 <= r.hits_fixed <= 10  # self is always recovered
         assert 1 <= r.hits_auto <= 10
+
+
+def test_lsh_sweep_emits_zero_count_configs(spark, tmp_path):
+    """A sweep config with ZERO candidate pairs must still report its
+    row (the DuckDB oracle's per-config COUNT(*) always emits all
+    three) — two totally dissimilar documents share no band anywhere,
+    so every config reports 0 instead of vanishing from the groupBy."""
+    from lakehouse_cdc_spark.plans.llm_queries import (
+        dedup_lsh_parameter_sweep,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s1"),
+            (2, "one two three four five six seven", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r.n_bands, r.rows_per_band): r.n_candidates
+        for r in dedup_lsh_parameter_sweep(spark, str(tmp_path)).collect()
+    }
+    assert rows == {(8, 1): 0, (4, 2): 0, (2, 4): 0}

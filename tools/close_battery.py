@@ -27,7 +27,8 @@ accretion), continuing past failures and summarizing at the end:
    battery is flagged in the summary.  Ratios are load-robust (both
    sides of a ratio see the same machine), so running late is fine.
 
-Usage: python tools/close_battery.py [--skip-sweep] [--round N]
+Usage: python tools/close_battery.py [--skip-sweep] [--skip-bench]
+       [--round N]   (--skip-bench resumes past an already-recorded bench)
 """
 
 from __future__ import annotations
@@ -78,19 +79,24 @@ def main() -> int:
     # QUIET-FIRST: the bench is the official wall-time record — it
     # runs before anything else heats the machine, and the pre-run
     # loadavg is recorded so a co-tenant-contaminated number is
-    # labeled as such instead of entering history as a regression
-    load1 = os.getloadavg()[0]
-    ncpu = os.cpu_count() or 1
-    bench_quiet = load1 <= 0.25 * ncpu
-    if not bench_quiet:
-        print(f"[battery] WARNING: loadavg {load1:.1f} on {ncpu} cpus "
-              "at bench start — record will be flagged "
-              "load-contaminated", file=sys.stderr)
+    # labeled as such instead of entering history as a regression.
+    # On --skip-bench resume the record was taken by the PRIOR
+    # invocation under its own conditions — sampling loadavg now
+    # would attach resume-time provenance to a record it never
+    # measured, so both fields are reported as skipped instead.
+    load1 = bench_quiet = None
     if skip_bench:
         results["bench"] = True
         print("[battery] bench: SKIPPED (--skip-bench: prior quiet "
               "record stands)", file=sys.stderr)
     else:
+        load1 = round(os.getloadavg()[0], 2)
+        ncpu = os.cpu_count() or 1
+        bench_quiet = load1 <= 0.25 * ncpu
+        if not bench_quiet:
+            print(f"[battery] WARNING: loadavg {load1:.1f} on {ncpu} "
+                  "cpus at bench start — record will be flagged "
+                  "load-contaminated", file=sys.stderr)
         results["bench"], _ = _run("bench", [py, "bench.py"], 3600)
     results["stream_bench"], _ = _run(
         "stream bench", [py, "tools/stream_bench.py"], 1800
@@ -153,7 +159,7 @@ def main() -> int:
     all_green = all(results.values()) and not degraded
     print(json.dumps({
         "steps": results,
-        "bench_loadavg_at_start": round(load1, 2),
+        "bench_loadavg_at_start": load1,
         "bench_quiet": bench_quiet,
         "sf1_ratio_degradations": degraded,
         "all_green": all_green,
