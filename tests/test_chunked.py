@@ -315,6 +315,84 @@ def test_converted_queries_never_window_on_bare_series_key(spark, name):
             )
 
 
+def _model_trailing(rows, depth):
+    """Pure-Python oracle: per-key trailing (count, sum) over the last
+    ``depth`` rows ordered by (t, sid)."""
+    out = {}
+    bykey = {}
+    for k, t, sid, v in rows:
+        bykey.setdefault(k, []).append((t, sid, v))
+    for k, rs in bykey.items():
+        rs.sort()
+        for i, (t, sid, v) in enumerate(rs):
+            frame = rs[max(0, i - depth): i]
+            s = sum(x[2] for x in frame) if frame else None
+            out[(k, sid)] = (len(frame), s)
+    return out
+
+
+@pytest.mark.slow
+def test_trailing_carry_fuzz_against_python_model(spark):
+    """Randomized (key, t, v) sets — duplicate t values, NULL keys,
+    random frame depths and bucket spans — against a pure-Python
+    rolling model (independent of any Spark window)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        raw=rows_strategy,
+        depth=st.integers(min_value=1, max_value=7),
+        span=st.sampled_from([25, 100, 400]),
+    )
+    def _run(raw, depth, span):
+        rows = [(k, t, sid, v) for sid, (k, t, v) in enumerate(raw)]
+        df = spark.createDataFrame(
+            rows, "k string, t long, sid long, v long"
+        )
+        aug = with_trailing_carry(
+            df,
+            key_cols=["k"],
+            order_cols=["t", "sid"],
+            max_preceding=depth,
+            bucket=(F.col("t") / span).cast("int").cast("long"),
+        )
+        w = (
+            Window.partitionBy("k", "__b")
+            .orderBy("t", "sid")
+            .rowsBetween(-depth, -1)
+        )
+        got = {
+            (r.k, r.sid): (r.n, r.s)
+            for r in aug.select(
+                "k",
+                "sid",
+                "__carry",
+                F.count("v").over(w).alias("n"),
+                F.sum("v").over(w).alias("s"),
+            )
+            .filter(F.col("__carry") == 0)
+            .collect()
+        }
+        assert got == _model_trailing(rows, depth)
+
+    _run()
+
+
 def test_rejects_bad_args(spark):
     df = _events(spark)
     with pytest.raises(ValueError):
