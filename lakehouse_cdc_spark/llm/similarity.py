@@ -545,6 +545,90 @@ def bucketed_cosine_pairs_blocked(
     )
 
 
+def maxsim_partials_blocked(
+    cand: DataFrame,
+    queries: DataFrame,
+    group_col: str = "grp",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qemb",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) scoring as a MAP-SIDE blocked
+    numpy kernel: per (candidate-group, query-vector) max of the
+    micro-rounded cosine, computed without ever materializing the
+    |cand| × |queries| similarity rows in the JVM.
+
+    The broadcast-nested-loop form (``cand.join(broadcast(q))`` + a
+    higher-order-function cosine per pair) evaluates |cand|·|q|
+    interpreted ``aggregate(zip_with(...))`` folds — HOFs don't enter
+    whole-stage codegen, so at |q|=50 every candidate vector pays 50
+    interpreted 64-dim folds, and the (qid, grp) partial-max aggregate
+    shuffles |cand|·|q| rows.  This kernel streams each Arrow batch of
+    candidates once, scores it against the broadcast query block with
+    dimension-at-a-time C loops, and reduces to per-batch
+    (group, qid) maxima before anything leaves the task — the exchange
+    then carries O(|groups|·|q|) rows instead of O(|cand|·|q|).
+
+    Bit-compatibility contract (same as :func:`ivf_assign_blocked`):
+    fold-left accumulation reproduces ``aggregate(zip_with(a, b, *),
+    0.0, +)`` exactly; the cosine is ``acc / (sqrt(nq)·sqrt(nc))`` —
+    the same three IEEE ops; ``round(cos · micro)`` uses
+    :func:`_round_half_up` (``F.round`` HALF_UP semantics).  MAX over
+    exact int64 micro-units is order-free, so batch partials compose.
+
+    Returns ``(group_col, qid_col, max_sim)`` — one row per
+    (group, query vector), already globally reduced."""
+    import numpy as np
+    import pandas as pd
+
+    qids, qmat, qnrm = _centroid_block(queries, qid_col, qvec_col)
+    nq, dim = qmat.shape
+    bc = cand.sparkSession.sparkContext.broadcast((qids, qmat, qnrm))
+
+    def _score(batches):
+        qids, qmat, qnrm = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            grp = pdf[group_col].to_numpy()
+            mat = np.vstack(pdf["__vec"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            nrm = np.zeros(n)
+            for k in range(dim):  # fold-left, matches l2_norm_sq
+                nrm += mat[:, k] * mat[:, k]
+            acc = np.zeros((n, nq))
+            for k in range(dim):  # fold-left per (candidate, query)
+                acc += mat[:, k, None] * qmat[None, :, k]
+            sim = _round_half_up(
+                acc / (np.sqrt(qnrm)[None, :] * np.sqrt(nrm)[:, None])
+                * float(micro),
+                0,
+            ).astype(np.int64)
+            ug, inv = np.unique(grp, return_inverse=True)
+            part = np.full((len(ug), nq), np.iinfo(np.int64).min)
+            np.maximum.at(part, inv, sim)
+            yield pd.DataFrame(
+                {
+                    group_col: np.repeat(ug, nq),
+                    qid_col: np.tile(qids, len(ug)),
+                    "max_sim": part.ravel(),
+                }
+            )
+
+    vecs = cand.select(
+        F.col(group_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    partials = vecs.mapInPandas(
+        _score, f"{group_col} bigint, {qid_col} bigint, max_sim bigint"
+    )
+    return partials.groupBy(group_col, qid_col).agg(
+        F.max("max_sim").alias("max_sim")
+    )
+
+
 def kmeans_refine(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -959,13 +959,19 @@ def emb_late_interaction_maxsim(spark, sf_dir):
     and a candidate's score is Σ over query vectors of its best
     (max-cosine) match in the candidate bag — token-level interaction
     deferred to scoring time, the retrieval family between single-
-    vector ANN and full cross-encoders.  Plan: broadcast the query bag
-    (bags are small by construction), one pass over candidate vectors,
-    two keyed aggregates (max per (query-vec, doc), sum per doc) —
-    candidate vectors are touched ONCE, no all-pairs among candidates.
-    Scores in exact integer micro-units (round then sum) so the
-    ranking never depends on float summation order — the
-    cross-engine-safe form of a fractional additive score."""
+    vector ANN and full cross-encoders.  Plan: the query bag (small by
+    construction) is broadcast as a numpy block and every candidate
+    vector is scored against it in ONE Arrow ``mapInPandas`` pass with
+    per-batch (doc, query-vec) partial maxima
+    (``similarity.maxsim_partials_blocked``) — the |cand|·|q|
+    similarity rows never exist in the JVM and the only exchange
+    carries O(|docs|·|q|) partial rows.  Scores in exact integer
+    micro-units (round then max then sum) so the ranking never depends
+    on float summation order — the cross-engine-safe form of a
+    fractional additive score, and what lets batch-local maxima
+    compose exactly."""
+    from lakehouse_cdc_spark.llm.similarity import maxsim_partials_blocked
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         (F.col("vec_id") / 50).cast("bigint").alias("grp"),
@@ -975,22 +981,7 @@ def emb_late_interaction_maxsim(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
     cand = emb.filter(F.col("grp") != 0)
-    sims = cand.join(F.broadcast(q)).select(
-        "qid",
-        "grp",
-        F.round(
-            cosine_sim(
-                F.col("qemb").cast("array<double>"),
-                F.col("embedding").cast("array<double>"),
-            )
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("sim_micro"),
-    )
-    best = sims.groupBy("qid", "grp").agg(
-        F.max("sim_micro").alias("max_sim")
-    )
+    best = maxsim_partials_blocked(cand, q)
     return (
         best.groupBy(F.col("grp").alias("doc_group"))
         .agg(F.sum("max_sim").cast("bigint").alias("maxsim_score_micro"))

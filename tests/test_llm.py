@@ -898,3 +898,55 @@ def test_lsh_sweep_emits_zero_count_configs(spark, tmp_path):
         for r in dedup_lsh_parameter_sweep(spark, str(tmp_path)).collect()
     }
     assert rows == {(8, 1): 0, (4, 2): 0, (2, 4): 0}
+
+
+def test_maxsim_blocked_equals_expression_form(spark):
+    """The blocked MaxSim kernel must reproduce the JVM expression form
+    (broadcast cross-join + HOF cosine + groupBy max) bit-exactly —
+    fold-left dots, HALF_UP micro rounding, int64 max composition."""
+    import numpy as np
+
+    from lakehouse_cdc_spark.llm.similarity import (
+        cosine_sim,
+        maxsim_partials_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    rows = [
+        (int(i), int(i // 7), [float(x) for x in rng.uniform(-1, 1, dim)])
+        for i in range(140)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, grp bigint, embedding array<double>"
+    )
+    q = emb.filter(F.col("grp") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    cand = emb.filter(F.col("grp") != 0)
+
+    naive = {
+        (r.grp, r.qid): r.max_sim
+        for r in cand.join(F.broadcast(q))
+        .select(
+            "qid",
+            "grp",
+            F.round(
+                cosine_sim(
+                    F.col("qemb").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+        .groupBy("qid", "grp")
+        .agg(F.max("sim_micro").alias("max_sim"))
+        .collect()
+    }
+    blocked = {
+        (r.grp, r.qid): r.max_sim
+        for r in maxsim_partials_blocked(cand, q).collect()
+    }
+    assert blocked == naive
