@@ -124,9 +124,20 @@ def containment_pairs(
     detector every crawl-dedup stack runs next to resemblance.
 
     Same inverted-index shape as :func:`jaccard_pairs` (one shingle
-    explosion, self-equi-join on the DF-capped shingle space, both
-    directions of each co-shingled pair emitted), and the score is
-    exact integer permille — engine-identical, no float thresholds.
+    explosion, self-equi-join on the DF-capped shingle space), and the
+    score is exact integer permille — engine-identical, no float
+    thresholds.
+
+    Intersection counts are SYMMETRIC (|A∩B| = |B∩A|), so the pair
+    space is generated and aggregated ONCE under ``da < db`` — half
+    the join output and half the aggregate's hash state, the same
+    halving :func:`jaccard_pairs` uses — and the two directional rows
+    are then minted map-side from each aggregated pair with a 2-way
+    ``explode`` (a ``union`` of the swapped projection would instead
+    duplicate the whole join subtree: Spark computes each union branch
+    independently).  Both sides of the self-join carry their doc size
+    from one identical subplan, so exchange reuse applies and no
+    post-aggregation sizes join is needed.
     """
     sh = shingle_table(docs, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -142,13 +153,30 @@ def containment_pairs(
     a = sized.select(
         F.col(id_col).alias("da"), "shingle", F.col("__n").alias("na")
     )
-    b = sized.select(F.col(id_col).alias("db"), "shingle")
-    return (
+    b = sized.select(
+        F.col(id_col).alias("db"), "shingle", F.col("__n").alias("nb")
+    )
+    half = (
         a.join(b, on="shingle")
-        .filter(F.col("da") != F.col("db"))
-        .groupBy("da", "db", "na")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .withColumn(
+    )
+    both = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("da"), F.col("db"), F.col("na")),
+                F.struct(
+                    F.col("db").alias("da"),
+                    F.col("da").alias("db"),
+                    F.col("nb").alias("na"),
+                ),
+            )
+        ).alias("p"),
+        "inter",
+    ).select("p.da", "p.db", "p.na", "inter")
+    return (
+        both.withColumn(
             "containment_permille",
             F.expr("inter * 1000 div na").cast("bigint"),
         )

@@ -62,21 +62,29 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    nodes = sym.select("u").distinct()
+    # Self-loops make the closed-neighborhood min fall out of the join
+    # alone: (u,u) delivers u's OWN current label through the same
+    # v == node lookup, so the per-round union-with-labels (and its
+    # extra exchange into the groupBy) disappears — the round rule
+    # min(labels of neighbors ∪ self) is unchanged.  Pre-partitioning
+    # by v before the one-time checkpoint lets every round's join
+    # reuse that layout instead of re-shuffling the edge list each
+    # round (R-1 fewer |edges| exchanges over the loop).
+    sym = sym.unionByName(nodes.select("u", F.col("u").alias("v")))
     if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        sym = sym.repartition(F.col("v")).localCheckpoint(eager=True)
+    labels = nodes.select(F.col("u").alias("node")).withColumn(
         "component", F.col("node")
     )
 
     prev_sum = None
     for _ in range(max_iter):
-        # neighbor labels flow along edges; min over closed neighborhood
-        neighbor = sym.join(
-            labels, sym.v == labels.node, "inner"
-        ).select(F.col("u").alias("node"), "component")
+        # labels flow along edges; min over the closed neighborhood
+        # (self-loops carry each node's own label into the min)
         labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
+            sym.join(labels, sym.v == labels.node, "inner")
+            .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("component"))
         )
         if checkpoint:

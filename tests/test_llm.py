@@ -950,3 +950,30 @@ def test_maxsim_blocked_equals_expression_form(spark):
         for r in maxsim_partials_blocked(cand, q).collect()
     }
     assert blocked == naive
+
+
+def test_containment_pairs_mirror_is_complete_and_symmetric(spark):
+    """The halved-join form must still emit BOTH directions of every
+    co-shingled pair, with direction-correct sizes: A embedded in B
+    scores ~1000 permille for (A->B) while (B->A) only passes when B
+    is small enough — and inter must be identical both ways."""
+    from lakehouse_cdc_spark.llm.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lambda mu nu xi omicron"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words about other topics entirely")],
+        "doc_id bigint, text string",
+    )
+    # threshold 0: every co-shingled pair must appear in both directions
+    rows = {
+        (r.da, r.db): (r.n_a, r.inter, r.containment_permille)
+        for r in containment_pairs(docs, threshold_permille=0).collect()
+    }
+    assert set(rows) == {(1, 2), (2, 1)}
+    n_a12, inter12, cp12 = rows[(1, 2)]
+    n_a21, inter21, cp21 = rows[(2, 1)]
+    assert inter12 == inter21  # symmetric intersection
+    assert cp12 == 1000  # short doc fully contained in long
+    assert cp12 > cp21  # directionality preserved
+    assert n_a12 < n_a21  # each direction carries ITS da's size
