@@ -57,25 +57,33 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the
     fixed point (diameter > max_iter — switch to the star algorithm).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
-    nodes = sym.select("u").distinct()
     # Self-loops make the closed-neighborhood min fall out of the join
     # alone: (u,u) delivers u's OWN current label through the same
     # v == node lookup, so the per-round union-with-labels (and its
     # extra exchange into the groupBy) disappears — the round rule
-    # min(labels of neighbors ∪ self) is unchanged.  Pre-partitioning
+    # min(labels of neighbors ∪ self) is unchanged.  The loops ride
+    # the SAME single distinct as the edge symmetrization (one
+    # exchange builds edges + loops together), and pre-partitioning
     # by v before the one-time checkpoint lets every round's join
     # reuse that layout instead of re-shuffling the edge list each
     # round (R-1 fewer |edges| exchanges over the loop).
-    sym = sym.unionByName(nodes.select("u", F.col("u").alias("v")))
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .union(edges.select(F.col(src).alias("u"), F.col(src).alias("v")))
+        .union(edges.select(F.col(dst).alias("u"), F.col(dst).alias("v")))
+        .distinct()
+    )
     if checkpoint:
         sym = sym.repartition(F.col("v")).localCheckpoint(eager=True)
-    labels = nodes.select(F.col("u").alias("node")).withColumn(
-        "component", F.col("node")
+    # The initial label table derives from the CHECKPOINTED edge list
+    # (the self-loop rows ARE the node set — no distinct needed):
+    # deriving it from the pre-checkpoint lineage re-runs the whole
+    # upstream edge build (for semantic dedup, the candidate pair
+    # generation) a second time — measured 2.8 s -> 4.4 s on
+    # emb_semantic_dedup when that regressed in round 12.
+    labels = sym.filter(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node"), F.col("u").alias("component")
     )
 
     prev_sum = None
