@@ -58,6 +58,73 @@ from lakehouse_cdc_spark.plans.registry import register, table
 _PPB = 1_000_000_000
 
 
+def _bigram_stream(spark, sf_dir):
+    """(tok, bg): the tokenized corpus and the raw (doc_id, w1, w2)
+    bigram occurrence stream (one map-side tokenize + explode, no
+    shuffle) — the shared front end of every bigram-LM query.
+
+    A (doc_id, w1, w2)-keyed pre-aggregation was measured here and
+    REJECTED (guide §1.1 — the "ideal" plan is often slower for a
+    gotcha): per-doc bigram multiplicities are ~1, so the extra
+    corpus-sized hash(doc_id, w1, w2) exchange cost more than the
+    explode recomputation it saved (bigram 1.6 s -> 2.5 s, tertiles
+    1.8 s -> 5.3 s isolated at sf0.1)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("t"))
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    return tok, bg
+
+
+def _addone_per_doc(spark, sf_dir):
+    """Per-document add-one-smoothed bigram LM stats: (doc_id,
+    n_bigrams, score_sum, avg_p_ppb) — the shared Spark side of
+    text_bigram_lm_score and text_perplexity_tertiles.
+
+    C(w1) derives from the |bigram-type| table ``c2`` (sum of c per
+    w1) instead of a second full aggregation of the raw stream — one
+    fewer corpus-sized pass, and the c1 shuffle drops from
+    |corpus-bigrams| partial-agg state to |bigram-types| rows
+    (guide §2.3 aggregate before you shuffle)."""
+    tok, bg = _bigram_stream(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cn"))
+    # V counts distinct tokens over ALL docs (including single-token
+    # docs whose token appears in no bigram), so it keeps its own
+    # tokenize pass
+    v = (
+        tok.select(F.explode("t").alias("u"))
+        .agg(F.count_distinct("u").alias("vsz"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(f"((c + 1) * {_PPB}) div (cn + vsz)").alias("p_ppb"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppb").cast("bigint").alias("score_sum"),
+            F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb"),
+        )
+    )
+
+
 @register(
     "text_bigram_lm_score",
     bench=True,
@@ -95,44 +162,13 @@ def text_bigram_lm_score(spark, sf_dir):
 
     Plan shape: bigrams are built MAP-SIDE from the token array
     (transform over sequence — no window, no self-join), then
-    aggregated on the pair key.  V is a one-row broadcast.  The score
-    join shuffles on (w1, w2); stats side is AQE-broadcast when small.
+    aggregated on the pair key; C(w1) derives from the pair table
+    (``_addone_per_doc``), not from a second corpus aggregation.  V is
+    a one-row broadcast.  The score join shuffles on (w1, w2); stats
+    side is AQE-broadcast when small.
     """
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("t"))
-    bg = (
-        tok.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(element_at(t, i) AS w1,"
-                    "             element_at(t, i + 1) AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cn"))
-    v = (
-        tok.select(F.explode("t").alias("u"))
-        .agg(F.count_distinct("u").alias("vsz"))
-    )
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.expr(f"((c + 1) * {_PPB}) div (cn + vsz)").alias("p_ppb"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("p_ppb").cast("bigint").alias("score_sum"),
-        F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb"),
+    return _addone_per_doc(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "score_sum", "avg_p_ppb"
     )
 
 
@@ -199,40 +235,7 @@ def text_perplexity_tertiles(spark, sf_dir):
     from lakehouse_cdc_spark.operators.chunked import ntile_keyed_two_pass
 
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("t"))
-    bg = (
-        tok.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(element_at(t, i) AS w1,"
-                    "             element_at(t, i + 1) AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cn"))
-    v = (
-        tok.select(F.explode("t").alias("u"))
-        .agg(F.count_distinct("u").alias("vsz"))
-    )
-    per_doc = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.expr(f"((c + 1) * {_PPB}) div (cn + vsz)").alias("p_ppb"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("avg_p_ppb")
-        )
-    )
+    per_doc = _addone_per_doc(spark, sf_dir).select("doc_id", "avg_p_ppb")
     bucketed = ntile_keyed_two_pass(
         per_doc.join(d.select("doc_id", "source"), "doc_id"),
         n=3,
@@ -754,34 +757,27 @@ def text_kneser_ney_bigram(spark, sf_dir):
     t2 = 3·N1fw·N1bw·1e9 // (4c₁·B)) so both engines agree
     bit-for-bit — same fixed-point discipline as the add-one query.
 
-    Plan shape: bigrams build MAP-SIDE from the token array; three
-    count tables (pair, left-context + distinct-successor fused into
-    ONE aggregate, distinct-predecessor) shuffle on their own keys;
-    B is a one-row broadcast; the score join shuffles on (w1, w2)
-    with the stats sides AQE-broadcast when small.  At 100 TB every
-    shuffle is |vocab|- or |bigram-type|-sized, never |corpus|."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens("text").alias("t"))
-    bg = (
-        tok.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(element_at(t, i) AS w1,"
-                    "             element_at(t, i + 1) AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
+    Plan shape: bigrams build MAP-SIDE from the token array; the pair
+    table ``c2`` is the ONLY corpus-sized aggregation — every other
+    count table derives from its |bigram-type| rows: C(w1) = sum of c
+    per w1, N1+(w1·) = c2's row count per w1, N1+(·w2) = c2's row
+    count per w2, B = count(c2).  The previous form re-aggregated the
+    raw stream per table, paying two extra corpus passes AND two
+    two-phase countDistinct aggregates where row counts over the
+    distinct-pair table give the same integers (guide §2.3 aggregate
+    before you shuffle).  B is a one-row broadcast; the score join
+    shuffles on (w1, w2) with the stats sides AQE-broadcast when
+    small.  At 100 TB every stats shuffle is |bigram-type|-sized,
+    never |corpus|."""
+    _tok, bg = _bigram_stream(spark, sf_dir)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("cn"),
-        F.countDistinct("w2").alias("n1fw"),
+    # COUNT(DISTINCT w2) per w1 over the raw stream == row count per
+    # w1 in the distinct-pair table; same for the predecessor side
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("cn"),
+        F.count(F.lit(1)).alias("n1fw"),
     )
-    cont = bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1bw"))
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
     b = c2.agg(F.count(F.lit(1)).alias("btypes"))
     scored = (
         bg.join(c2, ["w1", "w2"])
