@@ -70,7 +70,23 @@ def _with_cumulative(counts, cols):
     """Exact prefix sums of ``cols`` over the value order WITHOUT an
     unpartitioned window: quantile range-bucket (32) → within-bucket
     cumulative window → broadcast carry of strictly-lower bucket
-    totals (operators/prefix.py discipline)."""
+    totals (operators/prefix.py discipline).
+
+    ``counts`` is eagerly localCheckpoint-ed: it is
+    |distinct value|-sized by construction, but this helper (bounds +
+    rows + per-bucket totals + two carry self-joins) and its callers
+    reference it up to ten times — with full lineage, EVERY reference
+    re-ran the corpus-sized aggregation that produced it (the KS
+    physical plan carried 66 parquet scans of events, r12
+    measurement; 2 after this cut).  ``.persist()`` was measured
+    first and REJECTED: the InMemoryRelation blocked AQE partition
+    coalescing, so the many tiny downstream stages ran at full
+    shuffle-partition width — 4–6× SLOWER than no cache at all
+    (guide §5: cache only when recompute beats the pressure it
+    creates).  The eager checkpoint of the tiny sufficient statistic
+    truncates lineage at wall-clock parity locally and drops the
+    corpus re-scans that dominate at scale."""
+    counts = counts.coalesce(8).localCheckpoint()
     b = with_range_bucket(counts, "v", 32, "__bkt")
     w = (
         Window.partitionBy("__bkt")
@@ -164,21 +180,23 @@ def stats_ks_two_sample(spark, sf_dir):
             - F.col("cum_c2").cast("decimal(38,0)") * F.col("n1")
         ).alias("gap"),
     )
-    d = gaps.groupBy("n1", "n2").agg(F.max("gap").alias("d_num"))
-    dn = d.select("d_num")
-    at = gaps.join(F.broadcast(dn), gaps["gap"] == dn["d_num"]).agg(
-        F.min("v").alias("d_at_cents")
+    # max gap AND its first location in ONE aggregation: structs
+    # compare lexicographically, so max(struct(gap, -v)) picks the
+    # maximal gap and, among ties, the maximal -v — i.e. the MIN v —
+    # replacing the r11 three-pass form (max, then a self-join of the
+    # gap table against its own max, then a combine) that re-derived
+    # the whole upstream per pass (guide §2.4 remove shuffles; §1.2
+    # fix the algorithm before the kernels).
+    best = gaps.groupBy("n1", "n2").agg(
+        F.max(F.struct(F.col("gap"), (-F.col("v")).alias("negv"))).alias("m")
     )
-    return (
-        d.crossJoin(F.broadcast(at))
-        .select(
-            F.col("n1").cast("bigint").alias("n1"),
-            F.col("n2").cast("bigint").alias("n2"),
-            (F.col("d_num") * F.expr(_PM) / (F.col("n1") * F.col("n2")))
-            .cast("bigint")
-            .alias("d_ppm"),
-            F.col("d_at_cents").cast("bigint").alias("d_at_cents"),
-        )
+    return best.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("m.gap") * F.expr(_PM) / (F.col("n1") * F.col("n2")))
+        .cast("bigint")
+        .alias("d_ppm"),
+        (-F.col("m.negv")).cast("bigint").alias("d_at_cents"),
     )
 
 
@@ -1080,6 +1098,11 @@ def stats_spearman_rank_corr(spark, sf_dir):
         .cast("bigint")
         .alias("b"),
     )
+    # |users|-sized rollup referenced by both rank maps AND the final
+    # join — eager localCheckpoint so the event-corpus aggregation
+    # runs once, not once per reference (same rationale and same
+    # persist-rejected measurement as _with_cumulative)
+    per_user = per_user.coalesce(8).localCheckpoint()
 
     def rank_map(var):
         counts = per_user.groupBy(F.col(var).alias("v")).agg(
