@@ -977,3 +977,39 @@ def test_containment_pairs_mirror_is_complete_and_symmetric(spark):
     assert cp12 == 1000  # short doc fully contained in long
     assert cp12 > cp21  # directionality preserved
     assert n_a12 < n_a21  # each direction carries ITS da's size
+
+
+def test_word_shingles_zipwith_equals_transform_form(spark):
+    """The zip_with shingle build (split evaluated O(n) per ROW) must be
+    element-identical to the round-2 transform form (split re-evaluated
+    per SHINGLE — the 16x pathology this replaced), including the
+    short-document single-shingle rule, NULL text ([NULL]), empty text,
+    and non-space whitespace."""
+    from lakehouse_cdc_spark.llm.text import tokens, word_shingles
+
+    def transform_form(text, n):
+        toks = tokens(text)
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "one"),
+        (3, ""),
+        (4, None),
+        (5, "  padded   with    runs  of spaces "),
+        (6, " \t tab\tsep \n newline mix "),
+        (7, "a b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for n in (1, 2, 3, 5, 8):
+        bad = (
+            d.select(
+                transform_form(F.col("text"), n).alias("o"),
+                word_shingles(F.col("text"), n).alias("w"),
+            )
+            .filter(~F.col("o").eqNullSafe(F.col("w")))
+            .count()
+        )
+        assert bad == 0, f"shingle divergence at n={n}"
