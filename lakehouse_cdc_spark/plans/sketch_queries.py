@@ -322,14 +322,23 @@ def sketch_kmv_jaccard(spark, sf_dir):
     oracle-checked bit-for-bit."""
     from pyspark.sql import Window
 
-    # five downstream subtrees (bottom-k, per-source counts, exact
-    # intersection x2, merge) all read the hashed distinct set; persist
-    # it so the md5 scan + distinct shuffle run once, not five times
+    # six downstream subtrees (bottom-k, per-source counts, the exact
+    # intersection's two sides, the two merge branches) all read the
+    # hashed distinct set.  It is |distinct(source, text)|-sized —
+    # corpus-bounded but small after dedup — so materialize it ONCE
+    # with an eager localCheckpoint: the md5 scan + distinct shuffle
+    # run a single time and every consumer reads the checkpointed
+    # rows.  (.persist() — the previous form — leaves an
+    # InMemoryRelation that blocks AQE partition coalescing, the same
+    # pathology measured 4-6x slower in stats_tests_queries, and was
+    # never unpersisted, pinning executor memory for the rest of the
+    # session.)
     hs = (
         table(spark, sf_dir, "documents")
         .select("source", F.expr(_KMV_H_SPARK).alias("h"))
         .distinct()
-        .persist()
+        .coalesce(8)
+        .localCheckpoint()
     )
     w = Window.partitionBy("source").orderBy("h")
     bk = (
@@ -478,6 +487,18 @@ def sketch_histogram_quantiles(spark, sf_dir):
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # hist IS the sketch — |value-domain / width| rows (~100 here) — but
+    # five downstream subtrees reference it (range bucketing, the
+    # within-bucket cum window, the per-bucket carry totals, the corpus
+    # count, the est probe), and with full lineage every reference
+    # re-runs the lineitem aggregation that built it.  Eagerly
+    # checkpoint the tiny sufficient statistic (the stats_tests
+    # _with_cumulative discipline; .persist() measured 4-6x slower
+    # there because InMemoryRelation blocks AQE coalescing) and derive
+    # N = SUM(cnt) from the checkpointed counters instead of a second
+    # corpus-sized count scan: the query pays exactly TWO lineitem
+    # passes (sketch build + exact-pick probe), at any scale.
+    hist = hist.coalesce(8).localCheckpoint()
     histb = with_range_bucket(hist, "b", 16)
     hist_carry = lower_bucket_agg(
         histb.groupBy("__bkt").agg(F.sum("cnt").alias("__btot")),
@@ -494,7 +515,7 @@ def sketch_histogram_quantiles(spark, sf_dir):
         )
         .drop("__bkt", "__carry")
     )
-    n = v.agg(F.count(F.lit(1)).alias("n"))
+    n = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     qs = spark.createDataFrame(_HQ_QS, "num long, den long")
     targets = qs.crossJoin(F.broadcast(n)).select(
         F.col("num").alias("q_pct"),
