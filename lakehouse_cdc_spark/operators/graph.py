@@ -221,6 +221,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, int]:
     """Extract the k-CORE of the undirected graph ``edges`` by
     iterative peeling run to the FIXED POINT: each round drops every
@@ -246,18 +247,35 @@ def kcore(
     detected by an O(1)-row count probe riding each round's
     ``localCheckpoint`` (the loop is unbounded, so lineage must be
     truncated eagerly — same discipline as
-    :func:`connected_components`)."""
+    :func:`connected_components`).
+
+    ``checkpoint=False`` is a DEBUG/AUDIT mode (same contract as
+    :func:`connected_components`): rounds keep full lineage so the
+    converged result's single physical plan exhibits every round's
+    shape — used to capture the per-round exchange/broadcast counts in
+    plans/r12.  Never use it on real graphs (each count probe replays
+    all prior rounds)."""
     cur = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=False)
     n_prev = cur.count()
     rounds = 0
     while n_prev > 0 and rounds < max_iter:
+        # ONE alive-set plan joined against both edge endpoints: the
+        # src- and dst-side references are the identical subtree (same
+        # output attribute, no rename-Project), so Spark's exchange
+        # reuse materializes it ONCE per round — one broadcast build
+        # instead of two on the hinted path, one degree-aggregation
+        # shuffle instead of two on the at-scale shuffle path.  (The
+        # previous withColumnRenamed("src", "dst") form made the two
+        # sides canonicalize differently, defeating ReuseExchange.)
         alive = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
-            .select("src")
+            .select(F.col("src").alias("__alive"))
         )
         # provable alive-set bound from the probe already paid for:
         # sum of surviving degrees = |cur| rows and each alive node
@@ -266,21 +284,19 @@ def kcore(
         # the strategy (the early peel rounds of a huge graph keep a
         # data-sized alive set that must NOT ship to every executor).
         if n_prev // k <= _KCORE_BROADCAST_MAX_NODES:
-            a_src = F.broadcast(alive)
-            a_dst = F.broadcast(alive.withColumnRenamed("src", "dst"))
-        else:
-            a_src = alive
-            a_dst = alive.withColumnRenamed("src", "dst")
+            alive = F.broadcast(alive)
         # lazy checkpoint + count(): the probe action materializes the
         # checkpoint, so each round costs ONE job instead of the
         # eager-then-count two (sf0.1 delta sits inside run noise, but
         # the job count per round is strictly halved)
         nxt = (
-            cur.join(a_src, "src")
-            .join(a_dst, "dst")
+            cur.join(alive, F.col("src") == F.col("__alive"))
+            .drop("__alive")
+            .join(alive, F.col("dst") == F.col("__alive"))
             .select("src", "dst")
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=False)
         n = nxt.count()
         rounds += 1
         cur = nxt
