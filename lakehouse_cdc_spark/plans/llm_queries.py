@@ -84,7 +84,8 @@ _AUTO_K_SQL = (
 #: embeddings corpus — within a process (bench run, driver gate) the
 #: count is a constant of sf_dir, so pay it once (the round-11 bench
 #: showed the per-fit count job as the main small-SF cost of the
-#: scale-correct auto-K default)
+#: scale-correct auto-K default).  DECLARED SETUP (r13): built and
+#: reported by ``plans.artifacts.prepare_artifacts``.
 _EMB_COUNT_CACHE: dict[str, int] = {}
 
 #: collected centroid blocks per (sf_dir, K): the fit is a pure
@@ -3151,12 +3152,12 @@ def emb_semantic_dedup(spark, sf_dir):
 #: stored old-corpus band indexes per sf_dir (parquet artifact paths):
 #: the daily-ingest shape reads the existing corpus' LSH index from
 #: storage — building it is a one-time (or feed-maintained) cost, not
-#: part of any shard's dedup pass
+#: part of any shard's dedup pass.  DECLARED SETUP (r13): a harness
+#: that wants the build cost visible runs
+#: ``plans.artifacts.prepare_artifacts`` and reports the seconds;
+#: a fresh process always rebuilds from parquet (tempdir path, never
+#: keyed on the data directory across runs).
 _OLD_INDEX_CACHE: dict[str, str] = {}
-
-#: the shard's persisted candidate table per sf_dir (one persisted
-#: lineage reused across invocations — see the persist note below)
-_SHARD_BEST_CACHE: dict[str, object] = {}
 
 
 def _old_shard_band_index(spark, sf_dir):
@@ -3263,18 +3264,17 @@ def dedup_incremental_new_shard(spark, sf_dir):
     cross = new_bands.join(old_idx, on=["band", "band_key"]).select(
         "new_id", "old_id"
     )
-    best = _SHARD_BEST_CACHE.get(sf_dir)
-    if best is None:
-        # best is O(|shard|) and feeds THREE consumers (the old-side
-        # doc prune, the intersection, the final join) — persist it so
-        # the shard signatures + index join run once; cached per
-        # sf_dir so repeated invocations (bench warm + timed runs)
-        # reuse ONE persisted lineage instead of stacking dead caches
-        best = cross.groupBy("new_id").agg(
-            F.count_distinct("old_id").alias("n_old_candidates"),
-            F.min("old_id").alias("best_old"),
-        ).persist()
-        _SHARD_BEST_CACHE[sf_dir] = best
+    # best is O(|shard|) and feeds THREE consumers (the old-side doc
+    # prune, the intersection, the final join) — an eager
+    # localCheckpoint materializes the shard signatures + index join
+    # ONCE PER INVOCATION (every call pays its declared per-shard
+    # cost; the blocks are freed by the ContextCleaner when this
+    # DataFrame is collected and dropped, so repeated invocations do
+    # not stack dead caches)
+    best = cross.groupBy("new_id").agg(
+        F.count_distinct("old_id").alias("n_old_candidates"),
+        F.min("old_id").alias("best_old"),
+    ).localCheckpoint()
     from lakehouse_cdc_spark.llm.dedup import shingle_table
     # exact verify touches only the shard and its RETAINED partners:
     # shingle the new shard and the candidate old docs (semi-joined
