@@ -584,9 +584,12 @@ def sample_leakage_safe_split(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=8)
+    # feeds connected_components AND the leakage join — one build per
+    # invocation (localCheckpoint; a bare persist would leak this plan
+    # into the CacheManager for the next invocation to reuse)
     pairs = lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_MAX_BUCKET
-    ).persist()
+    ).localCheckpoint()
     cc = connected_components(pairs, src="da", dst="db")
     h = F.expr(
         "CAST(conv(substring(md5(CAST(canonical AS STRING)), 1, 1), 16, 10) "
@@ -603,7 +606,8 @@ def sample_leakage_safe_split(spark, sf_dir):
             "split",
             F.when(h < 12, "train").when(h < 14, "val").otherwise("test"),
         )
-        .persist()
+        # read by both leakage-join endpoints and the split histogram
+        .localCheckpoint()
     )
     a1 = assigned.select(
         F.col("doc_id").alias("da"), F.col("split").alias("split_a")
@@ -722,7 +726,9 @@ def dedup_cascade_report(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .persist()
+        # survivors feed the signature pipeline and the count readout;
+        # materialized per invocation (no cross-run CacheManager entry)
+        .localCheckpoint()
     )
     sigs = minhash_signatures(surv, k=8)
     pairs = lsh_candidate_pairs(

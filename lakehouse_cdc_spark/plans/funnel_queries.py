@@ -279,7 +279,10 @@ def events_rolling_active_users(spark, sf_dir):
             "user_id",
         )
         .distinct()
-        .persist()
+        # spine, fan-out and DAU all read the distinct (day, user) set;
+        # one materialization per invocation (localCheckpoint, not a
+        # CacheManager-leaking persist)
+        .localCheckpoint()
     )
     spine = daily.select("d").distinct()
     ks = F.explode(F.array(*[F.lit(i) for i in range(_RAU_WINDOW)])).alias("k")
@@ -823,14 +826,20 @@ def events_sessionize_batch(spark, sf_dir):
     parallelism unit, the canonical sessionization posture at any
     corpus size."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Both windows order by (tus, event_id) — unix_micros is strictly
+    # monotonic in ts, so the order is the one the ts-keyed spec
+    # expressed, and because the sort keys now MATCH the running-sum
+    # window's, Catalyst drops the second per-partition Sort pass the
+    # old mixed ts/tus specs forced (it cannot prove unix_micros(ts)
+    # and ts sort identically).
     seq = e.select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("tus"),
-        F.lag(F.unix_micros("ts")).over(w).alias("prev_tus"),
     )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = seq.withColumn("prev_tus", F.lag("tus").over(w))
     flagged = seq.withColumn(
         "new_sess",
         F.when(

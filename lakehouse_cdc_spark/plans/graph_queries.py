@@ -438,7 +438,7 @@ def graph_pagerank_purchases(spark, sf_dir):
 
     Plan shape: the orders JOIN lineitem edge derivation and the
     degree aggregate run ONCE — edges (with outdeg fused on) and the
-    node list are persisted (MEMORY_AND_DISK) and materialized before
+    node list are localCheckpoint-ed (materialized eagerly) before
     the loop, so every iteration's subtree reads from cache instead
     of re-executing the fact-fact join (the round-2 defect: 0
     ReusedExchange, derivation run 4x).  The rank vector itself is a
@@ -459,20 +459,21 @@ def graph_pagerank_purchases(spark, sf_dir):
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst")
     ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
     # degree has exactly one row per incident node, so the node list
     # falls out of it with no extra distinct.  Degree fused onto each
-    # edge once; both loop inputs cached + materialized so the
-    # fact-fact join never re-executes.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    ew = edges.join(deg, "src").persist()
+    # edge once; both loop inputs materialized eagerly PER INVOCATION
+    # (localCheckpoint, not persist — a persist with no unpersist stays
+    # in the CacheManager and the next invocation's identical plan
+    # would read the previous run's blocks) so the fact-fact join never
+    # re-executes within a run.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    ew = edges.join(deg, "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("node"))
-    ew.count()
-    pairs.unpersist()
 
     pr = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("pr"))
     for _ in range(_PR_ITERS):
@@ -696,7 +697,8 @@ def graph_triangle_count(spark, sf_dir):
             F.when(lower, F.col("p1")).otherwise(F.col("p2")).alias("u"),
             F.when(lower, F.col("p2")).otherwise(F.col("p1")).alias("v"),
         )
-    ).persist()
+        # three self-join endpoints read this once-per-invocation block
+    ).localCheckpoint()
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -792,7 +794,8 @@ def graph_common_neighbors(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("co_cnt"))
         .filter(F.col("co_cnt") >= _TRI_MIN_CO)
         .select("p1", "p2")
-        .persist()
+        # consumed by both union arms and the anti-join; per-invocation
+        .localCheckpoint()
     )
     sym = edges.select(
         F.col("p1").alias("u"), F.col("p2").alias("v")
@@ -899,10 +902,14 @@ def graph_bfs_khop(spark, sf_dir):
     sym = (
         edges.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
         .unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
-        .persist()
+        # every round joins the frontier against this block; built once
+        # per invocation (localCheckpoint — no cross-invocation cache)
+        .localCheckpoint()
     )
     src = sym.agg(F.min("u").alias("s"))
-    reached = src.select(F.col("s").alias("node"), F.lit(0).alias("dist")).persist()
+    reached = src.select(
+        F.col("s").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
     frontier = reached
     for r in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
@@ -911,11 +918,11 @@ def graph_bfs_khop(spark, sf_dir):
             .distinct()
             .join(reached.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(r))
-            .persist()
+            .localCheckpoint()
         )
         if nxt.rdd.isEmpty():  # O(1)-row convergence probe
             break
-        reached = reached.unionAll(nxt).persist()
+        reached = reached.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return (
         reached.groupBy("dist")

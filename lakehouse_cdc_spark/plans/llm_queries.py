@@ -894,7 +894,8 @@ def text_rrf_fusion(spark, sf_dir):
     doc_id, and the final top-20 is TakeOrderedAndProject."""
     from lakehouse_cdc_spark.operators.prefix import row_number_two_pass
 
-    # persisted ON PURPOSE: each two-pass ranking derives bounds,
+    # materialized ON PURPOSE (per-invocation localCheckpoint): each
+    # two-pass ranking derives bounds,
     # per-bucket counts, and the bucketed scan from this base — six
     # consumers total, and the 24-byte/row projection is the right
     # thing to cache instead of re-tokenizing the corpus six times
@@ -905,7 +906,7 @@ def text_rrf_fusion(spark, sf_dir):
             F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
             "n_chars",
         )
-        .persist()
+        .localCheckpoint()
     )
     ra = row_number_two_pass(
         d, "ntok", ["doc_id"], "rank_tokens", ascending=False
@@ -2998,16 +2999,20 @@ def dedup_lsh_parameter_sweep(spark, sf_dir):
     thresholds stay in the docstring, off the oracle surface.
 
     ONE job for the whole sweep: every config's band keys come out of
-    a single explode over the persisted signature table (one struct
+    a single explode over the materialized signature table (one struct
     per (config, band) — 8+4+2 = 14 index rows per document),
     candidate pairs from a single self-join on (config, band,
     band_key), and the per-config counts from one aggregation —
     versus three serial count() actions each paying its own banding
-    joins.  The persisted signatures are the miniature of the stored
+    joins.  The checkpointed signatures are the miniature of the stored
     band index a production sweep reads (llm/dedup.band_table)."""
     from lakehouse_cdc_spark.llm.dedup import band_key, minhash_signatures
 
-    sigs = minhash_signatures(table(spark, sf_dir, "documents"), k=8).persist()
+    # one signature build per invocation (localCheckpoint, not persist —
+    # the sweep's explode + self-join + counts all read these blocks)
+    sigs = minhash_signatures(
+        table(spark, sf_dir, "documents"), k=8
+    ).localCheckpoint()
     structs = [
         F.struct(
             F.lit(bands).cast("long").alias("n_bands"),

@@ -332,12 +332,14 @@ def sketch_kmv_jaccard(spark, sf_dir):
     # InMemoryRelation that blocks AQE partition coalescing, the same
     # pathology measured 4-6x slower in stats_tests_queries, and was
     # never unpersisted, pinning executor memory for the rest of the
-    # session.)
+    # session.)  No coalesce: hs is corpus-bounded, so a fixed
+    # partition cap would throttle the distinct reduce and every
+    # consumer at scale — the post-shuffle (AQE-coalesced) layout is
+    # already sized to the data.
     hs = (
         table(spark, sf_dir, "documents")
         .select("source", F.expr(_KMV_H_SPARK).alias("h"))
         .distinct()
-        .coalesce(8)
         .localCheckpoint()
     )
     w = Window.partitionBy("source").orderBy("h")
@@ -515,7 +517,11 @@ def sketch_histogram_quantiles(spark, sf_dir):
         )
         .drop("__bkt", "__carry")
     )
-    n = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    # coalesce: SUM over an empty histogram is NULL where the previous
+    # COUNT(*) over the corpus was 0 — keep the empty-input behavior
+    n = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
     qs = spark.createDataFrame(_HQ_QS, "num long, den long")
     targets = qs.crossJoin(F.broadcast(n)).select(
         F.col("num").alias("q_pct"),

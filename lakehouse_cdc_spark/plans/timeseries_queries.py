@@ -751,7 +751,9 @@ def ts_mad_anomalies(spark, sf_dir):
             ).alias("d"),
         )
         .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
-        .persist()
+        # two rank picks + the counting pass read the daily aggregate;
+        # materialized once per invocation (localCheckpoint)
+        .localCheckpoint()
     )
 
     def rank_pick(df, col, out):

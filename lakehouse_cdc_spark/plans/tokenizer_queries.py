@@ -177,7 +177,10 @@ def _bpe_fit(spark, sf_dir):
         .select(
             "w", F.regexp_replace("w", "(.)", f"{_M1}$1{_M2}").alias("s"), "cnt"
         )
-        .persist()
+        # the vocabulary every merge round rewrites — one corpus
+        # tokenization per invocation (localCheckpoint, no cross-run
+        # CacheManager reuse)
+        .localCheckpoint()
     )
     parts = f"split(s, '{_M2}')"
     pair_expr = (

@@ -1013,3 +1013,50 @@ def test_word_shingles_zipwith_equals_transform_form(spark):
             .count()
         )
         assert bad == 0, f"shingle divergence at n={n}"
+
+
+def test_chunk_windows_bound_equals_captured_form(spark):
+    """The outer-transform binding build (tokenizer evaluated once per
+    ROW) must be element-identical to the captured-lambda form it
+    replaced (tokenizer re-evaluated per WINDOW — the same pathology as
+    the shingle 16x), across empty/NULL/short/boundary lengths and both
+    default and custom (size, stride)."""
+    from lakehouse_cdc_spark.llm.text import chunk_windows, tokens
+
+    def captured_form(text, size, stride):
+        toks = tokens(text)
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + F.lit(1),
+            F.lit(1),
+        )
+        starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+        return F.transform(
+            starts, lambda s: F.array_join(F.slice(toks, s + 1, size), " ")
+        )
+
+    rows = [(1, ""), (2, None), (3, "one two"), (4, "  a   b  c ")] + [
+        (10 + k, " ".join(f"t{i}" for i in range(m)))
+        for k, m in enumerate((49, 50, 51, 75, 76, 120))
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for size, stride in ((50, 25), (10, 10), (8, 3)):
+        bad = (
+            d.select(
+                captured_form(F.col("text"), size, stride).alias("o"),
+                chunk_windows(F.col("text"), size=size, stride=stride).alias("w"),
+            )
+            .filter(~F.col("o").eqNullSafe(F.col("w")))
+            .count()
+        )
+        assert bad == 0, f"chunk divergence at size={size} stride={stride}"
+
+
+def test_word_shingles_rejects_nonpositive_n():
+    from lakehouse_cdc_spark.llm.text import word_shingles
+
+    import pytest as _pytest
+
+    for n in (0, -1):
+        with _pytest.raises(ValueError, match="n must be >= 1"):
+            word_shingles("text", n)
