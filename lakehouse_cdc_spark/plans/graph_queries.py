@@ -678,7 +678,16 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).alias("co_cnt"))
     )
-    edges = co.filter(F.col("co_cnt") >= _TRI_MIN_CO).select("p1", "p2")
+    # materialize the thresholded edge list BEFORE the orientation
+    # build: deg's two union arms and the orientation join otherwise
+    # each re-run the |basket|^2-bounded co-purchase self-join inside
+    # the oriented-checkpoint job (A/B at sf0.1: ~10% locally; at scale
+    # it is one fact self-join instead of three)
+    edges = (
+        co.filter(F.col("co_cnt") >= _TRI_MIN_CO)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
     deg = (
         edges.select(F.col("p1").alias("node"))
         .unionAll(edges.select(F.col("p2").alias("node")))
@@ -898,6 +907,10 @@ def graph_bfs_khop(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("co_cnt"))
         .filter(F.col("co_cnt") >= _TRI_MIN_CO)
         .select("p1", "p2")
+        # materialized before the symmetric union: its two arms would
+        # otherwise each re-run the co-purchase self-join in sym's
+        # build job (same fix as graph_triangle_count)
+        .localCheckpoint()
     )
     sym = (
         edges.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
