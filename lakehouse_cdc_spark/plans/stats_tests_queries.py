@@ -1101,8 +1101,11 @@ def stats_spearman_rank_corr(spark, sf_dir):
     # |users|-sized rollup referenced by both rank maps AND the final
     # join — eager localCheckpoint so the event-corpus aggregation
     # runs once, not once per reference (same rationale and same
-    # persist-rejected measurement as _with_cumulative)
-    per_user = per_user.coalesce(8).localCheckpoint()
+    # persist-rejected measurement as _with_cumulative).  No coalesce:
+    # unlike _with_cumulative's |distinct value|-sized counts, this
+    # table grows with the corpus, so a fixed partition cap would
+    # throttle every consumer at scale (the kmv lesson).
+    per_user = per_user.localCheckpoint()
 
     def rank_map(var):
         counts = per_user.groupBy(F.col(var).alias("v")).agg(
