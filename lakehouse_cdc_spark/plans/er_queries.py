@@ -236,20 +236,33 @@ def _fuzzy_matches(spark, sf_dir, base=None):
             F.levenshtein("dirty_name", "c_name", 2).cast("int").alias("lev"),
         )
     )
-    rn = F.row_number().over(
-        Window.partitionBy("dirty_key").orderBy(
-            F.when(F.col("lev") < 0, 999).otherwise(F.col("lev")),
-            F.col("clean_key"),
-        )
+    # Best-match resolution as an ALGEBRAIC argmin (min_by over the
+    # same (bounded-lev, clean_key) total order the oracle's
+    # ROW_NUMBER expresses) instead of a rank-1 window pick: the
+    # window form shuffled EVERY candidate pair to sort it inside its
+    # dirty_key partition; min_by folds map-side, so only one partial
+    # per dirty key crosses the exchange (~expected-block-size x fewer
+    # shuffled rows at any scale).  Row-for-row equal to the window
+    # form at sf0.1 (15 000 matches, verified; local wall parity —
+    # the win is shuffle volume, not orchestration).
+    order = F.struct(
+        F.when(F.col("lev") < 0, 999).otherwise(F.col("lev")).alias("o1"),
+        F.col("clean_key").alias("o2"),
     )
     return (
-        scored.withColumn("rn", rn)
-        .filter((F.col("rn") == 1) & F.col("lev").between(0, 2))
+        scored.groupBy("dirty_key")
+        .agg(F.min_by(F.struct("clean_key", "lev"), order).alias("p"))
         .select(
             "dirty_key",
-            F.col("clean_key").alias("matched_key"),
+            F.col("p.clean_key").alias("matched_key"),
+            F.col("p.lev").alias("lev"),
+        )
+        .filter(F.col("lev").between(0, 2))
+        .select(
+            "dirty_key",
+            "matched_key",
             "lev",
-            F.when(F.col("dirty_key") == F.col("clean_key"), 1)
+            F.when(F.col("dirty_key") == F.col("matched_key"), 1)
             .otherwise(0)
             .cast("int")
             .alias("is_correct"),
