@@ -728,20 +728,23 @@ def events_pattern_vshape(spark, sf_dir):
     dirs = seq.withColumn("dir", dir_col).withColumn(
         "grp", F.row_number().over(wu) - F.row_number().over(wd)
     )
-    p = Window.partitionBy("user_id", "grp")
-    o = p.orderBy("tus", "event_id")
-    od = p.orderBy(F.col("tus").desc(), F.col("event_id").desc())
-    annotated = dirs.select(
-        "user_id",
-        "dir",
-        "grp",
-        F.count(F.lit(1)).over(p).alias("run_len"),
-        F.first("prev_v").over(o).alias("base_v"),
-        F.first("v").over(od).alias("end_v"),
-        F.first("tus").over(o).alias("first_tus"),
-        F.first("tus").over(od).alias("last_tus"),
-        F.row_number().over(o).alias("rn"),
-    ).filter(F.col("rn") == 1)
+    # Per-run rollup as ONE algebraic aggregate: every per-run value is
+    # an argmin/argmax or extremum over the (tus, event_id) total order
+    # (first-row dir/base_v = min_by, last-row end_v = max_by, first/
+    # last tus = min/max), so map tasks fold their rows to one partial
+    # per (user_id, grp) before the exchange — the previous form
+    # shuffled every step row to three framed windows plus a rank-1
+    # pick.  Grouping keys and pick order are EXACTLY the old window
+    # partition/order, so rows are identical (oracle-pinned).
+    ordk = F.struct("tus", "event_id")
+    annotated = dirs.groupBy("user_id", "grp").agg(
+        F.min_by("dir", ordk).alias("dir"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.min_by("prev_v", ordk).alias("base_v"),
+        F.max_by("v", ordk).alias("end_v"),
+        F.min("tus").alias("first_tus"),
+        F.max("tus").alias("last_tus"),
+    )
     runs = annotated.withColumn(
         "run_seq",
         F.row_number().over(Window.partitionBy("user_id").orderBy("first_tus")),

@@ -61,14 +61,22 @@ def source_python_cdclog_latest(spark, sf_dir):
     parsed = raw.select(
         F.from_json("value", _ENV_SCHEMA).alias("p")
     ).select("p.*")
-    w = Window.partitionBy("id").orderBy(F.desc("ts_ms"))
+    # Last-write-wins as an algebraic argmax (max_by on the unique
+    # ts_ms) instead of a rank-1 window: each map task folds its
+    # envelope rows to one partial per id, so the compaction shuffle
+    # carries |ids| partials rather than every change event — the
+    # canonical CDC-compaction shape at scale.  Row-identical to the
+    # window form (ts_ms unique per id).
     return (
-        parsed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        parsed.groupBy("id")
+        .agg(
+            F.max_by(F.struct("name", "__deleted"), F.col("ts_ms")).alias("p"),
+            F.max("ts_ms").alias("ts_ms"),
+        )
         .select(
             "id",
-            "name",
-            (F.col("__deleted") == "true").alias("deleted"),
+            F.col("p.name").alias("name"),
+            (F.col("p.__deleted") == "true").alias("deleted"),
             "ts_ms",
         )
     )

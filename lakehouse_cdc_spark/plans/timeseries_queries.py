@@ -82,16 +82,15 @@ def ts_gap_fill_locf(spark, sf_dir):
     arithmetic), so filled rows are bit-identical across engines."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     day = F.to_date(F.date_trunc("day", F.col("ts")))
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "day").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-    )
+    # daily top-1 as an algebraic argmax (max_by over the tie-broken
+    # (ts, event_id) order) — map-side partials instead of shuffling
+    # every event to a rank-1 window sort
     daily = (
         e.select("user_id", day.alias("day"), "value", "ts", "event_id")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", F.col("value").alias("day_value"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("day_value")
+        )
     )
     bounds = e.agg(
         F.to_date(F.min(F.date_trunc("day", "ts"))).alias("lo"),
